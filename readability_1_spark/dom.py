@@ -1,0 +1,741 @@
+"""Minimal DOM + HTML parser with the exact semantics of the reference's
+JSDOMParser (/root/reference/JSDOMParser.js), written from scratch in Python.
+
+This is deliberately NOT a general HTML5 parser: the reference parser is an
+XML-strict-ish recursive-descent parser with several observable quirks that
+the per-turn equality contract requires us to reproduce, including:
+
+* entity handling limited to lt/gt/amp/quot/apos + numeric &#…;/&#x…; with
+  1-4 digits (JSDOMParser.js:34-69), decoded named-first then numeric;
+* no raw-text mode for <script>: a literal '<' inside scripts derails the
+  parse and accumulates error_state (JSDOMParser.js:879-882, 1070-1156);
+* attribute reading scans for '=' with an unbounded indexOf
+  (JSDOMParser.js:920-948) and pushes duplicates (last one wins on read);
+* comments are discarded at read time (JSDOMParser.js:1040-1044), CDATA
+  becomes text (1092-1102), first <title> wins (1145-1146);
+* the serializer self-closes void childless elements with '/>' and prefers
+  '"' quoting unless the encoded value contains '"' (JSDOMParser.js:676-714);
+* parse() prunes root-level non-<html> children when a documentElement
+  exists (JSDOMParser.js:1161-1178).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .jsquirks import from_char_code, js_parse_int, js_trim
+
+ELEMENT_NODE = 1
+TEXT_NODE = 3
+COMMENT_NODE = 8
+DOCUMENT_NODE = 9
+
+# JSDOMParser.js:264-279
+VOID_ELEMS = frozenset(
+    (
+        "area", "base", "br", "col", "command", "embed", "hr", "img",
+        "input", "link", "meta", "param", "source", "wbr",
+    )
+)
+
+_PARSE_WS = (" ", "\t", "\n", "\r")  # JSDOMParser.js:281
+
+_NAMED_ENT_RE = re.compile(r"&(quot|amp|apos|lt|gt);")
+_NUM_ENT_RE = re.compile(r"&#(?:x([0-9a-z]{1,4})|([0-9]{1,4}));", re.I)
+_ENC_TEXT_RE = re.compile(r"[&<>]")
+_ENC_ATTR_RE = re.compile(r"[&<>'\"]")
+
+_ENTITY_TABLE = {"lt": "<", "gt": ">", "amp": "&", "quot": '"', "apos": "'"}
+_REVERSE_ENTITY = {"<": "&lt;", ">": "&gt;", "&": "&amp;", '"': "&quot;", "'": "&apos;"}
+
+
+class ParseFatal(Exception):
+    """A condition where the reference JS would throw an uncaught exception
+    (e.g. decodeHTML(null) after an unterminated attribute quote), or a
+    stuck-parser guard we add because the reference would loop forever."""
+
+
+def decode_html(s: str | None) -> str:
+    # JSDOMParser.js:62-69 — named entities first, numeric on the result.
+    if s is None:
+        raise ParseFatal("decodeHTML of null (unterminated attribute value)")
+    s = _NAMED_ENT_RE.sub(lambda m: _ENTITY_TABLE[m.group(1)], s)
+
+    def _num(m: re.Match) -> str:
+        hexpart, decpart = m.group(1), m.group(2)
+        num = js_parse_int(hexpart or decpart, 16 if hexpart else 10)
+        return from_char_code(num)
+
+    return _NUM_ENT_RE.sub(_num, s)
+
+
+def encode_text_content_html(s: str) -> str:
+    # JSDOMParser.js:50-54
+    return _ENC_TEXT_RE.sub(lambda m: _REVERSE_ENTITY[m.group(0)], s)
+
+
+def encode_html(s: str) -> str:
+    # JSDOMParser.js:56-60
+    return _ENC_ATTR_RE.sub(lambda m: _REVERSE_ENTITY[m.group(0)], s)
+
+
+class Attribute:
+    """JSDOMParser.js:491-506."""
+
+    __slots__ = ("name", "value")
+
+    def __init__(self, name: str, value: str):
+        self.name = name
+        self.value = value
+
+    def encoded_value(self) -> str:
+        return encode_html(self.value)
+
+
+class Node:
+    """Base node (JSDOMParser.js:317-489): doubly linked sibling lists plus a
+    separate element-only children list, maintained on every mutation."""
+
+    node_type = 0
+
+    def __init__(self) -> None:
+        self.childNodes: list[Node] = []
+        self.parentNode: Node | None = None
+        self.nextSibling: Node | None = None
+        self.previousSibling: Node | None = None
+
+    # Element-only sibling pointers live on Element; give safe defaults here.
+    nextElementSibling: "Element | None" = None
+    previousElementSibling: "Element | None" = None
+    localName: str | None = None
+    tagName: str | None = None
+
+    @property
+    def firstChild(self) -> "Node | None":
+        return self.childNodes[0] if self.childNodes else None
+
+    @property
+    def lastChild(self) -> "Node | None":
+        return self.childNodes[-1] if self.childNodes else None
+
+    @property
+    def firstElementChild(self) -> "Element | None":
+        ch = getattr(self, "children", None)
+        return ch[0] if ch else None
+
+    @property
+    def lastElementChild(self) -> "Element | None":
+        ch = getattr(self, "children", None)
+        return ch[-1] if ch else None
+
+    def appendChild(self, child: "Node") -> None:
+        # JSDOMParser.js:345-362
+        if child.parentNode is not None:
+            child.parentNode.removeChild(child)
+        last = self.lastChild
+        if last is not None:
+            last.nextSibling = child
+        child.previousSibling = last
+        if child.node_type == ELEMENT_NODE:
+            children = self.children  # type: ignore[attr-defined]
+            child.previousElementSibling = children[-1] if children else None
+            children.append(child)
+            if child.previousElementSibling is not None:
+                child.previousElementSibling.nextElementSibling = child
+        self.childNodes.append(child)
+        child.parentNode = self
+
+    def removeChild(self, child: "Node") -> "Node":
+        # JSDOMParser.js:364-393
+        try:
+            child_index = self.childNodes.index(child)
+        except ValueError:
+            raise ParseFatal("removeChild: node not found") from None
+        child.parentNode = None
+        prev, nxt = child.previousSibling, child.nextSibling
+        if prev is not None:
+            prev.nextSibling = nxt
+        if nxt is not None:
+            nxt.previousSibling = prev
+        if child.node_type == ELEMENT_NODE:
+            eprev, enext = child.previousElementSibling, child.nextElementSibling
+            if eprev is not None:
+                eprev.nextElementSibling = enext
+            if enext is not None:
+                enext.previousElementSibling = eprev
+            self.children.remove(child)  # type: ignore[attr-defined]
+        child.previousSibling = child.nextSibling = None
+        child.previousElementSibling = child.nextElementSibling = None
+        del self.childNodes[child_index]
+        return child
+
+    def replaceChild(self, new_node: "Node", old_node: "Node") -> "Node":
+        # JSDOMParser.js:395-482
+        child_nodes = self.childNodes
+        try:
+            child_index = child_nodes.index(old_node)
+        except ValueError:
+            raise ParseFatal("replaceChild: node not found") from None
+        if new_node.parentNode is not None:
+            new_node.parentNode.removeChild(new_node)
+        child_nodes[child_index] = new_node
+        new_node.nextSibling = old_node.nextSibling
+        new_node.previousSibling = old_node.previousSibling
+        if new_node.nextSibling is not None:
+            new_node.nextSibling.previousSibling = new_node
+        if new_node.previousSibling is not None:
+            new_node.previousSibling.nextSibling = new_node
+        new_node.parentNode = self
+        children = self.children  # type: ignore[attr-defined]
+        if new_node.node_type == ELEMENT_NODE:
+            if old_node.node_type == ELEMENT_NODE:
+                new_node.previousElementSibling = old_node.previousElementSibling
+                new_node.nextElementSibling = old_node.nextElementSibling
+                if new_node.previousElementSibling is not None:
+                    new_node.previousElementSibling.nextElementSibling = new_node
+                if new_node.nextElementSibling is not None:
+                    new_node.nextElementSibling.previousElementSibling = new_node
+                children[children.index(old_node)] = new_node
+            else:
+                new_node.previousElementSibling = next(
+                    (
+                        child_nodes[i]
+                        for i in range(child_index - 1, -1, -1)
+                        if child_nodes[i].node_type == ELEMENT_NODE
+                    ),
+                    None,
+                )
+                if new_node.previousElementSibling is not None:
+                    new_node.nextElementSibling = (
+                        new_node.previousElementSibling.nextElementSibling
+                    )
+                else:
+                    new_node.nextElementSibling = next(
+                        (
+                            child_nodes[i]
+                            for i in range(child_index + 1, len(child_nodes))
+                            if child_nodes[i].node_type == ELEMENT_NODE
+                        ),
+                        None,
+                    )
+                if new_node.previousElementSibling is not None:
+                    new_node.previousElementSibling.nextElementSibling = new_node
+                if new_node.nextElementSibling is not None:
+                    new_node.nextElementSibling.previousElementSibling = new_node
+                if new_node.nextElementSibling is not None:
+                    children.insert(children.index(new_node.nextElementSibling), new_node)
+                else:
+                    children.append(new_node)
+        elif old_node.node_type == ELEMENT_NODE:
+            if old_node.previousElementSibling is not None:
+                old_node.previousElementSibling.nextElementSibling = (
+                    old_node.nextElementSibling
+                )
+            if old_node.nextElementSibling is not None:
+                old_node.nextElementSibling.previousElementSibling = (
+                    old_node.previousElementSibling
+                )
+            children.remove(old_node)
+        old_node.parentNode = None
+        old_node.previousSibling = None
+        old_node.nextSibling = None
+        if old_node.node_type == ELEMENT_NODE:
+            old_node.previousElementSibling = None
+            old_node.nextElementSibling = None
+        return old_node
+
+
+def _get_elements_by_tag_name(node: "Element | Document", tag: str) -> list["Element"]:
+    # JSDOMParser.js:299-315 — pre-order over element-only children; returns
+    # a plain (non-live) list.
+    tag = tag.upper()
+    elems: list[Element] = []
+    all_tags = tag == "*"
+
+    stack = [(node, 0)]
+    # Recursive pre-order without Python recursion limits.
+    def walk(n: "Element | Document") -> None:
+        for child in n.children:
+            if all_tags or child.tagName == tag:
+                elems.append(child)
+            walk(child)
+
+    del stack
+    walk(node)
+    return elems
+
+
+class Comment(Node):
+    node_type = COMMENT_NODE
+    nodeName = "#comment"
+
+
+class Text(Node):
+    """JSDOMParser.js:519-549 — lazy dual representation: decoded
+    textContent ↔ encoded innerHTML, each cached, invalidated on write."""
+
+    node_type = TEXT_NODE
+    nodeName = "#text"
+
+    def __init__(self) -> None:
+        super().__init__()
+        self._textContent: str | None = None
+        self._innerHTML: str | None = None
+        self._has_text = False
+        self._has_html = False
+
+    @property
+    def textContent(self) -> str:
+        if not self._has_text:
+            self._textContent = decode_html(self._innerHTML or "")
+            self._has_text = True
+        return self._textContent  # type: ignore[return-value]
+
+    @textContent.setter
+    def textContent(self, value: str) -> None:
+        self._textContent = value
+        self._has_text = True
+        self._has_html = False
+        self._innerHTML = None
+
+    @property
+    def innerHTML(self) -> str:
+        if not self._has_html:
+            self._innerHTML = encode_text_content_html(self._textContent or "")
+            self._has_html = True
+        return self._innerHTML  # type: ignore[return-value]
+
+    @innerHTML.setter
+    def innerHTML(self, value: str) -> None:
+        self._innerHTML = value
+        self._has_html = True
+        self._has_text = False
+        self._textContent = None
+
+
+class Element(Node):
+    """JSDOMParser.js:608-799."""
+
+    node_type = ELEMENT_NODE
+
+    def __init__(self, tag: str):
+        super().__init__()
+        # Non-namespace-aware: strip any prefix, but remember the original
+        # spelling to find the closing tag (JSDOMParser.js:608-623).
+        self.matching_tag = tag
+        last_colon = tag.rfind(":")
+        if last_colon != -1:
+            tag = tag[last_colon + 1 :]
+        self.attributes: list[Attribute] = []
+        self.children: list[Element] = []
+        self.localName: str = tag.lower()
+        self.tagName: str = tag.upper()
+        self.readability: dict | None = None
+        self._readabilityDataTable: bool | None = None
+
+    @property
+    def nodeName(self) -> str:
+        return self.tagName
+
+    # --- attributes ------------------------------------------------------
+    def getAttribute(self, name: str) -> str | None:
+        # Backwards scan: with duplicate attributes the LAST one wins
+        # (JSDOMParser.js:763-771).
+        for attr in reversed(self.attributes):
+            if attr.name == name:
+                return attr.value
+        return None
+
+    def setAttribute(self, name: str, value: str) -> None:
+        for attr in reversed(self.attributes):
+            if attr.name == name:
+                attr.value = value
+                return
+        self.attributes.append(Attribute(name, value))
+
+    def removeAttribute(self, name: str) -> None:
+        # Removes only the last duplicate, like the reference
+        # (JSDOMParser.js:784-792 breaks after the first backwards hit).
+        for i in range(len(self.attributes) - 1, -1, -1):
+            if self.attributes[i].name == name:
+                del self.attributes[i]
+                break
+
+    def hasAttribute(self, name: str) -> bool:
+        return any(attr.name == name for attr in self.attributes)
+
+    # --- convenience accessors (JSDOMParser.js:632-670) -------------------
+    @property
+    def className(self) -> str:
+        return self.getAttribute("class") or ""
+
+    @className.setter
+    def className(self, value: str) -> None:
+        self.setAttribute("class", value)
+
+    @property
+    def id(self) -> str:
+        return self.getAttribute("id") or ""
+
+    @id.setter
+    def id(self, value: str) -> None:
+        self.setAttribute("id", value)
+
+    @property
+    def src(self) -> str:
+        return self.getAttribute("src") or ""
+
+    @property
+    def srcset(self) -> str:
+        return self.getAttribute("srcset") or ""
+
+    def getElementsByTagName(self, tag: str) -> list["Element"]:
+        return _get_elements_by_tag_name(self, tag)
+
+    # --- serialization (JSDOMParser.js:676-714) ---------------------------
+    @property
+    def innerHTML(self) -> str:
+        arr: list[str] = []
+        _serialize_children(self, arr)
+        return "".join(arr)
+
+    @innerHTML.setter
+    def innerHTML(self, html: str) -> None:
+        # JSDOMParser.js:716-728 — reparse into a fresh document, adopt kids.
+        parser = JSDOMParser()
+        node = parser.parse(html)
+        for child in self.childNodes:
+            child.parentNode = None
+        self.childNodes = node.childNodes
+        self.children = node.children
+        for child in self.childNodes:
+            child.parentNode = self
+
+    @property
+    def textContent(self) -> str:
+        # JSDOMParser.js:743-761
+        out: list[str] = []
+
+        def walk(node: Node) -> None:
+            for child in node.childNodes:
+                if child.node_type == TEXT_NODE:
+                    out.append(child.textContent)  # type: ignore[arg-type]
+                else:
+                    walk(child)
+
+        walk(self)
+        return "".join(out)
+
+    @textContent.setter
+    def textContent(self, text: str) -> None:
+        # JSDOMParser.js:730-741
+        for child in self.childNodes:
+            child.parentNode = None
+        node = Text()
+        node.textContent = text
+        self.childNodes = [node]
+        self.children = []
+        node.parentNode = self
+
+    # --- style (JSDOMParser.js:801-844) ------------------------------------
+    def style_get(self, style_name: str) -> str | None:
+        attr = self.getAttribute("style")
+        if not attr:
+            return None
+        for style in attr.split(";"):
+            parts = style.split(":")
+            if js_trim(parts[0]) == style_name:
+                if len(parts) < 2:
+                    # JS would call undefined.trim() and throw.
+                    raise ParseFatal("style declaration without value")
+                return js_trim(parts[1])
+        return None
+
+
+def _serialize_children(node: Node, arr: list[str]) -> None:
+    for child in node.childNodes:
+        if child.localName:
+            arr.append("<" + child.localName)
+            for attr in child.attributes:  # type: ignore[attr-defined]
+                val = attr.encoded_value()
+                quote = '"' if '"' not in val else "'"
+                arr.append(" " + attr.name + "=" + quote + val + quote)
+            if child.localName in VOID_ELEMS and not child.childNodes:
+                arr.append("/>")
+            else:
+                arr.append(">")
+                _serialize_children(child, arr)
+                arr.append("</" + child.localName + ">")
+        else:
+            # Text node (comments never survive parsing).
+            arr.append(child.innerHTML)  # type: ignore[attr-defined]
+
+
+class Document(Node):
+    """JSDOMParser.js:551-606."""
+
+    node_type = DOCUMENT_NODE
+    nodeName = "#document"
+
+    def __init__(self, url: str | None = None):
+        super().__init__()
+        self.documentURI = url
+        self.children: list[Element] = []
+        self.title = ""
+        self.head: Element | None = None
+        self.body: Element | None = None
+        self.documentElement: Element | None = None
+        self._baseURI: str | None = None
+        self._baseURI_computed = False
+
+    def getElementsByTagName(self, tag: str) -> list[Element]:
+        return _get_elements_by_tag_name(self, tag)
+
+    def getElementById(self, id_: str) -> Element | None:
+        def get_elem(node: Node) -> Element | None:
+            if getattr(node, "id", None) == id_:
+                return node  # type: ignore[return-value]
+            for child in getattr(node, "children", ()):
+                found = get_elem(child)
+                if found is not None:
+                    return found
+            return None
+
+        return get_elem(self)
+
+    def createElement(self, tag: str) -> Element:
+        return Element(tag)
+
+    def createTextNode(self, text: str) -> Text:
+        node = Text()
+        node.textContent = text
+        return node
+
+    @property
+    def baseURI(self) -> str | None:
+        # JSDOMParser.js:593-605 — first <base href> resolved against the
+        # documentURI via WHATWG URL; fall back to documentURI on error.
+        if not self._baseURI_computed:
+            self._baseURI_computed = True
+            self._baseURI = self.documentURI
+            base_elements = self.getElementsByTagName("base")
+            href = base_elements[0].getAttribute("href") if base_elements else None
+            if href:
+                from .whatwg_url import url_resolve
+
+                try:
+                    self._baseURI = url_resolve(href, self._baseURI)
+                except Exception:
+                    pass
+        return self._baseURI
+
+
+class JSDOMParser:
+    """Recursive-descent parser (JSDOMParser.js:859-1179)."""
+
+    def __init__(self) -> None:
+        self.current_char = 0
+        self.error_state = ""
+        self.html = ""
+        self.doc: Document | None = None
+        self._steps = 0
+        self._max_steps = 0
+
+    # -- primitives ---------------------------------------------------------
+    def error(self, m: str) -> None:
+        self.error_state += m + "\n"
+
+    def _peek(self) -> str | None:
+        if self.current_char < len(self.html):
+            return self.html[self.current_char]
+        return None
+
+    def _next(self) -> str | None:
+        c = self._peek()
+        self.current_char += 1
+        return c
+
+    def read_string(self, quote: str) -> str | None:
+        # JSDOMParser.js:902-914
+        n = self.html.find(quote, self.current_char)
+        if n == -1:
+            self.current_char = len(self.html)
+            return None
+        s = self.html[self.current_char : n]
+        self.current_char = n + 1
+        return s
+
+    def read_attribute(self, node: Element) -> None:
+        # JSDOMParser.js:920-948 — note the unbounded '=' scan.
+        name = ""
+        n = self.html.find("=", self.current_char)
+        if n == -1:
+            self.current_char = len(self.html)
+        else:
+            name = self.html[self.current_char : n]
+            self.current_char = n + 1
+        if not name:
+            return
+        c = self._next()
+        if c != '"' and c != "'":
+            self.error("Error reading attribute " + name + ", expecting '\"'")
+            return
+        value = self.read_string(c)
+        node.attributes.append(Attribute(name, decode_html(value)))
+
+    def make_element_node(self) -> tuple[Element, bool] | None:
+        # JSDOMParser.js:958-1006
+        html, ln = self.html, len(self.html)
+        c = self._next()
+        buf: list[str] = []
+        while c not in _PARSE_WS and c != ">" and c != "/":
+            if c is None:
+                return None
+            buf.append(c)
+            c = self._next()
+        tag = "".join(buf)
+        if not tag:
+            return None
+        node = Element(tag)
+        while c != "/" and c != ">":
+            if c is None:
+                return None
+            # Skip whitespace (JSDOMParser.js:981-984); out-of-bounds read
+            # yields undefined which is not whitespace, ending the scan.
+            while self.current_char < ln and html[self.current_char] in _PARSE_WS:
+                self.current_char += 1
+            self.current_char += 1
+            self.current_char -= 1
+            c = self._next()
+            if c != "/" and c != ">":
+                self.current_char -= 1
+                self.read_attribute(node)
+        closed = False
+        if c == "/":
+            closed = True
+            c = self._next()
+            if c != ">":
+                self.error("expected '>' to close " + tag)
+                return None
+        return node, closed
+
+    def match(self, s: str) -> bool:
+        # JSDOMParser.js:1014-1021 — case-insensitive.
+        if self.html[self.current_char : self.current_char + len(s)].lower() == s.lower():
+            self.current_char += len(s)
+            return True
+        return False
+
+    def discard_to(self, s: str) -> None:
+        # JSDOMParser.js:1027-1032 — including its broken not-found branch
+        # (index becomes len(s)-1, jumping BACKWARDS); a stuck-parser guard in
+        # read_node turns the resulting infinite loop into ParseFatal.
+        self.current_char = self.html.find(s, self.current_char) + len(s)
+
+    def read_children(self, node: Node) -> None:
+        # JSDOMParser.js:1037-1045 — comments dropped here.
+        while True:
+            child = self.read_node()
+            if child is None:
+                break
+            if child.node_type != COMMENT_NODE:
+                node.appendChild(child)
+
+    def discard_next_comment(self) -> Comment | None:
+        # JSDOMParser.js:1047-1061
+        if self.match("--"):
+            self.discard_to("-->")
+        else:
+            c = self._next()
+            while c != ">":
+                if c is None:
+                    return None
+                if c == '"' or c == "'":
+                    self.read_string(c)
+                c = self._next()
+        return Comment()
+
+    def read_node(self) -> Node | None:
+        # JSDOMParser.js:1070-1156
+        self._steps += 1
+        if self._steps > self._max_steps:
+            raise ParseFatal("parser stuck (non-advancing input)")
+        c = self._next()
+        if c is None:
+            return None
+
+        if c != "<":
+            self.current_char -= 1
+            text_node = Text()
+            n = self.html.find("<", self.current_char)
+            if n == -1:
+                text_node.innerHTML = self.html[self.current_char :]
+                self.current_char = len(self.html)
+            else:
+                text_node.innerHTML = self.html[self.current_char : n]
+                self.current_char = n
+            return text_node
+
+        if self.match("![CDATA["):
+            end = self.html.find("]]>", self.current_char)
+            if end == -1:
+                self.error("unclosed CDATA section")
+                return None
+            text_node = Text()
+            text_node.textContent = self.html[self.current_char : end]
+            self.current_char = end + 3
+            return text_node
+
+        c = self._peek()
+        if c == "!" or c == "?":
+            self.current_char += 1
+            return self.discard_next_comment()
+
+        if c == "/":
+            self.current_char -= 1
+            return None
+
+        result = self.make_element_node()
+        if result is None:
+            return None
+        node, closed = result
+        local_name = node.localName
+
+        if not closed:
+            self.read_children(node)
+            closing_tag = "</" + node.matching_tag + ">"
+            if not self.match(closing_tag):
+                self.error(
+                    "expected '"
+                    + closing_tag
+                    + "' and got "
+                    + self.html[self.current_char : self.current_char + len(closing_tag)]
+                )
+                return None
+
+        # First <title> wins (JSDOMParser.js:1145-1153).
+        doc = self.doc
+        if local_name == "title" and not doc.title:
+            doc.title = js_trim(node.textContent)
+        elif local_name == "head":
+            doc.head = node
+        elif local_name == "body":
+            doc.body = node
+        elif local_name == "html":
+            doc.documentElement = node
+
+        return node
+
+    def parse(self, html: str, url: str | None = None) -> Document:
+        # JSDOMParser.js:1161-1178
+        self.html = html
+        self.current_char = 0
+        self._steps = 0
+        self._max_steps = 10 * len(html) + 1000
+        doc = self.doc = Document(url)
+        self.read_children(doc)
+        if doc.documentElement is not None:
+            for child in list(reversed(doc.childNodes)):
+                if child is not doc.documentElement:
+                    doc.removeChild(child)
+        return doc
