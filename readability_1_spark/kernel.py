@@ -1,0 +1,139 @@
+"""Arrow-batch extraction kernel for ``DataFrame.mapInPandas``.
+
+This is the JVM↔Python boundary of the pipeline (SURVEY.md §3.1): Spark
+streams Arrow record batches of (conv_id, turn_idx, text, part_id) into one
+Python worker per core; the kernel runs the extraction per document and
+yields Arrow batches of the extraction schema.  There is no per-row Python
+at the Spark API level — batching, transfer, and vectorized decode are
+Arrow's.  Per-document work inside the batch is inherent to the algorithm
+(the reference is a per-document mutation-heavy DOM pipeline).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Iterator
+
+import pandas as pd
+
+from .extract import extract_one
+
+OUT_SCHEMA_DDL = (
+    "conv_id STRING, turn_idx INT, part_id INT, status STRING, "
+    "title STRING, byline STRING, dir STRING, content STRING, "
+    "text_content STRING, length INT, excerpt STRING, site_name STRING, "
+    "spans ARRAY<STRUCT<start: INT, end: INT>>, "
+    "candidate_count INT, top_score DOUBLE, attempts INT, parse_ms DOUBLE"
+)
+
+OUT_COLUMNS = [
+    "conv_id", "turn_idx", "part_id", "status", "title", "byline", "dir",
+    "content", "text_content", "length", "excerpt", "site_name", "spans",
+    "candidate_count", "top_score", "attempts", "parse_ms",
+]
+
+
+def compute_spans(text_content: str | None, paragraph_texts: list[str]) -> list[dict]:
+    """Character offsets of each top-level paragraph's text within
+    text_content (FIXTURES.md §3): deterministic forward scan."""
+    spans = []
+    if not text_content:
+        return spans
+    cursor = 0
+    for ptext in paragraph_texts:
+        if not ptext:
+            continue
+        idx = text_content.find(ptext, cursor)
+        if idx == -1:
+            idx = text_content.find(ptext)
+            if idx == -1:
+                continue
+        spans.append({"start": idx, "end": idx + len(ptext)})
+        cursor = idx + len(ptext)
+    return spans
+
+
+def _extract_with_spans(html: str, url: str, opts: dict | None) -> dict:
+    out = extract_one(html, url=url, opts=opts)
+    spans: list[dict] = []
+    if out["status"] == "ok" and out["content"]:
+        # Re-derive paragraph texts from the serialized content: parse is
+        # cheap relative to extraction and keeps extract_one reference-pure.
+        from .dom import JSDOMParser
+
+        doc = JSDOMParser().parse(out["content"])
+        spans = compute_spans(
+            out["text_content"],
+            [p.textContent for p in doc.getElementsByTagName("p")],
+        )
+    out["spans"] = spans
+    return out
+
+
+def make_extraction_kernel(url: str = "http://fakehost/test/page.html",
+                           opts: dict | None = None):
+    """Returns a mapInPandas function: batches of (conv_id, turn_idx, text,
+    part_id[, ...]) → batches of OUT_SCHEMA_DDL."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            n = len(batch)
+            cols: dict[str, list] = {c: [None] * n for c in OUT_COLUMNS}
+            conv = batch["conv_id"].tolist()
+            turn = batch["turn_idx"].tolist()
+            part = batch["part_id"].tolist() if "part_id" in batch else [None] * n
+            texts = batch["text"].tolist()
+            for i in range(n):
+                t0 = time.perf_counter()
+                html = texts[i]
+                if html is None:
+                    res = {"status": "not_html", "spans": []}
+                else:
+                    res = _extract_with_spans(html, url, opts)
+                ms = (time.perf_counter() - t0) * 1000.0
+                cols["conv_id"][i] = conv[i]
+                cols["turn_idx"][i] = turn[i]
+                cols["part_id"][i] = part[i]
+                cols["status"][i] = res["status"]
+                for f in ("title", "byline", "dir", "content", "text_content",
+                          "excerpt", "site_name"):
+                    cols[f][i] = res.get(f)
+                cols["length"][i] = res.get("length")
+                cols["spans"][i] = res.get("spans", [])
+                metrics = res.get("metrics") or {}
+                cols["candidate_count"][i] = metrics.get("candidate_count")
+                cols["top_score"][i] = metrics.get("top_score")
+                cols["attempts"][i] = metrics.get("attempts")
+                cols["parse_ms"][i] = ms
+            yield pd.DataFrame(cols)
+
+    return kernel
+
+
+def make_readerable_kernel(url: str = "http://fakehost/test/page.html"):
+    """mapInPandas gate: (conv_id, turn_idx, text, part_id) →
+    same + readerable boolean (Readability-readerable.js semantics)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .dom import JSDOMParser, ParseFatal
+        from .readerable import is_probably_readerable
+
+        for batch in batches:
+            flags = []
+            for html in batch["text"].tolist():
+                if html is None:
+                    flags.append(False)
+                    continue
+                try:
+                    parser = JSDOMParser()
+                    doc = parser.parse(html, url)
+                    flags.append(
+                        not parser.error_state and is_probably_readerable(doc)
+                    )
+                except (ParseFatal, RecursionError):
+                    flags.append(False)
+            out = batch.copy()
+            out["readerable"] = flags
+            yield out
+
+    return kernel
