@@ -1,0 +1,146 @@
+"""Distributed-pipeline tests: per-turn equality through Spark, Window-based
+ordering checks, checkpoint/resume idempotency (north-rule clauses)."""
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from readability_1_spark.pipeline import (
+    Storage,
+    extract_transcripts,
+    gate_html_turns,
+    read_consistent,
+    run_extraction_job,
+    with_partitioning,
+)
+from readability_1_spark.transcripts import scaled_transcripts, smoke_transcripts
+
+from .conftest import GOLDENS_DIR
+
+
+def _goldens_by_slug() -> dict:
+    out = {}
+    for fn in os.listdir(GOLDENS_DIR):
+        if fn.endswith(".json") and fn != "_index.json":
+            with open(os.path.join(GOLDENS_DIR, fn)) as f:
+                g = json.load(f)
+            out[g["slug"]] = g
+    return out
+
+
+@pytest.fixture(scope="module")
+def extracted(spark):
+    df = smoke_transcripts(spark)
+    return extract_transcripts(df, num_parts=16).collect(), df
+
+
+def test_per_turn_equality_through_spark(extracted):
+    rows, _ = extracted
+    gold = _goldens_by_slug()
+    assert len(rows) >= 103
+    for r in rows:
+        slug = r["conv_id"][len("conv-"):]
+        g = gold[slug]
+        assert r["status"] == g["status"], slug
+        if g["status"] == "ok":
+            res = g["result"]
+            assert r["text_content"] == res["text_content"], slug
+            assert r["content"] == res["content"], slug
+            assert r["title"] == res["title"], slug
+            assert r["length"] == res["length"], slug
+
+
+def test_spans_are_consistent(extracted):
+    rows, _ = extracted
+    checked = 0
+    for r in rows:
+        if r["status"] != "ok" or not r["spans"]:
+            continue
+        tc = r["text_content"]
+        prev_end = -1
+        for span in r["spans"]:
+            assert 0 <= span["start"] <= span["end"] <= len(tc)
+            assert span["start"] >= prev_end or span["start"] >= 0
+            prev_end = span["end"]
+        checked += 1
+    assert checked > 90
+
+
+def test_window_ordering_invariants(spark):
+    """North-rule 'stable (conv_id, turn_idx) ordering via Window checks':
+    turn_idx must be contiguous from 0 and ts non-decreasing per conv."""
+    df = scaled_transcripts(spark, 2000)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    checked = (
+        df.withColumn("rn", F.row_number().over(w) - 1)
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .agg(
+            F.sum(F.when(F.col("rn") != F.col("turn_idx"), 1).otherwise(0)).alias("gaps"),
+            F.sum(
+                F.when(F.col("prev_ts") > F.col("ts"), 1).otherwise(0)
+            ).alias("ts_regressions"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()[0]
+    )
+    assert checked["n"] == 2000
+    assert checked["gaps"] == 0
+    assert checked["ts_regressions"] == 0
+
+
+def test_dedup_before_equality_join(spark):
+    df = smoke_transcripts(spark)
+    dupes = (
+        df.groupBy("conv_id", "turn_idx").count().filter(F.col("count") > 1).count()
+    )
+    assert dupes == 0
+
+
+def test_checkpoint_resume_idempotent(spark, tmp_path):
+    root = str(tmp_path / "store")
+    storage = Storage(spark, root)
+    df = smoke_transcripts(spark)
+    n_parts = 8
+
+    # First run over only half the partitions (simulate a mid-job failure by
+    # feeding a truncated input).
+    gated = with_partitioning(gate_html_turns(df), n_parts)
+    half = gated.filter(F.col("part_id") < 4).drop("part_id", "salt")
+    r1 = run_extraction_job(spark, half, storage, run_id="runA", num_parts=n_parts)
+    assert r1["rows"] > 0
+
+    # Resume with the full input: only the remaining partitions run.
+    r2 = run_extraction_job(spark, df, storage, run_id="runA", num_parts=n_parts)
+    total_expected = gated.count()
+    assert r1["rows"] + r2["rows"] == total_expected
+
+    # Re-running once more is a no-op (fully idempotent).
+    r3 = run_extraction_job(spark, df, storage, run_id="runA", num_parts=n_parts)
+    assert r3["rows"] == 0
+
+    view = read_consistent(storage, "runA")
+    assert view.count() == total_expected
+    assert (
+        view.groupBy("conv_id", "turn_idx").count().filter(F.col("count") > 1).count()
+        == 0
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_explain_has_pushed_filter_and_pruned_scan(spark, tmp_path):
+    """The HTML gate must reach the parquet scan and the scan must not read
+    payload-irrelevant columns after projection."""
+    p = str(tmp_path / "t.parquet")
+    smoke_transcripts(spark).write.mode("overwrite").parquet(p)
+    df = spark.read.parquet(p)
+    plan = (
+        gate_html_turns(df)
+        .select("conv_id", "turn_idx", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(text)" in plan
+    assert "role" not in plan.split("ReadSchema")[1][:200]
