@@ -1,0 +1,960 @@
+"""Pipeline-level (Layer-P) query registry: every entry is a Spark
+DataFrame program plus a DuckDB-runnable ANSI-SQL oracle producing the same
+rows (same column names, order-insensitive).
+
+Conventions for engine parity:
+* every computed column is aliased identically on both sides;
+* doubles are round()ed in-query on both sides so summation-order noise
+  cannot flip the driver's value hash;
+* string hashing uses md5() (identical hex output in Spark and DuckDB);
+* tokenization uses the same regex on both sides with explicit ''-filtering
+  (split boundary semantics differ between engines).
+
+Extraction queries are oracle-checked against the committed reference-
+derived goldens parquet (tests/goldens/goldens.parquet) — the honest oracle
+for non-SQL-expressible operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+GOLDENS_PQ = os.path.join(REPO, "tests", "goldens", "goldens.parquet")
+TRANSCRIPTS_PQ = os.path.join(REPO, "tests", "goldens", "transcripts_smoke.parquet")
+
+TOKEN_SPLIT = "[^a-z0-9]+"
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+N_MINHASH = 16
+N_BANDS = 4
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _tokens(df: DataFrame, col: str = "text") -> DataFrame:
+    """doc_id, tok exploded token stream (lowercased, ''-filtered)."""
+    return (
+        df.select("doc_id", F.explode(F.split(F.lower(F.col(col)), TOKEN_SPLIT)).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+
+
+def _shingles(df: DataFrame) -> DataFrame:
+    """doc_id, shingle — distinct 3-word shingles per document."""
+    toks = (
+        df.select(
+            "doc_id",
+            F.filter(
+                F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != ""
+            ).alias("ws"),
+        )
+    )
+    return (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size("ws") - 2, F.lit(0))),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("ws", i),
+                        F.element_at("ws", i + 1),
+                        F.element_at("ws", i + 2),
+                    ),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+_SHINGLES_SQL = f"""
+  WITH toks AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                       x -> x <> '') AS ws
+    FROM documents
+  ),
+  shingles AS (
+    SELECT DISTINCT doc_id,
+           ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+    FROM toks, UNNEST(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+  )
+"""
+
+
+# --------------------------------------------------------------------------
+# Extraction queries (oracle = committed reference goldens)
+# --------------------------------------------------------------------------
+
+def q_extract_fixture_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import extract_transcripts
+
+    df = spark.read.parquet(TRANSCRIPTS_PQ)
+    return extract_transcripts(df, num_parts=16).select(
+        "conv_id", "turn_idx", "status", "title", "byline", "dir",
+        "content", "text_content", "length", "excerpt", "site_name",
+    )
+
+
+SQL_EXTRACT_FIXTURE_TURNS = f"""
+SELECT conv_id, turn_idx, status, title, byline, dir,
+       content, text_content, length, excerpt, site_name
+FROM read_parquet('{GOLDENS_PQ}')
+"""
+
+
+def q_extract_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import extract_transcripts
+
+    df = spark.read.parquet(TRANSCRIPTS_PQ)
+    return (
+        extract_transcripts(df, num_parts=16)
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_turns"), F.sum("length").alias("total_chars"))
+    )
+
+
+SQL_EXTRACT_STATUS_COUNTS = f"""
+SELECT status, count(*) AS n_turns, sum(length) AS total_chars
+FROM read_parquet('{GOLDENS_PQ}') GROUP BY status
+"""
+
+
+def q_readerable_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .kernel import make_readerable_kernel
+    from .pipeline import gate_html_turns, with_partitioning
+
+    df = spark.read.parquet(TRANSCRIPTS_PQ)
+    gated = with_partitioning(gate_html_turns(df), 16).select(
+        "conv_id", "turn_idx", "text", "part_id"
+    )
+    schema = "conv_id STRING, turn_idx INT, text STRING, part_id INT, readerable BOOLEAN"
+    return (
+        gated.mapInPandas(make_readerable_kernel(), schema)
+        .filter(~F.col("conv_id").startswith("conv-edge-"))
+        .select("conv_id", "readerable")
+    )
+
+
+SQL_READERABLE_FLAGS = f"""
+SELECT conv_id, readerable
+FROM read_parquet('{GOLDENS_PQ}') WHERE slug NOT LIKE 'edge-%'
+"""
+
+
+def q_extraction_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import extract_transcripts
+
+    df = spark.read.parquet(TRANSCRIPTS_PQ)
+    ex = extract_transcripts(df, num_parts=64)
+    return ex.groupBy("part_id").agg(
+        F.count(F.lit(1)).alias("input_rows"),
+        F.sum(F.when(F.col("status") == "ok", 1).otherwise(0)).alias("ok_rows"),
+        F.sum(F.when(F.col("status") == "null_result", 1).otherwise(0)).alias("null_rows"),
+        F.sum(
+            F.when(~F.col("status").isin("ok", "null_result"), 1).otherwise(0)
+        ).alias("error_rows"),
+    )
+
+
+SQL_EXTRACTION_LINEAGE = f"""
+SELECT part_id,
+       count(*) AS input_rows,
+       sum(CASE WHEN status = 'ok' THEN 1 ELSE 0 END) AS ok_rows,
+       sum(CASE WHEN status = 'null_result' THEN 1 ELSE 0 END) AS null_rows,
+       sum(CASE WHEN status NOT IN ('ok', 'null_result') THEN 1 ELSE 0 END) AS error_rows
+FROM read_parquet('{GOLDENS_PQ}') GROUP BY part_id
+"""
+
+
+def q_turn_ordering_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-based stable-ordering verification over the transcripts."""
+    df = spark.read.parquet(TRANSCRIPTS_PQ)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        df.withColumn("rn", F.row_number().over(w) - 1)
+        .withColumn("prev_ts", F.lag("ts").over(w))
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.max("turn_idx").alias("max_turn"),
+            F.sum(F.when(F.col("rn") != F.col("turn_idx"), 1).otherwise(0)).alias("idx_gaps"),
+            F.sum(F.when(F.col("prev_ts") > F.col("ts"), 1).otherwise(0)).alias(
+                "ts_regressions"
+            ),
+        )
+    )
+
+
+SQL_TURN_ORDERING_CHECK = f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, ts,
+         row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) - 1 AS rn,
+         lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev_ts
+  FROM read_parquet('{TRANSCRIPTS_PQ}')
+)
+SELECT conv_id, count(*) AS n_turns, max(turn_idx) AS max_turn,
+       sum(CASE WHEN rn <> turn_idx THEN 1 ELSE 0 END) AS idx_gaps,
+       sum(CASE WHEN prev_ts > ts THEN 1 ELSE 0 END) AS ts_regressions
+FROM t GROUP BY conv_id
+"""
+
+
+def q_html_gate_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(TRANSCRIPTS_PQ)
+    return df.groupBy("role").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(
+            F.when(
+                F.col("text").isNotNull() & F.col("text").rlike("(?i)<html"), 1
+            ).otherwise(0)
+        ).alias("html_turns"),
+    )
+
+
+SQL_HTML_GATE_SELECTIVITY = f"""
+SELECT role, count(*) AS n_turns,
+       sum(CASE WHEN text IS NOT NULL AND regexp_matches(lower(text), '<html')
+            THEN 1 ELSE 0 END) AS html_turns
+FROM read_parquet('{TRANSCRIPTS_PQ}') GROUP BY role
+"""
+
+
+# --------------------------------------------------------------------------
+# Relational core (scan/filter/aggregate/join/window/sort/limit)
+# --------------------------------------------------------------------------
+
+def q_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast-join shaped TPC-H Q3 variant: the customer dimension is
+    small → broadcast; lineitem-side aggregation is partial map-side."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_TOP_REVENUE_ORDERS = """
+SELECT o_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way star join through two broadcastable dimensions."""
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+SQL_NATION_REVENUE = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+
+def q_order_priority_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rank_in_priority", F.row_number().over(w))
+        .filter(F.col("rank_in_priority") <= 3)
+        .select(
+            "o_orderpriority", "rank_in_priority", "o_orderkey",
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+    )
+
+
+SQL_ORDER_PRIORITY_RANK = """
+WITH ranked AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice DESC, o_orderkey ASC
+         ) AS rank_in_priority
+  FROM orders
+)
+SELECT o_orderpriority, rank_in_priority, o_orderkey,
+       round(o_totalprice, 2) AS total_price
+FROM ranked WHERE rank_in_priority <= 3
+"""
+
+
+def q_events_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.min(F.when(F.col("rn") == 1, F.col("event_type"))).alias("first_event"),
+            F.countDistinct("event_type").alias("n_types"),
+        )
+    )
+
+
+SQL_EVENTS_USER_STATS = """
+WITH w AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, count(*) AS n_events,
+       round(avg(value), 4) AS avg_value,
+       min(CASE WHEN rn = 1 THEN event_type END) AS first_event,
+       count(DISTINCT event_type) AS n_types
+FROM w GROUP BY user_id
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: new session when >30 min since the user's
+    previous event — the classic lag + cumulative-sum window pattern."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn(
+            "new_session",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(w))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+    )
+
+
+SQL_EVENTS_SESSIONIZE = """
+WITH l AS (
+  SELECT user_id, event_id, ts, value,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+), s AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN prev_ts IS NULL OR date_diff('second', prev_ts, ts) > 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM l
+), sess AS (
+  SELECT user_id, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+  FROM s
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       round(sum(value), 4) AS session_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data pipeline: deduplication family
+# --------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("text_hash", F.md5(F.col("text")))
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, count(*) AS n_copies,
+       min(doc_id) AS canonical_doc_id
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+def q_dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup after whitespace/case normalization — document
+    fingerprinting (rolling-normalization hash)."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), "\\s+", " ")))
+    return (
+        docs.withColumn("fingerprint", norm)
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("canonical_doc_id"))
+    )
+
+
+SQL_DEDUP_EXACT_NORMALIZED = r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+       count(*) AS n_docs, min(doc_id) AS canonical_doc_id
+FROM documents GROUP BY 1
+"""
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-word-shingle Jaccard near-dup pairs: explode → distinct → self-join
+    on shingle → |∩| / (|A|+|B|−|∩|).  The shingle join is the shuffle-heavy
+    part; at scale the LSH variant below replaces the quadratic blowup."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.05)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+SQL_DEDUP_NGRAM_JACCARD = (
+    _SHINGLES_SQL
+    + """
+  , sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+  common AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+    FROM shingles a JOIN shingles b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+  )
+SELECT doc_a, doc_b, n_common,
+       round(n_common / (sa.sz + sb.sz - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_common / (sa.sz + sb.sz - n_common), 6) >= 0.05
+"""
+)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding: shingle → 16 md5-seeded min-hashes → 4 bands
+    of 4 → bucket join on band signature → candidate pairs.  At 100 TB this
+    is THE dedup plan: cost is linear in corpus size + bucket collisions,
+    never all-pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    seeds = spark.range(N_MINHASH).select(F.col("id").cast("int").alias("seed"))
+    minhashes = (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "doc_id", "seed",
+            F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minh"))
+    )
+    bands = (
+        minhashes.withColumn("band", (F.col("seed") / (N_MINHASH // N_BANDS)).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minh"))),
+                        lambda x: x["minh"],
+                    ),
+                    ",",
+                )
+            ).alias("sig")
+        )
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+SQL_DEDUP_MINHASH_LSH = (
+    _SHINGLES_SQL
+    + f"""
+  , minhashes AS (
+    SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minh
+    FROM shingles, UNNEST(generate_series(0, {N_MINHASH - 1})) AS s(seed)
+    GROUP BY doc_id, seed
+  ),
+  bands AS (
+    -- integer division: DuckDB CAST(x/4 AS INT) would round, not truncate
+    SELECT doc_id, CAST(seed // {N_MINHASH // N_BANDS} AS INT) AS band,
+           md5(string_agg(minh, ',' ORDER BY seed)) AS sig
+    FROM minhashes GROUP BY doc_id, CAST(seed // {N_MINHASH // N_BANDS} AS INT)
+  )
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash: per token, bit j comes from the j-th hex nibble of
+    md5(token); the document bit is the sign of the ±1 sum."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tokens(docs).withColumn("h", F.md5("tok"))
+    bit_cols = [
+        F.sum(
+            F.when(F.substring("h", j + 1, 1).isin(*list("89abcdef")), 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(16)
+    ]
+    sums = toks.groupBy("doc_id").agg(*bit_cols)
+    simhash = None
+    for j in range(16):
+        bit = F.when(F.col(f"s{j}") > 0, 2 ** j).otherwise(0)
+        simhash = bit if simhash is None else (simhash + bit)
+    return sums.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+SQL_DEDUP_SIMHASH = f"""
+WITH toks AS (
+  SELECT doc_id, md5(tok) AS h
+  FROM (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                              x -> x <> '')) AS tok
+    FROM documents
+  )
+), sums AS (
+  SELECT doc_id,
+         {", ".join(
+             "sum(CASE WHEN substring(h, %d, 1) IN ('8','9','a','b','c','d','e','f')"
+             " THEN 1 ELSE -1 END) AS s%d" % (j + 1, j)
+             for j in range(16)
+         )}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST({" + ".join("(CASE WHEN s%d > 0 THEN %d ELSE 0 END)" % (j, 2 ** j)
+                         for j in range(16))} AS BIGINT) AS simhash
+FROM sums
+"""
+
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(ws)
+    n_stop = F.size(F.filter(ws, lambda x: F.array_contains(stop_arr, x)))
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_stop / n_tokens, 6).alias("stopword_ratio"),
+        F.round(F.length("text") / n_tokens, 6).alias("chars_per_token"),
+    )
+
+
+SQL_TEXT_QUALITY = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                     x -> x <> '') AS ws
+  FROM documents
+)
+SELECT doc_id, length(text) AS n_chars, len(ws) AS n_tokens,
+       round(len(list_filter(ws, x -> x IN {STOPWORDS})) / len(ws), 6)
+         AS stopword_ratio,
+       round(length(text) / len(ws), 6) AS chars_per_token
+FROM t
+"""
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + BPE-ish sub-token count (letter runs, digit runs,
+    single punctuation marks)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.filter(F.split(F.col("text"), "\\s+"), lambda x: x != "")).alias(
+            "ws_tokens"
+        ),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != ""
+            )
+        ).alias("word_tokens"),
+        F.length(F.regexp_replace(F.col("text"), "[^ ]", "")).alias("n_spaces"),
+    )
+
+
+SQL_TOKEN_COUNTS = r"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))
+         AS ws_tokens,
+       len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS word_tokens,
+       length(regexp_replace(text, '[^ ]', '', 'g')) AS n_spaces
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language heuristic with a deterministic tie-break."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    markers = {
+        "en": ("the", "and", "of"),
+        "de": ("der", "und", "die"),
+        "fr": ("le", "et", "les"),
+        "es": ("el", "y", "los"),
+    }
+    def hits(m):
+        return F.size(F.filter(ws, lambda x: x.isin(*m)))
+
+    scored = docs.select(
+        "doc_id", "lang",
+        *[hits(m).alias(f"hits_{lang}") for lang, m in markers.items()],
+    )
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in markers])
+    guess = F.when(best == 0, F.lit("und"))
+    for lang in markers:  # fixed precedence order = deterministic tie-break
+        guess = guess.when(F.col(f"hits_{lang}") == best, F.lit(lang))
+    return scored.select(
+        "doc_id", "lang",
+        *[f"hits_{lang}" for lang in markers],
+        guess.alias("guessed_lang"),
+    )
+
+
+SQL_LANG_ID = f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                     x -> x <> '') AS ws
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         len(list_filter(ws, x -> x IN ('the','and','of'))) AS hits_en,
+         len(list_filter(ws, x -> x IN ('der','und','die'))) AS hits_de,
+         len(list_filter(ws, x -> x IN ('le','et','les'))) AS hits_fr,
+         len(list_filter(ws, x -> x IN ('el','y','los'))) AS hits_es
+  FROM t
+)
+SELECT doc_id, lang, hits_en, hits_de, hits_fr, hits_es,
+       CASE WHEN greatest(hits_en, hits_de, hits_fr, hits_es) = 0 THEN 'und'
+            WHEN hits_en = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'en'
+            WHEN hits_de = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'de'
+            WHEN hits_fr = greatest(hits_en, hits_de, hits_fr, hits_es) THEN 'fr'
+            ELSE 'es' END AS guessed_lang
+FROM scored
+"""
+
+
+def q_multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing demo: treat the payload as an opaque binary
+    column with typed metadata (the image/audio decode itself is stubbed —
+    see multimodal.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.octet_length(blob).alias("n_bytes"),
+        F.md5(blob).alias("content_hash"),
+        (F.octet_length(blob) - F.length("text")).alias("multibyte_overhead"),
+    )
+
+
+SQL_MULTIMODAL_BINARY_STATS = """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_hash,
+       octet_length(encode(text)) - length(text) AS multibyte_overhead
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Similarity search over embeddings
+# --------------------------------------------------------------------------
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "label",
+        F.round(F.sqrt(_dot(F.col("embedding"), F.col("embedding"))), 6).alias("l2_norm"),
+    )
+
+
+SQL_EMBEDDING_NORMS = """
+SELECT vec_id, label,
+       round(sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+FROM embeddings
+"""
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k (the exact baseline an IVF/LSH variant is
+    validated against): K query vectors broadcast against the corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = emb.crossJoin(F.broadcast(queries)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cosine = F.round(
+        _dot(F.col("q_emb"), F.col("embedding"))
+        / (
+            F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+            * F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        ),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        pairs.withColumn("cosine", cosine)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 5
+), pairs AS (
+  SELECT q.query_id, e.vec_id,
+         round(
+           list_sum(list_transform(generate_series(1, len(e.embedding)),
+             i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(q.q_emb, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cosine
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
+"""
+
+
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN: random-hyperplane LSH — 8 deterministic md5-derived
+    sign bits bucket the corpus; candidates = same-bucket pairs.  At 100 TB
+    the crossJoin above is impossible; this keeps comparisons within
+    buckets (tunable recall via bit count / multiple tables)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = 64
+    n_bits = 8
+
+    # Deterministic pseudo-random hyperplanes: component (b, i) weight is
+    # +1/-1 from a md5 parity — identical arithmetic in the SQL oracle.
+    def bit(b):
+        terms = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[
+                    F.when(
+                        F.substring(F.md5(F.lit(f"{b}:{i}")), 1, 1).isin(
+                            *list("89abcdef")
+                        ),
+                        1.0,
+                    ).otherwise(-1.0)
+                    for i in range(dims)
+                ]),
+                lambda x, w: x.cast("double") * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.when(terms > 0, 2 ** b).otherwise(0)
+
+    bucket = None
+    for b in range(n_bits):
+        bucket = bit(b) if bucket is None else (bucket + bit(b))
+    return (
+        emb.select("vec_id", bucket.cast("int").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+    )
+
+
+def _sql_ann_lsh() -> str:
+    dims, n_bits = 64, 8
+    import hashlib
+
+    def w(b, i):
+        h = hashlib.md5(f"{b}:{i}".encode()).hexdigest()[0]
+        return "1.0" if h in "89abcdef" else "-1.0"
+
+    bits = []
+    for b in range(n_bits):
+        dot = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * ({w(b, i)})" for i in range(dims)
+        )
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {2 ** b} ELSE 0 END)")
+    expr = " + ".join(bits)
+    return f"""
+WITH b AS (SELECT vec_id, CAST({expr} AS INT) AS bucket FROM embeddings)
+SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id
+FROM b GROUP BY bucket
+"""
+
+
+SQL_ANN_LSH_BUCKETED = _sql_ann_lsh()
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
+
+QUERIES: dict[str, tuple] = {
+    # extraction (oracle = committed reference goldens)
+    "extract_fixture_turns": (q_extract_fixture_turns, SQL_EXTRACT_FIXTURE_TURNS),
+    "extract_status_counts": (q_extract_status_counts, SQL_EXTRACT_STATUS_COUNTS),
+    "readerable_flags": (q_readerable_flags, SQL_READERABLE_FLAGS),
+    "extraction_lineage": (q_extraction_lineage, SQL_EXTRACTION_LINEAGE),
+    "turn_ordering_check": (q_turn_ordering_check, SQL_TURN_ORDERING_CHECK),
+    "html_gate_selectivity": (q_html_gate_selectivity, SQL_HTML_GATE_SELECTIVITY),
+    # relational core
+    "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
+    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
+    "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
+    "order_priority_rank": (q_order_priority_rank, SQL_ORDER_PRIORITY_RANK),
+    "events_user_stats": (q_events_user_stats, SQL_EVENTS_USER_STATS),
+    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    # dedup family
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_exact_normalized": (q_dedup_exact_normalized, SQL_DEDUP_EXACT_NORMALIZED),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    # text analysis
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "multimodal_binary_stats": (q_multimodal_binary_stats, SQL_MULTIMODAL_BINARY_STATS),
+    # similarity search
+    "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH_BUCKETED),
+}
