@@ -39,6 +39,9 @@ VOID_ELEMS = frozenset(
 )
 
 _PARSE_WS = (" ", "\t", "\n", "\r")  # JSDOMParser.js:281
+# Tag-name run: everything up to parser whitespace, '>' or '/'.
+_TAG_RUN_RE = re.compile(r"[^ \t\n\r>/]*")
+_ATTR_WS_RE = re.compile(r"[ \t\n\r]*")
 
 _NAMED_ENT_RE = re.compile(r"&(quot|amp|apos|lt|gt);")
 _NUM_ENT_RE = re.compile(r"&#(?:x([0-9a-z]{1,4})|([0-9]{1,4}));", re.I)
@@ -59,6 +62,8 @@ def decode_html(s: str | None) -> str:
     # JSDOMParser.js:62-69 — named entities first, numeric on the result.
     if s is None:
         raise ParseFatal("decodeHTML of null (unterminated attribute value)")
+    if "&" not in s:  # fast path: both passes can only match at '&'
+        return s
     s = _NAMED_ENT_RE.sub(lambda m: _ENTITY_TABLE[m.group(1)], s)
 
     def _num(m: re.Match) -> str:
@@ -71,11 +76,15 @@ def decode_html(s: str | None) -> str:
 
 def encode_text_content_html(s: str) -> str:
     # JSDOMParser.js:50-54
+    if "&" not in s and "<" not in s and ">" not in s:
+        return s
     return _ENC_TEXT_RE.sub(lambda m: _REVERSE_ENTITY[m.group(0)], s)
 
 
 def encode_html(s: str) -> str:
     # JSDOMParser.js:56-60
+    if not _ENC_ATTR_RE.search(s):
+        return s
     return _ENC_ATTR_RE.sub(lambda m: _REVERSE_ENTITY[m.group(0)], s)
 
 
@@ -92,11 +101,21 @@ class Attribute:
         return encode_html(self.value)
 
 
+def _invalidate_text_cache(node: "Node | None") -> None:
+    """Clear the textContent cache on `node` and every ancestor.  Called on
+    any mutation that can change concatenated text; caches outside the
+    mutated chain stay valid."""
+    while node is not None:
+        node._tc_cache = None
+        node = node.parentNode
+
+
 class Node:
     """Base node (JSDOMParser.js:317-489): doubly linked sibling lists plus a
     separate element-only children list, maintained on every mutation."""
 
     node_type = 0
+    _tc_cache: str | None = None
 
     def __init__(self) -> None:
         self.childNodes: list[Node] = []
@@ -130,6 +149,7 @@ class Node:
 
     def appendChild(self, child: "Node") -> None:
         # JSDOMParser.js:345-362
+        _invalidate_text_cache(self)
         if child.parentNode is not None:
             child.parentNode.removeChild(child)
         last = self.lastChild
@@ -147,6 +167,7 @@ class Node:
 
     def removeChild(self, child: "Node") -> "Node":
         # JSDOMParser.js:364-393
+        _invalidate_text_cache(self)
         try:
             child_index = self.childNodes.index(child)
         except ValueError:
@@ -171,6 +192,7 @@ class Node:
 
     def replaceChild(self, new_node: "Node", old_node: "Node") -> "Node":
         # JSDOMParser.js:395-482
+        _invalidate_text_cache(self)
         child_nodes = self.childNodes
         try:
             child_index = child_nodes.index(old_node)
@@ -247,21 +269,18 @@ class Node:
 
 def _get_elements_by_tag_name(node: "Element | Document", tag: str) -> list["Element"]:
     # JSDOMParser.js:299-315 — pre-order over element-only children; returns
-    # a plain (non-live) list.
+    # a plain (non-live) list.  Iterative: no recursion-depth limits.
     tag = tag.upper()
     elems: list[Element] = []
     all_tags = tag == "*"
-
-    stack = [(node, 0)]
-    # Recursive pre-order without Python recursion limits.
-    def walk(n: "Element | Document") -> None:
-        for child in n.children:
-            if all_tags or child.tagName == tag:
-                elems.append(child)
-            walk(child)
-
-    del stack
-    walk(node)
+    stack = node.children[::-1]
+    while stack:
+        child = stack.pop()
+        if all_tags or child.tagName == tag:
+            elems.append(child)
+        kids = child.children
+        if kids:
+            stack.extend(kids[::-1])
     return elems
 
 
@@ -293,6 +312,7 @@ class Text(Node):
 
     @textContent.setter
     def textContent(self, value: str) -> None:
+        _invalidate_text_cache(self.parentNode)
         self._textContent = value
         self._has_text = True
         self._has_html = False
@@ -307,6 +327,7 @@ class Text(Node):
 
     @innerHTML.setter
     def innerHTML(self, value: str) -> None:
+        _invalidate_text_cache(self.parentNode)
         self._innerHTML = value
         self._has_html = True
         self._has_text = False
@@ -332,6 +353,7 @@ class Element(Node):
         self.tagName: str = tag.upper()
         self.readability: dict | None = None
         self._readabilityDataTable: bool | None = None
+        self._tc_cache: str | None = None
 
     @property
     def nodeName(self) -> str:
@@ -341,9 +363,10 @@ class Element(Node):
     def getAttribute(self, name: str) -> str | None:
         # Backwards scan: with duplicate attributes the LAST one wins
         # (JSDOMParser.js:763-771).
-        for attr in reversed(self.attributes):
-            if attr.name == name:
-                return attr.value
+        attrs = self.attributes
+        for i in range(len(attrs) - 1, -1, -1):
+            if attrs[i].name == name:
+                return attrs[i].value
         return None
 
     def setAttribute(self, name: str, value: str) -> None:
@@ -402,6 +425,7 @@ class Element(Node):
     @innerHTML.setter
     def innerHTML(self, html: str) -> None:
         # JSDOMParser.js:716-728 — reparse into a fresh document, adopt kids.
+        _invalidate_text_cache(self)
         parser = JSDOMParser()
         node = parser.parse(html)
         for child in self.childNodes:
@@ -413,22 +437,33 @@ class Element(Node):
 
     @property
     def textContent(self) -> str:
-        # JSDOMParser.js:743-761
+        # JSDOMParser.js:743-761 — iterative pre-order text concatenation,
+        # cached per element; mutations invalidate the ancestor chain only.
+        cache = self._tc_cache
+        if cache is not None:
+            return cache
         out: list[str] = []
-
-        def walk(node: Node) -> None:
-            for child in node.childNodes:
-                if child.node_type == TEXT_NODE:
-                    out.append(child.textContent)  # type: ignore[arg-type]
-                else:
-                    walk(child)
-
-        walk(self)
-        return "".join(out)
+        stack = self.childNodes[::-1]
+        while stack:
+            child = stack.pop()
+            if child.node_type == TEXT_NODE:
+                out.append(child.textContent)
+            else:
+                sub = child._tc_cache
+                if sub is not None:
+                    out.append(sub)
+                    continue
+                kids = child.childNodes
+                if kids:
+                    stack.extend(kids[::-1])
+        text = "".join(out)
+        self._tc_cache = text
+        return text
 
     @textContent.setter
     def textContent(self, text: str) -> None:
         # JSDOMParser.js:730-741
+        _invalidate_text_cache(self)
         for child in self.childNodes:
             child.parentNode = None
         node = Text()
@@ -567,16 +602,19 @@ class JSDOMParser:
 
     def read_attribute(self, node: Element) -> None:
         # JSDOMParser.js:920-948 — note the unbounded '=' scan.
+        html = self.html
         name = ""
-        n = self.html.find("=", self.current_char)
+        n = html.find("=", self.current_char)
         if n == -1:
-            self.current_char = len(self.html)
+            self.current_char = len(html)
         else:
-            name = self.html[self.current_char : n]
+            name = html[self.current_char : n]
             self.current_char = n + 1
         if not name:
             return
-        c = self._next()
+        pos = self.current_char
+        c = html[pos] if pos < len(html) else None
+        self.current_char = pos + 1
         if c != '"' and c != "'":
             self.error("Error reading attribute " + name + ", expecting '\"'")
             return
@@ -584,16 +622,19 @@ class JSDOMParser:
         node.attributes.append(Attribute(name, decode_html(value)))
 
     def make_element_node(self) -> tuple[Element, bool] | None:
-        # JSDOMParser.js:958-1006
+        # JSDOMParser.js:958-1006 — regex-scanned but char-for-char
+        # equivalent to the reference's per-character loop.
         html, ln = self.html, len(self.html)
-        c = self._next()
-        buf: list[str] = []
-        while c not in _PARSE_WS and c != ">" and c != "/":
-            if c is None:
-                return None
-            buf.append(c)
-            c = self._next()
-        tag = "".join(buf)
+        p = self.current_char
+        m = _TAG_RUN_RE.match(html, p)
+        q = m.end()
+        if q >= ln:
+            # The JS loop hits undefined before finding a delimiter.
+            self.current_char = ln + 1
+            return None
+        tag = html[p:q]
+        c: str | None = html[q]
+        self.current_char = q + 1
         if not tag:
             return None
         node = Element(tag)
@@ -602,11 +643,13 @@ class JSDOMParser:
                 return None
             # Skip whitespace (JSDOMParser.js:981-984); out-of-bounds read
             # yields undefined which is not whitespace, ending the scan.
-            while self.current_char < ln and html[self.current_char] in _PARSE_WS:
-                self.current_char += 1
-            self.current_char += 1
-            self.current_char -= 1
-            c = self._next()
+            w = _ATTR_WS_RE.match(html, self.current_char).end()
+            if w < ln:
+                c = html[w]
+                self.current_char = w + 1
+            else:
+                c = None
+                self.current_char = w + 1
             if c != "/" and c != ">":
                 self.current_char -= 1
                 self.read_attribute(node)
@@ -633,13 +676,29 @@ class JSDOMParser:
         self.current_char = self.html.find(s, self.current_char) + len(s)
 
     def read_children(self, node: Node) -> None:
-        # JSDOMParser.js:1037-1045 — comments dropped here.
+        # JSDOMParser.js:1037-1045 — comments dropped here.  Inlined
+        # appendChild without cache invalidation: during the initial parse a
+        # node is complete before being appended upward, so no ancestor can
+        # hold a textContent cache yet (only finished subtrees may, via the
+        # doc.title read, and appends never change a finished subtree).
+        child_nodes = node.childNodes
+        children = getattr(node, "children", None)
         while True:
             child = self.read_node()
             if child is None:
                 break
             if child.node_type != COMMENT_NODE:
-                node.appendChild(child)
+                last = child_nodes[-1] if child_nodes else None
+                if last is not None:
+                    last.nextSibling = child
+                child.previousSibling = last
+                if child.node_type == ELEMENT_NODE:
+                    child.previousElementSibling = children[-1] if children else None
+                    children.append(child)
+                    if child.previousElementSibling is not None:
+                        child.previousElementSibling.nextElementSibling = child
+                child_nodes.append(child)
+                child.parentNode = node
 
     def discard_next_comment(self) -> Comment | None:
         # JSDOMParser.js:1047-1061
@@ -656,43 +715,51 @@ class JSDOMParser:
         return Comment()
 
     def read_node(self) -> Node | None:
-        # JSDOMParser.js:1070-1156
+        # JSDOMParser.js:1070-1156 — direct-indexed hot path, behavior
+        # identical to the reference's nextChar/peekNext sequence.
         self._steps += 1
         if self._steps > self._max_steps:
             raise ParseFatal("parser stuck (non-advancing input)")
-        c = self._next()
-        if c is None:
+        html = self.html
+        ln = len(html)
+        pos = self.current_char
+        if pos >= ln:
+            self.current_char = pos + 1
             return None
+        c = html[pos]
+        pos += 1
+        self.current_char = pos
 
         if c != "<":
-            self.current_char -= 1
+            pos -= 1
             text_node = Text()
-            n = self.html.find("<", self.current_char)
+            n = html.find("<", pos)
             if n == -1:
-                text_node.innerHTML = self.html[self.current_char :]
-                self.current_char = len(self.html)
+                text_node.innerHTML = html[pos:]
+                self.current_char = ln
             else:
-                text_node.innerHTML = self.html[self.current_char : n]
+                text_node.innerHTML = html[pos:n]
                 self.current_char = n
             return text_node
 
-        if self.match("![CDATA["):
-            end = self.html.find("]]>", self.current_char)
-            if end == -1:
-                self.error("unclosed CDATA section")
-                return None
-            text_node = Text()
-            text_node.textContent = self.html[self.current_char : end]
-            self.current_char = end + 3
-            return text_node
-
-        c = self._peek()
-        if c == "!" or c == "?":
-            self.current_char += 1
+        nxt = html[pos] if pos < ln else None
+        if nxt == "!" or nxt == "?":
+            # CDATA first (JSDOMParser.js:1092), case-insensitive match.
+            if nxt == "!" and html[pos : pos + 8].lower() == "![cdata[":
+                self.current_char = pos + 8
+                end = html.find("]]>", self.current_char)
+                if end == -1:
+                    self.error("unclosed CDATA section")
+                    return None
+                text_node = Text()
+                text_node.textContent = html[self.current_char : end]
+                self.current_char = end + 3
+                return text_node
+            self.current_char = pos + 1
             return self.discard_next_comment()
 
-        if c == "/":
-            self.current_char -= 1
+        if nxt == "/":
+            self.current_char = pos - 1
             return None
 
         result = self.make_element_node()

@@ -82,4 +82,6 @@ def extract_one(html: str, url: str = "http://fakehost/test/page.html",
     for k in RESULT_FIELDS:
         out[k] = result[_JS_KEY[k]]
     out["metrics"] = reader.metrics
+    # For span derivation (pipeline-only; avoids re-parsing `content`).
+    out["paragraph_texts"] = result.get("paragraphTexts", [])
     return out

@@ -56,16 +56,8 @@ def compute_spans(text_content: str | None, paragraph_texts: list[str]) -> list[
 def _extract_with_spans(html: str, url: str, opts: dict | None) -> dict:
     out = extract_one(html, url=url, opts=opts)
     spans: list[dict] = []
-    if out["status"] == "ok" and out["content"]:
-        # Re-derive paragraph texts from the serialized content: parse is
-        # cheap relative to extraction and keeps extract_one reference-pure.
-        from .dom import JSDOMParser
-
-        doc = JSDOMParser().parse(out["content"])
-        spans = compute_spans(
-            out["text_content"],
-            [p.textContent for p in doc.getElementsByTagName("p")],
-        )
+    if out["status"] == "ok":
+        spans = compute_spans(out["text_content"], out.get("paragraph_texts") or [])
     out["spans"] = spans
     return out
 

@@ -52,6 +52,8 @@ PRESENTATIONAL_ATTRIBUTES = (
 )
 # Readability.js:235
 DEPRECATED_SIZE_ATTRIBUTE_ELEMS = ("TABLE", "TH", "TD", "HR", "PRE")
+PRESENTATIONAL_ATTRS_SET = frozenset(PRESENTATIONAL_ATTRIBUTES)
+PRESENTATIONAL_PLUS_SIZE_SET = PRESENTATIONAL_ATTRS_SET | {"width", "height"}
 # Readability.js:1621-1662 switch (CANVAS/IFRAME/SVG/VIDEO intentionally absent)
 PHRASING_ELEMS = frozenset(
     (
@@ -877,14 +879,24 @@ class Readability:
                     table.parentNode.replaceChild(cell, table)
 
     def _clean_styles(self, e: Element | None) -> None:
-        # Readability.js:1742-1762
+        # Readability.js:1742-1762.  Single pass per element instead of 12+
+        # removeAttribute scans; with duplicate attribute names only the
+        # LAST occurrence per name is removed, exactly like one JS
+        # removeAttribute call per listed name.
         if e is None or e.tagName.lower() == "svg":
             return
-        for attr in PRESENTATIONAL_ATTRIBUTES:
-            e.removeAttribute(attr)
-        if e.tagName in DEPRECATED_SIZE_ATTRIBUTE_ELEMS:
-            e.removeAttribute("width")
-            e.removeAttribute("height")
+        attrs = e.attributes
+        if attrs:
+            to_remove = PRESENTATIONAL_ATTRS_SET
+            if e.tagName in DEPRECATED_SIZE_ATTRIBUTE_ELEMS:
+                to_remove = PRESENTATIONAL_PLUS_SIZE_SET
+            if any(a.name in to_remove for a in attrs):
+                last_idx: dict[str, int] = {}
+                for i, a in enumerate(attrs):
+                    if a.name in to_remove:
+                        last_idx[a.name] = i
+                drop = set(last_idx.values())
+                e.attributes = [a for i, a in enumerate(attrs) if i not in drop]
         cur = e.firstElementChild
         while cur is not None:
             self._clean_styles(cur)
@@ -1151,4 +1163,9 @@ class Readability:
             "length": len(text),
             "excerpt": excerpt,
             "siteName": site_name,
+            # Engine extra (not part of the reference result contract):
+            # paragraph text in document order, for span derivation.
+            "paragraphTexts": [
+                p.textContent for p in article_content.getElementsByTagName("p")
+            ],
         }
