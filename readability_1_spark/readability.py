@@ -19,9 +19,14 @@ from __future__ import annotations
 
 import math
 
+import re as _re
+
 from . import regexps as R
 from .dom import Document, Element, Node, Text
+from .jsquirks import WS as _WS
 from .jsquirks import js_div, js_split_ws, js_trim, word_count
+
+_WS_ANY_RE = _re.compile(_WS)
 from .whatwg_url import url_resolve
 
 FLAG_STRIP_UNLIKELYS = 0x1
@@ -366,13 +371,7 @@ class Readability:
         # Readability.js:1484-1541
         values: dict[str, str] = {}
         meta_els = self._doc.getElementsByTagName("meta")
-        ws_re = R.NORMALIZE  # not used; explicit \s-removal below
-
-        import re as _re
-
-        from .jsquirks import WS as _WS
-
-        ws_any = _re.compile(_WS)
+        ws_any = _WS_ANY_RE
 
         for el in meta_els:
             content = el.getAttribute("content")
@@ -917,7 +916,6 @@ class Readability:
                     return False
             return True
 
-        before = None
         self._remove_nodes(self._get_all_nodes_with_tag(e, [tag]), _filter)
 
     def _clean_matched_nodes(self, e: Element, filter_fn) -> None:
