@@ -67,11 +67,46 @@ def extract_transcripts(
     url: str = "http://fakehost/test/page.html",
     readerable_gate: bool = False,
     repartition: bool = True,
+    dedup_payloads: bool = False,
 ) -> DataFrame:
-    """transcripts → extractions DataFrame (no sink)."""
+    """transcripts → extractions DataFrame (no sink).
+
+    dedup_payloads: agent transcripts re-fetch the same pages constantly; at
+    10^12 turns running the kernel once per DISTINCT payload and joining the
+    result back to turns is the dominant cost saving.  Per-turn output is
+    identical (the kernel is a pure function of the payload); only parse_ms
+    becomes the shared per-payload cost.
+    """
     gated = gate_html_turns(df)
     parted = with_partitioning(gated, num_parts)
     cols = ["conv_id", "turn_idx", "text", "part_id"]
+    if dedup_payloads:
+        keyed = parted.withColumn("payload_hash", F.md5("text"))
+        uniq = (
+            keyed.groupBy("payload_hash")
+            .agg(F.first("text").alias("text"))
+            .withColumn("conv_id", F.col("payload_hash"))
+            .withColumn("turn_idx", F.lit(0))
+            .withColumn(
+                "part_id",
+                F.pmod(F.xxhash64("payload_hash"), F.lit(num_parts)).cast("int"),
+            )
+        )
+        if repartition:
+            uniq = uniq.repartition(num_parts, "part_id")
+        per_payload = uniq.select(*cols).mapInPandas(
+            make_extraction_kernel(url=url, opts=opts), OUT_SCHEMA_DDL
+        )
+        result_cols = [
+            c for c in per_payload.columns
+            if c not in ("conv_id", "turn_idx", "part_id")
+        ]
+        return keyed.select("conv_id", "turn_idx", "part_id", "payload_hash").join(
+            per_payload.withColumnRenamed("conv_id", "payload_hash").select(
+                "payload_hash", *result_cols
+            ),
+            "payload_hash",
+        ).select("conv_id", "turn_idx", "part_id", *result_cols)
     slim = parted.select(*cols, "salt")
     if repartition:
         slim = slim.repartition(num_parts, "salt")

@@ -144,3 +144,20 @@ def test_explain_has_pushed_filter_and_pruned_scan(spark, tmp_path):
     )
     assert "PushedFilters: [IsNotNull(text)" in plan
     assert "role" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_dedup_payloads_equivalent_output(spark):
+    """dedup_payloads must not change any per-turn output field (kernel is a
+    pure function of the payload)."""
+    from readability_1_spark.transcripts import scaled_transcripts
+
+    df = scaled_transcripts(spark, 600)
+    plain = {
+        (r["conv_id"], r["turn_idx"]): (r["status"], r["text_content"], r["title"])
+        for r in extract_transcripts(df, num_parts=8).collect()
+    }
+    dedup = {
+        (r["conv_id"], r["turn_idx"]): (r["status"], r["text_content"], r["title"])
+        for r in extract_transcripts(df, num_parts=8, dedup_payloads=True).collect()
+    }
+    assert plain == dedup
