@@ -112,22 +112,31 @@ def _invalidate_text_cache(node: "Node | None") -> None:
 
 class Node:
     """Base node (JSDOMParser.js:317-489): doubly linked sibling lists plus a
-    separate element-only children list, maintained on every mutation."""
+    separate element-only children list, maintained on every mutation.
+
+    __slots__ throughout the hierarchy: documents allocate 10^4-10^5 nodes
+    each, and slot storage roughly halves per-node memory traffic (the
+    multi-worker throughput limiter on one box)."""
+
+    __slots__ = (
+        "childNodes", "parentNode", "nextSibling", "previousSibling",
+        "nextElementSibling", "previousElementSibling", "_tc_cache",
+    )
 
     node_type = 0
-    _tc_cache: str | None = None
+    # Class-level defaults read on Text/Comment nodes (Element shadows these
+    # with real slots set in its __init__).
+    localName: str | None = None
+    tagName: str | None = None
 
     def __init__(self) -> None:
         self.childNodes: list[Node] = []
         self.parentNode: Node | None = None
         self.nextSibling: Node | None = None
         self.previousSibling: Node | None = None
-
-    # Element-only sibling pointers live on Element; give safe defaults here.
-    nextElementSibling: "Element | None" = None
-    previousElementSibling: "Element | None" = None
-    localName: str | None = None
-    tagName: str | None = None
+        self.nextElementSibling: Element | None = None
+        self.previousElementSibling: Element | None = None
+        self._tc_cache: str | None = None
 
     @property
     def firstChild(self) -> "Node | None":
@@ -285,6 +294,7 @@ def _get_elements_by_tag_name(node: "Element | Document", tag: str) -> list["Ele
 
 
 class Comment(Node):
+    __slots__ = ()
     node_type = COMMENT_NODE
     nodeName = "#comment"
 
@@ -292,6 +302,8 @@ class Comment(Node):
 class Text(Node):
     """JSDOMParser.js:519-549 — lazy dual representation: decoded
     textContent ↔ encoded innerHTML, each cached, invalidated on write."""
+
+    __slots__ = ("_textContent", "_innerHTML", "_has_text", "_has_html")
 
     node_type = TEXT_NODE
     nodeName = "#text"
@@ -337,6 +349,11 @@ class Text(Node):
 class Element(Node):
     """JSDOMParser.js:608-799."""
 
+    __slots__ = (
+        "matching_tag", "attributes", "children", "localName", "tagName",
+        "readability", "_readabilityDataTable",
+    )
+
     node_type = ELEMENT_NODE
 
     def __init__(self, tag: str):
@@ -353,7 +370,6 @@ class Element(Node):
         self.tagName: str = tag.upper()
         self.readability: dict | None = None
         self._readabilityDataTable: bool | None = None
-        self._tc_cache: str | None = None
 
     @property
     def nodeName(self) -> str:
@@ -508,6 +524,11 @@ def _serialize_children(node: Node, arr: list[str]) -> None:
 
 class Document(Node):
     """JSDOMParser.js:551-606."""
+
+    __slots__ = (
+        "documentURI", "children", "title", "head", "body",
+        "documentElement", "_baseURI", "_baseURI_computed",
+    )
 
     node_type = DOCUMENT_NODE
     nodeName = "#document"

@@ -30,6 +30,12 @@ def _ensure_recursion_headroom() -> None:
     # nest a few hundred levels, real pages can go deeper.
     if sys.getrecursionlimit() < 20000:
         sys.setrecursionlimit(20000)
+        # Each document allocates 10^4-10^5 cyclically-linked DOM nodes;
+        # default gen0 thresholds make the cyclic GC rescan them constantly
+        # (~35% of kernel wall time).  Raise thresholds once per worker.
+        import gc
+
+        gc.set_threshold(200_000, 100, 100)
 
 
 def extract_one(html: str, url: str = "http://fakehost/test/page.html",
