@@ -6,7 +6,7 @@ Physical plan:
     → filter(text likely-HTML)            pushed to the scan
     → project(+ part_id, salt)            deterministic lineage partition id
     → repartition(N, salt)                explicit shuffle: skew-spreading
-    → mapInPandas(extraction kernel)      Arrow batches, JVM↔Python boundary
+    → mapInArrow(extraction kernel)       Arrow batches, JVM↔Python boundary
     → (a) extractions sink
       (b) groupBy(part_id) lineage/metrics rollup    partial agg map-side
       (c) checkpoint manifest per part_id            idempotent resume
@@ -94,7 +94,7 @@ def extract_transcripts(
         )
         if repartition:
             uniq = uniq.repartition(num_parts, "part_id")
-        per_payload = uniq.select(*cols).mapInPandas(
+        per_payload = uniq.select(*cols).mapInArrow(
             make_extraction_kernel(url=url, opts=opts), OUT_SCHEMA_DDL
         )
         result_cols = [
@@ -118,7 +118,7 @@ def extract_transcripts(
             .filter(F.col("readerable"))
             .select(*cols)
         )
-    return slim.mapInPandas(make_extraction_kernel(url=url, opts=opts), OUT_SCHEMA_DDL)
+    return slim.mapInArrow(make_extraction_kernel(url=url, opts=opts), OUT_SCHEMA_DDL)
 
 
 def lineage_rollup(extractions: DataFrame, run_id: str) -> DataFrame:

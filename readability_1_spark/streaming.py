@@ -39,7 +39,7 @@ def streaming_extractions(transcripts: DataFrame, num_parts: int = 64,
         "part_id", F.pmod(F.xxhash64("conv_id"), F.lit(num_parts)).cast("int")
     )
     slim = gated.select("conv_id", "turn_idx", "text", "part_id")
-    return slim.mapInPandas(make_extraction_kernel(opts=opts), OUT_SCHEMA_DDL)
+    return slim.mapInArrow(make_extraction_kernel(opts=opts), OUT_SCHEMA_DDL)
 
 
 def streaming_quality_metrics(transcripts: DataFrame,
