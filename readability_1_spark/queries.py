@@ -55,21 +55,25 @@ def _shingles(df: DataFrame) -> DataFrame:
         )
     )
     return (
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.size("ws") - 2, F.lit(0))),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at("ws", i),
-                        F.element_at("ws", i + 1),
-                        F.element_at("ws", i + 2),
-                    ),
-                )
-            ).alias("shingle"),
-        )
+        toks.select("doc_id", F.explode(_shingle_array_expr()).alias("shingle"))
         .distinct()
+    )
+
+
+def _shingle_array_expr():
+    """3-word shingles from the `ws` token array; empty when <3 tokens
+    (Spark's sequence(1, 0) would DESCEND, so it must be guarded)."""
+    mk = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at("ws", i),
+            F.element_at("ws", i + 1),
+            F.element_at("ws", i + 2),
+        ),
+    )
+    return F.when(F.size("ws") >= 3, mk).otherwise(
+        F.array().cast("array<string>")
     )
 
 
@@ -532,34 +536,37 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH banding: shingle → 16 md5-seeded min-hashes → 4 bands
     of 4 → bucket join on band signature → candidate pairs.  At 100 TB this
     is THE dedup plan: cost is linear in corpus size + bucket collisions,
-    never all-pairs."""
+    never all-pairs.
+
+    Spark-first shape: explode shingles once, then compute ALL 16 min-hashes
+    as aggregate expressions in a single groupBy(doc_id) — one shuffle of
+    |docs|×|distinct shingles| rows (not ×16 as a seed cross join would) and
+    every expression stays inside whole-stage codegen."""
     docs = _t(spark, sf_dir, "documents")
     sh = _shingles(docs)
-    seeds = spark.range(N_MINHASH).select(F.col("id").cast("int").alias("seed"))
-    minhashes = (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "doc_id", "seed",
-            F.md5(F.concat_ws(":", F.col("seed"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minh"))
+    signed = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat_ws(":", F.lit(seed), F.col("shingle")))).alias(
+                f"mh{seed}"
+            )
+            for seed in range(N_MINHASH)
+        ]
     )
-    bands = (
-        minhashes.withColumn("band", (F.col("seed") / (N_MINHASH // N_BANDS)).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
+    per_band = N_MINHASH // N_BANDS
+    band_rows = [
+        F.struct(
+            F.lit(band).alias("band"),
             F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "minh"))),
-                        lambda x: x["minh"],
-                    ),
-                    ",",
+                F.concat_ws(
+                    ",", *[F.col(f"mh{band * per_band + j}") for j in range(per_band)]
                 )
-            ).alias("sig")
+            ).alias("sig"),
         )
-    )
+        for band in range(N_BANDS)
+    ]
+    bands = signed.select(
+        "doc_id", F.explode(F.array(*band_rows)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
     a = bands.alias("a")
     b = bands.alias("b")
     return (
