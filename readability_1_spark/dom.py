@@ -42,6 +42,7 @@ _PARSE_WS = (" ", "\t", "\n", "\r")  # JSDOMParser.js:281
 # Tag-name run: everything up to parser whitespace, '>' or '/'.
 _TAG_RUN_RE = re.compile(r"[^ \t\n\r>/]*")
 _ATTR_WS_RE = re.compile(r"[ \t\n\r]*")
+_TAG_NAME_CACHE: dict[str, tuple[str, str]] = {}
 
 _NAMED_ENT_RE = re.compile(r"&(quot|amp|apos|lt|gt);")
 _NUM_ENT_RE = re.compile(r"&#(?:x([0-9a-z]{1,4})|([0-9]{1,4}));", re.I)
@@ -360,14 +361,18 @@ class Element(Node):
         super().__init__()
         # Non-namespace-aware: strip any prefix, but remember the original
         # spelling to find the closing tag (JSDOMParser.js:608-623).
+        # Tag spellings repeat massively; cache the derived names.
+        names = _TAG_NAME_CACHE.get(tag)
+        if names is None:
+            stripped = tag[tag.rfind(":") + 1 :]  # rfind==-1 → tag[0:] == tag
+            names = (stripped.lower(), stripped.upper())
+            if len(_TAG_NAME_CACHE) < 4096:
+                _TAG_NAME_CACHE[tag] = names
         self.matching_tag = tag
-        last_colon = tag.rfind(":")
-        if last_colon != -1:
-            tag = tag[last_colon + 1 :]
         self.attributes: list[Attribute] = []
         self.children: list[Element] = []
-        self.localName: str = tag.lower()
-        self.tagName: str = tag.upper()
+        self.localName: str = names[0]
+        self.tagName: str = names[1]
         self.readability: dict | None = None
         self._readabilityDataTable: bool | None = None
 
@@ -684,8 +689,10 @@ class JSDOMParser:
         return node, closed
 
     def match(self, s: str) -> bool:
-        # JSDOMParser.js:1014-1021 — case-insensitive.
-        if self.html[self.current_char : self.current_char + len(s)].lower() == s.lower():
+        # JSDOMParser.js:1014-1021 — case-insensitive; exact compare first
+        # (the overwhelmingly common case) to skip two lowercasing copies.
+        chunk = self.html[self.current_char : self.current_char + len(s)]
+        if chunk == s or chunk.lower() == s.lower():
             self.current_char += len(s)
             return True
         return False
