@@ -436,6 +436,206 @@ FROM sess GROUP BY user_id, session_id
 """
 
 
+def q_value_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (value BETWEEN lo AND hi) expressed Spark-first: the band
+    dimension is equi-joinable on a computed bucket key, so the planner gets
+    a hash join instead of a broadcast-nested-loop range predicate.  The
+    oracle states the same query as a plain BETWEEN join."""
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.range(20).select(
+        F.col("id").cast("int").alias("band_id"),
+        (F.col("id") * 10.0).alias("lo"),
+        ((F.col("id") + 1) * 10.0).alias("hi"),
+    )
+    keyed = ev.filter(F.col("value").isNotNull()).withColumn(
+        "band_id", F.floor(F.col("value") / 10).cast("int")
+    )
+    return (
+        keyed.join(F.broadcast(bands), "band_id")
+        .groupBy("band_id", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+        )
+    )
+
+
+SQL_VALUE_BAND_RANGE_JOIN = """
+WITH bands AS (
+  SELECT CAST(i AS INT) AS band_id, i * 10.0 AS lo, (i + 1) * 10.0 AS hi
+  FROM generate_series(0, 19) AS t(i)
+)
+SELECT band_id, lo, hi, count(*) AS n_events, round(avg(value), 4) AS avg_value
+FROM events JOIN bands ON value >= lo AND value < hi
+WHERE value IS NOT NULL
+GROUP BY band_id, lo, hi
+"""
+
+
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional aggregation with ROLLUP (subtotals + grand total)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n_items", "total_price",
+        )
+    )
+
+
+SQL_REVENUE_ROLLUP = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       count(*) AS n_items,
+       round(sum(l_extendedprice), 2) AS total_price
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers that never ordered."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(
+            orders.select(F.col("o_custkey").alias("c_custkey")).distinct(),
+            "c_custkey",
+            "left_anti",
+        )
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+
+def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts by type as columns."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "signup", "purchase", "error"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+        )
+    )
+
+
+SQL_EVENTS_PIVOT = """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+FROM events GROUP BY user_id
+"""
+
+
+def q_lineitem_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+    )
+
+
+SQL_LINEITEM_PERCENTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+       round(min(l_extendedprice), 4) AS min_price,
+       round(max(l_extendedprice), 4) AS max_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (an operator Spark lacks natively): for every event, the
+    customer's most recent order at-or-before the event time.  Implemented
+    as the union + last-non-null-over-window pattern: one shuffle on the
+    key, no range cross product — the shape that survives 100 TB.  Orders
+    are first reduced to one deterministic representative per (customer,
+    date) so engines cannot disagree on ties."""
+    ev = _t(spark, sf_dir, "events")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.min("o_orderkey").alias("rep_orderkey"),
+            F.round(F.max("o_totalprice"), 2).alias("rep_totalprice"),
+        )
+    )
+    tagged_orders = orders.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("ts"),
+        F.lit(1).alias("is_order"),
+        F.lit(None).cast("long").alias("event_id"),
+        "rep_orderkey", "rep_totalprice",
+    )
+    tagged_events = ev.select(
+        "user_id", "ts",
+        F.lit(0).alias("is_order"),
+        "event_id",
+        F.lit(None).cast("long").alias("rep_orderkey"),
+        F.lit(None).cast("double").alias("rep_totalprice"),
+    )
+    unioned = tagged_orders.unionByName(tagged_events)
+    # At equal ts the order row must precede the event row (inclusive >=).
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("is_order").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn(
+            "last_orderkey", F.last("rep_orderkey", ignorenulls=True).over(w)
+        )
+        .withColumn(
+            "last_totalprice", F.last("rep_totalprice", ignorenulls=True).over(w)
+        )
+        .filter(F.col("is_order") == 0)
+        .select(
+            "event_id", "user_id",
+            F.col("last_orderkey").alias("asof_orderkey"),
+            F.col("last_totalprice").alias("asof_totalprice"),
+        )
+    )
+
+
+SQL_EVENTS_ASOF_ORDERS = """
+WITH rep AS (
+  SELECT o_custkey, o_orderdate,
+         min(o_orderkey) AS rep_orderkey,
+         round(max(o_totalprice), 2) AS rep_totalprice
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id,
+       r.rep_orderkey AS asof_orderkey,
+       r.rep_totalprice AS asof_totalprice
+FROM events e
+ASOF LEFT JOIN rep r
+  ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+"""
+
+
 # --------------------------------------------------------------------------
 # Training-data pipeline: deduplication family
 # --------------------------------------------------------------------------
@@ -949,6 +1149,12 @@ QUERIES: dict[str, tuple] = {
     "order_priority_rank": (q_order_priority_rank, SQL_ORDER_PRIORITY_RANK),
     "events_user_stats": (q_events_user_stats, SQL_EVENTS_USER_STATS),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    "events_asof_orders": (q_events_asof_orders, SQL_EVENTS_ASOF_ORDERS),
+    "value_band_range_join": (q_value_band_range_join, SQL_VALUE_BAND_RANGE_JOIN),
+    "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
+    "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
+    "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
+    "lineitem_percentiles": (q_lineitem_percentiles, SQL_LINEITEM_PERCENTILES),
     # dedup family
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_exact_normalized": (q_dedup_exact_normalized, SQL_DEDUP_EXACT_NORMALIZED),
