@@ -846,6 +846,54 @@ FROM sums
 """
 
 
+def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (exact operator; the lossy
+    scale path is ann_lsh_bucketed).  Norms are precomputed once per vector
+    so the pair stage is a dot product only."""
+    emb = _t(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    a = normed.alias("a")
+    b = normed.alias("b")
+    cosine = F.round(
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.norm") * F.col("b.norm")),
+        6,
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= 0.9)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "cosine",
+        )
+    )
+
+
+SQL_DEDUP_EMBEDDING_COSINE = """
+WITH normed AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(
+         list_sum(list_transform(generate_series(1, len(a.embedding)),
+           i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+         / (a.norm * b.norm), 6) AS cosine
+FROM normed a JOIN normed b ON a.vec_id < b.vec_id
+WHERE round(
+        list_sum(list_transform(generate_series(1, len(a.embedding)),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        / (a.norm * b.norm), 6) >= 0.9
+"""
+
+
 # --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
@@ -1161,6 +1209,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
     # text analysis
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
