@@ -23,10 +23,26 @@ import re as _re
 
 from . import regexps as R
 from .dom import Document, Element, Node, Text
-from .jsquirks import WS as _WS
+from .jsquirks import JS_WS, WS as _WS
 from .jsquirks import js_div, js_split_ws, js_trim, word_count
 
 _WS_ANY_RE = _re.compile(_WS)
+
+
+def _has_nonws_text(node: Node) -> bool:
+    """True iff any descendant text node contains a non-JS-whitespace char
+    (== `textContent.trim() != ""`), with early exit."""
+    stack = node.childNodes[::-1]
+    while stack:
+        child = stack.pop()
+        if child.node_type == 3:
+            if child.textContent.strip(JS_WS):
+                return True
+        else:
+            kids = child.childNodes
+            if kids:
+                stack.extend(kids[::-1])
+    return False
 from .whatwg_url import url_resolve
 
 FLAG_STRIP_UNLIKELYS = 0x1
@@ -320,8 +336,10 @@ class Readability:
         )
 
     def _is_element_without_content(self, node: Element) -> bool:
-        # Readability.js:1579-1594
-        if node.node_type == ELEMENT_NODE and len(js_trim(node.textContent)) == 0:
+        # Readability.js:1579-1594.  `textContent.trim().length == 0` is
+        # exactly "no non-whitespace text anywhere below": use an
+        # early-exit subtree scan instead of building the concatenation.
+        if node.node_type == ELEMENT_NODE and not _has_nonws_text(node):
             n_children = len(node.children)
             return n_children == 0 or n_children == (
                 len(node.getElementsByTagName("br"))
