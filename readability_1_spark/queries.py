@@ -1178,6 +1178,67 @@ FROM b GROUP BY bucket
 SQL_ANN_LSH_BUCKETED = _sql_ann_lsh()
 
 
+def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse quantizer: deterministic centroids (the first K vectors),
+    every vector assigned to its nearest centroid by L2 (ties → lowest
+    centroid id).  At scale this is the partition-pruning path for ANN:
+    probe only the assigned inverted list(s).  The centroid set is tiny →
+    broadcast; assignment is a codegen'd expression, no shuffle."""
+    emb = _t(spark, sf_dir, "embeddings")
+    k = 8
+    centroids = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    pairs = emb.crossJoin(F.broadcast(centroids))
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding"), F.col("c_emb"),
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ),
+        6,
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("centroid_id").asc())
+    assigned = (
+        pairs.withColumn("dist", dist)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return assigned.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("list_size"),
+        F.round(F.avg("dist"), 6).alias("avg_dist"),
+        F.min("vec_id").alias("min_vec_id"),
+    )
+
+
+SQL_ANN_IVF_ASSIGN = """
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8
+), pairs AS (
+  SELECT e.vec_id, c.centroid_id,
+         round(sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+           i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE))
+              * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE))))), 6)
+           AS dist
+  FROM embeddings e, centroids c
+), assigned AS (
+  SELECT vec_id, centroid_id, dist,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist ASC, centroid_id ASC) AS rn
+  FROM pairs
+)
+SELECT centroid_id, count(*) AS list_size,
+       round(avg(dist), 6) AS avg_dist, min(vec_id) AS min_vec_id
+FROM assigned WHERE rn = 1 GROUP BY centroid_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1219,4 +1280,5 @@ QUERIES: dict[str, tuple] = {
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH_BUCKETED),
+    "ann_ivf_assign": (q_ann_ivf_assign, SQL_ANN_IVF_ASSIGN),
 }

@@ -161,3 +161,27 @@ def test_dedup_payloads_equivalent_output(spark):
         for r in extract_transcripts(df, num_parts=8, dedup_payloads=True).collect()
     }
     assert plain == dedup
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing demo (SURVEY §2.4 co-located joins): two tables bucketed on
+    the join key join WITHOUT an Exchange on either side."""
+    from readability_1_spark.transcripts import scaled_transcripts
+
+    df = scaled_transcripts(spark, 1000).select("conv_id", "turn_idx", "role")
+    df.write.mode("overwrite").option("path", str(tmp_path / "a")).bucketBy(
+        8, "conv_id"
+    ).sortBy("conv_id").saveAsTable("t_bucketed_a")
+    df.groupBy("conv_id").count().write.mode("overwrite").option(
+        "path", str(tmp_path / "b")
+    ).bucketBy(8, "conv_id").saveAsTable("t_bucketed_b")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("t_bucketed_a").join(spark.table("t_bucketed_b"), "conv_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert joined.count() == 1000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_a")
+        spark.sql("DROP TABLE IF EXISTS t_bucketed_b")
