@@ -171,9 +171,12 @@ scaling tracks the per-node ceiling.
 ## Reference single-node comparison (BASELINE.md)
 
 The reference's full extraction runs ~150 docs/s/core on the 12.5 KB fixture
-page `001` in this sandbox; this engine measures ~190-200 docs/s/core on the
-same page and ~31 docs/s/core averaged over the whole 101-page corpus
-(mean page ≈230 KB ≈ 7 MB/s/core of HTML).
+page `001` in this sandbox; this engine measures ~200-260 docs/s/core on the
+same page and ~46 docs/s/core averaged over the whole 101-page corpus
+(mean page ≈230 KB ≈ 10 MB/s/core of HTML).  Per-page single-core parity or
+better on small/medium pages; large-page parse remains slower than V8 and is
+recovered through parallelism and payload dedup (extract once per distinct
+page, join back).
 """)
     print(f"eff 2->8 = {eff_2_8:.3f}, 8->32 = {eff_8_32:.3f} -> BENCH/BASELINE.md")
 
