@@ -1,0 +1,82 @@
+"""Dump formatted physical plans for the headline operators into
+BENCH/PLANS.md — evidence that filters push down, scans prune columns,
+small sides broadcast, and the hot path stays inside whole-stage codegen.
+
+Run: python3 tools/gen_plans.py
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from readability_1_spark.pipeline import extract_transcripts, gate_html_turns
+    from readability_1_spark.queries import QUERIES
+    from readability_1_spark.session import get_spark
+
+    spark = get_spark(app_name="gen_plans", master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sections = []
+
+    # Extraction pipeline over a parquet transcripts table.
+    from readability_1_spark.queries import TRANSCRIPTS_PQ
+
+    transcripts = spark.read.parquet(TRANSCRIPTS_PQ)
+    ex = extract_transcripts(transcripts, num_parts=16)
+    sections.append(("extraction pipeline (scan → pushed gate → salt shuffle "
+                     "→ mapInArrow kernel)", plan_of(ex)))
+
+    for name in ("q1_pricing_summary", "top_revenue_orders", "dedup_minhash_lsh",
+                 "events_asof_orders", "ann_cosine_topk"):
+        fn, _sql = QUERIES[name]
+        sections.append((name, plan_of(fn(spark, SF_DIR))))
+
+    checks = []
+    full = {name: text for name, text in sections}
+    ext = full["extraction pipeline (scan → pushed gate → salt shuffle "
+               "→ mapInArrow kernel)"]
+    checks.append(("extraction scan reads only conv_id/turn_idx/text",
+                   "ReadSchema" in ext and "role" not in ext))
+    checks.append(("extraction gate pushes IsNotNull(text) to the scan",
+                   "PushedFilters: [IsNotNull(text)" in ext))
+    checks.append(("q1 uses map-side partial aggregation before the exchange",
+                   "partial_sum" in full["q1_pricing_summary"]))
+    checks.append(("customer side of Q3 broadcasts",
+                   "BroadcastHashJoin" in full["top_revenue_orders"]))
+    checks.append(("q1 scan prunes to 5 needed columns",
+                   "l_comment" not in full["q1_pricing_summary"]))
+
+    with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
+        f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")
+        f.write("Automated checks:\n\n")
+        for desc, ok in checks:
+            f.write(f"- [{'x' if ok else ' '}] {desc}\n")
+        f.write("\n")
+        for name, text in sections:
+            f.write(f"\n## {name}\n\n```\n{text.strip()}\n```\n")
+    print("wrote BENCH/PLANS.md;",
+          f"{sum(ok for _, ok in checks)}/{len(checks)} checks pass")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
