@@ -185,3 +185,26 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_bucketed_a")
         spark.sql("DROP TABLE IF EXISTS t_bucketed_b")
+
+
+def test_readerable_gate_path(spark):
+    """readerable_gate=True must run the gate kernel and only extract
+    readerable documents (matching the goldens' readerable flags)."""
+    from readability_1_spark.transcripts import smoke_transcripts
+
+    df = smoke_transcripts(spark)
+    gated_rows = extract_transcripts(df, num_parts=8, readerable_gate=True).collect()
+    gold = _goldens_by_slug()
+    expected_readerable = {
+        f"conv-{slug}" for slug, g in gold.items() if g.get("readerable")
+    }
+    got = {r["conv_id"] for r in gated_rows}
+    # All readerable fixtures must be present; edge cases have no readerable
+    # flag and are gated out or kept based on the live computation.
+    missing = {c for c in expected_readerable if c not in got}
+    assert not missing, missing
+    for r in gated_rows:
+        slug = r["conv_id"][len("conv-"):]
+        g = gold[slug]
+        if g["status"] == "ok" and g.get("readerable"):
+            assert r["text_content"] == g["result"]["text_content"], slug
