@@ -87,6 +87,44 @@ def rand_content(rng: random.Random, depth: int) -> str:
     return "".join(out)
 
 
+_FIXTURE_SRCS: list[str] | None = None
+
+
+def _fixture_sources() -> list[str]:
+    global _FIXTURE_SRCS
+    if _FIXTURE_SRCS is None:
+        fix = "/root/reference/test/test-pages"
+        _FIXTURE_SRCS = []
+        for slug in sorted(os.listdir(fix)):
+            with open(os.path.join(fix, slug, "source.html")) as f:
+                _FIXTURE_SRCS.append(f.read().strip())
+    return _FIXTURE_SRCS
+
+
+def mutate_fixture(rng: random.Random) -> str:
+    """A real fixture page with 1-4 random corruptions: slice deletion,
+    slice duplication, snippet insertion, char flips — exercises recovery
+    paths on realistic markup."""
+    src = rng.choice(_fixture_sources())
+    for _ in range(rng.randint(1, 4)):
+        kind = rng.random()
+        n = len(src)
+        if n < 100:
+            break
+        i = rng.randrange(n - 50)
+        if kind < 0.3:  # delete a slice
+            j = min(n, i + rng.randint(1, 2000))
+            src = src[:i] + src[j:]
+        elif kind < 0.55:  # duplicate a slice
+            j = min(n, i + rng.randint(1, 500))
+            src = src[:j] + src[i:j] + src[j:]
+        elif kind < 0.8:  # insert an adversarial snippet
+            src = src[:i] + rng.choice(SNIPPETS + ENTITIES) + src[i:]
+        else:  # flip a character to a structural one
+            src = src[:i] + rng.choice("<>\"'&/=") + src[i + 1 :]
+    return src
+
+
 def rand_document(rng: random.Random) -> str:
     kind = rng.random()
     if kind < 0.1:
@@ -135,8 +173,10 @@ def main() -> None:
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    mode = sys.argv[3] if len(sys.argv) > 3 else "random"
     rng = random.Random(seed)
-    cases = [rand_document(rng) for _ in range(n)]
+    gen = mutate_fixture if mode == "mutate" else rand_document
+    cases = [gen(rng) for _ in range(n)]
     mine_all = [extract_one(html) for html in cases]
     # The reference's discardTo never terminates on unterminated comments
     # (JSDOMParser.js:1027-1032 jumps BACKWARD on not-found): our engine
