@@ -1009,6 +1009,49 @@ FROM scored
 """
 
 
+def q_extract_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data pipeline stage: extraction → quality scoring
+    → filter.  Keeps turns whose EXTRACTED text is long enough, sentence-y,
+    and not link-dominated — the shape of a pretraining quality gate.
+    Oracle recomputes the same stats in SQL from the reference goldens."""
+    from .pipeline import extract_transcripts
+
+    df = spark.read.parquet(TRANSCRIPTS_PQ)
+    ex = extract_transcripts(df, num_parts=16).filter(F.col("status") == "ok")
+    ws = F.filter(
+        F.split(F.lower(F.col("text_content")), TOKEN_SPLIT), lambda x: x != ""
+    )
+    periods = F.length("text_content") - F.length(
+        F.regexp_replace("text_content", "\\.", "")
+    )
+    scored = ex.select(
+        "conv_id", "turn_idx",
+        F.col("length").alias("n_chars"),
+        F.size(ws).alias("n_tokens"),
+        periods.alias("n_periods"),
+    )
+    return scored.filter(
+        (F.col("n_chars") >= 500)
+        & (F.col("n_tokens") >= 80)
+        & (F.col("n_periods") >= 3)
+    )
+
+
+SQL_EXTRACT_QUALITY_FILTER = f"""
+WITH scored AS (
+  SELECT conv_id, turn_idx,
+         length AS n_chars,
+         len(list_filter(regexp_split_to_array(lower(text_content),
+             '{TOKEN_SPLIT}'), x -> x <> '')) AS n_tokens,
+         length(text_content) - length(replace(text_content, '.', ''))
+           AS n_periods
+  FROM read_parquet('{GOLDENS_PQ}') WHERE status = 'ok'
+)
+SELECT * FROM scored
+WHERE n_chars >= 500 AND n_tokens >= 80 AND n_periods >= 3
+"""
+
+
 def q_multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing demo: treat the payload as an opaque binary
     column with typed metadata (the image/audio decode itself is stubbed —
@@ -1275,6 +1318,7 @@ QUERIES: dict[str, tuple] = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
+    "extract_quality_filter": (q_extract_quality_filter, SQL_EXTRACT_QUALITY_FILTER),
     "multimodal_binary_stats": (q_multimodal_binary_stats, SQL_MULTIMODAL_BINARY_STATS),
     # similarity search
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
