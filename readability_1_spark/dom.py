@@ -509,22 +509,33 @@ class Element(Node):
 
 
 def _serialize_children(node: Node, arr: list[str]) -> None:
-    for child in node.childNodes:
-        if child.localName:
-            arr.append("<" + child.localName)
-            for attr in child.attributes:  # type: ignore[attr-defined]
+    # Iterative pre-order with explicit closing-tag markers: no recursion
+    # limits on deep documents, same byte output as JSDOMParser.js:676-714.
+    work: list = node.childNodes[::-1]
+    append = arr.append
+    while work:
+        child = work.pop()
+        if type(child) is str:
+            append(child)
+            continue
+        local_name = child.localName
+        if local_name:
+            append("<" + local_name)
+            for attr in child.attributes:
                 val = attr.encoded_value()
                 quote = '"' if '"' not in val else "'"
-                arr.append(" " + attr.name + "=" + quote + val + quote)
-            if child.localName in VOID_ELEMS and not child.childNodes:
-                arr.append("/>")
+                append(" " + attr.name + "=" + quote + val + quote)
+            kids = child.childNodes
+            if local_name in VOID_ELEMS and not kids:
+                append("/>")
             else:
-                arr.append(">")
-                _serialize_children(child, arr)
-                arr.append("</" + child.localName + ">")
+                append(">")
+                work.append("</" + local_name + ">")
+                if kids:
+                    work.extend(kids[::-1])
         else:
             # Text node (comments never survive parsing).
-            arr.append(child.innerHTML)  # type: ignore[attr-defined]
+            append(child.innerHTML)  # type: ignore[attr-defined]
 
 
 class Document(Node):
