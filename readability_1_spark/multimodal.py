@@ -109,6 +109,9 @@ def synthetic_media(spark, n: int = 256):
 
 
 def media_features(media_df, fake_decode: bool = True):
+    from .pipeline import ensure_worker_imports
+
+    ensure_worker_imports(media_df.sparkSession)
     return media_df.mapInPandas(
         make_media_feature_kernel(fake_decode), FEATURES_SCHEMA_DDL
     )

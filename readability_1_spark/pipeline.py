@@ -38,6 +38,47 @@ from .kernel import OUT_SCHEMA_DDL, make_extraction_kernel, make_readerable_kern
 # document".  Full validation (errorState etc.) happens in the kernel.
 HTML_GATE = "(?i)<html"
 
+_SHIPPED: set[str] = set()
+
+
+def ensure_worker_imports(spark: SparkSession) -> None:
+    """Make this package importable inside executor Python workers no matter
+    where the driver was launched from: build the --py-files zip lazily and
+    ship it via addPyFile (idempotent per SparkContext)."""
+    sc = spark.sparkContext
+    key = sc.applicationId
+    if key in _SHIPPED:
+        return
+    try:
+        import tempfile
+        import zipfile
+
+        import readability_1_spark as pkg
+
+        pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
+        if not os.path.isdir(pkg_dir):  # already running from a zip
+            _SHIPPED.add(key)
+            return
+        zip_path = os.path.join(tempfile.gettempdir(), "readability_1_spark_pyfiles.zip")
+        if not os.path.exists(zip_path):
+            with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+                for root, _dirs, files in os.walk(pkg_dir):
+                    if "__pycache__" in root:
+                        continue
+                    for fn in sorted(files):
+                        if fn.endswith(".py"):
+                            full = os.path.join(root, fn)
+                            rel = os.path.join(
+                                "readability_1_spark",
+                                os.path.relpath(full, pkg_dir),
+                            )
+                            zf.write(full, rel)
+        sc.addPyFile(zip_path)
+    except Exception:
+        # Already registered in this context — workers can import already.
+        pass
+    _SHIPPED.add(key)
+
 
 def gate_html_turns(df: DataFrame) -> DataFrame:
     """Filter to HTML-bearing turns; predicate pushes into the scan."""
@@ -77,6 +118,7 @@ def extract_transcripts(
     identical (the kernel is a pure function of the payload); only parse_ms
     becomes the shared per-payload cost.
     """
+    ensure_worker_imports(df.sparkSession)
     gated = gate_html_turns(df)
     parted = with_partitioning(gated, num_parts)
     cols = ["conv_id", "turn_idx", "text", "part_id"]

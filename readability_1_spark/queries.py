@@ -132,8 +132,9 @@ FROM read_parquet('{GOLDENS_PQ}') GROUP BY status
 
 def q_readerable_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .kernel import make_readerable_kernel
-    from .pipeline import gate_html_turns, with_partitioning
+    from .pipeline import ensure_worker_imports, gate_html_turns, with_partitioning
 
+    ensure_worker_imports(spark)
     df = spark.read.parquet(TRANSCRIPTS_PQ)
     gated = with_partitioning(gate_html_turns(df), 16).select(
         "conv_id", "turn_idx", "text", "part_id"

@@ -33,6 +33,9 @@ def stream_transcripts_from_dir(spark: SparkSession, input_dir: str,
 def streaming_extractions(transcripts: DataFrame, num_parts: int = 64,
                           opts: dict | None = None) -> DataFrame:
     """Gate + extract on a streaming DataFrame (same kernel as batch)."""
+    from .pipeline import ensure_worker_imports
+
+    ensure_worker_imports(transcripts.sparkSession)
     gated = transcripts.filter(
         F.col("text").isNotNull() & F.col("text").rlike(HTML_GATE)
     ).withColumn(
