@@ -171,9 +171,9 @@ def q_extraction_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_EXTRACTION_LINEAGE = f"""
 SELECT part_id,
        count(*) AS input_rows,
-       sum(CASE WHEN status = 'ok' THEN 1 ELSE 0 END) AS ok_rows,
-       sum(CASE WHEN status = 'null_result' THEN 1 ELSE 0 END) AS null_rows,
-       sum(CASE WHEN status NOT IN ('ok', 'null_result') THEN 1 ELSE 0 END) AS error_rows
+       CAST(sum(CASE WHEN status = 'ok' THEN 1 ELSE 0 END) AS BIGINT) AS ok_rows,
+       CAST(sum(CASE WHEN status = 'null_result' THEN 1 ELSE 0 END) AS BIGINT) AS null_rows,
+       CAST(sum(CASE WHEN status NOT IN ('ok', 'null_result') THEN 1 ELSE 0 END) AS BIGINT) AS error_rows
 FROM read_parquet('{GOLDENS_PQ}') GROUP BY part_id
 """
 
@@ -205,8 +205,8 @@ WITH t AS (
   FROM read_parquet('{TRANSCRIPTS_PQ}')
 )
 SELECT conv_id, count(*) AS n_turns, max(turn_idx) AS max_turn,
-       sum(CASE WHEN rn <> turn_idx THEN 1 ELSE 0 END) AS idx_gaps,
-       sum(CASE WHEN prev_ts > ts THEN 1 ELSE 0 END) AS ts_regressions
+       CAST(sum(CASE WHEN rn <> turn_idx THEN 1 ELSE 0 END) AS BIGINT) AS idx_gaps,
+       CAST(sum(CASE WHEN prev_ts > ts THEN 1 ELSE 0 END) AS BIGINT) AS ts_regressions
 FROM t GROUP BY conv_id
 """
 
@@ -225,8 +225,8 @@ def q_html_gate_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_HTML_GATE_SELECTIVITY = f"""
 SELECT role, count(*) AS n_turns,
-       sum(CASE WHEN text IS NOT NULL AND regexp_matches(lower(text), '<html')
-            THEN 1 ELSE 0 END) AS html_turns
+       CAST(sum(CASE WHEN text IS NOT NULL AND regexp_matches(lower(text), '<html')
+            THEN 1 ELSE 0 END) AS BIGINT) AS html_turns
 FROM read_parquet('{TRANSCRIPTS_PQ}') GROUP BY role
 """
 
@@ -431,7 +431,7 @@ WITH l AS (
          sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
   FROM s
 )
-SELECT user_id, session_id, count(*) AS n_events,
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
        round(sum(value), 4) AS session_value
 FROM sess GROUP BY user_id, session_id
 """
@@ -538,11 +538,11 @@ def q_events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EVENTS_PIVOT = """
 SELECT user_id,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
 FROM events GROUP BY user_id
 """
 

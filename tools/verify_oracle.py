@@ -91,6 +91,24 @@ def main():
         sc, sm = df_to_multiset(scols, srows)
         dc, dm = df_to_multiset(dcols, drows)
         status = []
+        # Driver-hash emulation: the driver compares pandas representations,
+        # where DuckDB HUGEINT -> float64 but Spark non-null BIGINT -> int64.
+        # Flag any column whose pandas dtype *kind* differs between engines.
+        try:
+            ddf = con.execute(sql).df()
+            pdf = sdf.toPandas()
+            for c in set(ddf.columns) & set(pdf.columns):
+                dk = ddf[c].dtype.kind
+                pk = pdf[c].dtype.kind
+                # nullable ints become float64/object on either side; treat
+                # int-vs-float as the driver does: a representation mismatch
+                # unless the column actually contains nulls on the int side.
+                if dk != pk and {dk, pk} <= {"i", "f", "u"}:
+                    int_side = ddf[c] if dk in "iu" else pdf[c]
+                    if not int_side.isna().any():
+                        status.append(f"dtype-kind mismatch col={c}: duck={ddf[c].dtype} spark={pdf[c].dtype}")
+        except Exception:
+            pass
         if len(srows) != len(drows):
             status.append(f"rowcount {len(srows)} vs {len(drows)}")
         if sc != dc:
