@@ -42,6 +42,20 @@ _PARSE_WS = (" ", "\t", "\n", "\r")  # JSDOMParser.js:281
 # Tag-name run: everything up to parser whitespace, '>' or '/'.
 _TAG_RUN_RE = re.compile(r"[^ \t\n\r>/]*")
 _ATTR_WS_RE = re.compile(r"[ \t\n\r]*")
+# Fast path for the overwhelmingly common well-formed tag shape:
+#   name (ws+ name=["']value["'])* ws* /? >
+# Matches ONLY inputs on which the reference's per-character scan
+# (JSDOMParser.js:920-1006) produces exactly these names/values; anything
+# else (attr names with ws or '=' quirks, unquoted values, unterminated
+# quotes, EOF inside tag) fails the match and takes the slow path below.
+_FAST_TAG_RE = re.compile(
+    r"([^ \t\n\r>/]+)"
+    r"((?:[ \t\n\r]+[^ \t\n\r=/>]+=(?:\"[^\"]*\"|'[^']*'))*)"
+    r"[ \t\n\r]*(/?)>"
+)
+_FAST_ATTR_RE = re.compile(
+    r"[ \t\n\r]+([^ \t\n\r=/>]+)=(?:\"([^\"]*)\"|'([^']*)')"
+)
 _TAG_NAME_CACHE: dict[str, tuple[str, str]] = {}
 
 _NAMED_ENT_RE = re.compile(r"&(quot|amp|apos|lt|gt);")
@@ -283,14 +297,17 @@ def _get_elements_by_tag_name(node: "Element | Document", tag: str) -> list["Ele
     tag = tag.upper()
     elems: list[Element] = []
     all_tags = tag == "*"
+    append = elems.append
     stack = node.children[::-1]
+    pop = stack.pop
+    extend = stack.extend
     while stack:
-        child = stack.pop()
+        child = pop()
         if all_tags or child.tagName == tag:
-            elems.append(child)
+            append(child)
         kids = child.children
         if kids:
-            stack.extend(kids[::-1])
+            extend(reversed(kids))
     return elems
 
 
@@ -310,7 +327,14 @@ class Text(Node):
     nodeName = "#text"
 
     def __init__(self) -> None:
-        super().__init__()
+        # Inlined Node.__init__ (hot allocation path).
+        self.childNodes = []
+        self.parentNode = None
+        self.nextSibling = None
+        self.previousSibling = None
+        self.nextElementSibling = None
+        self.previousElementSibling = None
+        self._tc_cache = None
         self._textContent: str | None = None
         self._innerHTML: str | None = None
         self._has_text = False
@@ -358,7 +382,14 @@ class Element(Node):
     node_type = ELEMENT_NODE
 
     def __init__(self, tag: str):
-        super().__init__()
+        # Inlined Node.__init__ (hot allocation path).
+        self.childNodes = []
+        self.parentNode = None
+        self.nextSibling = None
+        self.previousSibling = None
+        self.nextElementSibling = None
+        self.previousElementSibling = None
+        self._tc_cache = None
         # Non-namespace-aware: strip any prefix, but remember the original
         # spelling to find the closing tag (JSDOMParser.js:608-623).
         # Tag spellings repeat massively; cache the derived names.
@@ -663,6 +694,19 @@ class JSDOMParser:
         # equivalent to the reference's per-character loop.
         html, ln = self.html, len(self.html)
         p = self.current_char
+        fm = _FAST_TAG_RE.match(html, p)
+        if fm is not None:
+            node = Element(fm.group(1))
+            attrs = fm.group(2)
+            if attrs:
+                append = node.attributes.append
+                for am in _FAST_ATTR_RE.finditer(attrs):
+                    v = am.group(2)
+                    if v is None:
+                        v = am.group(3)
+                    append(Attribute(am.group(1), decode_html(v)))
+            self.current_char = fm.end()
+            return node, fm.group(3) == "/"
         m = _TAG_RUN_RE.match(html, p)
         q = m.end()
         if q >= ln:
@@ -714,30 +758,181 @@ class JSDOMParser:
         # read_node turns the resulting infinite loop into ParseFatal.
         self.current_char = self.html.find(s, self.current_char) + len(s)
 
-    def read_children(self, node: Node) -> None:
-        # JSDOMParser.js:1037-1045 — comments dropped here.  Inlined
-        # appendChild without cache invalidation: during the initial parse a
+    def read_children(self, root: Node) -> None:
+        # JSDOMParser.js:1037-1156 (readChildren + readNode), restructured as
+        # ONE explicit-stack loop — no recursion, one Python-level iteration
+        # per token instead of two function calls per node.  Behaviorally
+        # identical to the reference's mutual recursion, including:
+        # * comments dropped at read time;
+        # * the closing-tag-mismatch cascade: the mismatched subtree is
+        #   DISCARDED (readNode returns null) and each ancestor re-tries its
+        #   own closing tag at the same position, logging one error per
+        #   failed level;
+        # * the step guard turning non-advancing input (discardTo's backward
+        #   jump) into ParseFatal;
+        # * first-<title>-wins / head / body / documentElement bookkeeping
+        #   running right after an element completes, before it is appended.
+        # Appends are inlined without cache invalidation: during the parse a
         # node is complete before being appended upward, so no ancestor can
         # hold a textContent cache yet (only finished subtrees may, via the
         # doc.title read, and appends never change a finished subtree).
-        child_nodes = node.childNodes
-        children = getattr(node, "children", None)
+        html = self.html
+        ln = len(html)
+        doc = self.doc
+        max_steps = self._max_steps
+        steps = self._steps
+        fast_tag = _FAST_TAG_RE.match
+        node = root
+        child_nodes = root.childNodes
+        children = getattr(root, "children", None)
+        stack: list = []
         while True:
-            child = self.read_node()
+            steps += 1
+            if steps > max_steps:
+                self._steps = steps
+                raise ParseFatal("parser stuck (non-advancing input)")
+            pos = self.current_char
+            child: Node | None
+            if pos >= ln:
+                self.current_char = pos + 1
+                child = None
+            else:
+                c = html[pos]
+                if c != "<":
+                    # Inline Text construction: a fresh node has no parent,
+                    # so setter-side cache invalidation would be a no-op.
+                    child = text_node = Text.__new__(Text)
+                    text_node.childNodes = []
+                    text_node.parentNode = None
+                    text_node.nextSibling = None
+                    text_node.previousSibling = None
+                    text_node.nextElementSibling = None
+                    text_node.previousElementSibling = None
+                    text_node._tc_cache = None
+                    text_node._textContent = None
+                    text_node._has_text = False
+                    text_node._has_html = True
+                    n = html.find("<", pos)
+                    if n == -1:
+                        text_node._innerHTML = html[pos:]
+                        self.current_char = ln
+                    else:
+                        text_node._innerHTML = html[pos:n]
+                        self.current_char = n
+                else:
+                    pos1 = pos + 1
+                    nxt = html[pos1] if pos1 < ln else None
+                    if nxt == "/":
+                        self.current_char = pos
+                        child = None
+                    elif nxt == "!" or nxt == "?":
+                        # CDATA first (JSDOMParser.js:1092), case-insensitive.
+                        if nxt == "!" and html[pos1 : pos1 + 8].lower() == "![cdata[":
+                            cc = pos1 + 8
+                            end = html.find("]]>", cc)
+                            if end == -1:
+                                self.current_char = cc
+                                self.error("unclosed CDATA section")
+                                child = None
+                            else:
+                                tn = Text()
+                                tn.textContent = html[cc:end]
+                                self.current_char = end + 3
+                                child = tn
+                        else:
+                            self.current_char = pos1 + 1
+                            child = self.discard_next_comment()
+                            if child is not None:
+                                continue  # comments are dropped, not appended
+                    else:
+                        self.current_char = pos1
+                        fm = fast_tag(html, pos1)
+                        if fm is not None:
+                            el = Element(fm.group(1))
+                            attrs = fm.group(2)
+                            if attrs:
+                                append_attr = el.attributes.append
+                                for am in _FAST_ATTR_RE.finditer(attrs):
+                                    v = am.group(2)
+                                    if v is None:
+                                        v = am.group(3)
+                                    append_attr(
+                                        Attribute(am.group(1), decode_html(v))
+                                    )
+                            self.current_char = fm.end()
+                            closed = fm.group(3) == "/"
+                        else:
+                            result = self.make_element_node()
+                            if result is None:
+                                el = None
+                                closed = True
+                            else:
+                                el, closed = result
+                        if el is None:
+                            child = None
+                        elif not closed:
+                            # Descend: push the current frame, start reading
+                            # this element's children.
+                            stack.append((node, child_nodes, children))
+                            node = el
+                            child_nodes = el.childNodes
+                            children = el.children
+                            continue
+                        else:
+                            local_name = el.localName
+                            if local_name == "title" and not doc.title:
+                                doc.title = js_trim(el.textContent)
+                            elif local_name == "head":
+                                doc.head = el
+                            elif local_name == "body":
+                                doc.body = el
+                            elif local_name == "html":
+                                doc.documentElement = el
+                            child = el
             if child is None:
-                break
-            if child.node_type != COMMENT_NODE:
-                last = child_nodes[-1] if child_nodes else None
-                if last is not None:
-                    last.nextSibling = child
-                child.previousSibling = last
-                if child.node_type == ELEMENT_NODE:
-                    child.previousElementSibling = children[-1] if children else None
-                    children.append(child)
-                    if child.previousElementSibling is not None:
-                        child.previousElementSibling.nextElementSibling = child
-                child_nodes.append(child)
-                child.parentNode = node
+                # Unwind: the current node's child list ended (EOF, '</',
+                # malformed tag, or bad comment).  Each level attempts its
+                # own closing tag at the current position; a mismatch logs
+                # an error and DISCARDS that subtree (reference readNode
+                # returns null), cascading to the next ancestor.
+                while True:
+                    if not stack:
+                        self._steps = steps
+                        return
+                    el = node
+                    node, child_nodes, children = stack.pop()
+                    closing_tag = "</" + el.matching_tag + ">"
+                    if self.match(closing_tag):
+                        local_name = el.localName
+                        if local_name == "title" and not doc.title:
+                            doc.title = js_trim(el.textContent)
+                        elif local_name == "head":
+                            doc.head = el
+                        elif local_name == "body":
+                            doc.body = el
+                        elif local_name == "html":
+                            doc.documentElement = el
+                        child = el
+                        break
+                    self.error(
+                        "expected '"
+                        + closing_tag
+                        + "' and got "
+                        + html[self.current_char : self.current_char + len(closing_tag)]
+                    )
+            # Append `child` to the current node (inlined appendChild).
+            last = child_nodes[-1] if child_nodes else None
+            if last is not None:
+                last.nextSibling = child
+            child.previousSibling = last
+            if child.node_type == ELEMENT_NODE:
+                prev_el = children[-1] if children else None
+                child.previousElementSibling = prev_el
+                children.append(child)
+                if prev_el is not None:
+                    prev_el.nextElementSibling = child
+            child_nodes.append(child)
+            child.parentNode = node
 
     def discard_next_comment(self) -> Comment | None:
         # JSDOMParser.js:1047-1061
@@ -752,85 +947,6 @@ class JSDOMParser:
                     self.read_string(c)
                 c = self._next()
         return Comment()
-
-    def read_node(self) -> Node | None:
-        # JSDOMParser.js:1070-1156 — direct-indexed hot path, behavior
-        # identical to the reference's nextChar/peekNext sequence.
-        self._steps += 1
-        if self._steps > self._max_steps:
-            raise ParseFatal("parser stuck (non-advancing input)")
-        html = self.html
-        ln = len(html)
-        pos = self.current_char
-        if pos >= ln:
-            self.current_char = pos + 1
-            return None
-        c = html[pos]
-        pos += 1
-        self.current_char = pos
-
-        if c != "<":
-            pos -= 1
-            text_node = Text()
-            n = html.find("<", pos)
-            if n == -1:
-                text_node.innerHTML = html[pos:]
-                self.current_char = ln
-            else:
-                text_node.innerHTML = html[pos:n]
-                self.current_char = n
-            return text_node
-
-        nxt = html[pos] if pos < ln else None
-        if nxt == "!" or nxt == "?":
-            # CDATA first (JSDOMParser.js:1092), case-insensitive match.
-            if nxt == "!" and html[pos : pos + 8].lower() == "![cdata[":
-                self.current_char = pos + 8
-                end = html.find("]]>", self.current_char)
-                if end == -1:
-                    self.error("unclosed CDATA section")
-                    return None
-                text_node = Text()
-                text_node.textContent = html[self.current_char : end]
-                self.current_char = end + 3
-                return text_node
-            self.current_char = pos + 1
-            return self.discard_next_comment()
-
-        if nxt == "/":
-            self.current_char = pos - 1
-            return None
-
-        result = self.make_element_node()
-        if result is None:
-            return None
-        node, closed = result
-        local_name = node.localName
-
-        if not closed:
-            self.read_children(node)
-            closing_tag = "</" + node.matching_tag + ">"
-            if not self.match(closing_tag):
-                self.error(
-                    "expected '"
-                    + closing_tag
-                    + "' and got "
-                    + self.html[self.current_char : self.current_char + len(closing_tag)]
-                )
-                return None
-
-        # First <title> wins (JSDOMParser.js:1145-1153).
-        doc = self.doc
-        if local_name == "title" and not doc.title:
-            doc.title = js_trim(node.textContent)
-        elif local_name == "head":
-            doc.head = node
-        elif local_name == "body":
-            doc.body = node
-        elif local_name == "html":
-            doc.documentElement = node
-
-        return node
 
     def parse(self, html: str, url: str | None = None) -> Document:
         # JSDOMParser.js:1161-1178

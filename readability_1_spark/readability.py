@@ -150,9 +150,37 @@ class Readability:
 
     def _get_all_nodes_with_tag(self, node, tag_names: list[str]) -> list[Element]:
         # Readability.js:397-411 — per-tag concatenation in argument order.
-        out: list[Element] = []
+        # One pre-order walk bucketed by tag instead of one full subtree walk
+        # per tag name: identical output (each bucket is the pre-order
+        # sequence for its tag), linear instead of len(tag_names)× cost.
+        if len(tag_names) == 1:
+            return node.getElementsByTagName(tag_names[0])
+        buckets: dict[str, list[Element]] = {}
         for tag in tag_names:
-            out.extend(node.getElementsByTagName(tag))
+            up = tag.upper()
+            if up == "*" or up in buckets:
+                # '*' or duplicate tag names: keep the reference's exact
+                # per-tag concatenation semantics via separate walks.
+                out: list[Element] = []
+                for t in tag_names:
+                    out.extend(node.getElementsByTagName(t))
+                return out
+            buckets[up] = []
+        stack = node.children[::-1]
+        pop = stack.pop
+        extend = stack.extend
+        get = buckets.get
+        while stack:
+            child = pop()
+            b = get(child.tagName)
+            if b is not None:
+                b.append(child)
+            kids = child.children
+            if kids:
+                extend(reversed(kids))
+        out = []
+        for tag in tag_names:
+            out.extend(buckets[tag.upper()])
         return out
 
     def _remove_nodes(self, node_list: list[Element], filter_fn=None) -> None:
