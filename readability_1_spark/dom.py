@@ -122,6 +122,7 @@ def _invalidate_text_cache(node: "Node | None") -> None:
     mutated chain stay valid."""
     while node is not None:
         node._tc_cache = None
+        node._tc_norm = None
         node = node.parentNode
 
 
@@ -136,6 +137,7 @@ class Node:
     __slots__ = (
         "childNodes", "parentNode", "nextSibling", "previousSibling",
         "nextElementSibling", "previousElementSibling", "_tc_cache",
+        "_tc_norm",
     )
 
     node_type = 0
@@ -152,6 +154,7 @@ class Node:
         self.nextElementSibling: Element | None = None
         self.previousElementSibling: Element | None = None
         self._tc_cache: str | None = None
+        self._tc_norm: str | None = None
 
     @property
     def firstChild(self) -> "Node | None":
@@ -335,6 +338,7 @@ class Text(Node):
         self.nextElementSibling = None
         self.previousElementSibling = None
         self._tc_cache = None
+        self._tc_norm = None
         self._textContent: str | None = None
         self._innerHTML: str | None = None
         self._has_text = False
@@ -390,6 +394,7 @@ class Element(Node):
         self.nextElementSibling = None
         self.previousElementSibling = None
         self._tc_cache = None
+        self._tc_norm = None
         # Non-namespace-aware: strip any prefix, but remember the original
         # spelling to find the closing tag (JSDOMParser.js:608-623).
         # Tag spellings repeat massively; cache the derived names.
@@ -539,6 +544,10 @@ class Element(Node):
         return None
 
 
+def _reverse_entity_sub(m: "re.Match") -> str:
+    return _REVERSE_ENTITY[m.group(0)]
+
+
 def _serialize_children(node: Node, arr: list[str]) -> None:
     # Iterative pre-order with explicit closing-tag markers: no recursion
     # limits on deep documents, same byte output as JSDOMParser.js:676-714.
@@ -553,9 +562,13 @@ def _serialize_children(node: Node, arr: list[str]) -> None:
         if local_name:
             append("<" + local_name)
             for attr in child.attributes:
-                val = attr.encoded_value()
-                quote = '"' if '"' not in val else "'"
-                append(" " + attr.name + "=" + quote + val + quote)
+                val = attr.value
+                if _ENC_ATTR_RE.search(val) is not None:
+                    val = _ENC_ATTR_RE.sub(_reverse_entity_sub, val)
+                if '"' not in val:
+                    append(" " + attr.name + '="' + val + '"')
+                else:
+                    append(" " + attr.name + "='" + val + "'")
             kids = child.childNodes
             if local_name in VOID_ELEMS and not kids:
                 append("/>")
@@ -809,6 +822,7 @@ class JSDOMParser:
                     text_node.nextElementSibling = None
                     text_node.previousElementSibling = None
                     text_node._tc_cache = None
+                    text_node._tc_norm = None
                     text_node._textContent = None
                     text_node._has_text = False
                     text_node._has_html = True

@@ -22,7 +22,7 @@ import math
 import re as _re
 
 from . import regexps as R
-from .dom import Document, Element, Node, Text
+from .dom import Document, Element, Node, ParseFatal, Text
 from .jsquirks import JS_WS, WS as _WS
 from .jsquirks import js_div, js_split_ws, js_trim, word_count
 
@@ -204,11 +204,17 @@ class Readability:
         return node
 
     def _get_inner_text(self, e: Node, normalize_spaces: bool = True) -> str:
-        # Readability.js:1716-1723
-        text_content = js_trim(e.textContent)
+        # Readability.js:1716-1723.  The normalized form is cached on the
+        # node (invalidated with the textContent cache on any mutation):
+        # scoring/link-density loops re-read the same unchanged nodes.
         if normalize_spaces:
-            return R.NORMALIZE.sub(" ", text_content)
-        return text_content
+            cached = e._tc_norm
+            if cached is not None:
+                return cached
+            text = R.NORMALIZE.sub(" ", js_trim(e.textContent))
+            e._tc_norm = text
+            return text
+        return js_trim(e.textContent)
 
     def _get_char_count(self, e: Element, s: str = ",") -> int:
         # Readability.js:1731-1734
@@ -293,15 +299,45 @@ class Readability:
         return False
 
     def _is_probably_visible(self, node: Element) -> bool:
-        # Readability.js:2174-2188
-        display = node.style_get("display") if node.node_type == ELEMENT_NODE else None
-        c_n = node.className
+        # Readability.js:2174-2188 — one backward pass over the attribute
+        # list instead of 4-5 separate scans; backward-first hit = the
+        # last duplicate, matching getAttribute, and presence flags match
+        # hasAttribute.
+        style = c_n = aria = None
+        has_hidden = has_aria = False
+        if node.node_type == ELEMENT_NODE:
+            for attr in reversed(node.attributes):
+                name = attr.name
+                if name == "style":
+                    if style is None:
+                        style = attr.value
+                elif name == "class":
+                    if c_n is None:
+                        c_n = attr.value
+                elif name == "hidden":
+                    has_hidden = True
+                elif name == "aria-hidden":
+                    has_aria = True
+                    if aria is None:
+                        aria = attr.value
+        display = None
+        if style:
+            # Inline style_get("display") including its missing-value throw.
+            for decl in style.split(";"):
+                parts = decl.split(":")
+                if js_trim(parts[0]) == "display":
+                    if len(parts) < 2:
+                        raise ParseFatal("style declaration without value")
+                    display = js_trim(parts[1])
+                    break
+        if c_n is None:
+            c_n = ""
         return (
             display != "none"
-            and not node.hasAttribute("hidden")
+            and not has_hidden
             and (
-                not node.hasAttribute("aria-hidden")
-                or node.getAttribute("aria-hidden") != "true"
+                not has_aria
+                or aria != "true"
                 or (bool(c_n) and "fallback-image" in c_n)
             )
         )
@@ -1080,10 +1116,25 @@ class Readability:
             if weight < 0:
                 return True
             if self._get_char_count(node, ",") < 10:
-                p = len(node.getElementsByTagName("p"))
-                img = len(node.getElementsByTagName("img"))
-                li = len(node.getElementsByTagName("li")) - 100
-                input_count = len(node.getElementsByTagName("input"))
+                # One pre-order walk for all four counts (each equals
+                # len(getElementsByTagName(tag)) over the same subtree).
+                p = img = li_raw = input_count = 0
+                stack = node.children[::-1]
+                while stack:
+                    el = stack.pop()
+                    t = el.tagName
+                    if t == "P":
+                        p += 1
+                    elif t == "IMG":
+                        img += 1
+                    elif t == "LI":
+                        li_raw += 1
+                    elif t == "INPUT":
+                        input_count += 1
+                    kids = el.children
+                    if kids:
+                        stack.extend(reversed(kids))
+                li = li_raw - 100
                 embeds = self._get_all_nodes_with_tag(
                     node, ["object", "embed", "iframe"]
                 )
