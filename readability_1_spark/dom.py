@@ -560,26 +560,35 @@ def _serialize_children(node: Node, arr: list[str]) -> None:
             continue
         local_name = child.localName
         if local_name:
-            append("<" + local_name)
-            for attr in child.attributes:
-                val = attr.value
-                if _ENC_ATTR_RE.search(val) is not None:
-                    val = _ENC_ATTR_RE.sub(_reverse_entity_sub, val)
-                if '"' not in val:
-                    append(" " + attr.name + '="' + val + '"')
-                else:
-                    append(" " + attr.name + "='" + val + "'")
-            kids = child.childNodes
-            if local_name in VOID_ELEMS and not kids:
-                append("/>")
+            attrs = child.attributes
+            if attrs:
+                parts = ["<" + local_name]
+                for attr in attrs:
+                    val = attr.value
+                    if _ENC_ATTR_RE.search(val) is not None:
+                        val = _ENC_ATTR_RE.sub(_reverse_entity_sub, val)
+                    if '"' not in val:
+                        parts.append(" " + attr.name + '="' + val + '"')
+                    else:
+                        parts.append(" " + attr.name + "='" + val + "'")
+                open_tag = "".join(parts)
             else:
-                append(">")
+                open_tag = "<" + local_name
+            kids = child.childNodes
+            if not kids and local_name in VOID_ELEMS:
+                append(open_tag + "/>")
+            else:
+                append(open_tag + ">")
                 work.append("</" + local_name + ">")
                 if kids:
-                    work.extend(kids[::-1])
+                    work.extend(reversed(kids))
         else:
-            # Text node (comments never survive parsing).
-            append(child.innerHTML)  # type: ignore[attr-defined]
+            # Text node (comments never survive parsing): read the encoded
+            # cache directly, encoding lazily like the innerHTML property.
+            if child._has_html:
+                append(child._innerHTML)
+            else:
+                append(child.innerHTML)  # type: ignore[attr-defined]
 
 
 class Document(Node):
@@ -757,11 +766,15 @@ class JSDOMParser:
         return node, closed
 
     def match(self, s: str) -> bool:
-        # JSDOMParser.js:1014-1021 — case-insensitive; exact compare first
-        # (the overwhelmingly common case) to skip two lowercasing copies.
-        chunk = self.html[self.current_char : self.current_char + len(s)]
-        if chunk == s or chunk.lower() == s.lower():
-            self.current_char += len(s)
+        # JSDOMParser.js:1014-1021 — case-insensitive; allocation-free exact
+        # compare first (the overwhelmingly common case).
+        cc = self.current_char
+        if self.html.startswith(s, cc):
+            self.current_char = cc + len(s)
+            return True
+        chunk = self.html[cc : cc + len(s)]
+        if chunk.lower() == s.lower():
+            self.current_char = cc + len(s)
             return True
         return False
 

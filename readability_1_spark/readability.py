@@ -230,19 +230,33 @@ class Readability:
             link_length += len(self._get_inner_text(link_node))
         return link_length / text_length
 
+    @staticmethod
+    def _class_and_id(e: Element) -> tuple[str, str]:
+        """One backward attribute pass for (className, id) — last duplicate
+        wins, same as two getAttribute calls."""
+        klass = id_ = None
+        for attr in reversed(e.attributes):
+            name = attr.name
+            if name == "class":
+                if klass is None:
+                    klass = attr.value
+            elif name == "id":
+                if id_ is None:
+                    id_ = attr.value
+        return klass or "", id_ or ""
+
     def _get_class_weight(self, e: Element) -> int:
         # Readability.js:1789-1809
         if not self._flag_is_active(FLAG_WEIGHT_CLASSES):
             return 0
         weight = 0
-        c_n = e.className
-        if isinstance(c_n, str) and c_n != "":
+        c_n, id_ = self._class_and_id(e)
+        if c_n != "":
             if R.NEGATIVE.search(c_n):
                 weight -= 25
             if R.POSITIVE.search(c_n):
                 weight += 25
-        id_ = e.id
-        if isinstance(id_, str) and id_ != "":
+        if id_ != "":
             if R.NEGATIVE.search(id_):
                 weight -= 25
             if R.POSITIVE.search(id_):
@@ -586,7 +600,7 @@ class Readability:
             node = doc.documentElement
 
             while node is not None:
-                match_string = node.className + " " + node.id
+                match_string = " ".join(self._class_and_id(node))
 
                 if not self._is_probably_visible(node):
                     node = self._remove_and_get_next(node)
@@ -1005,7 +1019,7 @@ class Readability:
         end_of_search_marker = self._get_next_node(e, True)
         nxt = self._get_next_node(e)
         while nxt is not None and nxt is not end_of_search_marker:
-            if filter_fn(nxt, nxt.className + " " + nxt.id):
+            if filter_fn(nxt, " ".join(self._class_and_id(nxt))):
                 nxt = self._remove_and_get_next(nxt)
             else:
                 nxt = self._get_next_node(nxt)
