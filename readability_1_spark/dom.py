@@ -875,7 +875,30 @@ class JSDOMParser:
                         self.current_char = pos1
                         fm = fast_tag(html, pos1)
                         if fm is not None:
-                            el = Element(fm.group(1))
+                            # Inline Element construction (hot allocation).
+                            tag = fm.group(1)
+                            el = Element.__new__(Element)
+                            el.childNodes = []
+                            el.parentNode = None
+                            el.nextSibling = None
+                            el.previousSibling = None
+                            el.nextElementSibling = None
+                            el.previousElementSibling = None
+                            el._tc_cache = None
+                            el._tc_norm = None
+                            names = _TAG_NAME_CACHE.get(tag)
+                            if names is None:
+                                stripped = tag[tag.rfind(":") + 1 :]
+                                names = (stripped.lower(), stripped.upper())
+                                if len(_TAG_NAME_CACHE) < 4096:
+                                    _TAG_NAME_CACHE[tag] = names
+                            el.matching_tag = tag
+                            el.attributes = []
+                            el.children = []
+                            el.localName = names[0]
+                            el.tagName = names[1]
+                            el.readability = None
+                            el._readabilityDataTable = None
                             attrs = fm.group(2)
                             if attrs:
                                 append_attr = el.attributes.append
