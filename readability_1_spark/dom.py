@@ -548,6 +548,19 @@ def _reverse_entity_sub(m: "re.Match") -> str:
     return _REVERSE_ENTITY[m.group(0)]
 
 
+# Serializer string caches: "<tag" / "<tag>" / "</tag>" per localName.
+_SER_TAG_CACHE: dict[str, tuple[str, str, str]] = {}
+
+
+def _ser_tag_parts(local_name: str) -> tuple[str, str, str]:
+    parts = _SER_TAG_CACHE.get(local_name)
+    if parts is None:
+        parts = ("<" + local_name, "<" + local_name + ">", "</" + local_name + ">")
+        if len(_SER_TAG_CACHE) < 4096:
+            _SER_TAG_CACHE[local_name] = parts
+    return parts
+
+
 def _serialize_children(node: Node, arr: list[str]) -> None:
     # Iterative pre-order with explicit closing-tag markers: no recursion
     # limits on deep documents, same byte output as JSDOMParser.js:676-714.
@@ -560,9 +573,11 @@ def _serialize_children(node: Node, arr: list[str]) -> None:
             continue
         local_name = child.localName
         if local_name:
+            open_prefix, open_simple, close_tag = _ser_tag_parts(local_name)
             attrs = child.attributes
+            kids = child.childNodes
             if attrs:
-                parts = ["<" + local_name]
+                parts = [open_prefix]
                 for attr in attrs:
                     val = attr.value
                     if _ENC_ATTR_RE.search(val) is not None:
@@ -572,14 +587,18 @@ def _serialize_children(node: Node, arr: list[str]) -> None:
                     else:
                         parts.append(" " + attr.name + "='" + val + "'")
                 open_tag = "".join(parts)
+                if not kids and local_name in VOID_ELEMS:
+                    append(open_tag + "/>")
+                else:
+                    append(open_tag + ">")
+                    work.append(close_tag)
+                    if kids:
+                        work.extend(reversed(kids))
+            elif not kids and local_name in VOID_ELEMS:
+                append(open_prefix + "/>")
             else:
-                open_tag = "<" + local_name
-            kids = child.childNodes
-            if not kids and local_name in VOID_ELEMS:
-                append(open_tag + "/>")
-            else:
-                append(open_tag + ">")
-                work.append("</" + local_name + ">")
+                append(open_simple)
+                work.append(close_tag)
                 if kids:
                     work.extend(reversed(kids))
         else:

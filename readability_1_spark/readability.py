@@ -98,15 +98,26 @@ class TooManyElemsError(Exception):
     """Readability.js:2213-2219 — maxElemsToParse guard."""
 
 
+_URI_CACHE: dict[tuple[str, str | None], str] = {}
+
+
 def to_absolute_uri(doc: Document, uri: str) -> str:
-    # Readability.js:42-54
+    # Readability.js:42-54.  url_resolve is a pure function and pages repeat
+    # hrefs heavily (nav/share links), so memoize per (uri, base).
     base_uri = doc.baseURI
     if base_uri == doc.documentURI and uri[:1] == "#":
         return uri
-    try:
-        return url_resolve(uri, base_uri)
-    except Exception:
-        return uri
+    key = (uri, base_uri)
+    cached = _URI_CACHE.get(key)
+    if cached is None:
+        try:
+            cached = url_resolve(uri, base_uri)
+        except Exception:
+            cached = uri
+        if len(_URI_CACHE) > 50000:
+            _URI_CACHE.clear()
+        _URI_CACHE[key] = cached
+    return cached
 
 
 def is_data_table(node: Element) -> bool:
