@@ -62,7 +62,38 @@ def extract_one(html: str, url: str = "http://fakehost/test/page.html",
         out["status"] = "parse_error"
         out["error"] = parser.error_state[:500]
         return out
+    return _extract_from_doc(doc, opts, out)
 
+
+def extract_one_gated(html: str, url: str = "http://fakehost/test/page.html",
+                      opts: dict | None = None) -> dict | None:
+    """Readerable-gated extraction with a SINGLE parse: returns None when
+    the document fails the isProbablyReaderable pre-check (or the parse
+    itself fails — exactly the rows the two-pass gate kernel dropped), else
+    the same dict extract_one returns, reusing the one parsed DOM.
+
+    isProbablyReaderable is read-only on the DOM, and parsing is
+    deterministic, so reuse is output-identical to gate-then-reparse."""
+    _ensure_recursion_headroom()
+    from .readerable import is_probably_readerable
+
+    if opts is None:
+        opts = {"classesToPreserve": ["caption"]}
+    parser = JSDOMParser()
+    try:
+        doc = parser.parse(html, url)
+    except (ParseFatal, RecursionError):
+        return None
+    if parser.error_state:
+        return None
+    if not is_probably_readerable(doc):
+        return None
+    out: dict = dict.fromkeys(RESULT_FIELDS)
+    out["status"] = "error"
+    return _extract_from_doc(doc, opts, out)
+
+
+def _extract_from_doc(doc, opts: dict, out: dict) -> dict:
     try:
         reader = Readability(doc, opts)
     except NoDocumentError as exc:

@@ -16,7 +16,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from .extract import extract_one
+from .extract import extract_one, extract_one_gated
 
 OUT_SCHEMA_DDL = (
     "conv_id STRING, turn_idx INT, part_id INT, status STRING, "
@@ -53,8 +53,14 @@ def compute_spans(text_content: str | None, paragraph_texts: list[str]) -> list[
     return spans
 
 
-def _extract_with_spans(html: str, url: str, opts: dict | None) -> dict:
-    out = extract_one(html, url=url, opts=opts)
+def _extract_with_spans(html: str, url: str, opts: dict | None,
+                        readerable_gate: bool = False) -> dict | None:
+    if readerable_gate:
+        out = extract_one_gated(html, url=url, opts=opts)
+        if out is None:
+            return None
+    else:
+        out = extract_one(html, url=url, opts=opts)
     spans: list[dict] = []
     if out["status"] == "ok":
         spans = compute_spans(out["text_content"], out.get("paragraph_texts") or [])
@@ -62,40 +68,49 @@ def _extract_with_spans(html: str, url: str, opts: dict | None) -> dict:
     return out
 
 
-def _extract_batch_columns(conv, turn, part, texts, url, opts) -> dict:
-    n = len(texts)
-    cols: dict[str, list] = {c: [None] * n for c in OUT_COLUMNS}
-    cols["conv_id"] = list(conv)
-    cols["turn_idx"] = list(turn)
-    cols["part_id"] = list(part)
-    for i in range(n):
+def _extract_batch_columns(conv, turn, part, texts, url, opts,
+                           readerable_gate: bool = False) -> dict:
+    cols: dict[str, list] = {c: [] for c in OUT_COLUMNS}
+    for i in range(len(texts)):
         t0 = time.perf_counter()
         html = texts[i]
         if html is None:
+            if readerable_gate:
+                continue  # the gate drops null payloads too
             res = {"status": "not_html", "spans": []}
         else:
-            res = _extract_with_spans(html, url, opts)
+            res = _extract_with_spans(html, url, opts, readerable_gate)
+            if res is None:
+                continue  # gated out: not probably readerable
         ms = (time.perf_counter() - t0) * 1000.0
-        cols["status"][i] = res["status"]
+        cols["conv_id"].append(conv[i])
+        cols["turn_idx"].append(turn[i])
+        cols["part_id"].append(part[i])
+        cols["status"].append(res["status"])
         for f in ("title", "byline", "dir", "content", "text_content",
                   "excerpt", "site_name"):
-            cols[f][i] = res.get(f)
-        cols["length"][i] = res.get("length")
-        cols["spans"][i] = res.get("spans", [])
+            cols[f].append(res.get(f))
+        cols["length"].append(res.get("length"))
+        cols["spans"].append(res.get("spans", []))
         metrics = res.get("metrics") or {}
-        cols["candidate_count"][i] = metrics.get("candidate_count")
-        cols["top_score"][i] = metrics.get("top_score")
-        cols["attempts"][i] = metrics.get("attempts")
-        cols["parse_ms"][i] = ms
+        cols["candidate_count"].append(metrics.get("candidate_count"))
+        cols["top_score"].append(metrics.get("top_score"))
+        cols["attempts"].append(metrics.get("attempts"))
+        cols["parse_ms"].append(ms)
     return cols
 
 
 def make_extraction_kernel(url: str = "http://fakehost/test/page.html",
-                           opts: dict | None = None):
+                           opts: dict | None = None,
+                           readerable_gate: bool = False):
     """Returns a mapInArrow function: Arrow batches of (conv_id, turn_idx,
     text, part_id) → Arrow batches of OUT_SCHEMA_DDL.  Arrow-direct (no
     pandas materialization) halves the per-batch conversion cost for these
-    large-string columns."""
+    large-string columns.
+
+    readerable_gate=True folds the isProbablyReaderable pre-check into the
+    SAME parse the extraction uses (one parse per document, not two) and
+    emits only readerable rows — output-identical to the two-pass gate."""
     import pyarrow as pa
 
     out_type = pa.struct(
@@ -125,7 +140,7 @@ def make_extraction_kernel(url: str = "http://fakehost/test/page.html",
                 if "part_id" in batch.schema.names
                 else [None] * batch.num_rows,
                 batch.column("text").to_pylist(),
-                url, opts,
+                url, opts, readerable_gate,
             )
             yield pa.RecordBatch.from_pydict(
                 {f.name: pa.array(cols[f.name], type=f.type) for f in out_schema},

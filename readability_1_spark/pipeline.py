@@ -36,7 +36,10 @@ from .kernel import OUT_SCHEMA_DDL, make_extraction_kernel, make_readerable_kern
 
 # A cheap, pushdown-friendly gate for "this turn might carry an HTML
 # document".  Full validation (errorState etc.) happens in the kernel.
-HTML_GATE = "(?i)<html"
+# Matches either an <html ...> tag or a doctype declaration, so documents
+# serialized without a literal <html> substring still reach the kernel
+# (which handles them: fragment -> no_document).
+HTML_GATE = "(?i)<html|<!doctype\\s+html"
 
 _SHIPPED: set[str] = set()
 
@@ -55,28 +58,49 @@ def ensure_worker_imports(spark: SparkSession) -> None:
 
         import readability_1_spark as pkg
 
+        import hashlib
+
         pkg_dir = os.path.dirname(os.path.abspath(pkg.__file__))
         if not os.path.isdir(pkg_dir):  # already running from a zip
             _SHIPPED.add(key)
             return
-        zip_path = os.path.join(tempfile.gettempdir(), "readability_1_spark_pyfiles.zip")
+        # Name the zip by a content hash of the package sources: edited code
+        # always ships fresh, and a pre-existing file at the path can only
+        # be a byte-identical build (never someone else's payload).
+        sources = []
+        for root, _dirs, files in os.walk(pkg_dir):
+            if "__pycache__" in root:
+                continue
+            for fn in sorted(files):
+                if fn.endswith(".py"):
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(
+                        "readability_1_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    with open(full, "rb") as fh:
+                        sources.append((rel, fh.read()))
+        digest = hashlib.sha256()
+        for rel, data in sources:
+            digest.update(rel.encode())
+            digest.update(data)
+        build_dir = os.path.join(
+            tempfile.gettempdir(), f"r1s_pyfiles_{os.getuid()}"
+        )
+        os.makedirs(build_dir, mode=0o700, exist_ok=True)
+        zip_path = os.path.join(build_dir, f"readability_1_spark_{digest.hexdigest()[:16]}.zip")
         if not os.path.exists(zip_path):
-            with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
-                for root, _dirs, files in os.walk(pkg_dir):
-                    if "__pycache__" in root:
-                        continue
-                    for fn in sorted(files):
-                        if fn.endswith(".py"):
-                            full = os.path.join(root, fn)
-                            rel = os.path.join(
-                                "readability_1_spark",
-                                os.path.relpath(full, pkg_dir),
-                            )
-                            zf.write(full, rel)
+            tmp_path = zip_path + f".tmp{os.getpid()}"
+            with zipfile.ZipFile(tmp_path, "w", zipfile.ZIP_DEFLATED) as zf:
+                for rel, data in sources:
+                    zf.writestr(rel, data)
+            os.replace(tmp_path, zip_path)
         sc.addPyFile(zip_path)
-    except Exception:
-        # Already registered in this context — workers can import already.
-        pass
+    except Exception as exc:  # pragma: no cover - depends on context reuse
+        # addPyFile raises if an identically-named file was already
+        # registered in this SparkContext; anything else is worth seeing.
+        import warnings
+
+        warnings.warn(f"ensure_worker_imports: {type(exc).__name__}: {exc}")
     _SHIPPED.add(key)
 
 
@@ -123,7 +147,7 @@ def extract_transcripts(
     parted = with_partitioning(gated, num_parts)
     cols = ["conv_id", "turn_idx", "text", "part_id"]
     if dedup_payloads:
-        keyed = parted.withColumn("payload_hash", F.md5("text"))
+        keyed = parted.withColumn("payload_hash", F.sha2(F.col("text"), 256))
         uniq = (
             keyed.groupBy("payload_hash")
             .agg(F.first("text").alias("text"))
@@ -154,11 +178,13 @@ def extract_transcripts(
         slim = slim.repartition(num_parts, "salt")
     slim = slim.select(*cols)
     if readerable_gate:
-        gate_schema = "conv_id STRING, turn_idx INT, text STRING, part_id INT, readerable BOOLEAN"
-        slim = (
-            slim.mapInPandas(make_readerable_kernel(url), gate_schema)
-            .filter(F.col("readerable"))
-            .select(*cols)
+        # Parse-once gate: the kernel itself checks isProbablyReaderable on
+        # the fresh parse and reuses that DOM for extraction, so gating does
+        # not double the parse cost (Readability-readerable.js is meant to
+        # be the cheap pre-check).
+        return slim.mapInArrow(
+            make_extraction_kernel(url=url, opts=opts, readerable_gate=True),
+            OUT_SCHEMA_DDL,
         )
     return slim.mapInArrow(make_extraction_kernel(url=url, opts=opts), OUT_SCHEMA_DDL)
 
@@ -193,11 +219,14 @@ class Storage:
     def _table_path(self, name: str) -> str:
         return os.path.join(self.root, name)
 
-    def append(self, df: DataFrame, name: str) -> None:
+    def append(self, df: DataFrame, name: str, partition_by: list[str] | None = None) -> None:
         if self.catalog:
             df.writeTo(f"{self.catalog}.{name}").append()
         else:
-            df.write.mode("append").parquet(self._table_path(name))
+            writer = df.write.mode("append")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(self._table_path(name))
 
     def read(self, name: str) -> DataFrame | None:
         if self.catalog:
@@ -222,12 +251,21 @@ def run_extraction_job(
 ) -> dict:
     """Checkpointed, idempotently-resumable extraction job.
 
-    Partition-at-a-time commit protocol:
+    Run-batch commit protocol:
       1. todo = all part_ids ∖ checkpointed part_ids (left-anti join)
-      2. extract only rows whose part_id ∈ todo
-      3. append extractions, lineage, then the checkpoint manifest rows
-    A re-run after failure repeats only un-checkpointed partitions; rows of a
-    partially-written partition are superseded because readers must filter
+      2. extract only rows whose part_id ∈ todo and append them (run_id-
+         partitioned) — the kernel runs exactly ONCE, with no persist() of
+         the full output and no extra count() pass (at 10^12 turns caching
+         every extracted document is a memory/disk-pressure risk)
+      3. derive lineage + the checkpoint manifest by reading back only the
+         just-written run partition, column-pruned to the tiny metric
+         columns (status/part_id/parse_ms/…) — content is never re-read
+      4. the manifest covers EVERY todo partition (rows_written = 0 for
+         partitions fully consumed by the gates), so a gated-out partition
+         checkpoints too and is not re-extracted on resume.
+    All todo partitions commit in a single manifest append per run-batch; a
+    re-run after failure repeats only un-checkpointed partitions, and rows
+    of a partially-written batch are superseded because readers must filter
     extractions by checkpointed part_ids (see `read_consistent`).
     """
     run_id = run_id or uuid.uuid4().hex[:12]
@@ -242,28 +280,50 @@ def run_extraction_job(
         todo_parts = gated.select("part_id").distinct()
 
     todo = gated.join(F.broadcast(todo_parts), "part_id", "left_semi")
-    extractions = extract_transcripts(
-        todo, num_parts=num_parts, opts=opts, readerable_gate=readerable_gate,
-        repartition=True,
-    )
-    # One pass: cache the kernel output so extraction cost is paid once for
-    # the three sinks.
-    extractions = extractions.persist()
-    try:
-        n_rows = extractions.count()
-        storage.append(extractions, "extractions")
-        lineage = lineage_rollup(extractions, run_id)
-        storage.append(lineage, "lineage")
-        manifest = (
-            extractions.groupBy("part_id")
-            .agg(F.count(F.lit(1)).alias("rows_written"))
-            .withColumn("run_id", F.lit(run_id))
-            .withColumn("committed_at", F.current_timestamp())
-            .select("run_id", "part_id", "rows_written", "committed_at")
+    # batch_id identifies THIS invocation (a resumed run shares run_id but
+    # must not re-read earlier batches' rows when deriving its lineage).
+    batch_id = uuid.uuid4().hex[:12]
+    extractions = (
+        extract_transcripts(
+            todo, num_parts=num_parts, opts=opts, readerable_gate=readerable_gate,
+            repartition=True,
         )
-        storage.append(manifest, "checkpoints")
-    finally:
-        extractions.unpersist()
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("batch_id", F.lit(batch_id))
+    )
+    storage.append(extractions, "extractions", partition_by=["run_id", "batch_id"])
+
+    # Read back ONLY this batch's partition (directory-pruned), column-pruned
+    # to the metric columns — a tiny scan compared to the content payload.
+    all_written = storage.read("extractions")
+    written = (
+        all_written.filter(
+            (F.col("run_id") == run_id) & (F.col("batch_id") == batch_id)
+        ).drop("run_id", "batch_id")
+        if all_written is not None
+        else None
+    )
+    if written is not None:
+        lineage = lineage_rollup(written, run_id)
+        storage.append(lineage, "lineage")
+        counts = written.groupBy("part_id").agg(
+            F.count(F.lit(1)).alias("rows_written")
+        )
+    else:  # nothing extracted at all this run (all rows gated out)
+        counts = None
+    manifest = todo_parts
+    if counts is not None:
+        manifest = manifest.join(counts, "part_id", "left")
+    else:
+        manifest = manifest.withColumn("rows_written", F.lit(None).cast("long"))
+    manifest = (
+        manifest.withColumn("rows_written", F.coalesce(F.col("rows_written"), F.lit(0)))
+        .withColumn("run_id", F.lit(run_id))
+        .withColumn("committed_at", F.current_timestamp())
+        .select("run_id", "part_id", "rows_written", "committed_at")
+    )
+    storage.append(manifest, "checkpoints")
+    n_rows = written.count() if written is not None else 0
     return {"run_id": run_id, "rows": n_rows}
 
 

@@ -212,12 +212,14 @@ FROM t GROUP BY conv_id
 
 
 def q_html_gate_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import HTML_GATE
+
     df = spark.read.parquet(TRANSCRIPTS_PQ)
     return df.groupBy("role").agg(
         F.count(F.lit(1)).alias("n_turns"),
         F.sum(
             F.when(
-                F.col("text").isNotNull() & F.col("text").rlike("(?i)<html"), 1
+                F.col("text").isNotNull() & F.col("text").rlike(HTML_GATE), 1
             ).otherwise(0)
         ).alias("html_turns"),
     )
@@ -225,7 +227,8 @@ def q_html_gate_selectivity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_HTML_GATE_SELECTIVITY = f"""
 SELECT role, count(*) AS n_turns,
-       CAST(sum(CASE WHEN text IS NOT NULL AND regexp_matches(lower(text), '<html')
+       CAST(sum(CASE WHEN text IS NOT NULL
+                 AND regexp_matches(lower(text), '<html|<!doctype[ \t\n\r]+html')
             THEN 1 ELSE 0 END) AS BIGINT) AS html_turns
 FROM read_parquet('{TRANSCRIPTS_PQ}') GROUP BY role
 """

@@ -21,7 +21,7 @@ import datetime
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     IntegerType,
@@ -125,22 +125,44 @@ def scaled_transcripts(spark: SparkSession, n_turns: int, skew: float = 0.3,
     )
     n_payloads = len(payloads)
     hot = 4
+    cold = 997
+    n_hot_total = int(n_turns * skew)
+    # turn_idx is derived ARITHMETICALLY from id (no window): the first
+    # n_hot_total ids round-robin into the `hot` conversations, the rest
+    # round-robin into `cold` ones, so turn_idx = position within the
+    # conversation by construction — dense, unique, and shuffle-free at any
+    # n_turns.  The input-hint schema fixes turn_idx:int32, which bounds the
+    # generator at ~2^31 turns per conversation; guard explicitly.
+    per_conv_max = max(n_hot_total // hot, (n_turns - n_hot_total) // cold) + 1
+    if per_conv_max >= 2**31:
+        raise ValueError(
+            f"n_turns={n_turns} with skew={skew} exceeds the int32 turn_idx "
+            "bound of the transcripts input schema"
+        )
 
     base = (
         spark.range(n_turns)
         .withColumn("u", F.pmod(F.xxhash64(F.col("id") + F.lit(seed)), F.lit(10000)))
+        .withColumn("is_hot", F.col("id") < F.lit(n_hot_total))
         .withColumn(
             "conv_id",
             F.when(
-                F.col("u") < int(10000 * skew),
-                F.concat(F.lit("conv-hot-"), F.pmod(F.col("u"), F.lit(hot))),
-            ).otherwise(F.concat(F.lit("conv-"), (F.col("u") % F.lit(997)))),
+                F.col("is_hot"),
+                F.concat(F.lit("conv-hot-"), F.pmod(F.col("id"), F.lit(hot))),
+            ).otherwise(
+                F.concat(
+                    F.lit("conv-"),
+                    F.pmod(F.col("id") - F.lit(n_hot_total), F.lit(cold)),
+                )
+            ),
         )
         .withColumn(
             "turn_idx",
-            F.row_number()
-            .over(Window.partitionBy("conv_id").orderBy("id"))
-            .cast("int") - F.lit(1),
+            F.when(F.col("is_hot"), (F.col("id") / F.lit(hot)).cast("long"))
+            .otherwise(
+                ((F.col("id") - F.lit(n_hot_total)) / F.lit(cold)).cast("long")
+            )
+            .cast("int"),
         )
         .withColumn("kind", F.pmod(F.xxhash64(F.col("id") * 31 + F.lit(seed)), F.lit(3)))
         .withColumn("payload_id",
