@@ -159,7 +159,9 @@ def extract_transcripts(
             )
         )
         if repartition:
-            uniq = uniq.repartition(num_parts, "part_id")
+            uniq = uniq.repartition(num_parts, "part_id").sortWithinPartitions(
+                F.length("text").desc()
+            )
         per_payload = uniq.select(*cols).mapInArrow(
             make_extraction_kernel(url=url, opts=opts), OUT_SCHEMA_DDL
         )
@@ -175,7 +177,15 @@ def extract_transcripts(
         ).select("conv_id", "turn_idx", "part_id", *result_cols)
     slim = parted.select(*cols, "salt")
     if repartition:
-        slim = slim.repartition(num_parts, "salt")
+        # One hash shuffle on the per-turn salt (skew-spreading), then a
+        # partition-LOCAL sort by payload size (no extra shuffle, no range
+        # sampling pass): per-document kernel cost spans ~180x with size, so
+        # size-sorted partitions give Arrow batches homogeneous cost and
+        # front-load each task's heavy documents (LPT within the task) —
+        # the straggler-tail fix for N->4N scaling (SURVEY §4.3).
+        slim = slim.repartition(num_parts, "salt").sortWithinPartitions(
+            F.length("text").desc()
+        )
     slim = slim.select(*cols)
     if readerable_gate:
         # Parse-once gate: the kernel itself checks isProbablyReaderable on
