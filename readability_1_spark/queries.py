@@ -771,16 +771,28 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = signed.select(
         "doc_id", F.explode(F.array(*band_rows)).alias("b")
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
-    a = bands.alias("a")
-    b = bands.alias("b")
+    # Bucket-group-and-pair instead of a self-join: the expensive
+    # shingle+minhash subtree is computed ONCE (a self-join materializes it
+    # on both sides — the round-1 plan showed two identical scans), one
+    # shuffle groups by (band, sig), and within-bucket pairs are generated
+    # JVM-side with higher-order functions.  Same quadratic blowup per
+    # degenerate bucket as the join had, now without the duplicate pass.
+    grouped = (
+        bands.groupBy("band", "sig")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    ids = F.col("ids")
+    pair_arrays = F.transform(
+        ids,
+        lambda x, i: F.transform(
+            F.slice(ids, i + F.lit(2), F.size(ids) - i - F.lit(1)),
+            lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+        ),
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        grouped.select(F.explode(F.flatten(pair_arrays)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
@@ -1159,24 +1171,19 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
 """
 
 
-def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path ANN: random-hyperplane LSH — 8 deterministic md5-derived
-    sign bits bucket the corpus; candidates = same-bucket pairs.  At 100 TB
-    the crossJoin above is impossible; this keeps comparisons within
-    buckets (tunable recall via bit count / multiple tables)."""
-    emb = _t(spark, sf_dir, "embeddings")
-    dims = 64
-    n_bits = 8
+def _lsh_bucket_col(dims: int = 64, n_bits: int = 8, prefix: str = ""):
+    """Random-hyperplane LSH bucket id as a Spark Column over `embedding`.
 
-    # Deterministic pseudo-random hyperplanes: component (b, i) weight is
-    # +1/-1 from a md5 parity — identical arithmetic in the SQL oracle.
+    Deterministic pseudo-random hyperplanes: component (b, i) weight is
+    +1/-1 from a md5 parity — identical arithmetic in the SQL oracles.
+    `prefix` salts the hyperplanes per hash table."""
     def bit(b):
         terms = F.aggregate(
             F.zip_with(
                 F.col("embedding"),
                 F.array(*[
                     F.when(
-                        F.substring(F.md5(F.lit(f"{b}:{i}")), 1, 1).isin(
+                        F.substring(F.md5(F.lit(f"{prefix}{b}:{i}")), 1, 1).isin(
                             *list("89abcdef")
                         ),
                         1.0,
@@ -1193,36 +1200,202 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = None
     for b in range(n_bits):
         bucket = bit(b) if bucket is None else (bucket + bit(b))
+    return bucket.cast("int")
+
+
+def _sql_lsh_bucket_expr(table_alias: str = "", dims: int = 64, n_bits: int = 8,
+                         prefix: str = "") -> str:
+    """The same LSH bucket id as a DuckDB SQL expression."""
+    import hashlib
+
+    def w(b, i):
+        h = hashlib.md5(f"{prefix}{b}:{i}".encode()).hexdigest()[0]
+        return "1.0" if h in "89abcdef" else "-1.0"
+
+    col = f"{table_alias}embedding"
+    bits = []
+    for b in range(n_bits):
+        dot = " + ".join(
+            f"CAST({col}[{i + 1}] AS DOUBLE) * ({w(b, i)})" for i in range(dims)
+        )
+        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {2 ** b} ELSE 0 END)")
+    return "CAST(" + " + ".join(bits) + " AS INT)"
+
+
+def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path ANN bucketing: 8 deterministic md5-derived sign bits
+    bucket the corpus; this query materializes the bucket histogram, and
+    ann_lsh_topk / dedup_embedding_lsh run the actual search over it."""
+    emb = _t(spark, sf_dir, "embeddings")
     return (
-        emb.select("vec_id", bucket.cast("int").alias("bucket"))
+        emb.select("vec_id", _lsh_bucket_col().alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
     )
 
 
-def _sql_ann_lsh() -> str:
-    dims, n_bits = 64, 8
-    import hashlib
+ANN_LSH_TABLES = 4
+ANN_LSH_BITS = 4
 
-    def w(b, i):
-        h = hashlib.md5(f"{b}:{i}".encode()).hexdigest()[0]
-        return "1.0" if h in "89abcdef" else "-1.0"
 
-    bits = []
-    for b in range(n_bits):
-        dot = " + ".join(
-            f"CAST(embedding[{i + 1}] AS DOUBLE) * ({w(b, i)})" for i in range(dims)
-        )
-        bits.append(f"(CASE WHEN ({dot}) > 0 THEN {2 ** b} ELSE 0 END)")
-    expr = " + ".join(bits)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors: multi-table LSH (4 tables x 4 sign
+    bits) generates candidates via a bucket EQUI-join per table (a query
+    compares only against its own buckets — no corpus cross join), the
+    union of tables is deduplicated, exact cosine re-ranks the candidates,
+    row_number takes the per-query top-10.  More tables / fewer bits raise
+    recall at bounded candidate cost; the equi-join is the only feasible
+    shape at 100 TB.  Measured on sf0.01 (500 random 64-d vectors — the
+    LSH-adversarial unclustered case): recall@10 vs ann_cosine_topk = 0.42
+    while scoring ~25% of the corpus per query."""
+    emb = _t(spark, sf_dir, "embeddings")
+    tb = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    _lsh_bucket_col(n_bits=ANN_LSH_BITS, prefix=f"{t}:").alias(
+                        "bucket"
+                    ),
+                )
+                for t in range(ANN_LSH_TABLES)
+            ])
+        ).alias("tb"),
+    ).select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    qtb = tb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "tbl", "bucket"
+    )
+    cand = (
+        tb.join(F.broadcast(qtb), ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+        .distinct()
+    )
+    normed = emb.select(
+        "vec_id", "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    qn = normed.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    ).filter(F.col("query_id") < 5)
+    cosine = F.round(
+        _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_norm") * F.col("norm")), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        cand.join(normed, "vec_id")
+        .join(F.broadcast(qn), "query_id")
+        .withColumn("cosine", cosine)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+
+
+def _sql_ann_lsh_topk() -> str:
+    tables = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {t} AS tbl, "
+        + _sql_lsh_bucket_expr(n_bits=ANN_LSH_BITS, prefix=f"{t}:")
+        + " AS bucket FROM embeddings"
+        for t in range(ANN_LSH_TABLES)
+    )
     return f"""
-WITH b AS (SELECT vec_id, CAST({expr} AS INT) AS bucket FROM embeddings)
-SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id
-FROM b GROUP BY bucket
+WITH tb AS (
+{tables}
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, e.vec_id
+  FROM tb e JOIN tb q ON e.tbl = q.tbl AND e.bucket = q.bucket
+  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+), normed AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+  FROM embeddings
+), ranked AS (
+  SELECT c.query_id, c.vec_id,
+         round(
+           list_sum(list_transform(generate_series(1, len(e.embedding)),
+             i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+           / (q.norm * e.norm), 6) AS cosine,
+         row_number() OVER (PARTITION BY c.query_id ORDER BY
+           round(
+             list_sum(list_transform(generate_series(1, len(e.embedding)),
+               i -> CAST(q.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+             / (q.norm * e.norm), 6) DESC,
+           c.vec_id ASC) AS rank
+  FROM cand c
+  JOIN normed e ON e.vec_id = c.vec_id
+  JOIN normed q ON q.vec_id = c.query_id
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
 """
 
 
-SQL_ANN_LSH_BUCKETED = _sql_ann_lsh()
+SQL_ANN_LSH_TOPK = _sql_ann_lsh_topk()
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed embedding near-duplicate pairs — the 100 TB shape for what
+    dedup_embedding_cosine computes exactly: candidate pairs come from an
+    LSH-bucket EQUI-join (no all-pairs vec_id < vec_id cross), then the
+    exact cosine threshold keeps true near-duplicates."""
+    emb = _t(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id", "embedding",
+        _lsh_bucket_col().alias("bucket"),
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cosine = F.round(
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.norm") * F.col("b.norm")),
+        6,
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= 0.25)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            "cosine",
+        )
+    )
+
+
+SQL_DEDUP_EMBEDDING_LSH = f"""
+WITH b AS (
+  SELECT vec_id, embedding, {_sql_lsh_bucket_expr()} AS bucket,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(
+           list_sum(list_transform(generate_series(1, len(a.embedding)),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+           / (a.norm * b.norm), 6) AS cosine
+  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.25
+"""
+
+
+SQL_ANN_LSH_BUCKETED = f"""
+WITH b AS (SELECT vec_id, {_sql_lsh_bucket_expr()} AS bucket FROM embeddings)
+SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id
+FROM b GROUP BY bucket
+"""
 
 
 def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1262,6 +1435,114 @@ def q_ann_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("dist"), 6).alias("avg_dist"),
         F.min("vec_id").alias("min_vec_id"),
     )
+
+
+def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe — the search stage over the coarse quantizer: each query
+    finds its nprobe=2 nearest centroids, then searches ONLY the inverted
+    lists of those centroids (equi-join on centroid_id = partition pruning
+    at scale), exact L2 re-rank, per-query top-5."""
+    emb = _t(spark, sf_dir, "embeddings")
+    k, nprobe, topk = 8, 2, 5
+    centroids = emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+
+    def l2(x_col, y_col):
+        return F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        x_col, y_col,
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            6,
+        )
+
+    # Inverted lists: every vector assigned to its nearest centroid.
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("dist").asc(), F.col("centroid_id").asc()
+    )
+    lists = (
+        emb.crossJoin(F.broadcast(centroids))
+        .withColumn("dist", l2(F.col("embedding"), F.col("c_emb")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id")
+    )
+    # Probe set: nprobe nearest centroids per query vector.
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("c_dist").asc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("c_dist", l2(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("prn", F.row_number().over(w_probe))
+        .filter(F.col("prn") <= nprobe)
+        .select("query_id", "q_emb", "centroid_id")
+    )
+    # Search only the probed lists.
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        lists.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("dist", l2(F.col("q_emb"), F.col("embedding")))
+        .withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= topk)
+        .select("query_id", "rank", "vec_id", "dist")
+    )
+
+
+SQL_ANN_IVF_PROBE = """
+WITH centroids AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb FROM embeddings WHERE vec_id < 8
+), assigned AS (
+  SELECT vec_id, embedding, centroid_id FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             round(sqrt(list_sum(list_transform(generate_series(1, len(e.embedding)),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE))
+                  * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE))))), 6) ASC,
+             c.centroid_id ASC) AS rn
+    FROM embeddings e, centroids c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, q_emb, centroid_id FROM (
+    SELECT q.vec_id AS query_id, q.embedding AS q_emb, c.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             round(sqrt(list_sum(list_transform(generate_series(1, len(q.embedding)),
+               i -> (CAST(q.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE))
+                  * (CAST(q.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE))))), 6) ASC,
+             c.centroid_id ASC) AS prn
+    FROM embeddings q, centroids c
+    WHERE q.vec_id < 5
+  ) WHERE prn <= 2
+), ranked AS (
+  SELECT p.query_id, a.vec_id,
+         round(sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+           i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(p.q_emb[i] AS DOUBLE))
+              * (CAST(a.embedding[i] AS DOUBLE) - CAST(p.q_emb[i] AS DOUBLE))))), 6)
+           AS dist,
+         row_number() OVER (PARTITION BY p.query_id ORDER BY
+           round(sqrt(list_sum(list_transform(generate_series(1, len(a.embedding)),
+             i -> (CAST(a.embedding[i] AS DOUBLE) - CAST(p.q_emb[i] AS DOUBLE))
+                * (CAST(a.embedding[i] AS DOUBLE) - CAST(p.q_emb[i] AS DOUBLE))))), 6) ASC,
+           a.vec_id ASC) AS rank
+  FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, rank, vec_id, dist FROM ranked WHERE rank <= 5
+"""
 
 
 SQL_ANN_IVF_ASSIGN = """
@@ -1318,6 +1599,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
+    "dedup_embedding_lsh": (q_dedup_embedding_lsh, SQL_DEDUP_EMBEDDING_LSH),
     # text analysis
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
@@ -1328,5 +1610,7 @@ QUERIES: dict[str, tuple] = {
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
     "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH_BUCKETED),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "ann_ivf_assign": (q_ann_ivf_assign, SQL_ANN_IVF_ASSIGN),
+    "ann_ivf_probe": (q_ann_ivf_probe, SQL_ANN_IVF_PROBE),
 }
