@@ -2,16 +2,23 @@
 
 Images/audio/video ride through the pipeline as `binary` columns with a
 metadata struct; decode / feature-extraction / resize / frame-sampling run
-as Arrow-batched kernels over ``mapInPandas``.  The actual media decode is
-STUBBED (no image/audio libraries in this environment): `decode_image`
-raises NotImplementedError unless `fake=True`, in which case a deterministic
-fake decoder (derived from the payload hash) exercises the full Spark-side
-plumbing — schema, partitioning, UDF signature, batch shape — for real.
+as Arrow-batched kernels over ``mapInPandas``.
+
+`decode_image` REALLY decodes two formats with the stdlib alone (no image
+library exists in this container):
+  * BMP — uncompressed BI_RGB 24/32-bit (header parse + pixel scan);
+  * PNG — 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced (IHDR parse,
+    zlib IDAT inflate, scanline de-filter for all five filter types).
+Unsupported formats raise NotImplementedError → decode_status
+"decoder_unavailable"; `fake=True` retains the deterministic fake decoder
+for plumbing tests with arbitrary payload bytes.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -28,20 +35,131 @@ FEATURES_SCHEMA_DDL = (
 )
 
 
-def decode_image(payload: bytes, fake: bool = False) -> dict:
-    """Stub decode: real implementation needs an image library (absent in
-    this container).  fake=True returns a deterministic result derived from
-    the payload so the distributed plumbing is testable end-to-end."""
-    if not fake:
+def _decode_bmp(payload: bytes) -> dict:
+    """Uncompressed BI_RGB 24/32-bit BMP → width/height/per-channel means
+    (RGB order; 32-bit alpha is ignored for the means)."""
+    if len(payload) < 54:
+        raise ValueError("BMP too short")
+    pixel_offset = struct.unpack_from("<I", payload, 10)[0]
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+    n_rows = abs(height)
+    n_px = width * n_rows
+    if width <= 0 or n_rows == 0 or n_px == 0:
+        raise ValueError("BMP with empty pixel grid")
+    bytes_pp = bpp // 8
+    stride = ((width * bytes_pp + 3) // 4) * 4
+    sums = [0, 0, 0]  # B, G, R accumulation order
+    for r in range(n_rows):
+        base = pixel_offset + r * stride
+        row = payload[base : base + width * bytes_pp]
+        if len(row) < width * bytes_pp:
+            raise ValueError("BMP pixel data truncated")
+        for c in range(3):
+            sums[c] += sum(row[c::bytes_pp])
+    return {
+        "width": width,
+        "height": n_rows,
+        # report RGB order
+        "channel_means": [sums[2] / n_px / 255.0, sums[1] / n_px / 255.0,
+                          sums[0] / n_px / 255.0],
+    }
+
+
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _decode_png(payload: bytes) -> dict:
+    """8-bit non-interlaced PNG (gray / gray+alpha / RGB / RGBA): IHDR
+    parse, zlib-inflate the IDAT stream, undo the five scanline filters,
+    per-channel means."""
+    pos = 8
+    width = height = None
+    bit_depth = color_type = interlace = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack_from(">IIBBBBB", data, 0)
+            )
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("PNG without IHDR")
+    if bit_depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
         raise NotImplementedError(
-            "image decode requires an imaging library; run with fake=True "
-            "or install one at deployment"
+            f"PNG bit_depth={bit_depth} color_type={color_type} interlace={interlace}"
         )
-    digest = hashlib.sha256(payload).digest()
-    width = 64 + digest[0]
-    height = 64 + digest[1]
-    channel_means = [digest[i] / 255.0 for i in (2, 3, 4)]
-    return {"width": width, "height": height, "channel_means": channel_means}
+    channels = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) < height * (stride + 1):
+        raise ValueError("PNG pixel data truncated")
+    sums = [0] * channels
+    prev = bytearray(stride)
+    for r in range(height):
+        base = r * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"PNG filter type {ftype}")
+        for ch in range(channels):
+            sums[ch] += sum(line[ch::channels])
+        prev = line
+    n_px = width * height
+    return {
+        "width": width,
+        "height": height,
+        "channel_means": [s / n_px / 255.0 for s in sums],
+    }
+
+
+def decode_image(payload: bytes, fake: bool = False) -> dict:
+    """Real stdlib decode for BMP and PNG (see module docstring); other
+    formats raise NotImplementedError.  fake=True returns a deterministic
+    result derived from the payload hash so arbitrary synthetic bytes can
+    exercise the distributed plumbing end-to-end."""
+    if fake:
+        digest = hashlib.sha256(payload).digest()
+        width = 64 + digest[0]
+        height = 64 + digest[1]
+        channel_means = [digest[i] / 255.0 for i in (2, 3, 4)]
+        return {"width": width, "height": height, "channel_means": channel_means}
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
+    raise NotImplementedError(
+        "unsupported image format (stdlib decoders cover BMP and 8-bit PNG)"
+    )
 
 
 def make_media_feature_kernel(fake_decode: bool = True):
@@ -75,6 +193,8 @@ def make_media_feature_kernel(fake_decode: bool = True):
                         )
                     except NotImplementedError:
                         row["decode_status"] = "decoder_unavailable"
+                    except (ValueError, zlib.error, struct.error, IndexError):
+                        row["decode_status"] = "decode_error"
                 rows.append(row)
             yield pd.DataFrame(rows)
 
