@@ -37,7 +37,9 @@ def child(cpus: int) -> None:
     spark = get_spark(app_name=f"scaling_{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=max(32, cpus))
     spark.sparkContext.setLogLevel("ERROR")
-    t = scaled_transcripts(spark, N_TURNS).persist()
+    # No persist: caching n_turns full HTML payloads OOMs the heap at the
+    # larger pair-mode sizes, and the generator is cheap pure-JVM compute.
+    t = scaled_transcripts(spark, N_TURNS)
     n_html = t.filter(
         F.col("text").isNotNull() & F.col("text").rlike("(?i)<html")
     ).count()
@@ -92,12 +94,12 @@ def raw_cpu_ceiling() -> dict:
 RUNS_FILE = os.path.join(REPO, "BENCH", "runs.jsonl")
 
 
-def run_round() -> None:
-    """One interleaved measurement round (2, 8, 32); appends to runs.jsonl.
+def run_round(sizes=(2, 8, 32)) -> None:
+    """One interleaved measurement round; appends to runs.jsonl.
     Run several rounds in the foreground — this sandbox VM's effective CPU
     fluctuates over minutes, so best-of-N per size is the stable statistic."""
     os.makedirs(os.path.dirname(RUNS_FILE), exist_ok=True)
-    for cpus in (2, 8, 32):
+    for cpus in sizes:
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--child", str(cpus)],
             capture_output=True, text=True, cwd=REPO, timeout=3600,
@@ -208,6 +210,11 @@ def main() -> None:
         child(int(sys.argv[2]))
     elif len(sys.argv) > 1 and sys.argv[1] == "--report":
         report()
+    elif len(sys.argv) > 1 and sys.argv[1] == "--pair":
+        # 8->32-focused pair at a larger input (set SCALING_N_TURNS): more
+        # rows per task amortize fixed job costs that dominate 32-core runs
+        # at the small default size.
+        run_round(sizes=(8, 32))
     else:
         run_round()
 
