@@ -89,6 +89,8 @@ def main() -> None:
         "dedup_ngram_jaccard",
         "text_quality",
         "ann_cosine_topk",
+        "ann_ivf_probe",
+        "dedup_embedding_lsh",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
