@@ -46,7 +46,8 @@ def main() -> None:
                      "→ mapInArrow kernel)", plan_of(ex)))
 
     for name in ("q1_pricing_summary", "top_revenue_orders", "dedup_minhash_lsh",
-                 "events_asof_orders", "ann_cosine_topk"):
+                 "events_asof_orders", "ann_cosine_topk", "dedup_embedding_lsh",
+                 "ann_ivf_probe"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -64,6 +65,14 @@ def main() -> None:
                    "BroadcastHashJoin" in full["top_revenue_orders"]))
     checks.append(("q1 scan prunes to 5 needed columns",
                    "l_comment" not in full["q1_pricing_summary"]))
+    checks.append(("minhash signature subtree computed once (single scan)",
+                   full["dedup_minhash_lsh"].count("Scan parquet") == 1))
+    checks.append(("embedding near-dup pairs join on LSH bucket, no cartesian",
+                   "Cartesian" not in full["dedup_embedding_lsh"]
+                   and "BroadcastNestedLoop" not in full["dedup_embedding_lsh"]))
+    checks.append(("IVF probe searches lists via centroid equi-join",
+                   "BroadcastHashJoin" in full["ann_ivf_probe"]
+                   or "SortMergeJoin" in full["ann_ivf_probe"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")
