@@ -66,7 +66,7 @@ def main() -> None:
     checks.append(("q1 scan prunes to 5 needed columns",
                    "l_comment" not in full["q1_pricing_summary"]))
     checks.append(("minhash signature subtree computed once (single scan)",
-                   full["dedup_minhash_lsh"].count("Scan parquet") == 1))
+                   full["dedup_minhash_lsh"].count("+- Scan parquet") == 1))
     checks.append(("embedding near-dup pairs join on LSH bucket, no cartesian",
                    "Cartesian" not in full["dedup_embedding_lsh"]
                    and "BroadcastNestedLoop" not in full["dedup_embedding_lsh"]))
