@@ -299,18 +299,24 @@ def _get_elements_by_tag_name(node: "Element | Document", tag: str) -> list["Ele
     # a plain (non-live) list.  Iterative: no recursion-depth limits.
     tag = tag.upper()
     elems: list[Element] = []
-    all_tags = tag == "*"
     append = elems.append
-    stack = node.children[::-1]
-    pop = stack.pop
-    extend = stack.extend
-    while stack:
-        child = pop()
-        if all_tags or child.tagName == tag:
-            append(child)
-        kids = child.children
-        if kids:
-            extend(reversed(kids))
+    if tag == "*":
+        def rec_all(children):
+            for child in children:
+                append(child)
+                kids = child.children
+                if kids:
+                    rec_all(kids)
+        rec_all(node.children)
+    else:
+        def rec(children):
+            for child in children:
+                if child.tagName == tag:
+                    append(child)
+                kids = child.children
+                if kids:
+                    rec(kids)
+        rec(node.children)
     return elems
 
 
@@ -741,11 +747,8 @@ class JSDOMParser:
             attrs = fm.group(2)
             if attrs:
                 append = node.attributes.append
-                for am in _FAST_ATTR_RE.finditer(attrs):
-                    v = am.group(2)
-                    if v is None:
-                        v = am.group(3)
-                    append(Attribute(am.group(1), decode_html(v)))
+                for name, v1, v2 in _FAST_ATTR_RE.findall(attrs):
+                    append(Attribute(name, decode_html(v1 if v1 else v2)))
             self.current_char = fm.end()
             return node, fm.group(3) == "/"
         m = _TAG_RUN_RE.match(html, p)
@@ -921,12 +924,9 @@ class JSDOMParser:
                             attrs = fm.group(2)
                             if attrs:
                                 append_attr = el.attributes.append
-                                for am in _FAST_ATTR_RE.finditer(attrs):
-                                    v = am.group(2)
-                                    if v is None:
-                                        v = am.group(3)
+                                for name, v1, v2 in _FAST_ATTR_RE.findall(attrs):
                                     append_attr(
-                                        Attribute(am.group(1), decode_html(v))
+                                        Attribute(name, decode_html(v1 if v1 else v2))
                                     )
                             self.current_char = fm.end()
                             closed = fm.group(3) == "/"

@@ -383,7 +383,7 @@ class Readability:
         if (
             rel == "author"
             or (itemprop is not None and "author" in itemprop)
-            or R.BYLINE.search(match_string)
+            or (match_string != " " and R.BYLINE.search(match_string))
         ) and self._is_valid_byline(node.textContent):
             self._article_byline = js_trim(node.textContent)
             return True
@@ -622,8 +622,11 @@ class Readability:
                     continue
 
                 if strip_unlikely and node.tagName not in ("BODY", "A"):
+                    # match_string == " " (no class, no id) cannot match any
+                    # of these patterns; skip the regex calls.
                     if (
-                        R.UNLIKELY_CANDIDATES.search(match_string)
+                        match_string != " "
+                        and R.UNLIKELY_CANDIDATES.search(match_string)
                         and not R.OK_MAYBE_ITS_A_CANDIDATE.search(match_string)
                         and not self._has_ancestor_tag(node, "table")
                     ):
