@@ -506,19 +506,22 @@ class Element(Node):
         if cache is not None:
             return cache
         out: list[str] = []
-        stack = self.childNodes[::-1]
-        while stack:
-            child = stack.pop()
-            if child.node_type == TEXT_NODE:
-                out.append(child.textContent)
-            else:
-                sub = child._tc_cache
-                if sub is not None:
-                    out.append(sub)
-                    continue
-                kids = child.childNodes
-                if kids:
-                    stack.extend(kids[::-1])
+        append = out.append
+
+        def rec(child_nodes):
+            for child in child_nodes:
+                if child.node_type == TEXT_NODE:
+                    append(child.textContent)
+                else:
+                    sub = child._tc_cache
+                    if sub is not None:
+                        append(sub)
+                        continue
+                    kids = child.childNodes
+                    if kids:
+                        rec(kids)
+
+        rec(self.childNodes)
         text = "".join(out)
         self._tc_cache = text
         return text

@@ -177,18 +177,18 @@ class Readability:
                     out.extend(node.getElementsByTagName(t))
                 return out
             buckets[up] = []
-        stack = node.children[::-1]
-        pop = stack.pop
-        extend = stack.extend
         get = buckets.get
-        while stack:
-            child = pop()
-            b = get(child.tagName)
-            if b is not None:
-                b.append(child)
-            kids = child.children
-            if kids:
-                extend(reversed(kids))
+
+        def rec(children):
+            for child in children:
+                b = get(child.tagName)
+                if b is not None:
+                    b.append(child)
+                kids = child.children
+                if kids:
+                    rec(kids)
+
+        rec(node.children)
         out = []
         for tag in tag_names:
             out.extend(buckets[tag.upper()])
