@@ -69,3 +69,37 @@ def test_keep_classes_preserves_class_attributes():
     assert 'class="para keepme"' in kept["content"]
     stripped = Readability(JSDOMParser().parse(src), {}).parse()
     assert "keepme" not in stripped["content"]
+
+
+def test_extract_one_gated_equals_gate_then_extract():
+    """extract_one_gated(html) must equal: None when isProbablyReaderable is
+    False (or the parse fails), else extract_one(html) — the parse-once gate
+    is output-identical to gate-then-reparse."""
+    import glob
+
+    from readability_1_spark.dom import JSDOMParser, ParseFatal
+    from readability_1_spark.extract import extract_one, extract_one_gated
+    from readability_1_spark.readerable import is_probably_readerable
+
+    paths = sorted(glob.glob("/root/reference/test/test-pages/*/source.html"))[:30]
+    checked_kept = checked_dropped = 0
+    for path in paths:
+        html = open(path, encoding="utf-8").read()
+        parser = JSDOMParser()
+        try:
+            doc = parser.parse(html, "http://fakehost/test/page.html")
+            readerable = not parser.error_state and is_probably_readerable(doc)
+        except (ParseFatal, RecursionError):
+            readerable = False
+        gated = extract_one_gated(html)
+        if not readerable:
+            assert gated is None, path
+            checked_dropped += 1
+        else:
+            full = extract_one(html)
+            assert gated is not None, path
+            for k in ("status", "title", "byline", "dir", "content",
+                      "text_content", "length", "excerpt", "site_name"):
+                assert gated.get(k) == full.get(k), f"{path}:{k}"
+            checked_kept += 1
+    assert checked_kept >= 10
