@@ -82,3 +82,107 @@ def run_stream_to_parquet(extractions: DataFrame, out_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+SESSION_OUT_DDL = (
+    "conv_id STRING, session_idx INT, session_start TIMESTAMP, "
+    "session_end TIMESTAMP, n_turns BIGINT, html_turns BIGINT"
+)
+SESSION_STATE_DDL = (
+    "session_idx INT, session_start LONG, last_ts LONG, n_turns LONG, html_turns LONG"
+)
+
+
+def make_session_fn(gap_seconds: int = 1800, html_gate: str = HTML_GATE,
+                    use_timeout: bool = False):
+    """applyInPandasWithState function: gap-based conversation sessionization
+    with explicit per-conv state — the streaming analogue of the batch
+    `events_sessionize` query.  A session closes when a turn arrives more
+    than `gap_seconds` after the previous one (emitting the closed session)
+    or when the group times out (emitting the open session)."""
+    import re as _re
+
+    import pandas as pd
+
+    gate_re = _re.compile(html_gate)
+
+    def fn(key, pdfs, state):
+        conv_id = key[0]
+        out_rows = []
+        if state.hasTimedOut:
+            if state.exists:
+                idx, start, last, n, html = state.get
+                out_rows.append((conv_id, idx, start, last, n, html))
+                state.remove()
+        else:
+            if state.exists:
+                idx, start, last, n, html = state.get
+            else:
+                idx, start, last, n, html = 0, None, None, 0, 0
+            for pdf in pdfs:
+                pdf = pdf.sort_values("ts")
+                for ts, text in zip(pdf["ts"], pdf["text"]):
+                    ts_s = int(pd.Timestamp(ts).timestamp())
+                    is_html = int(
+                        text is not None and bool(gate_re.search(str(text)))
+                    )
+                    if start is None:
+                        start, last, n, html = ts_s, ts_s, 1, is_html
+                    elif ts_s - last > gap_seconds:
+                        out_rows.append((conv_id, idx, start, last, n, html))
+                        idx += 1
+                        start, last, n, html = ts_s, ts_s, 1, is_html
+                    else:
+                        last = max(last, ts_s)
+                        n += 1
+                        html += is_html
+            if start is not None:
+                state.update((idx, start, last, n, html))
+                if use_timeout:
+                    state.setTimeoutDuration(gap_seconds * 1000)
+        if out_rows:
+            yield pd.DataFrame(
+                {
+                    "conv_id": [r[0] for r in out_rows],
+                    "session_idx": [r[1] for r in out_rows],
+                    "session_start": [pd.Timestamp(r[2], unit="s") for r in out_rows],
+                    "session_end": [pd.Timestamp(r[3], unit="s") for r in out_rows],
+                    "n_turns": [r[4] for r in out_rows],
+                    "html_turns": [r[5] for r in out_rows],
+                }
+            )
+
+    return fn
+
+
+def streaming_conversation_sessions(transcripts: DataFrame,
+                                    gap_seconds: int = 1800,
+                                    idle_timeout: bool = False) -> DataFrame:
+    """Custom stateful streaming operator (`applyInPandasWithState`):
+    per-conversation gap sessionization.  State is a single fixed-width row
+    per conversation — at 10^12 turns the state store scales with DISTINCT
+    active conv_ids, not rows.
+
+    idle_timeout=True additionally flushes idle conversations via
+    processing-time timeouts (long-running continuous streams).  Off by
+    default: under `availableNow` backfills a pending timeout forces Spark
+    to keep scheduling micro-batches to fire it, so bounded runs should
+    leave open sessions in state and read them on the next run."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .pipeline import ensure_worker_imports
+
+    ensure_worker_imports(transcripts.sparkSession)
+    return (
+        transcripts.select("conv_id", "ts", "text")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            make_session_fn(gap_seconds, use_timeout=idle_timeout),
+            SESSION_OUT_DDL,
+            SESSION_STATE_DDL,
+            "append",
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout
+            else GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -177,3 +177,62 @@ def test_unsupported_format_raises():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"GIF89a...", fake=False)
+
+
+def test_streaming_stateful_sessionization(spark, tmp_path):
+    """applyInPandasWithState gap sessionization: a >gap pause inside the
+    stream closes and emits the previous session; open sessions stay in
+    state (flushed later by timeout)."""
+    import datetime
+
+    from readability_1_spark.streaming import (
+        stream_transcripts_from_dir,
+        streaming_conversation_sessions,
+    )
+    from readability_1_spark.transcripts import TRANSCRIPT_SCHEMA
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+    def turn(conv, idx, offset_s, text):
+        return (conv, idx, "tool", text, None, t0 + datetime.timedelta(seconds=offset_s))
+
+    rows = [
+        # conv-a: two sessions separated by a 2-hour gap; only the first
+        # (closed) session should be emitted by the availableNow run.
+        turn("conv-a", 0, 0, "<html><body><p>x</p></body></html>"),
+        turn("conv-a", 1, 30, "plain chatter"),
+        turn("conv-a", 2, 7200, "<html>late</html>"),
+        # conv-b: one open session -> no emission.
+        turn("conv-b", 0, 0, "hello"),
+    ]
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).coalesce(1).write.parquet(
+        str(in_dir / "batch0"), mode="overwrite"
+    )
+
+    # Few state-store partitions: the stateful op builds one store per
+    # shuffle partition and 32 of them dominate this tiny test's runtime.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    stream = stream_transcripts_from_dir(spark, str(in_dir / "batch0"))
+    sessions = streaming_conversation_sessions(stream, gap_seconds=1800)
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    got = {r.conv_id: r for r in spark.read.parquet(out_dir).collect()}
+    assert set(got) == {"conv-a"}
+    a = got["conv-a"]
+    assert a.session_idx == 0
+    assert a.n_turns == 2
+    assert a.html_turns == 1
+    assert (a.session_end - a.session_start).total_seconds() == 30
