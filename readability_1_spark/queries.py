@@ -911,6 +911,148 @@ WHERE round(
 
 
 # --------------------------------------------------------------------------
+# Document fingerprinting (rolling hash + winnowing)
+# --------------------------------------------------------------------------
+
+FP_B = 1000003          # polynomial base
+FP_M = 2147483647       # modulus (2^31 - 1): keeps acc*B + h < 2^53, no overflow
+WINNOW_K = 5            # tokens per k-gram
+WINNOW_W = 4            # winnowing window (k-gram hashes per window)
+
+
+def _tok_hash_col(tok):
+    """First 8 md5 hex digits as a BIGINT — engine-portable token hash."""
+    return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document polynomial rolling-hash fingerprint (Rabin-Karp fold
+    over the token stream): one codegen'd aggregate per row, linear at any
+    scale, with the duplicate-group size joined per fingerprint."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    fp = F.aggregate(
+        F.transform(ws, _tok_hash_col),
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * F.lit(FP_B) + h) % F.lit(FP_M),
+    )
+    with_fp = docs.select(
+        "doc_id", F.size(ws).alias("n_tokens"), fp.alias("fingerprint")
+    )
+    groups = with_fp.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    return with_fp.join(groups, "fingerprint").select(
+        "doc_id", "n_tokens", "fingerprint", "group_size"
+    )
+
+
+SQL_DOC_FINGERPRINT = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                     x -> x <> '') AS ws
+  FROM documents
+), fp AS (
+  SELECT doc_id, len(ws) AS n_tokens,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(ws,
+               t -> CAST(CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) AS BIGINT))),
+           (acc, h) -> (acc * {FP_B} + h) % {FP_M}) AS fingerprint
+  FROM t
+), groups AS (
+  SELECT fingerprint, count(*) AS group_size FROM fp GROUP BY fingerprint
+)
+SELECT fp.doc_id, fp.n_tokens, fp.fingerprint, groups.group_size
+FROM fp JOIN groups USING (fingerprint)
+"""
+
+
+def q_doc_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03): hash every
+    {WINNOW_K}-token k-gram, take the min hash of each sliding window of
+    {WINNOW_W} k-grams, keep the distinct selections — the standard
+    plagiarism/near-dup fingerprint set, summarized per document (count +
+    modular checksum so the result row stays fixed-width)."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+
+    def kgram_hash(i):
+        return _tok_hash_col(
+            F.concat_ws(
+                " ", *[F.element_at("ws", i + F.lit(j)) for j in range(WINNOW_K)]
+            )
+        )
+
+    toks = docs.select("doc_id", ws.alias("ws"))
+    n_kg = F.size("ws") - (WINNOW_K - 1)
+    kg = F.when(
+        F.size("ws") >= WINNOW_K,
+        F.transform(F.sequence(F.lit(1), n_kg), kgram_hash),
+    ).otherwise(F.array().cast("array<bigint>"))
+    with_kg = toks.select("doc_id", F.size("ws").alias("n_tokens"), kg.alias("kg"))
+    n_win = F.size("kg") - (WINNOW_W - 1)
+    wins = F.when(
+        F.size("kg") >= WINNOW_W,
+        F.transform(
+            F.sequence(F.lit(1), n_win),
+            _winnow_min_factory(),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    fps = F.array_distinct(wins)
+    return with_kg.select(
+        "doc_id", "n_tokens",
+        F.size("kg").alias("n_kgrams"),
+        F.size(fps).alias("n_fingerprints"),
+        F.coalesce(
+            F.aggregate(fps, F.lit(0).cast("long"), lambda a, x: (a + x) % F.lit(FP_M)),
+            F.lit(0).cast("long"),
+        ).alias("fp_checksum"),
+    )
+
+
+def _winnow_min_factory():
+    """Closure factory (a default-arg lambda would be read as the 2-arg
+    element+index form): min k-gram hash of the window starting at j."""
+    def f(j):
+        return F.array_min(F.slice(F.col("kg"), j, WINNOW_W))
+
+    return f
+
+
+SQL_DOC_WINNOW = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                     x -> x <> '') AS ws
+  FROM documents
+), kgr AS (
+  SELECT doc_id, len(ws) AS n_tokens,
+         CASE WHEN len(ws) >= {WINNOW_K} THEN
+           list_transform(generate_series(1, len(ws) - {WINNOW_K - 1}),
+             i -> CAST('0x' || substring(md5(
+                    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+                    ws[i+3] || ' ' || ws[i+4]), 1, 8) AS BIGINT))
+         ELSE [] END AS kg
+  FROM t
+), wins AS (
+  SELECT doc_id, n_tokens, len(kg) AS n_kgrams,
+         CASE WHEN len(kg) >= {WINNOW_W} THEN
+           list_distinct(list_transform(generate_series(1, len(kg) - {WINNOW_W - 1}),
+             j -> list_aggregate(kg[j:j+{WINNOW_W - 1}], 'min')))
+         ELSE [] END AS fps
+  FROM kgr
+)
+SELECT doc_id, n_tokens, n_kgrams,
+       len(fps) AS n_fingerprints,
+       CAST(coalesce(list_reduce(list_prepend(CAST(0 AS BIGINT), fps),
+                     (a, x) -> (a + x) % {FP_M}), 0) AS BIGINT) AS fp_checksum
+FROM wins
+"""
+
+
+# --------------------------------------------------------------------------
 # Text analysis
 # --------------------------------------------------------------------------
 
@@ -1601,6 +1743,8 @@ QUERIES: dict[str, tuple] = {
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, SQL_DEDUP_EMBEDDING_LSH),
     # text analysis
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "doc_winnow_fingerprints": (q_doc_winnow_fingerprints, SQL_DOC_WINNOW),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
