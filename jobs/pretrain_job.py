@@ -1,0 +1,37 @@
+"""spark-submit entry point: pretraining-data curation over transcripts.
+
+  spark-submit --py-files dist/readability_1_spark.zip jobs/pretrain_job.py \
+      --input /path/to/transcripts_parquet --output /path/to/out \
+      [--num-parts 2048] [--min-chars 500] [--min-tokens 80]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--num-parts", type=int, default=2048)
+    ap.add_argument("--min-chars", type=int, default=500)
+    ap.add_argument("--min-tokens", type=int, default=80)
+    args = ap.parse_args()
+
+    from readability_1_spark.pretrain import run_pretrain_job
+
+    spark = SparkSession.builder.appName("readability_pretrain").getOrCreate()
+    transcripts = spark.read.parquet(args.input)
+    stats = run_pretrain_job(
+        spark, transcripts, args.output, num_parts=args.num_parts,
+        min_chars=args.min_chars, min_tokens=args.min_tokens,
+    )
+    print(f"curated={stats['n_docs']} tokens={stats['total_tokens']}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,108 @@
+"""End-to-end pretraining-data curation pipeline: the composite job a
+training-data team would actually run over an agent-transcript corpus.
+
+    transcripts
+      → HTML gate → payload-dedup extraction (kernel once per distinct page)
+      → status == ok
+      → exact dedup on extracted text (sha2-256, deterministic keeper)
+      → JVM-side quality gates (length / token count / sentence-ness /
+        stopword ratio / link density proxy)
+      → curated parquet (text + metadata + token counts) + a stats row
+
+Every stage is a DataFrame transformation (no driver loops, no Python in
+the post-kernel path); the only Python is the extraction kernel itself.
+At 10^12 turns the dominant costs are the kernel (amortized by payload
+dedup) and two hash shuffles (payload hash, content hash) — both linear.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .pipeline import extract_transcripts
+from .queries import STOPWORDS, TOKEN_SPLIT
+
+
+def curate_pretraining_data(
+    transcripts: DataFrame,
+    num_parts: int = 64,
+    min_chars: int = 500,
+    min_tokens: int = 80,
+    min_periods: int = 3,
+    max_stopword_ratio: float = 0.7,
+) -> DataFrame:
+    """transcripts → curated documents DataFrame (no sink).
+
+    Returns one row per kept document: provenance keys, extracted text,
+    and the quality features the gates used (kept for downstream mixing/
+    re-weighting decisions).
+    """
+    ex = extract_transcripts(
+        transcripts, num_parts=num_parts, dedup_payloads=True
+    ).filter(F.col("status") == "ok")
+
+    # Exact near-source dedup on the EXTRACTED text: after boilerplate
+    # removal, pages that differ only in chrome collapse; keep the
+    # deterministically-first turn (lowest conv_id, turn_idx).
+    w = Window.partitionBy("content_hash").orderBy("conv_id", "turn_idx")
+    deduped = (
+        ex.withColumn("content_hash", F.sha2(F.col("text_content"), 256))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+    ws = F.filter(
+        F.split(F.lower(F.col("text_content")), TOKEN_SPLIT), lambda x: x != ""
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tokens = F.size(ws)
+    n_stop = F.size(F.filter(ws, lambda x: F.array_contains(stop_arr, x)))
+    periods = F.length("text_content") - F.length(
+        F.regexp_replace("text_content", "\\.", "")
+    )
+    scored = deduped.select(
+        "conv_id", "turn_idx", "part_id", "content_hash",
+        "title", "byline", "text_content", "spans",
+        F.col("length").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        periods.alias("n_periods"),
+        F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6).alias("stopword_ratio"),
+    )
+    return scored.filter(
+        (F.col("n_chars") >= min_chars)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_periods") >= min_periods)
+        & (F.col("stopword_ratio") <= max_stopword_ratio)
+    )
+
+
+def run_pretrain_job(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    num_parts: int = 64,
+    **gates,
+) -> dict:
+    """Curate and write: curated parquet + a one-row stats table.  The
+    stats derive from a column-pruned read-back of the written data (the
+    same no-recompute discipline as run_extraction_job)."""
+    curated = curate_pretraining_data(transcripts, num_parts=num_parts, **gates)
+    curated_path = os.path.join(out_dir, "curated")
+    curated.write.mode("overwrite").parquet(curated_path)
+
+    back = spark.read.parquet(curated_path)
+    stats_row = back.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("conv_id").alias("n_conversations"),
+    ).collect()[0]
+    stats = {k: (int(v) if v is not None else 0) for k, v in stats_row.asDict().items()}
+    spark.createDataFrame([stats]).write.mode("overwrite").parquet(
+        os.path.join(out_dir, "stats")
+    )
+    return stats

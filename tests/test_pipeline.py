@@ -208,3 +208,36 @@ def test_readerable_gate_path(spark):
         g = gold[slug]
         if g["status"] == "ok" and g.get("readerable"):
             assert r["text_content"] == g["result"]["text_content"], slug
+
+
+def test_pretrain_curation_pipeline(spark, tmp_path):
+    """Composite curation job: extract -> dedup -> quality gates -> sink.
+    Duplicate payloads collapse to one curated doc; short/chatter turns are
+    gated out; stats reflect the written data."""
+    from readability_1_spark.pretrain import curate_pretraining_data, run_pretrain_job
+    from readability_1_spark.transcripts import smoke_transcripts
+
+    t = smoke_transcripts(spark)
+    # Duplicate one conversation's HTML turn under a new conv to prove the
+    # content-hash dedup keeps exactly one.
+    dup = t.filter(F.col("conv_id") == "conv-001").withColumn(
+        "conv_id", F.lit("conv-zzz-dup")
+    )
+    both = t.unionByName(dup)
+
+    curated = curate_pretraining_data(both, num_parts=8)
+    rows = curated.collect()
+    assert len(rows) > 20
+    # the duplicated page must appear exactly once, under the FIRST conv_id
+    hits = [r for r in rows if r.conv_id in ("conv-001", "conv-zzz-dup")]
+    assert len(hits) == 1 and hits[0].conv_id == "conv-001"
+    # every kept row satisfies the gates
+    for r in rows:
+        assert r.n_chars >= 500 and r.n_tokens >= 80 and r.n_periods >= 3
+        assert r.stopword_ratio <= 0.7
+
+    stats = run_pretrain_job(spark, both, str(tmp_path / "out"), num_parts=8)
+    assert stats["n_docs"] == len(rows)
+    back = spark.read.parquet(str(tmp_path / "out" / "curated"))
+    assert back.count() == len(rows)
+    assert stats["total_tokens"] == sum(r.n_tokens for r in rows)
