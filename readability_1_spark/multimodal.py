@@ -72,10 +72,9 @@ def _decode_bmp(payload: bytes) -> dict:
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
 
-def _decode_png(payload: bytes) -> dict:
-    """8-bit non-interlaced PNG (gray / gray+alpha / RGB / RGBA): IHDR
-    parse, zlib-inflate the IDAT stream, undo the five scanline filters,
-    per-channel means."""
+def _png_scanlines(payload: bytes):
+    """8-bit non-interlaced PNG → (width, height, channels, defiltered
+    scanline bytearrays)."""
     pos = 8
     width = height = None
     bit_depth = color_type = interlace = None
@@ -104,7 +103,7 @@ def _decode_png(payload: bytes) -> dict:
     stride = width * channels
     if len(raw) < height * (stride + 1):
         raise ValueError("PNG pixel data truncated")
-    sums = [0] * channels
+    lines: list[bytearray] = []
     prev = bytearray(stride)
     for r in range(height):
         base = r * (stride + 1)
@@ -131,9 +130,19 @@ def _decode_png(payload: bytes) -> dict:
                 line[i] = (line[i] + pred) & 0xFF
         elif ftype != 0:
             raise ValueError(f"PNG filter type {ftype}")
+        lines.append(line)
+        prev = line
+    return width, height, channels, lines
+
+
+def _decode_png(payload: bytes) -> dict:
+    """8-bit non-interlaced PNG: per-channel means via the scanline
+    decoder."""
+    width, height, channels, lines = _png_scanlines(payload)
+    sums = [0] * channels
+    for line in lines:
         for ch in range(channels):
             sums[ch] += sum(line[ch::channels])
-        prev = line
     n_px = width * height
     return {
         "width": width,
@@ -235,3 +244,156 @@ def media_features(media_df, fake_decode: bool = True):
     return media_df.mapInPandas(
         make_media_feature_kernel(fake_decode), FEATURES_SCHEMA_DDL
     )
+
+def decode_pixels(payload: bytes) -> tuple[int, int, list[bytearray]]:
+    """Full pixel decode to RGB rows (top-down, 3 bytes per pixel) for the
+    formats decode_image supports; gray/alpha PNGs expand to RGB."""
+    if payload[:2] == b"BM":
+        pixel_offset = struct.unpack_from("<I", payload, 10)[0]
+        width, height = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if compression != 0 or bpp not in (24, 32):
+            raise NotImplementedError(f"BMP bpp={bpp} compression={compression}")
+        n_rows = abs(height)
+        bytes_pp = bpp // 8
+        stride = ((width * bytes_pp + 3) // 4) * 4
+        rows = []
+        row_order = range(n_rows - 1, -1, -1) if height > 0 else range(n_rows)
+        for r in row_order:  # emit top-down
+            base = pixel_offset + r * stride
+            src = payload[base : base + width * bytes_pp]
+            if len(src) < width * bytes_pp:
+                raise ValueError("BMP pixel data truncated")
+            line = bytearray(width * 3)
+            for x in range(width):
+                o = x * bytes_pp
+                line[x * 3] = src[o + 2]      # R (BMP stores BGR)
+                line[x * 3 + 1] = src[o + 1]  # G
+                line[x * 3 + 2] = src[o]      # B
+            rows.append(line)
+        return width, n_rows, rows
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        width, height, channels, lines = _png_scanlines(payload)
+        rows = []
+        for line in lines:
+            out = bytearray(width * 3)
+            for x in range(width):
+                if channels == 1:
+                    v = line[x]
+                    out[x * 3] = out[x * 3 + 1] = out[x * 3 + 2] = v
+                elif channels == 2:  # gray + alpha
+                    v = line[x * 2]
+                    out[x * 3] = out[x * 3 + 1] = out[x * 3 + 2] = v
+                else:  # 3 or 4 channels, RGB(A)
+                    o = x * channels
+                    out[x * 3 : x * 3 + 3] = line[o : o + 3]
+            rows.append(out)
+        return width, height, rows
+    raise NotImplementedError(
+        "unsupported image format (stdlib decoders cover BMP and 8-bit PNG)"
+    )
+
+
+def encode_bmp_rgb(width: int, height: int, rows: list[bytearray]) -> bytes:
+    """Top-down RGB rows → 24-bit BI_RGB BMP bytes (the canonical resized-
+    payload format: stdlib-writable and round-trippable by decode_pixels)."""
+    stride = ((width * 3 + 3) // 4) * 4
+    pixel_bytes = bytearray()
+    for r in range(height - 1, -1, -1):  # BMP stores bottom-up
+        row = rows[r]
+        line = bytearray(stride)
+        for x in range(width):
+            line[x * 3] = row[x * 3 + 2]      # B
+            line[x * 3 + 1] = row[x * 3 + 1]  # G
+            line[x * 3 + 2] = row[x * 3]      # R
+        pixel_bytes += line
+    offset = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", offset + len(pixel_bytes), 0, 0, offset)
+    header += struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixel_bytes),
+        2835, 2835, 0, 0,
+    )
+    return bytes(header + pixel_bytes)
+
+
+def resize_image(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of a decodable image; returns a 24-bit BMP."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("resize dimensions must be positive")
+    w, h, rows = decode_pixels(payload)
+    out_rows = []
+    for y in range(out_h):
+        sy = min(h - 1, (y * h) // out_h)
+        src = rows[sy]
+        line = bytearray(out_w * 3)
+        for x in range(out_w):
+            sx = min(w - 1, (x * w) // out_w)
+            line[x * 3 : x * 3 + 3] = src[sx * 3 : sx * 3 + 3]
+        out_rows.append(line)
+    return encode_bmp_rgb(out_w, out_h, out_rows)
+
+
+RESIZED_SCHEMA_DDL = (
+    "media_id BIGINT, kind STRING, payload BINARY, resize_status STRING, "
+    "meta STRUCT<mime: STRING, width: INT, height: INT, duration_ms: INT>"
+)
+
+
+def make_media_resize_kernel(out_w: int, out_h: int):
+    """mapInPandas kernel: MEDIA_SCHEMA_DDL batches → same rows with image
+    payloads replaced by a nearest-neighbor-resized 24-bit BMP (typed meta
+    updated); non-images and undecodable payloads pass through with an
+    explicit resize_status."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            payloads, statuses, metas = [], [], []
+            for kind, payload in zip(batch["kind"], batch["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                if kind != "image":
+                    payloads.append(raw)
+                    statuses.append("skipped")
+                    metas.append(None)
+                    continue
+                try:
+                    out = resize_image(raw, out_w, out_h)
+                    payloads.append(out)
+                    statuses.append("ok")
+                    metas.append(
+                        {"mime": "image/bmp", "width": out_w, "height": out_h,
+                         "duration_ms": None}
+                    )
+                except NotImplementedError:
+                    payloads.append(raw)
+                    statuses.append("decoder_unavailable")
+                    metas.append(None)
+                except (ValueError, zlib.error, struct.error, IndexError):
+                    payloads.append(raw)
+                    statuses.append("decode_error")
+                    metas.append(None)
+            out_df = pd.DataFrame(
+                {
+                    "media_id": batch["media_id"].tolist(),
+                    "kind": batch["kind"].tolist(),
+                    "payload": payloads,
+                    "resize_status": statuses,
+                    "meta": [
+                        m if m is not None else om
+                        for m, om in zip(metas, batch["meta"].tolist())
+                    ],
+                }
+            )
+            yield out_df
+
+    return kernel
+
+
+def media_resized(media_df, out_w: int = 64, out_h: int = 64):
+    from .pipeline import ensure_worker_imports
+
+    ensure_worker_imports(media_df.sparkSession)
+    return media_df.mapInPandas(
+        make_media_resize_kernel(out_w, out_h), RESIZED_SCHEMA_DDL
+    )
+

@@ -236,3 +236,34 @@ def test_streaming_stateful_sessionization(spark, tmp_path):
     assert a.n_turns == 2
     assert a.html_turns == 1
     assert (a.session_end - a.session_start).total_seconds() == 30
+
+
+def test_media_resize_distributed(spark):
+    """Real nearest-neighbor resize through the mapInPandas kernel: image
+    payloads come back as decodable BMPs at the target size with updated
+    typed metadata; non-images and garbage pass through with explicit
+    status."""
+    from readability_1_spark.multimodal import decode_pixels, media_resized
+
+    bmp = _make_bmp(4, 4, [[(x * 60, y * 60, 128) for x in range(4)] for y in range(4)])
+    png = _make_png(3, 5, [[(1, 2, 3)] * 3] * 5)
+    rows = [
+        (0, "image", bytearray(bmp), None),
+        (1, "image", bytearray(png), None),
+        (2, "image", bytearray(b"JFIF nope"), None),
+        (3, "audio", bytearray(b"riff"), None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id LONG, kind STRING, payload BINARY, "
+        "meta STRUCT<mime: STRING, width: INT, height: INT, duration_ms: INT>",
+    )
+    out = {r.media_id: r for r in media_resized(media, 2, 2).collect()}
+    for mid in (0, 1):
+        assert out[mid].resize_status == "ok"
+        w, h, _px = decode_pixels(bytes(out[mid].payload))
+        assert (w, h) == (2, 2)
+        assert out[mid].meta.mime == "image/bmp" and out[mid].meta.width == 2
+    assert out[2].resize_status == "decoder_unavailable"
+    assert bytes(out[2].payload) == b"JFIF nope"
+    assert out[3].resize_status == "skipped"
