@@ -837,15 +837,20 @@ class JSDOMParser:
         child_nodes = root.childNodes
         children = getattr(root, "children", None)
         stack: list = []
+        # The stream position lives in a LOCAL while inside this loop
+        # (synced to self.current_char only around helper calls): one
+        # attribute write per token is measurable at 300k tokens/corpus.
+        cc = self.current_char
         while True:
             steps += 1
             if steps > max_steps:
                 self._steps = steps
+                self.current_char = cc
                 raise ParseFatal("parser stuck (non-advancing input)")
-            pos = self.current_char
+            pos = cc
             child: Node | None
             if pos >= ln:
-                self.current_char = pos + 1
+                cc = pos + 1
                 child = None
             else:
                 c = html[pos]
@@ -867,15 +872,15 @@ class JSDOMParser:
                     n = html.find("<", pos)
                     if n == -1:
                         text_node._innerHTML = html[pos:]
-                        self.current_char = ln
+                        cc = ln
                     else:
                         text_node._innerHTML = html[pos:n]
-                        self.current_char = n
+                        cc = n
                 else:
                     pos1 = pos + 1
                     nxt = html[pos1] if pos1 < ln else None
                     if nxt == "/":
-                        self.current_char = pos
+                        cc = pos
                         child = None
                     elif nxt == "!" or nxt == "?":
                         # CDATA first (JSDOMParser.js:1092), case-insensitive.
@@ -883,21 +888,20 @@ class JSDOMParser:
                             cc = pos1 + 8
                             end = html.find("]]>", cc)
                             if end == -1:
-                                self.current_char = cc
                                 self.error("unclosed CDATA section")
                                 child = None
                             else:
                                 tn = Text()
                                 tn.textContent = html[cc:end]
-                                self.current_char = end + 3
+                                cc = end + 3
                                 child = tn
                         else:
                             self.current_char = pos1 + 1
                             child = self.discard_next_comment()
+                            cc = self.current_char
                             if child is not None:
                                 continue  # comments are dropped, not appended
                     else:
-                        self.current_char = pos1
                         fm = fast_tag(html, pos1)
                         if fm is not None:
                             # Inline Element construction (hot allocation).
@@ -931,10 +935,12 @@ class JSDOMParser:
                                     append_attr(
                                         Attribute(name, decode_html(v1 if v1 else v2))
                                     )
-                            self.current_char = fm.end()
+                            cc = fm.end()
                             closed = fm.group(3) == "/"
                         else:
+                            self.current_char = pos1
                             result = self.make_element_node()
+                            cc = self.current_char
                             if result is None:
                                 el = None
                                 closed = True
@@ -970,11 +976,19 @@ class JSDOMParser:
                 while True:
                     if not stack:
                         self._steps = steps
+                        self.current_char = cc
                         return
                     el = node
                     node, child_nodes, children = stack.pop()
                     closing_tag = "</" + el.matching_tag + ">"
-                    if self.match(closing_tag):
+                    if html.startswith(closing_tag, cc):
+                        matched = True
+                        cc += len(closing_tag)
+                    else:
+                        self.current_char = cc
+                        matched = self.match(closing_tag)
+                        cc = self.current_char
+                    if matched:
                         local_name = el.localName
                         if local_name == "title" and not doc.title:
                             doc.title = js_trim(el.textContent)
@@ -990,7 +1004,7 @@ class JSDOMParser:
                         "expected '"
                         + closing_tag
                         + "' and got "
-                        + html[self.current_char : self.current_char + len(closing_tag)]
+                        + html[cc : cc + len(closing_tag)]
                     )
             # Append `child` to the current node (inlined appendChild).
             last = child_nodes[-1] if child_nodes else None
