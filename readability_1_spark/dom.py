@@ -123,6 +123,7 @@ def _invalidate_text_cache(node: "Node | None") -> None:
     while node is not None:
         node._tc_cache = None
         node._tc_norm = None
+        node._ld_cache = None
         node = node.parentNode
 
 
@@ -137,7 +138,7 @@ class Node:
     __slots__ = (
         "childNodes", "parentNode", "nextSibling", "previousSibling",
         "nextElementSibling", "previousElementSibling", "_tc_cache",
-        "_tc_norm",
+        "_tc_norm", "_ld_cache",
     )
 
     node_type = 0
@@ -155,6 +156,7 @@ class Node:
         self.previousElementSibling: Element | None = None
         self._tc_cache: str | None = None
         self._tc_norm: str | None = None
+        self._ld_cache: float | None = None
 
     @property
     def firstChild(self) -> "Node | None":
@@ -345,6 +347,7 @@ class Text(Node):
         self.previousElementSibling = None
         self._tc_cache = None
         self._tc_norm = None
+        self._ld_cache = None
         self._textContent: str | None = None
         self._innerHTML: str | None = None
         self._has_text = False
@@ -401,6 +404,7 @@ class Element(Node):
         self.previousElementSibling = None
         self._tc_cache = None
         self._tc_norm = None
+        self._ld_cache = None
         # Non-namespace-aware: strip any prefix, but remember the original
         # spelling to find the closing tag (JSDOMParser.js:608-623).
         # Tag spellings repeat massively; cache the derived names.
@@ -866,6 +870,7 @@ class JSDOMParser:
                     text_node.previousElementSibling = None
                     text_node._tc_cache = None
                     text_node._tc_norm = None
+                    text_node._ld_cache = None
                     text_node._textContent = None
                     text_node._has_text = False
                     text_node._has_html = True
@@ -915,6 +920,7 @@ class JSDOMParser:
                             el.previousElementSibling = None
                             el._tc_cache = None
                             el._tc_norm = None
+                            el._ld_cache = None
                             names = _TAG_NAME_CACHE.get(tag)
                             if names is None:
                                 stripped = tag[tag.rfind(":") + 1 :]

@@ -212,6 +212,13 @@ class Readability:
         # Readability.js:661-697 (JSDOMParser fast path: rename in place).
         node.localName = tag.lower()
         node.tagName = tag.upper()
+        # A rename leaves text intact but could change an ancestor's anchor
+        # set if it ever involved <a> (none do today): clear link-density
+        # caches up the chain defensively.
+        cur = node
+        while cur is not None:
+            cur._ld_cache = None
+            cur = cur.parentNode
         return node
 
     def _get_inner_text(self, e: Node, normalize_spaces: bool = True) -> str:
@@ -232,14 +239,24 @@ class Readability:
         return len(self._get_inner_text(e).split(s)) - 1
 
     def _get_link_density(self, el: Element) -> float:
-        # Readability.js:1770-1781
+        # Readability.js:1770-1781.  Cached per node: the value depends only
+        # on the subtree's text and anchor set, both of which invalidate the
+        # node's cache slot via the ancestor-walking mutation invalidation
+        # (tag renames never touch <a>, and would not change the result
+        # anyway since they rename the walked node, not its anchor set).
+        cached = el._ld_cache
+        if cached is not None:
+            return cached
         text_length = len(self._get_inner_text(el))
         if text_length == 0:
-            return 0.0
-        link_length = 0
-        for link_node in el.getElementsByTagName("a"):
-            link_length += len(self._get_inner_text(link_node))
-        return link_length / text_length
+            density = 0.0
+        else:
+            link_length = 0
+            for link_node in el.getElementsByTagName("a"):
+                link_length += len(self._get_inner_text(link_node))
+            density = link_length / text_length
+        el._ld_cache = density
+        return density
 
     @staticmethod
     def _class_and_id(e: Element) -> tuple[str, str]:
