@@ -503,6 +503,113 @@ GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def q_events_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (INTERSECT / EXCEPT, distinct semantics on both
+    engines): users who both clicked and purchased vs click-only users."""
+    ev = _t(spark, sf_dir, "events")
+    clickers = ev.filter(F.col("event_type") == "click").select("user_id")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    both = clickers.intersect(purchasers).withColumn("segment", F.lit("both"))
+    # subtract == EXCEPT DISTINCT (exceptAll would leave a multi-click
+    # purchaser in the click_only segment).
+    click_only = clickers.subtract(purchasers).withColumn(
+        "segment", F.lit("click_only")
+    )
+    return both.unionByName(click_only)
+
+
+SQL_EVENTS_SET_OPS = """
+SELECT user_id, 'both' AS segment FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  INTERSECT
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+)
+UNION ALL
+SELECT user_id, 'click_only' AS segment FROM (
+  SELECT user_id FROM events WHERE event_type = 'click'
+  EXCEPT
+  SELECT user_id FROM events WHERE event_type = 'purchase'
+)
+"""
+
+
+def q_big_spender_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery, expressed Spark-first as a broadcast-able
+    LEFT SEMI join on the filtered subquery side."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 150000).select("o_custkey")
+    return (
+        cust.join(big, cust.c_custkey == big.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+    )
+
+
+SQL_BIG_SPENDER_EXISTS = """
+SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+"""
+
+
+def q_events_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: truncate to an hourly grid per event type —
+    the standard downsample-for-dashboards shape (date_trunc + group)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+SQL_EVENTS_RESAMPLE_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value,
+       count(DISTINCT user_id) AS n_users
+FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions with explicit grouping() flags (subtotals on
+    every dimension combination, distinguishable from real NULLs)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "g_flag", "g_status", "n_items", "total_price",
+        )
+    )
+
+
+SQL_REVENUE_CUBE = """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+       count(*) AS n_items,
+       round(sum(l_extendedprice), 2) AS total_price
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
 def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anti join: customers that never ordered."""
     cust = _t(spark, sf_dir, "customer")
@@ -1731,6 +1838,10 @@ QUERIES: dict[str, tuple] = {
     "events_asof_orders": (q_events_asof_orders, SQL_EVENTS_ASOF_ORDERS),
     "value_band_range_join": (q_value_band_range_join, SQL_VALUE_BAND_RANGE_JOIN),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
+    "revenue_cube": (q_revenue_cube, SQL_REVENUE_CUBE),
+    "events_set_ops": (q_events_set_ops, SQL_EVENTS_SET_OPS),
+    "big_spender_exists": (q_big_spender_exists, SQL_BIG_SPENDER_EXISTS),
+    "events_resample_hourly": (q_events_resample_hourly, SQL_EVENTS_RESAMPLE_HOURLY),
     "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
     "lineitem_percentiles": (q_lineitem_percentiles, SQL_LINEITEM_PERCENTILES),
