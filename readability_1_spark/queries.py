@@ -1420,24 +1420,29 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
 """
 
 
+def _lsh_weight(prefix: str, b: int, i: int) -> float:
+    """Deterministic ±1 hyperplane component from a md5 parity — computed
+    identically by the Spark side (here, driver-side constants) and the SQL
+    oracles (hashlib in _sql_lsh_bucket_expr)."""
+    import hashlib
+
+    h = hashlib.md5(f"{prefix}{b}:{i}".encode()).hexdigest()[0]
+    return 1.0 if h in "89abcdef" else -1.0
+
+
 def _lsh_bucket_col(dims: int = 64, n_bits: int = 8, prefix: str = ""):
     """Random-hyperplane LSH bucket id as a Spark Column over `embedding`.
 
-    Deterministic pseudo-random hyperplanes: component (b, i) weight is
-    +1/-1 from a md5 parity — identical arithmetic in the SQL oracles.
+    The hyperplane weights are precomputed driver-side constants (NOT
+    per-row md5 expressions): the literal-array form keeps the Catalyst
+    tree small — the folded-md5 variant cost ~15s of analysis per query.
     `prefix` salts the hyperplanes per hash table."""
     def bit(b):
         terms = F.aggregate(
             F.zip_with(
                 F.col("embedding"),
                 F.array(*[
-                    F.when(
-                        F.substring(F.md5(F.lit(f"{prefix}{b}:{i}")), 1, 1).isin(
-                            *list("89abcdef")
-                        ),
-                        1.0,
-                    ).otherwise(-1.0)
-                    for i in range(dims)
+                    F.lit(_lsh_weight(prefix, b, i)) for i in range(dims)
                 ]),
                 lambda x, w: x.cast("double") * w,
             ),
