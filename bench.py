@@ -88,6 +88,7 @@ def main() -> None:
         "dedup_minhash_lsh",
         "dedup_ngram_jaccard",
         "text_quality",
+        "doc_fingerprint",
         "ann_cosine_topk",
         "ann_ivf_probe",
         "dedup_embedding_lsh",
