@@ -210,10 +210,12 @@ cannot quadruple.
 ## Reference single-node comparison (BASELINE.md)
 
 Round-2 kernel: interleaved head-to-head against the reference under node
-on this box measured 38-53 docs/s single-core for this engine (window-
-dependent) vs 59-70 docs/s for node net of startup — a per-core gap of
-~1.3-1.8× (round 1: 2.4×), recovered through parallelism and payload dedup
-(extract once per distinct page, join back).
+on this box (5 alternating reps, full 101-fixture corpus, node net of
+process startup) measured a MEDIAN per-core gap of 1.64× (range
+1.49-2.00× across capacity windows; round 1 measured 2.4×).  The gap is
+recovered through parallelism and payload dedup (extract once per
+distinct page, join back: 1,622-1,754 turns/s at sf0.1 in BENCH_r02 vs
+485 without dedup).
 """)
     print(f"report written: 2->8 best {max(eff28):.3f}, 8->32 best {max(eff832):.3f}")
 
