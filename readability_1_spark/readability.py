@@ -342,9 +342,8 @@ class Readability:
 
     def _is_probably_visible(self, node: Element) -> bool:
         # Readability.js:2174-2188 — one backward pass over the attribute
-        # list instead of 4-5 separate scans; backward-first hit = the
-        # last duplicate, matching getAttribute, and presence flags match
-        # hasAttribute.
+        # list (backward-first hit = last duplicate = getAttribute; presence
+        # flags = hasAttribute), then the shared predicate.
         style = c_n = aria = None
         has_hidden = has_aria = False
         if node.node_type == ELEMENT_NODE:
@@ -362,9 +361,13 @@ class Readability:
                     has_aria = True
                     if aria is None:
                         aria = attr.value
+        return self._visible_from(style, c_n or "", has_hidden, has_aria, aria)
+
+    @staticmethod
+    def _visible_from(style, c_n, has_hidden, has_aria, aria) -> bool:
+        # Readability.js:2174-2188 with pre-scanned attribute values.
         display = None
         if style:
-            # Inline style_get("display") including its missing-value throw.
             for decl in style.split(";"):
                 parts = decl.split(":")
                 if js_trim(parts[0]) == "display":
@@ -372,8 +375,6 @@ class Readability:
                         raise ParseFatal("style declaration without value")
                     display = js_trim(parts[1])
                     break
-        if c_n is None:
-            c_n = ""
         return (
             display != "none"
             and not has_hidden
@@ -384,6 +385,20 @@ class Readability:
             )
         )
 
+    def _check_byline_scanned(self, node: Element, match_string: str,
+                              rel, itemprop) -> bool:
+        # Readability.js:903-926 with pre-scanned rel/itemprop.
+        if self._article_byline:
+            return False
+        if (
+            rel == "author"
+            or (itemprop is not None and "author" in itemprop)
+            or (match_string != " " and R.BYLINE.search(match_string))
+        ) and self._is_valid_byline(node.textContent):
+            self._article_byline = js_trim(node.textContent)
+            return True
+        return False
+
     def _is_valid_byline(self, byline) -> bool:
         # Readability.js:1473-1477
         if not isinstance(byline, str):
@@ -393,18 +408,10 @@ class Readability:
 
     def _check_byline(self, node: Element, match_string: str) -> bool:
         # Readability.js:903-926 — stateful first-match in document order.
-        if self._article_byline:
-            return False
-        rel = node.getAttribute("rel")
-        itemprop = node.getAttribute("itemprop")
-        if (
-            rel == "author"
-            or (itemprop is not None and "author" in itemprop)
-            or (match_string != " " and R.BYLINE.search(match_string))
-        ) and self._is_valid_byline(node.textContent):
-            self._article_byline = js_trim(node.textContent)
-            return True
-        return False
+        return self._check_byline_scanned(
+            node, match_string, node.getAttribute("rel"),
+            node.getAttribute("itemprop"),
+        )
 
     def _is_whitespace(self, node: Node) -> bool:
         # Readability.js:1693-1707
@@ -628,13 +635,43 @@ class Readability:
             node = doc.documentElement
 
             while node is not None:
-                match_string = " ".join(self._class_and_id(node))
+                # ONE backward attribute pass per node feeds the visibility
+                # check, the byline check, and the match string (previously
+                # three separate scans); backward-first hit = last duplicate
+                # = getAttribute, presence flags = hasAttribute.
+                klass = id_ = style = aria = rel = itemprop = None
+                has_hidden = has_aria = False
+                for attr in reversed(node.attributes):
+                    a_name = attr.name
+                    if a_name == "class":
+                        if klass is None:
+                            klass = attr.value
+                    elif a_name == "id":
+                        if id_ is None:
+                            id_ = attr.value
+                    elif a_name == "style":
+                        if style is None:
+                            style = attr.value
+                    elif a_name == "hidden":
+                        has_hidden = True
+                    elif a_name == "aria-hidden":
+                        has_aria = True
+                        if aria is None:
+                            aria = attr.value
+                    elif a_name == "rel":
+                        if rel is None:
+                            rel = attr.value
+                    elif a_name == "itemprop":
+                        if itemprop is None:
+                            itemprop = attr.value
+                match_string = (klass or "") + " " + (id_ or "")
 
-                if not self._is_probably_visible(node):
+                if not self._visible_from(style, klass or "", has_hidden,
+                                          has_aria, aria):
                     node = self._remove_and_get_next(node)
                     continue
 
-                if self._check_byline(node, match_string):
+                if self._check_byline_scanned(node, match_string, rel, itemprop):
                     node = self._remove_and_get_next(node)
                     continue
 
