@@ -211,8 +211,8 @@ cannot quadruple.
 
 Round-2 kernel: interleaved head-to-head against the reference under node
 on this box (5 alternating reps, full 101-fixture corpus, node net of
-process startup) measured a MEDIAN per-core gap of 1.64× (range
-1.49-2.00× across capacity windows; round 1 measured 2.4×).  The gap is
+process startup) measured a MEDIAN per-core gap of 1.59× after the final hot-path round
+(range 1.33-1.70× across capacity windows; round 1 measured 2.4×).  The gap is
 recovered through parallelism and payload dedup (extract once per
 distinct page, join back: 1,622-1,754 turns/s at sf0.1 in BENCH_r02 vs
 485 without dedup).
