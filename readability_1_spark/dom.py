@@ -575,15 +575,12 @@ def _ser_tag_parts(local_name: str) -> tuple[str, str, str]:
 
 
 def _serialize_children(node: Node, arr: list[str]) -> None:
-    # Iterative pre-order with explicit closing-tag markers: no recursion
-    # limits on deep documents, same byte output as JSDOMParser.js:676-714.
-    work: list = node.childNodes[::-1]
+    # Recursive pre-order, same byte output as JSDOMParser.js:676-714 and
+    # the same stack-depth semantics as the reference's recursive
+    # serializer (Python's 20k recursion limit vs V8's comparable frame
+    # limit; a deeper document errors in both engines).
     append = arr.append
-    while work:
-        child = work.pop()
-        if type(child) is str:
-            append(child)
-            continue
+    for child in node.childNodes:
         local_name = child.localName
         if local_name:
             open_prefix, open_simple, close_tag = _ser_tag_parts(local_name)
@@ -600,20 +597,22 @@ def _serialize_children(node: Node, arr: list[str]) -> None:
                     else:
                         parts.append(" " + attr.name + "='" + val + "'")
                 open_tag = "".join(parts)
-                if not kids and local_name in VOID_ELEMS:
+                if kids:
+                    append(open_tag + ">")
+                    _serialize_children(child, arr)
+                    append(close_tag)
+                elif local_name in VOID_ELEMS:
                     append(open_tag + "/>")
                 else:
-                    append(open_tag + ">")
-                    work.append(close_tag)
-                    if kids:
-                        work.extend(reversed(kids))
-            elif not kids and local_name in VOID_ELEMS:
+                    append(open_tag + ">" + close_tag)
+            elif kids:
+                append(open_simple)
+                _serialize_children(child, arr)
+                append(close_tag)
+            elif local_name in VOID_ELEMS:
                 append(open_prefix + "/>")
             else:
-                append(open_simple)
-                work.append(close_tag)
-                if kids:
-                    work.extend(reversed(kids))
+                append(open_simple + close_tag)
         else:
             # Text node (comments never survive parsing): read the encoded
             # cache directly, encoding lazily like the innerHTML property.
