@@ -397,3 +397,74 @@ def media_resized(media_df, out_w: int = 64, out_h: int = 64):
         make_media_resize_kernel(out_w, out_h), RESIZED_SCHEMA_DDL
     )
 
+
+
+FRAMES_SCHEMA_DDL = (
+    "media_id BIGINT, frame_idx INT, frame_offset_ms INT, "
+    "frame_payload BINARY, frame_status STRING"
+)
+
+
+def sample_frame(payload: bytes, offset_ms: int, fake: bool = False) -> bytes:
+    """Extract one video frame as an image payload.  A real implementation
+    needs a video codec (absent in this container) — the Spark-side
+    plumbing (schema, per-frame explode, batch shape) is real and tested;
+    fake=True returns a deterministic 2x2 BMP derived from
+    (payload, offset) so the downstream image kernels can consume it."""
+    if not fake:
+        raise NotImplementedError(
+            "video frame decode requires a codec; run with fake=True or "
+            "install one at deployment"
+        )
+    digest = hashlib.sha256(payload + offset_ms.to_bytes(8, "little")).digest()
+    rows = [
+        bytearray(digest[0:6]),
+        bytearray(digest[6:12]),
+    ]
+    return encode_bmp_rgb(2, 2, rows)
+
+
+def make_frame_sample_kernel(n_frames: int = 4, fake_decode: bool = True):
+    """mapInPandas kernel: MEDIA_SCHEMA_DDL batches → one row per sampled
+    frame for video payloads (uniform offsets over duration_ms, defaulting
+    to 1s spacing when metadata is absent); non-videos emit nothing."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            out = {k: [] for k in ("media_id", "frame_idx", "frame_offset_ms",
+                                   "frame_payload", "frame_status")}
+            for media_id, kind, payload, meta in zip(
+                batch["media_id"], batch["kind"], batch["payload"], batch["meta"]
+            ):
+                if kind != "video":
+                    continue
+                raw = bytes(payload) if payload is not None else b""
+                duration = None
+                if meta is not None:
+                    duration = meta.get("duration_ms") if isinstance(meta, dict) \
+                        else getattr(meta, "duration_ms", None)
+                span = duration if duration else n_frames * 1000
+                for i in range(n_frames):
+                    offset = (i * span) // n_frames
+                    out["media_id"].append(media_id)
+                    out["frame_idx"].append(i)
+                    out["frame_offset_ms"].append(offset)
+                    try:
+                        frame = sample_frame(raw, offset, fake=fake_decode)
+                        out["frame_payload"].append(frame)
+                        out["frame_status"].append("ok")
+                    except NotImplementedError:
+                        out["frame_payload"].append(b"")
+                        out["frame_status"].append("decoder_unavailable")
+            yield pd.DataFrame(out)
+
+    return kernel
+
+
+def media_frames(media_df, n_frames: int = 4, fake_decode: bool = True):
+    from .pipeline import ensure_worker_imports
+
+    ensure_worker_imports(media_df.sparkSession)
+    return media_df.mapInPandas(
+        make_frame_sample_kernel(n_frames, fake_decode), FRAMES_SCHEMA_DDL
+    )
