@@ -792,8 +792,12 @@ FROM documents GROUP BY 1
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-word-shingle Jaccard near-dup pairs: explode → distinct → self-join
-    on shingle → |∩| / (|A|+|B|−|∩|).  The shingle join is the shuffle-heavy
-    part; at scale the LSH variant below replaces the quadratic blowup."""
+    on shingle → |∩| / (|A|+|B|−|∩|).
+
+    EXACT SMALL-SCALE BASELINE ONLY (sf <= 0.1): the shingle self-join is
+    quadratic in per-shingle collision-group size and must not be pointed
+    at a large corpus — dedup_minhash_lsh is the production-scale
+    replacement, and this query exists as its validation twin."""
     docs = _t(spark, sf_dir, "documents")
     sh = _shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
