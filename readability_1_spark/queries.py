@@ -1601,7 +1601,12 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketed embedding near-duplicate pairs — the 100 TB shape for what
     dedup_embedding_cosine computes exactly: candidate pairs come from an
     LSH-bucket EQUI-join (no all-pairs vec_id < vec_id cross), then the
-    exact cosine threshold keeps true near-duplicates."""
+    exact cosine threshold keeps true near-duplicates.
+
+    Scale tuning: per-bucket pair cost is quadratic in bucket size, so the
+    bit count must grow with the corpus (8 bits / 256 buckets suits the
+    sf test tables; ~2*log2(n) bits keeps expected bucket sizes O(1) at
+    n vectors, at the cost of recall — add hash tables to recover it)."""
     emb = _t(spark, sf_dir, "embeddings")
     bucketed = emb.select(
         "vec_id", "embedding",
