@@ -287,6 +287,13 @@ def run_extraction_job(
         todo_parts = all_parts.join(F.broadcast(done), "part_id", "left_anti")
     else:
         todo_parts = gated.select("part_id").distinct()
+    # Materialize the (<= num_parts rows) todo set once: it feeds both the
+    # semi-join build side and the manifest, and leaving it lazy would scan
+    # the gated input twice just to recompute the same tiny distinct.
+    todo_ids = [r.part_id for r in todo_parts.collect()]
+    todo_parts = spark.createDataFrame(
+        [(p,) for p in todo_ids], "part_id INT"
+    )
 
     todo = gated.join(F.broadcast(todo_parts), "part_id", "left_semi")
     # batch_id identifies THIS invocation (a resumed run shares run_id but
