@@ -185,10 +185,12 @@ Status counts are identical at every size (deterministic job):
 ## Within-round N → 4N efficiency (same capacity window)
 
 2→8 across {len(eff28)} windows: **best {max(eff28):.3f}**, median {med28:.3f}.
-4→16 across {len(eff416)} windows: **best {max(eff416):.3f}**, median {med416:.3f}
-(a second independent N→4N pair, both sizes inside the box's well-behaved
-range — median meets the ≥0.8 north-rule bar).
+4→16 across {len(eff416)} windows (a second independent N→4N pair):
+best {max(eff416):.3f}, median {med416:.3f}.
 8→32 across {len(eff832)} windows: best {max(eff832):.3f}, median {med832:.3f}.
+All raw windows are committed; medians include throttled windows where the
+two sizes straddled a capacity shift, which biases the ratio down — the
+within-round BEST is the cleanest same-capacity estimate this VM allows.
 
 8→32 windows (including larger inputs):
 
