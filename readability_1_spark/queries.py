@@ -1022,6 +1022,124 @@ WHERE round(
 
 
 # --------------------------------------------------------------------------
+# Count-min sketch (deterministic md5-derived hash rows -> oracle-checkable)
+# --------------------------------------------------------------------------
+
+CMS_ROWS = 4
+CMS_WIDTH = 64
+
+
+def q_token_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus token stream (Cormode-Muthukrishnan):
+    4 deterministic hash rows x 64 buckets, built with ONE shuffle
+    (groupBy row,bucket), then point estimates for the stopword set —
+    estimate = min over rows of the bucket count, always >= the true count.
+    Deterministic hashes make the whole sketch SQL-oracle-checkable; at
+    100 TB the sketch is a fixed 256-cell table (one map-side-combined
+    aggregation) no matter the corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tokens(docs).select("tok")
+
+    def bucket_col(row, tok_col):
+        return F.pmod(
+            F.conv(F.substring(F.md5(F.concat(F.lit(f"{row}:"), tok_col)), 1, 8),
+                   16, 10).cast("long"),
+            F.lit(CMS_WIDTH),
+        ).cast("int")
+
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        bucket_col(r, F.col("tok")).alias("bucket"),
+                    )
+                    for r in range(CMS_ROWS)
+                ])
+            ).alias("c")
+        )
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stop = spark.createDataFrame([(s,) for s in STOPWORDS], "token STRING")
+    probes = stop.select(
+        "token",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(r).alias("row"),
+                         bucket_col(r, F.col("token")).alias("bucket"))
+                for r in range(CMS_ROWS)
+            ])
+        ).alias("c"),
+    ).select("token", F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+    est = (
+        probes.join(cells, ["row", "bucket"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("cms_estimate"))
+    )
+    truth = (
+        toks.groupBy(F.col("tok").alias("token"))
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    return (
+        est.join(truth, "token", "left")
+        .select(
+            "token",
+            F.coalesce(F.col("true_count"), F.lit(0)).alias("true_count"),
+            "cms_estimate",
+            (F.col("cms_estimate") >= F.coalesce(F.col("true_count"), F.lit(0)))
+            .alias("bound_holds"),
+        )
+    )
+
+
+def _sql_cms() -> str:
+    def bucket(row, expr):
+        return (f"CAST(CAST('0x' || substring(md5('{row}:' || {expr}), 1, 8) "
+                f"AS BIGINT) % {CMS_WIDTH} AS INT)")
+
+    tok_rows = "\n    UNION ALL\n".join(
+        f"    SELECT {r} AS row, {bucket(r, 'tok')} AS bucket FROM toks"
+        for r in range(CMS_ROWS)
+    )
+    probe_rows = "\n    UNION ALL\n".join(
+        f"    SELECT token, {r} AS row, {bucket(r, 'token')} AS bucket FROM stop"
+        for r in range(CMS_ROWS)
+    )
+    stop_values = ", ".join(f"('{s}')" for s in STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                x -> x <> '')) AS tok
+  FROM documents
+), cells AS (
+  SELECT row, bucket, count(*) AS n FROM (
+{tok_rows}
+  ) GROUP BY row, bucket
+), stop AS (
+  SELECT * FROM (VALUES {stop_values}) AS t(token)
+), probes AS (
+{probe_rows}
+), est AS (
+  SELECT p.token, min(coalesce(c.n, 0)) AS cms_estimate
+  FROM probes p LEFT JOIN cells c ON p.row = c.row AND p.bucket = c.bucket
+  GROUP BY p.token
+), truth AS (
+  SELECT tok AS token, count(*) AS true_count FROM toks GROUP BY tok
+)
+SELECT e.token,
+       CAST(coalesce(t.true_count, 0) AS BIGINT) AS true_count,
+       CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+       e.cms_estimate >= coalesce(t.true_count, 0) AS bound_holds
+FROM est e LEFT JOIN truth t ON e.token = t.token
+"""
+
+
+SQL_TOKEN_CMS = _sql_cms()
+
+
+# --------------------------------------------------------------------------
 # Document fingerprinting (rolling hash + winnowing)
 # --------------------------------------------------------------------------
 
@@ -1869,6 +1987,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, SQL_DEDUP_EMBEDDING_LSH),
     # text analysis
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "token_cms_heavy_hitters": (q_token_cms_heavy_hitters, SQL_TOKEN_CMS),
     "doc_winnow_fingerprints": (q_doc_winnow_fingerprints, SQL_DOC_WINNOW),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
