@@ -1022,6 +1022,146 @@ WHERE round(
 
 
 # --------------------------------------------------------------------------
+# Pretraining text hygiene: PII redaction, repetition, decontamination
+# --------------------------------------------------------------------------
+
+# Conservative patterns valid in both Java regex (Spark) and RE2 (DuckDB).
+PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PII_URL = "https?://[^ \\t\\n\\r]+"
+PII_PHONE = "\\+?[0-9][0-9()\\- ]{7,}[0-9]"
+
+
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (the standard pretraining redaction pass): emails,
+    URLs, then phone-like digit runs replaced by typed sentinels, applied
+    in a fixed order so the oracle is byte-identical; per-doc match counts
+    and an md5 of the redacted text keep the result row narrow."""
+    docs = _t(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), PII_EMAIL, "<EMAIL>"),
+            PII_URL, "<URL>",
+        ),
+        PII_PHONE, "<PHONE>",
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(f"({PII_EMAIL})"))).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(f"({PII_URL})"))).alias("n_urls"),
+        F.size(F.regexp_extract_all("text", F.lit(f"({PII_PHONE})"))).alias("n_phones"),
+        F.length(redacted).alias("redacted_len"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+SQL_TEXT_REDACT_PII = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+       len(regexp_extract_all(text, '{PII_URL}')) AS n_urls,
+       len(regexp_extract_all(text, '{PII_PHONE}')) AS n_phones,
+       length(regexp_replace(regexp_replace(regexp_replace(text,
+                '{PII_EMAIL}', '<EMAIL>', 'g'),
+                '{PII_URL}', '<URL>', 'g'),
+                '{PII_PHONE}', '<PHONE>', 'g')) AS redacted_len,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+                '{PII_EMAIL}', '<EMAIL>', 'g'),
+                '{PII_URL}', '<URL>', 'g'),
+                '{PII_PHONE}', '<PHONE>', 'g')) AS redacted_md5
+FROM documents
+"""
+
+
+def q_doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection (pretraining quality signal): the share of the
+    document's 3-gram stream taken by its single most frequent 3-gram —
+    boilerplate/spam pages repeat, prose does not."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+        .alias("ws"),
+    )
+    grams = toks.select(
+        "doc_id", F.explode(_shingle_array_expr()).alias("shingle")
+    )
+    counts = grams.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("c").alias("n_shingles"),
+        F.max("c").alias("max_shingle_count"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("repetition_ratio"),
+    )
+
+
+SQL_DOC_REPETITION = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                     x -> x <> '') AS ws
+  FROM documents
+), grams AS (
+  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM toks, UNNEST(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+), counts AS (
+  SELECT doc_id, shingle, count(*) AS c FROM grams GROUP BY doc_id, shingle
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_shingles,
+       CAST(max(c) AS BIGINT) AS max_shingle_count,
+       round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS repetition_ratio
+FROM counts GROUP BY doc_id
+"""
+
+
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination check: overlap of each document's distinct 3-grams
+    with a 'benchmark' shingle set (stand-in: the shingles of doc_id < 5).
+    The benchmark side is tiny → broadcast; corpus side is one shuffle —
+    the shape of a real train/test-leak scan at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    bench = sh.filter(F.col("doc_id") < 5).select("shingle").distinct()
+    doc_sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = (
+        sh.join(F.broadcast(bench), "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("bench_hits"))
+    )
+    return (
+        doc_sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id", "n_shingles",
+            F.coalesce(F.col("bench_hits"), F.lit(0)).alias("bench_hits"),
+            F.round(
+                F.coalesce(F.col("bench_hits"), F.lit(0))
+                / F.greatest(F.col("n_shingles"), F.lit(1)),
+                6,
+            ).alias("contamination_ratio"),
+        )
+    )
+
+
+SQL_BENCHMARK_CONTAMINATION = (
+    _SHINGLES_SQL
+    + """
+  , bench AS (
+    SELECT DISTINCT shingle FROM shingles WHERE doc_id < 5
+  ), doc_sizes AS (
+    SELECT doc_id, count(*) AS n_shingles FROM shingles GROUP BY doc_id
+  ), hits AS (
+    SELECT s.doc_id, count(*) AS bench_hits
+    FROM shingles s JOIN bench b ON s.shingle = b.shingle
+    GROUP BY s.doc_id
+  )
+SELECT d.doc_id, CAST(d.n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(h.bench_hits, 0) AS BIGINT) AS bench_hits,
+       round(coalesce(h.bench_hits, 0) / CAST(greatest(d.n_shingles, 1) AS DOUBLE), 6)
+         AS contamination_ratio
+FROM doc_sizes d LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+)
+
+
+# --------------------------------------------------------------------------
 # Count-min sketch (deterministic md5-derived hash rows -> oracle-checkable)
 # --------------------------------------------------------------------------
 
@@ -1988,6 +2128,9 @@ QUERIES: dict[str, tuple] = {
     # text analysis
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "token_cms_heavy_hitters": (q_token_cms_heavy_hitters, SQL_TOKEN_CMS),
+    "text_redact_pii": (q_text_redact_pii, SQL_TEXT_REDACT_PII),
+    "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
+    "benchmark_contamination": (q_benchmark_contamination, SQL_BENCHMARK_CONTAMINATION),
     "doc_winnow_fingerprints": (q_doc_winnow_fingerprints, SQL_DOC_WINNOW),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
