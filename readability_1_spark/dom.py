@@ -296,6 +296,40 @@ class Node:
         return old_node
 
 
+def has_descendant_tag(node: "Element | Document", tags: frozenset) -> bool:
+    """Early-exit existence check: any descendant element whose tagName is
+    in `tags` (uppercase)?  Equivalent to `len(getElementsByTagName(t))>0
+    for any t` without building lists or finishing the walk."""
+    def rec(children):
+        for child in children:
+            if child.tagName in tags:
+                return True
+            kids = child.children
+            if kids and rec(kids):
+                return True
+        return False
+
+    return rec(node.children)
+
+
+def count_descendant_tags(node: "Element | Document", tags: frozenset) -> int:
+    """Total count of descendant elements with tagName in `tags`
+    (uppercase) — equals sum(len(getElementsByTagName(t))) in one walk."""
+    n = 0
+
+    def rec(children):
+        nonlocal n
+        for child in children:
+            if child.tagName in tags:
+                n += 1
+            kids = child.children
+            if kids:
+                rec(kids)
+
+    rec(node.children)
+    return n
+
+
 def _get_elements_by_tag_name(node: "Element | Document", tag: str) -> list["Element"]:
     # JSDOMParser.js:299-315 — pre-order over element-only children; returns
     # a plain (non-live) list.  Iterative: no recursion-depth limits.

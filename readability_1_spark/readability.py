@@ -22,7 +22,15 @@ import math
 import re as _re
 
 from . import regexps as R
-from .dom import Document, Element, Node, ParseFatal, Text
+from .dom import (
+    Document,
+    Element,
+    Node,
+    ParseFatal,
+    Text,
+    count_descendant_tags,
+    has_descendant_tag,
+)
 from .jsquirks import JS_WS, WS as _WS
 from .jsquirks import js_div, js_split_ws, js_trim, word_count
 
@@ -87,6 +95,13 @@ PHRASING_ELEMS = frozenset(
 )
 # Readability.js:281
 CLASSES_TO_PRESERVE = ("page",)
+
+# Early-exit walk tag sets (uppercase tagName membership).
+_BR_HR = frozenset(("BR", "HR"))
+_MEDIA_TAGS = frozenset(("IMG", "EMBED", "OBJECT", "IFRAME"))
+_DATA_TABLE_DESCENDANTS = frozenset(("COL", "COLGROUP", "TFOOT", "THEAD", "TH"))
+_TABLE_ONLY = frozenset(("TABLE",))
+_IMG_PICTURE = frozenset(("IMG", "PICTURE"))
 
 
 class NoDocumentError(Exception):
@@ -454,9 +469,8 @@ class Readability:
         # early-exit subtree scan instead of building the concatenation.
         if node.node_type == ELEMENT_NODE and not _has_nonws_text(node):
             n_children = len(node.children)
-            return n_children == 0 or n_children == (
-                len(node.getElementsByTagName("br"))
-                + len(node.getElementsByTagName("hr"))
+            return n_children == 0 or n_children == count_descendant_tags(
+                node, _BR_HR
             )
         return False
 
@@ -1007,13 +1021,9 @@ class Readability:
 
         # Remove extra paragraphs (Readability.js:783-792).
         def _empty_para(para: Element, i, lst) -> bool:
-            total = (
-                len(para.getElementsByTagName("img"))
-                + len(para.getElementsByTagName("embed"))
-                + len(para.getElementsByTagName("object"))
-                + len(para.getElementsByTagName("iframe"))
+            return not has_descendant_tag(para, _MEDIA_TAGS) and not (
+                self._get_inner_text(para, False)
             )
-            return total == 0 and not self._get_inner_text(para, False)
 
         self._remove_nodes(self._get_all_nodes_with_tag(content, ["p"]), _empty_para)
 
@@ -1140,13 +1150,10 @@ class Readability:
             ):
                 table._readabilityDataTable = True
                 continue
-            if any(
-                table.getElementsByTagName(t)
-                for t in ("col", "colgroup", "tfoot", "thead", "th")
-            ):
+            if has_descendant_tag(table, _DATA_TABLE_DESCENDANTS):
                 table._readabilityDataTable = True
                 continue
-            if table.getElementsByTagName("table"):
+            if has_descendant_tag(table, _TABLE_ONLY):
                 table._readabilityDataTable = False
                 continue
             rows, _cols = self._get_row_and_column_count(table)
@@ -1177,7 +1184,7 @@ class Readability:
                 if tag_name in ("IMG", "PICTURE"):
                     el.setAttribute(copy_to, x)
                 elif tag_name == "FIGURE":
-                    if self._get_all_nodes_with_tag(el, ["img", "picture"]):
+                    if has_descendant_tag(el, _IMG_PICTURE):
                         continue
                     img = self._doc.createElement("img")
                     img.setAttribute(copy_to, x)

@@ -46,19 +46,28 @@ def is_probably_readerable(doc: Document, is_visible=None) -> bool:
     if is_visible is None:
         is_visible = _is_node_visible
 
-    # querySelectorAll("p, pre") → document order.
-    nodes: list[Element] = [
-        el for el in doc.getElementsByTagName("*") if el.localName in ("p", "pre")
-    ]
-    # querySelectorAll("div > br") → parents of such brs appended (Set keeps
-    # first-insertion order, dedups against the p/pre list).
-    br_parents = [
-        el.parentNode
-        for el in doc.getElementsByTagName("*")
-        if el.localName == "br"
-        and el.parentNode is not None
-        and el.parentNode.localName == "div"
-    ]
+    # querySelectorAll("p, pre") and querySelectorAll("div > br") in ONE
+    # pre-order walk (each list keeps its document order, identical to two
+    # separate getElementsByTagName("*") passes).
+    nodes: list[Element] = []
+    br_parents: list[Element] = []
+
+    def _walk(children):
+        for el in children:
+            ln = el.localName
+            if ln == "p" or ln == "pre":
+                nodes.append(el)
+            elif (
+                ln == "br"
+                and el.parentNode is not None
+                and el.parentNode.localName == "div"
+            ):
+                br_parents.append(el.parentNode)
+            kids = el.children
+            if kids:
+                _walk(kids)
+
+    _walk(doc.children)
     if br_parents:
         seen = dict.fromkeys(nodes)
         for parent in br_parents:
