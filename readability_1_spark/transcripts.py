@@ -198,3 +198,28 @@ def scaled_transcripts(spark: SparkSession, n_turns: int, skew: float = 0.3,
         )
     )
     return out
+
+
+def transcripts_from_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """JSONL dumps → the transcripts input shape.
+
+    Schema is passed explicitly (never inferred — inference is a second
+    full scan at 100 TB) with ts accepted as ISO-8601 strings; missing
+    columns surface as nulls rather than load failures."""
+    raw_schema = StructType(
+        [
+            StructField("conv_id", StringType(), True),
+            StructField("turn_idx", IntegerType(), True),
+            StructField("role", StringType(), True),
+            StructField("text", StringType(), True),
+            StructField("tool", StringType(), True),
+            StructField("ts", StringType(), True),
+        ]
+    )
+    raw = spark.read.schema(raw_schema).json(path)
+    return raw.select(
+        F.coalesce(F.col("conv_id"), F.lit("conv-unknown")).alias("conv_id"),
+        F.coalesce(F.col("turn_idx"), F.lit(0)).cast("int").alias("turn_idx"),
+        "role", "text", "tool",
+        F.to_timestamp("ts").alias("ts"),
+    )

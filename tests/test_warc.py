@@ -72,3 +72,29 @@ def test_warc_to_extraction_end_to_end(spark, tmp_path):
     # fixture page extracts ok on both hosts; the short page yields a
     # kernel status too (it passed the HTML gate)
     assert got["conv-other.example.org"] == "ok"
+
+
+def test_jsonl_transcripts_source(spark, tmp_path):
+    import json
+
+    from readability_1_spark.pipeline import extract_transcripts
+    from readability_1_spark.transcripts import transcripts_from_jsonl
+
+    fixture = open(
+        "/root/reference/test/test-pages/001/source.html", encoding="utf-8"
+    ).read()
+    lines = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "hi",
+         "tool": None, "ts": "2026-01-01T00:00:00Z"},
+        {"conv_id": "c1", "turn_idx": 1, "role": "tool", "text": fixture,
+         "tool": "browser", "ts": "2026-01-01T00:00:30Z"},
+        {"text": "row with missing keys"},
+    ]
+    p = tmp_path / "t.jsonl"
+    p.write_text("\n".join(json.dumps(x) for x in lines))
+    t = transcripts_from_jsonl(spark, str(p))
+    rows = t.collect()
+    assert len(rows) == 3
+    assert {r.conv_id for r in rows} == {"c1", "conv-unknown"}
+    ex = {r.conv_id: r.status for r in extract_transcripts(t, num_parts=2).collect()}
+    assert ex == {"c1": "ok"}
