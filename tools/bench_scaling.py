@@ -219,8 +219,10 @@ cannot quadruple.
 
 Round-2 kernel: interleaved head-to-head against the reference under node
 on this box (5 alternating reps, full 101-fixture corpus, node net of
-process startup) measured a MEDIAN per-core gap of 1.59× after the final hot-path round
-(range 1.33-1.70× across capacity windows; round 1 measured 2.4×).  The gap is
+process startup) measured per-session MEDIAN per-core gaps of 1.39× / 1.59× / 1.64×
+across three measurement sessions after the round-2 hot-path work
+(individual reps ranged 0.95×-2.00×, i.e. the engine beat node outright
+in one rep; round 1 measured 2.4×).  The gap is
 recovered through parallelism and payload dedup (extract once per
 distinct page, join back: 1,622-1,754 turns/s at sf0.1 in BENCH_r02 vs
 485 without dedup).
