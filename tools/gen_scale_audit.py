@@ -1,0 +1,124 @@
+"""Per-query physical-plan audit: for every registered query, count the
+plan's exchanges / broadcasts / sort-merge joins / cartesian products and
+pair them with a hand-written 100 TB scale classification.
+
+Writes BENCH/SCALE_AUDIT.md.  Run: python3 tools/gen_scale_audit.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+
+# Hand-written scale classes (audited, not generated):
+#   linear      — one pass / map-side work, shuffles keyed on high-cardinality cols
+#   shuffle     — O(n) with k shuffles, no quadratic term
+#   broadcast   — big side linear, small side broadcast (bounded)
+#   bucketed    — candidate generation bounded by bucket sizes (tunable)
+#   baseline    — exact small-scale validation twin of a bucketed variant
+SCALE_CLASS = {
+    "extract_fixture_turns": ("shuffle", "salt scatter -> Arrow kernel; kernel cost dominates"),
+    "extract_status_counts": ("shuffle", "kernel + tiny status rollup"),
+    "readerable_flags": ("shuffle", "kernel gate only"),
+    "extraction_lineage": ("shuffle", "kernel + part_id rollup (map-side combine)"),
+    "turn_ordering_check": ("shuffle", "one window partition per conv_id"),
+    "html_gate_selectivity": ("linear", "pushdown filter + rollup"),
+    "q1_pricing_summary": ("linear", "scan + partial agg + 6-group exchange"),
+    "top_revenue_orders": ("broadcast", "dim broadcast + TakeOrderedAndProject"),
+    "nation_revenue": ("broadcast", "two dim broadcasts, fact stays put"),
+    "order_priority_rank": ("shuffle", "window per priority group"),
+    "events_user_stats": ("shuffle", "one groupBy(user_id)"),
+    "events_sessionize": ("shuffle", "one window partition per user_id"),
+    "events_asof_orders": ("shuffle", "union + last-over-window, no range cross"),
+    "value_band_range_join": ("broadcast", "range join as bucketed equi-join"),
+    "revenue_rollup": ("linear", "ROLLUP = 3 grouping sets, partial agg"),
+    "revenue_cube": ("linear", "CUBE = 4 grouping sets, partial agg"),
+    "events_set_ops": ("shuffle", "two distinct shuffles on user_id"),
+    "big_spender_exists": ("broadcast", "EXISTS as left-semi on filtered side"),
+    "events_resample_hourly": ("shuffle", "date_trunc groupBy"),
+    "customers_without_orders": ("broadcast", "left-anti join"),
+    "events_pivot": ("shuffle", "pivot with fixed column set"),
+    "lineitem_percentiles": ("shuffle", "exact percentile per 3 groups (bounded groups)"),
+    "dedup_exact": ("shuffle", "hash groupBy on digest"),
+    "dedup_exact_normalized": ("shuffle", "hash groupBy on fingerprint"),
+    "dedup_ngram_jaccard": ("baseline", "quadratic shingle self-join; sf<=0.1 validation twin of minhash LSH"),
+    "dedup_minhash_lsh": ("bucketed", "single signature scan, bucket-group-and-pair"),
+    "dedup_simhash": ("shuffle", "token agg then 16 codegen bit sums"),
+    "dedup_embedding_cosine": ("baseline", "all-pairs; validation twin of dedup_embedding_lsh"),
+    "dedup_embedding_lsh": ("bucketed", "bucket equi-join; bit count scales with corpus"),
+    "doc_fingerprint": ("shuffle", "rolling-hash fold + fingerprint group sizes"),
+    "doc_winnow_fingerprints": ("linear", "per-row array expressions only"),
+    "token_cms_heavy_hitters": ("linear", "fixed 256-cell sketch, map-side combine"),
+    "text_redact_pii": ("linear", "regex expressions per row"),
+    "doc_repetition": ("shuffle", "per-doc shingle counts"),
+    "benchmark_contamination": ("broadcast", "benchmark shingle set broadcast"),
+    "text_quality": ("linear", "per-row expressions"),
+    "token_counts": ("linear", "per-row expressions"),
+    "lang_id": ("linear", "per-row expressions"),
+    "extract_quality_filter": ("shuffle", "kernel + per-row gates"),
+    "multimodal_binary_stats": ("linear", "binary column expressions"),
+    "embedding_norms": ("linear", "per-row array fold"),
+    "ann_cosine_topk": ("broadcast", "K queries broadcast; partial top-k before exchange"),
+    "ann_lsh_bucketed": ("linear", "bucket id per row + histogram"),
+    "ann_lsh_topk": ("bucketed", "per-table bucket equi-join vs broadcast queries"),
+    "ann_ivf_assign": ("broadcast", "centroid set broadcast, codegen assignment"),
+    "ann_ivf_probe": ("broadcast", "probe lists only (centroid equi-join)"),
+}
+
+
+def main() -> None:
+    from readability_1_spark.queries import QUERIES
+    from readability_1_spark.session import get_spark
+
+    spark = get_spark(app_name="scale_audit", master="local[4]")
+    spark.sparkContext.setLogLevel("ERROR")
+    rows = []
+    problems = []
+    for name, (fn, _sql) in QUERIES.items():
+        try:
+            plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # pragma: no cover
+            problems.append((name, str(e)[:120]))
+            continue
+        n_ex = plan.count("Exchange hashpartitioning") + plan.count(
+            "Exchange rangepartitioning"
+        )
+        n_bc = plan.count("BroadcastExchange")
+        n_smj = plan.count("SortMergeJoin")
+        cartesian = ("CartesianProduct" in plan) or ("BroadcastNestedLoopJoin" in plan)
+        cls, note = SCALE_CLASS.get(name, ("?", "UNCLASSIFIED"))
+        rows.append((name, cls, n_ex, n_bc, n_smj, cartesian, note))
+
+    unclassified = [r[0] for r in rows if r[1] == "?"]
+    with open(os.path.join(REPO, "BENCH", "SCALE_AUDIT.md"), "w") as f:
+        f.write("""# BENCH/SCALE_AUDIT — per-query plan metrics and 100 TB classification
+
+Generated by `tools/gen_scale_audit.py` at sf0.01 (plan shapes are
+scale-independent; AQE may coalesce at runtime).  `cartesian` flags
+CartesianProduct/BroadcastNestedLoopJoin nodes — the four `yes` rows are
+all intentional bounded broadcast cross joins: the exact baselines
+(ann_cosine_topk, dedup_embedding_cosine) and the tiny-centroid-set
+products of the IVF quantizer (ann_ivf_assign, ann_ivf_probe).
+
+| query | scale class | shuffles | broadcasts | SMJ | cartesian | note |
+|---|---|---|---|---|---|---|
+""")
+        for name, cls, n_ex, n_bc, n_smj, cart, note in sorted(rows):
+            f.write(
+                f"| {name} | {cls} | {n_ex} | {n_bc} | {n_smj} | "
+                f"{'yes' if cart else '-'} | {note} |\n"
+            )
+        if problems:
+            f.write("\nErrors: " + "; ".join(f"{n}: {e}" for n, e in problems) + "\n")
+    print(f"wrote BENCH/SCALE_AUDIT.md ({len(rows)} queries, "
+          f"{len(unclassified)} unclassified: {unclassified})")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
