@@ -98,3 +98,31 @@ def test_jsonl_transcripts_source(spark, tmp_path):
     assert {r.conv_id for r in rows} == {"c1", "conv-unknown"}
     ex = {r.conv_id: r.status for r in extract_transcripts(t, num_parts=2).collect()}
     assert ex == {"c1": "ok"}
+
+
+def test_warc_to_curated_corpus(spark, tmp_path):
+    """The whole 100 TB story in one test: crawl archive segments ->
+    transcripts -> payload-dedup extraction -> content dedup -> quality
+    gates -> curated corpus with stats."""
+    from readability_1_spark.pretrain import run_pretrain_job
+    from readability_1_spark.warc import build_warc_bytes, read_warc, warc_as_transcripts
+
+    fixture = open(
+        "/root/reference/test/test-pages/001/source.html", encoding="utf-8"
+    ).read()
+    pages = [
+        ("http://a.example.com/post", "2026-01-01T00:00:00Z", fixture),
+        ("http://b.example.com/mirror", "2026-01-01T01:00:00Z", fixture),  # dup
+        ("http://a.example.com/stub", "2026-01-01T02:00:00Z",
+         "<html><body><p>too short</p></body></html>"),
+    ]
+    warc_dir = tmp_path / "crawl"
+    warc_dir.mkdir()
+    (warc_dir / "seg.warc").write_bytes(build_warc_bytes(pages))
+
+    transcripts = warc_as_transcripts(read_warc(spark, str(warc_dir)))
+    stats = run_pretrain_job(spark, transcripts, str(tmp_path / "out"), num_parts=4)
+    curated = spark.read.parquet(str(tmp_path / "out" / "curated")).collect()
+    # the mirrored page dedups to one curated doc; the stub fails the gates
+    assert stats["n_docs"] == 1 and len(curated) == 1
+    assert curated[0].n_tokens > 80
