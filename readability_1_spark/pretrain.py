@@ -5,14 +5,19 @@ training-data team would actually run over an agent-transcript corpus.
       → HTML gate → payload-dedup extraction (kernel once per distinct page)
       → status == ok
       → exact dedup on extracted text (sha2-256, deterministic keeper)
+      → fuzzy dedup: minhash-LSH near-dup pairs → connected components →
+        one keeper per cluster (near-dup inflation dominates exact dups on
+        crawl corpora, so a real pretraining run always has this stage)
       → JVM-side quality gates (length / token count / sentence-ness /
         stopword ratio / link density proxy)
       → curated parquet (text + metadata + token counts) + a stats row
 
-Every stage is a DataFrame transformation (no driver loops, no Python in
-the post-kernel path); the only Python is the extraction kernel itself.
-At 10^12 turns the dominant costs are the kernel (amortized by payload
-dedup) and two hash shuffles (payload hash, content hash) — both linear.
+Every stage is a DataFrame transformation (no driver-side row loops, no
+Python in the post-kernel path); the only Python is the extraction kernel
+itself.  At 10^12 turns the dominant costs are the kernel (amortized by
+payload dedup), three hash shuffles (payload hash, content hash, LSH band
+signature) and a handful of diameter-bounded label-propagation rounds —
+all linear in corpus size.
 """
 
 from __future__ import annotations
@@ -23,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .pipeline import extract_transcripts
-from .queries import STOPWORDS, TOKEN_SPLIT
+from .queries import STOPWORDS, TOKEN_SPLIT, _minhash_pairs, connected_components
 
 
 def curate_pretraining_data(
@@ -33,6 +38,7 @@ def curate_pretraining_data(
     min_tokens: int = 80,
     min_periods: int = 3,
     max_stopword_ratio: float = 0.7,
+    near_dedup: bool = True,
 ) -> DataFrame:
     """transcripts → curated documents DataFrame (no sink).
 
@@ -54,6 +60,36 @@ def curate_pretraining_data(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+
+    if near_dedup:
+        # Fuzzy dedup: minhash-LSH pairs over the extracted text →
+        # connected components → keep only the cluster keeper (min key).
+        # The lexicographic key is deterministic because turn_idx is
+        # zero-padded; keeper choice therefore matches the exact-dedup
+        # discipline (lowest conv_id, turn_idx survives).
+        keyed = deduped.withColumn(
+            "_nd_id",
+            F.concat_ws(
+                "#", "conv_id", F.lpad(F.col("turn_idx").cast("string"), 10, "0")
+            ),
+        )
+        pairs = _minhash_pairs(
+            keyed.select(
+                F.col("_nd_id").alias("doc_id"), F.col("text_content").alias("text")
+            )
+        )
+        # CC only over docs in ≥1 pair (everything else is its own keeper).
+        nodes = (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        losers = connected_components(nodes, pairs).filter(
+            F.col("doc_id") != F.col("cluster_id")
+        )
+        deduped = keyed.join(
+            losers.select(F.col("doc_id").alias("_nd_id")), "_nd_id", "left_anti"
+        ).drop("_nd_id")
 
     ws = F.filter(
         F.split(F.lower(F.col("text_content")), TOKEN_SPLIT), lambda x: x != ""

@@ -790,15 +790,37 @@ FROM documents GROUP BY 1
 """
 
 
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Quadratic validation twins refuse inputs above this row count unless the
+# caller explicitly opts in — a silent O(n²) job on a big table is worse
+# than a loud error.  sf0.1 documents = 5,000 rows; bound leaves headroom.
+MAX_QUADRATIC_ROWS = 50_000
+
+
+def _guard_quadratic(df: DataFrame, what: str, allow_quadratic: bool) -> None:
+    if allow_quadratic:
+        return
+    n = df.count()
+    if n > MAX_QUADRATIC_ROWS:
+        raise ValueError(
+            f"{what} is a quadratic small-scale validation baseline and the "
+            f"input has {n} rows (> {MAX_QUADRATIC_ROWS}); use its bucketed "
+            "scale twin, or pass allow_quadratic=True to force it"
+        )
+
+
+def q_dedup_ngram_jaccard(
+    spark: SparkSession, sf_dir: str, allow_quadratic: bool = False
+) -> DataFrame:
     """3-word-shingle Jaccard near-dup pairs: explode → distinct → self-join
     on shingle → |∩| / (|A|+|B|−|∩|).
 
     EXACT SMALL-SCALE BASELINE ONLY (sf <= 0.1): the shingle self-join is
     quadratic in per-shingle collision-group size and must not be pointed
     at a large corpus — dedup_minhash_lsh is the production-scale
-    replacement, and this query exists as its validation twin."""
+    replacement, and this query exists as its validation twin.  Inputs over
+    MAX_QUADRATIC_ROWS are refused unless allow_quadratic=True."""
     docs = _t(spark, sf_dir, "documents")
+    _guard_quadratic(docs, "dedup_ngram_jaccard", allow_quadratic)
     sh = _shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
@@ -847,17 +869,15 @@ WHERE round(n_common / (sa.sz + sb.sz - n_common), 6) >= 0.05
 )
 
 
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + LSH banding: shingle → 16 md5-seeded min-hashes → 4 bands
-    of 4 → bucket join on band signature → candidate pairs.  At 100 TB this
-    is THE dedup plan: cost is linear in corpus size + bucket collisions,
-    never all-pairs.
+def _minhash_pairs(docs: DataFrame) -> DataFrame:
+    """MinHash + LSH banding near-dup candidate pairs over a (doc_id, text)
+    DataFrame: shingle → 16 md5-seeded min-hashes → 4 bands of 4 → bucket
+    group on band signature → (doc_a, doc_b) with doc_a < doc_b, distinct.
 
     Spark-first shape: explode shingles once, then compute ALL 16 min-hashes
     as aggregate expressions in a single groupBy(doc_id) — one shuffle of
     |docs|×|distinct shingles| rows (not ×16 as a seed cross join would) and
     every expression stays inside whole-stage codegen."""
-    docs = _t(spark, sf_dir, "documents")
     sh = _shingles(docs)
     signed = sh.groupBy("doc_id").agg(
         *[
@@ -908,6 +928,13 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH banding candidate pairs (see _minhash_pairs).  At
+    100 TB this is THE dedup plan: cost is linear in corpus size + bucket
+    collisions, never all-pairs."""
+    return _minhash_pairs(_t(spark, sf_dir, "documents"))
+
+
 SQL_DEDUP_MINHASH_LSH = (
     _SHINGLES_SQL
     + f"""
@@ -925,6 +952,125 @@ SQL_DEDUP_MINHASH_LSH = (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+"""
+)
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list, as pure DataFrame
+    transformations: iterative min-label propagation (label(v) becomes the
+    min of its own label and its neighbours' labels) until a fixpoint.
+
+    `nodes`  — one column `id_col`;
+    `edges`  — columns (doc_a, doc_b), one row per undirected edge.
+    Returns (id_col, cluster_id) where cluster_id = min node id reachable.
+
+    Scale notes: each iteration is one edge⋈label join + one min groupBy —
+    both hash-partitioned on the node id, so consecutive iterations reuse
+    the same partitioning.  Iteration count is the cluster DIAMETER, not
+    corpus size; LSH near-dup clusters are near-cliques (every pair that
+    shares a band signature is a direct edge), so diameters are tiny —
+    `max_iter` is a safety bound, overrunning it raises instead of
+    returning a half-merged labeling.  Per-iteration localCheckpoint
+    truncates the lineage (an unbounded iterative plan tree is the classic
+    Spark CC failure mode) and makes the convergence count cheap."""
+    und = (
+        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint()
+    )
+    labels = nodes.select(
+        F.col(id_col), F.col(id_col).alias("cluster_id")
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        nbr_min = (
+            und.join(labels, und["src"] == labels[id_col])
+            .groupBy(F.col("dst").alias(id_col))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        merged = labels.join(nbr_min, id_col, "left").select(
+            F.col(id_col),
+            F.col("cluster_id").alias("_old"),
+            # least() skips NULLs (isolated nodes keep their own label)
+            F.least("cluster_id", "nbr_min").alias("cluster_id"),
+        ).localCheckpoint()
+        changed = merged.filter(F.col("_old") != F.col("cluster_id")).count()
+        labels = merged.drop("_old")
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} iterations"
+    )
+
+
+def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER RESOLUTION — the stage a real pretraining dedup run
+    executes after pair generation: minhash-LSH pairs → connected
+    components → one keeper per cluster (the min doc_id).  Singleton docs
+    appear with cluster_id = doc_id, cluster_size = 1, is_keeper = true, so
+    the output is a total keep/drop verdict for the corpus: filtering
+    `is_keeper` IS the fuzzy-dedup pass."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _minhash_pairs(docs)
+    # CC only over docs that occur in ≥1 pair; singletons join back after.
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cc = connected_components(nodes, pairs)
+    labeled = docs.select("doc_id").join(cc, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+    )
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
+SQL_DEDUP_MINHASH_CLUSTERS = (
+    _SHINGLES_SQL.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + f"""
+  , minhashes AS (
+    SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minh
+    FROM shingles, UNNEST(generate_series(0, {N_MINHASH - 1})) AS s(seed)
+    GROUP BY doc_id, seed
+  ),
+  bands AS (
+    SELECT doc_id, CAST(seed // {N_MINHASH // N_BANDS} AS INT) AS band,
+           md5(string_agg(minh, ',' ORDER BY seed)) AS sig
+    FROM minhashes GROUP BY doc_id, CAST(seed // {N_MINHASH // N_BANDS} AS INT)
+  ),
+  pairs AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  ),
+  edges AS (
+    SELECT doc_a AS src, doc_b AS dst FROM pairs
+    UNION ALL
+    SELECT doc_b AS src, doc_a AS dst FROM pairs
+  ),
+  reach(doc_id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT re.doc_id, e.dst FROM reach re JOIN edges e ON e.src = re.r
+  ),
+  cc AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       (doc_id = cluster_id) AS is_keeper
+FROM cc
 """
 )
 
@@ -973,11 +1119,15 @@ FROM sums
 """
 
 
-def q_dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, allow_quadratic: bool = False
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact operator; the lossy
-    scale path is ann_lsh_bucketed).  Norms are precomputed once per vector
-    so the pair stage is a dot product only."""
+    scale path is dedup_embedding_lsh).  Norms are precomputed once per
+    vector so the pair stage is a dot product only.  All-pairs → inputs
+    over MAX_QUADRATIC_ROWS are refused unless allow_quadratic=True."""
     emb = _t(spark, sf_dir, "embeddings")
+    _guard_quadratic(emb, "dedup_embedding_cosine", allow_quadratic)
     normed = emb.select(
         "vec_id", "embedding",
         F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
@@ -2122,6 +2272,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_exact_normalized": (q_dedup_exact_normalized, SQL_DEDUP_EXACT_NORMALIZED),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_minhash_clusters": (q_dedup_minhash_clusters, SQL_DEDUP_MINHASH_CLUSTERS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, SQL_DEDUP_EMBEDDING_LSH),

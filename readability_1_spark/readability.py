@@ -149,6 +149,10 @@ class Readability:
             )
         opts = opts or {}
         self._doc = doc
+        # Readability.js:112-119 — debug is log-only: it never changes the
+        # extraction output, only emits trace lines.  Accepted for API
+        # parity; messages go to stderr (stdout stays clean for kernels).
+        self._debug = bool(opts.get("debug"))
         self._attempts: list[dict] = []
         self._article_dir: str | None = None
         self._article_title: str | None = None
@@ -168,6 +172,13 @@ class Readability:
                               "prune_counts": {}}
 
     # ----- generic helpers -------------------------------------------------
+    def log(self, *args) -> None:
+        """Readability.js:162-180 — no-op unless opts.debug."""
+        if self._debug:
+            import sys
+
+            print("Reader:", *args, file=sys.stderr)
+
     def _flag_is_active(self, flag: int) -> bool:
         return (self._flags & flag) > 0
 

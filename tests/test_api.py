@@ -33,6 +33,30 @@ def test_option_defaults_and_overrides():
     ]
 
 
+def test_debug_option_accepted_and_output_invariant(capsys):
+    """Reference debug option (Readability.js:112-119): log-only — the
+    extraction result must be byte-identical with and without it, stdout
+    must stay clean (kernels own stdout), and the trace goes to stderr."""
+    html = (
+        "<html><body><div><p>" + ("Words and more words. " * 60) + "</p></div>"
+        "</body></html>"
+    )
+    assert Readability(_doc())._debug is False
+    assert Readability(_doc(), {"debug": True})._debug is True
+    plain = Readability(JSDOMParser().parse(html)).parse()
+    debug = Readability(JSDOMParser().parse(html), {"debug": True}).parse()
+    assert debug == plain
+    r = Readability(_doc(), {"debug": True})
+    r.log("hello", 42)
+    out = capsys.readouterr()
+    assert out.out == ""
+    assert "hello" in out.err
+    quiet = Readability(_doc())
+    quiet.log("nope")
+    out = capsys.readouterr()
+    assert out.out == "" and out.err == ""
+
+
 def test_oversized_document_aborts():
     reader = Readability(_doc(), {"maxElemsToParse": 1})
     with pytest.raises(TooManyElemsError, match="2 elements found"):

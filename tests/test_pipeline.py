@@ -241,3 +241,108 @@ def test_pretrain_curation_pipeline(spark, tmp_path):
     back = spark.read.parquet(str(tmp_path / "out" / "curated"))
     assert back.count() == len(rows)
     assert stats["total_tokens"] == sum(r.n_tokens for r in rows)
+
+
+def _page(text: str) -> str:
+    return (
+        "<html><head><title>t</title></head><body>"
+        f"<div id=\"main\"><p>{text}</p></div></body></html>"
+    )
+
+
+def test_pretrain_near_dedup_collapses_clusters(spark):
+    """Fuzzy dedup inside curation: three near-identical long documents
+    (small word-level edits — NOT exact duplicates, so the sha2 stage keeps
+    all three) collapse to the single lexicographically-first keeper, while
+    a distinct document survives.  near_dedup=False keeps all four."""
+    from readability_1_spark.pretrain import curate_pretraining_data
+
+    base = (
+        "The quick brown fox jumps over the lazy dog near the river bank. "
+        "It was a bright cold day in April and the clocks were striking "
+        "thirteen while everyone went about the business of the day. "
+        "Many people consider the morning train ride to be the best part "
+        "of a working day in the city because it is quiet and calm. "
+        "The committee reviewed all of the available evidence and decided "
+        "to publish the final report in the spring of the following year. "
+        "A small group of researchers gathered the samples and recorded "
+        "every measurement twice to be certain of the results."
+    )
+    variants = [
+        base,
+        base.replace("quick", "swift", 1),
+        base.replace("river", "canal", 1).replace("cold", "warm", 1),
+    ]
+    other = (
+        "Completely different content about ships and harbors goes here. "
+        "Sailors prepare the rigging before dawn and check every knot "
+        "twice because the open sea forgives no mistakes at all. "
+        "The harbor master keeps a ledger of every vessel that enters "
+        "and leaves the port during the busy trading season each year. "
+        "Cargo manifests are compared against the customs records to be "
+        "sure that nothing is missing from the holds of the ships. "
+        "In the evening the crews gather at the tavern by the water and "
+        "trade stories about the storms they have survived at sea."
+    )
+    rows = [
+        ("conv-a", i, "tool", _page(t), "browser", None)
+        for i, t in enumerate(variants)
+    ] + [("conv-b", 0, "tool", _page(other), "browser", None)]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+
+    kept = curate_pretraining_data(t, num_parts=4).collect()
+    assert {(r.conv_id, r.turn_idx) for r in kept} == {("conv-a", 0), ("conv-b", 0)}
+
+    kept_all = curate_pretraining_data(t, num_parts=4, near_dedup=False).collect()
+    assert len(kept_all) == 4
+
+
+def test_connected_components_chain_and_isolated(spark):
+    """CC over a 6-node chain (diameter 5 — forces several propagation
+    rounds), a separate triangle, and an isolated node."""
+    from readability_1_spark.queries import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11), (11, 12), (10, 12)],
+        "doc_a int, doc_b int",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 6, 10, 11, 12, 99]], "doc_id int"
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10, 12: 10, 99: 99}
+
+
+def test_connected_components_iteration_bound(spark):
+    """A chain longer than max_iter must raise, not silently return a
+    half-merged labeling."""
+    import pytest as _pytest
+
+    from readability_1_spark.queries import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a int, doc_b int"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(9)], "doc_id int")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iter=2)
+
+
+def test_quadratic_baselines_guarded(spark, monkeypatch):
+    """The two intentional O(n²) validation twins refuse big inputs unless
+    explicitly forced (so nobody silently points them at 100 TB)."""
+    import pytest as _pytest
+
+    from readability_1_spark import queries as Q
+
+    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.001")
+    monkeypatch.setattr(Q, "MAX_QUADRATIC_ROWS", 3)
+    with _pytest.raises(ValueError, match="quadratic"):
+        Q.q_dedup_ngram_jaccard(spark, sf_dir)
+    with _pytest.raises(ValueError, match="quadratic"):
+        Q.q_dedup_embedding_cosine(spark, sf_dir)
+    # forced override still runs (plan construction succeeds lazily)
+    Q.q_dedup_ngram_jaccard(spark, sf_dir, allow_quadratic=True)
+    Q.q_dedup_embedding_cosine(spark, sf_dir, allow_quadratic=True)
