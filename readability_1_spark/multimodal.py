@@ -4,11 +4,14 @@ Images/audio/video ride through the pipeline as `binary` columns with a
 metadata struct; decode / feature-extraction / resize / frame-sampling run
 as Arrow-batched kernels over ``mapInPandas``.
 
-`decode_image` REALLY decodes two formats with the stdlib alone (no image
+`decode_image` REALLY decodes three formats with the stdlib alone (no image
 library exists in this container):
   * BMP — uncompressed BI_RGB 24/32-bit (header parse + pixel scan);
   * PNG — 8-bit gray / gray+alpha / RGB / RGBA, non-interlaced (IHDR parse,
-    zlib IDAT inflate, scanline de-filter for all five filter types).
+    zlib IDAT inflate, scanline de-filter for all five filter types);
+  * GIF87a/89a — full LZW decode, interlacing, transparency, multi-frame
+    compositing (so `sample_frame` does REAL video-frame sampling over
+    animated GIFs, with per-frame delays).
 Unsupported formats raise NotImplementedError → decode_status
 "decoder_unavailable"; `fake=True` retains the deterministic fake decoder
 for plumbing tests with arbitrary payload bytes.
@@ -151,6 +154,237 @@ def _decode_png(payload: bytes) -> dict:
     }
 
 
+def _gif_lzw_decode(min_code_size: int, data: bytes) -> bytearray:
+    """GIF LZW decompression (GIF89a spec appendix F, public): LSB-first
+    variable-width codes, dictionary reset on CLEAR, width grows when the
+    table fills, capped at 12 bits."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    nbits = len(data) * 8
+    bitpos = 0
+    table: list[bytes] = []
+    code_size = 0
+    prev: bytes | None = None
+
+    def reset():
+        nonlocal table, code_size, prev
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        code_size = min_code_size + 1
+        prev = None
+
+    reset()
+    while bitpos + code_size <= nbits:
+        byte_i = bitpos >> 3
+        window = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (window >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            reset()
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= clear:
+                raise ValueError("GIF LZW stream starts with a non-literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("GIF LZW code out of range")
+        out += entry
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+    return out
+
+
+def _gif_skip_subblocks(payload: bytes, pos: int) -> int:
+    while payload[pos] != 0:
+        pos += payload[pos] + 1
+    return pos + 1
+
+
+def _gif_frames(payload: bytes) -> tuple[int, int, list[tuple[int, list[bytearray]]]]:
+    """GIF87a/89a → (width, height, [(delay_ms, top-down RGB rows)]).
+
+    Real multi-frame decode: global/local color tables, interlacing,
+    transparency, sub-rectangle compositing, disposal none/keep/
+    restore-background.  Disposal 3 (restore-previous) is rare and raises
+    NotImplementedError."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 14:
+        raise ValueError("GIF header truncated")
+    width, height, flags, bg_idx, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    if width == 0 or height == 0:
+        raise ValueError("GIF with empty logical screen")
+    if width * height > (1 << 26):
+        # garbage headers would otherwise demand a multi-GB canvas
+        raise ValueError("GIF logical screen implausibly large")
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = payload[pos : pos + 3 * n]
+        pos += 3 * n
+    bg_rgb = b"\x00\x00\x00"
+    if gct is not None and (bg_idx + 1) * 3 <= len(gct):
+        bg_rgb = gct[bg_idx * 3 : bg_idx * 3 + 3]
+    canvas = [bytearray(bg_rgb * width) for _ in range(height)]
+    frames: list[tuple[int, list[bytearray]]] = []
+    delay_ms, transparent, disposal = 100, None, 0
+    while pos < len(payload):
+        block = payload[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = payload[pos + 1]
+            pos += 2
+            if label == 0xF9:  # Graphic Control Extension
+                packed = payload[pos + 1]
+                delay = struct.unpack_from("<H", payload, pos + 2)[0]
+                disposal = (packed >> 2) & 7
+                transparent = payload[pos + 4] if packed & 1 else None
+                delay_ms = delay * 10 or 100
+            pos = _gif_skip_subblocks(payload, pos)
+        elif block == 0x2C:  # image descriptor
+            x0, y0, w, h, lflags = struct.unpack_from("<HHHHB", payload, pos + 1)
+            pos += 10
+            if x0 + w > width or y0 + h > height:
+                raise ValueError("GIF frame rectangle out of bounds")
+            ct = gct
+            if lflags & 0x80:
+                n = 2 << (lflags & 7)
+                ct = payload[pos : pos + 3 * n]
+                pos += 3 * n
+            if ct is None:
+                raise ValueError("GIF frame without any color table")
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw_decode(min_code, bytes(data))
+            if len(idx) < w * h:
+                raise ValueError("GIF frame pixel data truncated")
+            if lflags & 0x40:  # interlaced: 4-pass row order
+                order = (
+                    list(range(0, h, 8)) + list(range(4, h, 8))
+                    + list(range(2, h, 4)) + list(range(1, h, 2))
+                )
+            else:
+                order = list(range(h))
+            for ri, y in enumerate(order):
+                row = canvas[y0 + y]
+                base = ri * w
+                for x in range(w):
+                    c = idx[base + x]
+                    if c == transparent:
+                        continue
+                    if (c + 1) * 3 > len(ct):
+                        raise ValueError("GIF color index out of table")
+                    row[(x0 + x) * 3 : (x0 + x) * 3 + 3] = ct[c * 3 : c * 3 + 3]
+            frames.append((delay_ms, [bytearray(r) for r in canvas]))
+            if disposal == 2:  # restore background in the frame's region
+                for y in range(y0, y0 + h):
+                    canvas[y][x0 * 3 : (x0 + w) * 3] = bg_rgb * w
+            elif disposal == 3:
+                raise NotImplementedError("GIF disposal=3 (restore previous)")
+            delay_ms, transparent, disposal = 100, None, 0
+        else:
+            raise ValueError(f"GIF unknown block 0x{block:02x}")
+    return width, height, frames
+
+
+def _decode_gif(payload: bytes) -> dict:
+    """First-frame width/height/RGB channel means + total duration."""
+    width, height, frames = _gif_frames(payload)
+    if not frames:
+        raise ValueError("GIF without image frames")
+    sums = [0, 0, 0]
+    for line in frames[0][1]:
+        for ch in range(3):
+            sums[ch] += sum(line[ch::3])
+    n_px = width * height
+    return {
+        "width": width,
+        "height": height,
+        "channel_means": [s / n_px / 255.0 for s in sums],
+    }
+
+
+def encode_gif_rgb(width: int, height: int,
+                   frames: list[list[bytearray]],
+                   delays_ms: list[int] | None = None) -> bytes:
+    """Top-down RGB frame rows → animated GIF89a bytes.  Palette = the
+    union of colors across frames (≤256 or ValueError); LZW stream uses
+    the always-CLEAR trick (a CLEAR code before every literal keeps the
+    table empty and the code width fixed) — byte-inefficient, spec-valid,
+    and exactly round-trippable by _gif_frames.  This is the sink half of
+    the GIF path (tests round-trip known pixels through it)."""
+    palette: dict[bytes, int] = {}
+    for rows in frames:
+        for row in rows:
+            for x in range(width):
+                c = bytes(row[x * 3 : x * 3 + 3])
+                if c not in palette:
+                    palette[c] = len(palette)
+    if len(palette) > 256:
+        raise ValueError(f"encode_gif_rgb: {len(palette)} colors > 256")
+    bits = max(2, (len(palette) - 1).bit_length())
+    n = 1 << bits
+    ct = bytearray()
+    for c in sorted(palette, key=palette.get):
+        ct += c
+    ct += b"\x00" * (3 * n - len(ct))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", width, height, 0x80 | (bits - 1), 0, 0)
+    out += ct
+    delays = delays_ms or [100] * len(frames)
+    min_code = bits
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    code_size = min_code + 1
+    for rows, delay in zip(frames, delays):
+        out += b"\x21\xf9\x04" + struct.pack("<BHB", 0, delay // 10, 0) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, width, height, 0)
+        out += bytes([min_code])
+        # bit-pack CLEAR,idx pairs then END, LSB-first
+        acc = 0
+        acc_bits = 0
+        stream = bytearray()
+
+        def put(code):
+            nonlocal acc, acc_bits
+            acc |= code << acc_bits
+            acc_bits += code_size
+            while acc_bits >= 8:
+                stream.append(acc & 0xFF)
+                acc >>= 8
+                acc_bits -= 8
+
+        for row in rows:
+            for x in range(width):
+                put(clear)
+                put(palette[bytes(row[x * 3 : x * 3 + 3])])
+        put(end)
+        if acc_bits:
+            stream.append(acc & 0xFF)
+        for i in range(0, len(stream), 255):
+            chunk = stream[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def decode_image(payload: bytes, fake: bool = False) -> dict:
     """Real stdlib decode for BMP and PNG (see module docstring); other
     formats raise NotImplementedError.  fake=True returns a deterministic
@@ -166,8 +400,10 @@ def decode_image(payload: bytes, fake: bool = False) -> dict:
         return _decode_bmp(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return _decode_gif(payload)
     raise NotImplementedError(
-        "unsupported image format (stdlib decoders cover BMP and 8-bit PNG)"
+        "unsupported image format (stdlib decoders cover BMP, 8-bit PNG, GIF)"
     )
 
 
@@ -290,8 +526,13 @@ def decode_pixels(payload: bytes) -> tuple[int, int, list[bytearray]]:
                     out[x * 3 : x * 3 + 3] = line[o : o + 3]
             rows.append(out)
         return width, height, rows
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        width, height, frames = _gif_frames(payload)
+        if not frames:
+            raise ValueError("GIF without image frames")
+        return width, height, frames[0][1]
     raise NotImplementedError(
-        "unsupported image format (stdlib decoders cover BMP and 8-bit PNG)"
+        "unsupported image format (stdlib decoders cover BMP, 8-bit PNG, GIF)"
     )
 
 
@@ -406,22 +647,39 @@ FRAMES_SCHEMA_DDL = (
 
 
 def sample_frame(payload: bytes, offset_ms: int, fake: bool = False) -> bytes:
-    """Extract one video frame as an image payload.  A real implementation
-    needs a video codec (absent in this container) — the Spark-side
-    plumbing (schema, per-frame explode, batch shape) is real and tested;
-    fake=True returns a deterministic 2x2 BMP derived from
-    (payload, offset) so the downstream image kernels can consume it."""
-    if not fake:
-        raise NotImplementedError(
-            "video frame decode requires a codec; run with fake=True or "
-            "install one at deployment"
-        )
-    digest = hashlib.sha256(payload + offset_ms.to_bytes(8, "little")).digest()
-    rows = [
-        bytearray(digest[0:6]),
-        bytearray(digest[6:12]),
-    ]
-    return encode_bmp_rgb(2, 2, rows)
+    """Extract one video frame at a time offset as a 24-bit BMP payload.
+
+    REAL for animated GIF87a/89a (the one video-ish format the stdlib can
+    carry: _gif_frames decodes every frame + its delay; the frame whose
+    delay window covers offset_ms — looping past the total, as a player
+    would — is re-encoded as BMP).  Other containers (mp4/webm/…) need a
+    codec absent from this container and raise NotImplementedError →
+    frame_status "decoder_unavailable".  fake=True returns a deterministic
+    2x2 BMP derived from (payload, offset) so arbitrary synthetic bytes can
+    exercise the distributed plumbing."""
+    if fake:
+        digest = hashlib.sha256(payload + offset_ms.to_bytes(8, "little")).digest()
+        rows = [
+            bytearray(digest[0:6]),
+            bytearray(digest[6:12]),
+        ]
+        return encode_bmp_rgb(2, 2, rows)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        width, height, frames = _gif_frames(payload)
+        if not frames:
+            raise ValueError("GIF without image frames")
+        total = sum(d for d, _ in frames)
+        t = offset_ms % total if total > 0 else 0
+        acc = 0
+        for delay, rows in frames:
+            acc += delay
+            if t < acc:
+                return encode_bmp_rgb(width, height, rows)
+        return encode_bmp_rgb(width, height, frames[-1][1])
+    raise NotImplementedError(
+        "video frame decode beyond GIF requires a codec; run with fake=True "
+        "or install one at deployment"
+    )
 
 
 def make_frame_sample_kernel(n_frames: int = 4, fake_decode: bool = True):
@@ -456,6 +714,9 @@ def make_frame_sample_kernel(n_frames: int = 4, fake_decode: bool = True):
                     except NotImplementedError:
                         out["frame_payload"].append(b"")
                         out["frame_status"].append("decoder_unavailable")
+                    except (ValueError, struct.error, IndexError):
+                        out["frame_payload"].append(b"")
+                        out["frame_status"].append("decode_error")
             yield pd.DataFrame(out)
 
     return kernel

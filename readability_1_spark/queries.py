@@ -1900,20 +1900,99 @@ def q_ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ANN_LSH_TABLES = 4
-ANN_LSH_BITS = 4
+ANN_LSH_TABLES = 6
+ANN_LSH_BITS = 6
+ANN_LSH_SINGLE_PROBES = 5  # single-bit flips per table, by ascending |margin|
+
+
+def _lsh_bit_dot(prefix: str, b: int, dims: int = 64):
+    """Single hyperplane projection (signed dot product) as a Spark Column.
+    Strict left-fold summation — the DuckDB oracle chains `+` in the same
+    order, so both engines produce bit-identical doubles (the sign AND the
+    |margin| ranking in the multi-probe path depend on it)."""
+    return F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            F.array(*[F.lit(_lsh_weight(prefix, b, i)) for i in range(dims)]),
+            lambda x, w: x.cast("double") * w,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _lsh_proj_arr(prefix: str, dims: int = 64, n_bits: int = ANN_LSH_BITS):
+    """Array of the n_bits hyperplane projections (see _lsh_bit_dot)."""
+    return F.array(*[_lsh_bit_dot(prefix, b, dims) for b in range(n_bits)])
+
+
+def _bucket_from_proj(proj, n_bits: int = ANN_LSH_BITS):
+    """Bucket id from a projection array.  IMPORTANT: `proj` should be a
+    materialized column reference, not an inline expression — each
+    element_at duplicates the whole expression tree otherwise."""
+    s = None
+    for b in range(n_bits):
+        term = F.when(F.element_at(proj, b + 1) > 0, 2 ** b).otherwise(0)
+        s = term if s is None else (s + term)
+    return s.cast("int")
+
+
+def _bucket_direct(prefix: str, n_bits: int = ANN_LSH_BITS):
+    """Bucket id computed straight from per-bit scalar dots — each 64-term
+    literal subtree appears exactly ONCE in the plan (the proj-array +
+    element_at form would inline it per reference and bloat the task
+    binary ~20×)."""
+    s = None
+    for b in range(n_bits):
+        term = F.when(_lsh_bit_dot(prefix, b) > 0, 2 ** b).otherwise(0)
+        s = term if s is None else (s + term)
+    return s.cast("int")
+
+
+def _probe_buckets_from_proj(proj, n_bits: int = ANN_LSH_BITS,
+                             n_singles: int = ANN_LSH_SINGLE_PROBES):
+    """Query-directed multi-probe (Lv et al. 2007, VLDB): the bits most
+    likely to be wrong for a true neighbor are those with the smallest
+    |projection|, so probe the exact bucket, the single flips of the
+    n_singles lowest-|margin| bits, and the double flip of the two lowest.
+    Flipping bit b is bucket + delta where delta = ∓2^b by the bit's sign —
+    no bitwise ops, so the SQL oracle replicates it with plain arithmetic."""
+    bucket = _bucket_from_proj(proj, n_bits)
+    ranked = F.array_sort(
+        F.array(*[
+            F.struct(
+                F.abs(F.element_at(proj, b + 1)).alias("cost"),
+                F.when(F.element_at(proj, b + 1) > 0, -(2 ** b))
+                .otherwise(2 ** b)
+                .cast("int")
+                .alias("delta"),
+            )
+            for b in range(n_bits)
+        ])
+    )
+    deltas = [F.element_at(ranked, k + 1)["delta"] for k in range(n_singles)]
+    return F.array(
+        bucket,
+        *[bucket + d for d in deltas],
+        bucket + deltas[0] + deltas[1],
+    )
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate nearest neighbors: multi-table LSH (4 tables x 4 sign
-    bits) generates candidates via a bucket EQUI-join per table (a query
-    compares only against its own buckets — no corpus cross join), the
-    union of tables is deduplicated, exact cosine re-ranks the candidates,
-    row_number takes the per-query top-10.  More tables / fewer bits raise
-    recall at bounded candidate cost; the equi-join is the only feasible
-    shape at 100 TB.  Measured on sf0.01 (500 random 64-d vectors — the
-    LSH-adversarial unclustered case): recall@10 vs ann_cosine_topk = 0.42
-    while scoring ~25% of the corpus per query."""
+    """Approximate nearest neighbors: multi-table multi-probe LSH (6 tables
+    × 6 sign bits; per query each table probes its exact bucket, the 5
+    lowest-|margin| single-bit flips and the lowest double flip — see
+    _probe_buckets_from_proj) generates candidates via a bucket EQUI-join
+    per table (a query compares only against its own buckets — no corpus
+    cross join), the union of tables is deduplicated, exact cosine re-ranks
+    the candidates, row_number takes the per-query top-10.  The equi-join
+    is the only feasible shape at 100 TB; probes multiply the tiny query
+    side, never the corpus side.  Measured on sf0.01 (500 random 64-d
+    vectors — the LSH-adversarial unclustered case, leave-one-out over all
+    500 queries via tools/tune_ann.py): recall@10 vs ann_cosine_topk =
+    0.803 at a 49.8% mean candidate fraction (round 2's exact-bucket 4×4
+    config: 0.42 at ~25%); clustered corpora reach ≥0.95 at far smaller
+    budgets — see COVERAGE.md."""
     emb = _t(spark, sf_dir, "embeddings")
     tb = emb.select(
         "vec_id",
@@ -1921,16 +2000,38 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[
                 F.struct(
                     F.lit(t).alias("tbl"),
-                    _lsh_bucket_col(n_bits=ANN_LSH_BITS, prefix=f"{t}:").alias(
-                        "bucket"
-                    ),
+                    _bucket_direct(f"{t}:").alias("bucket"),
                 )
                 for t in range(ANN_LSH_TABLES)
             ])
         ).alias("tb"),
     ).select("vec_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
-    qtb = tb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), "tbl", "bucket"
+    # Query side: materialize the projection arrays FIRST (a handful of
+    # query rows — localCheckpoint is a tiny job) so every downstream
+    # element_at is a column reference, not a duplicated 64-literal subtree.
+    qproj = (
+        emb.filter(F.col("vec_id") < 5)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            *[_lsh_proj_arr(f"{t}:").alias(f"proj{t}") for t in range(ANN_LSH_TABLES)],
+        )
+        .localCheckpoint()
+    )
+    qtb = qproj.select(
+        "query_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    _probe_buckets_from_proj(F.col(f"proj{t}")).alias("probes"),
+                )
+                for t in range(ANN_LSH_TABLES)
+            ])
+        ).alias("tb"),
+    ).select(
+        "query_id",
+        F.col("tb.tbl").alias("tbl"),
+        F.explode("tb.probes").alias("bucket"),
     )
     cand = (
         tb.join(F.broadcast(qtb), ["tbl", "bucket"])
@@ -1963,20 +2064,68 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_lsh_dot_expr(prefix: str, b: int, dims: int = 64,
+                      col: str = "embedding") -> str:
+    """Per-bit hyperplane projection as chained left-associative `+` — the
+    identical summation order to _lsh_proj_arr's left fold, so the doubles
+    (sign and |margin| ranking) match Spark's bit-for-bit."""
+    import hashlib
+
+    def w(i):
+        h = hashlib.md5(f"{prefix}{b}:{i}".encode()).hexdigest()[0]
+        return "1.0" if h in "89abcdef" else "-1.0"
+
+    return " + ".join(
+        f"CAST({col}[{i + 1}] AS DOUBLE) * ({w(i)})" for i in range(dims)
+    )
+
+
 def _sql_ann_lsh_topk() -> str:
-    tables = "\n  UNION ALL\n".join(
+    n_bits = ANN_LSH_BITS
+    bucket_of = lambda ps: " + ".join(  # noqa: E731
+        f"(CASE WHEN {ps[b]} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(n_bits)
+    )
+    corpus_arms = "\n  UNION ALL\n".join(
         f"  SELECT vec_id, {t} AS tbl, "
-        + _sql_lsh_bucket_expr(n_bits=ANN_LSH_BITS, prefix=f"{t}:")
+        + bucket_of([_sql_lsh_dot_expr(f'{t}:', b) for b in range(n_bits)])
         + " AS bucket FROM embeddings"
         for t in range(ANN_LSH_TABLES)
     )
+    qproj_arms = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {t} AS tbl, "
+        + ", ".join(
+            f"({_sql_lsh_dot_expr(f'{t}:', b)}) AS p{b}" for b in range(n_bits)
+        )
+        + " FROM embeddings WHERE vec_id < 5"
+        for t in range(ANN_LSH_TABLES)
+    )
+    rk_structs = ", ".join(
+        f"{{'cost': abs(p{b}), 'delta': CASE WHEN p{b} > 0 THEN {-(2 ** b)} "
+        f"ELSE {2 ** b} END}}"
+        for b in range(n_bits)
+    )
+    singles = ", ".join(
+        f"bucket0 + rk[{k + 1}].delta" for k in range(ANN_LSH_SINGLE_PROBES)
+    )
     return f"""
 WITH tb AS (
-{tables}
+{corpus_arms}
+), qproj AS (
+{qproj_arms}
+), qrk AS (
+  SELECT vec_id AS query_id, tbl,
+         {bucket_of([f'p{b}' for b in range(n_bits)])} AS bucket0,
+         list_sort([{rk_structs}]) AS rk
+  FROM qproj
+), qprobes AS (
+  SELECT query_id, tbl,
+         unnest([bucket0, {singles},
+                 bucket0 + rk[1].delta + rk[2].delta]) AS bucket
+  FROM qrk
 ), cand AS (
-  SELECT DISTINCT q.vec_id AS query_id, e.vec_id
-  FROM tb e JOIN tb q ON e.tbl = q.tbl AND e.bucket = q.bucket
-  WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id
+  SELECT DISTINCT q.query_id, e.vec_id
+  FROM tb e JOIN qprobes q ON e.tbl = q.tbl AND e.bucket = q.bucket
+  WHERE e.vec_id <> q.query_id
 ), normed AS (
   SELECT vec_id, embedding,
          sqrt(list_sum(list_transform(embedding,

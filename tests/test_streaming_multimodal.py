@@ -154,9 +154,10 @@ def test_real_decode_in_pipeline(spark):
     rows = [
         (0, "image", bytearray(bmp), None),
         (1, "image", bytearray(png), None),
-        (2, "image", bytearray(b"GIF89a notsupported"), None),
+        (2, "image", bytearray(b"II*\x00 a tiff, no stdlib decoder"), None),
         (3, "image", bytearray(b"BM truncated"), None),
         (4, "audio", bytearray(b"riff..."), None),
+        (5, "image", bytearray(b"GIF89a garbage after the magic"), None),
     ]
     media = spark.createDataFrame(
         rows,
@@ -170,13 +171,177 @@ def test_real_decode_in_pipeline(spark):
     assert feats[2].decode_status == "decoder_unavailable"
     assert feats[3].decode_status == "decode_error"
     assert feats[4].decode_status == "skipped"
+    assert feats[5].decode_status == "decode_error"
 
 
 def test_unsupported_format_raises():
     from readability_1_spark.multimodal import decode_image
 
     with pytest.raises(NotImplementedError):
+        decode_image(b"II*\x00 tiff bytes", fake=False)
+    # malformed GIF is a decode ERROR (the format itself is supported now)
+    with pytest.raises(ValueError):
         decode_image(b"GIF89a...", fake=False)
+
+
+def _rgb_rows(pixels):
+    """[[(r,g,b), ...], ...] → top-down RGB row bytearrays."""
+    return [bytearray(b for px in row for b in px) for row in pixels]
+
+
+def test_real_gif_multiframe_roundtrip():
+    """Known-pixel multi-frame GIF: encode_gif_rgb → _gif_frames must
+    return every frame's exact pixels and delays."""
+    from readability_1_spark.multimodal import _gif_frames, encode_gif_rgb
+
+    f0 = _rgb_rows([[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (7, 8, 9)]])
+    f1 = _rgb_rows([[(1, 2, 3), (4, 5, 6)], [(10, 20, 30), (40, 50, 60)]])
+    gif = encode_gif_rgb(2, 2, [f0, f1], delays_ms=[40, 200])
+    w, h, frames = _gif_frames(gif)
+    assert (w, h) == (2, 2)
+    assert [d for d, _ in frames] == [40, 200]
+    assert [bytes(r) for r in frames[0][1]] == [bytes(r) for r in f0]
+    assert [bytes(r) for r in frames[1][1]] == [bytes(r) for r in f1]
+
+
+def test_real_gif_decode_image_and_pixels():
+    """decode_image / decode_pixels accept GIF (first frame)."""
+    from readability_1_spark.multimodal import (
+        decode_image,
+        decode_pixels,
+        encode_gif_rgb,
+    )
+
+    f0 = _rgb_rows([[(100, 0, 0)], [(0, 100, 0)]])
+    gif = encode_gif_rgb(1, 2, [f0])
+    out = decode_image(gif)
+    assert (out["width"], out["height"]) == (1, 2)
+    assert [round(m, 9) for m in out["channel_means"]] == [
+        round(100 / 2 / 255.0, 9), round(100 / 2 / 255.0, 9), 0.0,
+    ]
+    w, h, rows = decode_pixels(gif)
+    assert (w, h, [bytes(r) for r in rows]) == (1, 2, [bytes(r) for r in f0])
+
+
+def test_real_gif_frame_sampling():
+    """sample_frame(fake=False) over real animated GIF bytes: the frame
+    whose delay window covers the offset comes back as a BMP with that
+    frame's exact pixels; offsets past the total loop like a player."""
+    from readability_1_spark.multimodal import (
+        decode_pixels,
+        encode_gif_rgb,
+        sample_frame,
+    )
+
+    f0 = _rgb_rows([[(255, 0, 0)]])
+    f1 = _rgb_rows([[(0, 255, 0)]])
+    f2 = _rgb_rows([[(0, 0, 255)]])
+    gif = encode_gif_rgb(1, 1, [f0, f1, f2], delays_ms=[100, 100, 200])
+    def px(offset_ms):
+        _, _, rows = decode_pixels(sample_frame(gif, offset_ms, fake=False))
+        return bytes(rows[0])
+    assert px(0) == bytes(f0[0])
+    assert px(99) == bytes(f0[0])
+    assert px(100) == bytes(f1[0])
+    assert px(250) == bytes(f2[0])
+    assert px(400) == bytes(f0[0])   # wraps around (400 % 400 = 0)
+    assert px(550) == bytes(f1[0])   # 550 % 400 = 150 → second frame's window
+
+
+def _gif_code_stream(indices, min_code=2):
+    """LSB-first LZW stream using the always-CLEAR trick at 2-bit min code
+    (palette ≤ 4): CLEAR idx CLEAR idx ... END, all 3-bit codes."""
+    clear, end, code_size = 1 << min_code, (1 << min_code) + 1, min_code + 1
+    acc = acc_bits = 0
+    out = bytearray()
+    def put(code):
+        nonlocal acc, acc_bits
+        acc |= code << acc_bits
+        acc_bits += code_size
+        while acc_bits >= 8:
+            out.append(acc & 0xFF); acc >>= 8; acc_bits -= 8
+    for i in indices:
+        put(clear); put(i)
+    put(end)
+    if acc_bits:
+        out.append(acc & 0xFF)
+    return bytes([min_code, len(out)]) + bytes(out) + b"\x00"
+
+
+def test_gif_transparency_disposal_and_interlace():
+    """Hand-crafted GIF89a exercising decoder paths the repo encoder never
+    emits: transparency, disposal=2 (restore-background between frames),
+    and 4-pass interlacing."""
+    import struct as _struct
+
+    from readability_1_spark.multimodal import _gif_frames
+
+    RED, GREEN, BLUE, WHITE = (255, 0, 0), (0, 255, 0), (0, 0, 255), (255, 255, 255)
+    pal = bytes(b for c in (RED, GREEN, BLUE, WHITE) for b in c)
+    head = b"GIF89a" + _struct.pack("<HHBBB", 2, 2, 0x80 | 1, 3, 0) + pal
+    # frame 1: full 2x2 [[red,green],[blue,red]], disposal=2, delay 10ms
+    gce1 = b"\x21\xf9\x04" + bytes([(2 << 2), 1, 0, 0]) + b"\x00"
+    img1 = b"\x2c" + _struct.pack("<HHHHB", 0, 0, 2, 2, 0) + _gif_code_stream([0, 1, 2, 0])
+    # frame 2: 1x2 sub-rect at x=1 [transparent, green], transparent idx=2
+    gce2 = b"\x21\xf9\x04" + bytes([0x01, 2, 0, 2]) + b"\x00"
+    img2 = b"\x2c" + _struct.pack("<HHHHB", 1, 0, 1, 2, 0) + _gif_code_stream([2, 1])
+    gif = head + gce1 + img1 + gce2 + img2 + b"\x3b"
+    w, h, frames = _gif_frames(gif)
+    assert (w, h) == (2, 2) and [d for d, _ in frames] == [10, 20]
+    f1, f2 = frames[0][1], frames[1][1]
+    assert [bytes(r) for r in f1] == [bytes(bytearray(RED + GREEN)),
+                                      bytes(bytearray(BLUE + RED))]
+    # disposal=2 wiped frame 1 to background white; transparent px stays white
+    assert [bytes(r) for r in f2] == [bytes(bytearray(WHITE + WHITE)),
+                                      bytes(bytearray(WHITE + GREEN))]
+
+    # interlaced 1x4: stored row order [0,2,1,3] must land on y [0,1,2,3]
+    head2 = b"GIF89a" + _struct.pack("<HHBBB", 1, 4, 0x80 | 1, 0, 0) + pal
+    img = b"\x2c" + _struct.pack("<HHHHB", 0, 0, 1, 4, 0x40) + _gif_code_stream([0, 1, 2, 3])
+    w2, h2, fr = _gif_frames(head2 + img + b"\x3b")
+    assert (w2, h2) == (1, 4)
+    # stored ri 0,1,2,3 → y 0,2,1,3: canvas y rows are pal[0],pal[2],pal[1],pal[3]
+    assert [bytes(r) for r in fr[0][1]] == [
+        bytes(bytearray(RED)), bytes(bytearray(BLUE)),
+        bytes(bytearray(GREEN)), bytes(bytearray(WHITE)),
+    ]
+
+
+def test_real_gif_frame_sampling_distributed(spark):
+    """media_frames(fake_decode=False) over real GIF video payloads: all
+    sampled frames decode to the planted per-frame colors; a non-GIF video
+    payload degrades to decoder_unavailable."""
+    from readability_1_spark.multimodal import (
+        decode_pixels,
+        encode_gif_rgb,
+        media_frames,
+    )
+
+    colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)]
+    frames_rgb = [_rgb_rows([[c]]) for c in colors]
+    gif = encode_gif_rgb(1, 1, frames_rgb, delays_ms=[100] * 4)
+    rows = [
+        (0, "video", bytearray(gif),
+         {"mime": "image/gif", "width": 1, "height": 1, "duration_ms": 400}),
+        (1, "video", bytearray(b"mp4 bytes"), None),
+        (2, "image", bytearray(gif), None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id LONG, kind STRING, payload BINARY, "
+        "meta STRUCT<mime: STRING, width: INT, height: INT, duration_ms: INT>",
+    )
+    out = media_frames(media, n_frames=4, fake_decode=False).collect()
+    got = {(r.media_id, r.frame_idx): r for r in out}
+    # only videos produce rows
+    assert {mid for mid, _ in got} == {0, 1}
+    for i, c in enumerate(colors):
+        r = got[(0, i)]
+        assert r.frame_status == "ok" and r.frame_offset_ms == i * 100
+        _, _, px = decode_pixels(bytes(r.frame_payload))
+        assert bytes(px[0]) == bytes(bytearray(c))
+    for i in range(4):
+        assert got[(1, i)].frame_status == "decoder_unavailable"
 
 
 def test_streaming_stateful_sessionization(spark, tmp_path):
