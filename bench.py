@@ -86,6 +86,7 @@ def main() -> None:
         "top_revenue_orders",
         "events_sessionize",
         "dedup_minhash_lsh",
+        "dedup_minhash_clusters",
         "dedup_ngram_jaccard",
         "text_quality",
         "doc_fingerprint",

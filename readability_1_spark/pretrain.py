@@ -67,17 +67,21 @@ def curate_pretraining_data(
         # The lexicographic key is deterministic because turn_idx is
         # zero-padded; keeper choice therefore matches the exact-dedup
         # discipline (lowest conv_id, turn_idx survives).
+        # Materialize the extracted+exact-deduped rows ONCE: they feed the
+        # pair generation AND the final anti-join, and the upstream kernel
+        # must not run twice.  (On a production cluster this would be a
+        # persist to reliable storage, as run_extraction_job does.)
         keyed = deduped.withColumn(
             "_nd_id",
             F.concat_ws(
                 "#", "conv_id", F.lpad(F.col("turn_idx").cast("string"), 10, "0")
             ),
-        )
+        ).localCheckpoint()
         pairs = _minhash_pairs(
             keyed.select(
                 F.col("_nd_id").alias("doc_id"), F.col("text_content").alias("text")
             )
-        )
+        ).localCheckpoint()  # feeds nodes AND edges — compute once
         # CC only over docs in ≥1 pair (everything else is its own keeper).
         nodes = (
             pairs.select(F.col("doc_a").alias("doc_id"))

@@ -1018,7 +1018,10 @@ def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output is a total keep/drop verdict for the corpus: filtering
     `is_keeper` IS the fuzzy-dedup pass."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = _minhash_pairs(docs)
+    # Materialize the pair list ONCE: it feeds both the node set and the CC
+    # edge iterations, and recomputing the shingle+minhash subtree per
+    # consumer would double the dominant cost.
+    pairs = _minhash_pairs(docs).localCheckpoint()
     # CC only over docs that occur in ≥1 pair; singletons join back after.
     nodes = (
         pairs.select(F.col("doc_a").alias("doc_id"))

@@ -47,7 +47,7 @@ def main() -> None:
 
     for name in ("q1_pricing_summary", "top_revenue_orders", "dedup_minhash_lsh",
                  "events_asof_orders", "ann_cosine_topk", "dedup_embedding_lsh",
-                 "ann_ivf_probe"):
+                 "ann_ivf_probe", "ann_lsh_topk", "dedup_minhash_clusters"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -73,6 +73,14 @@ def main() -> None:
     checks.append(("IVF probe searches lists via centroid equi-join",
                    "BroadcastHashJoin" in full["ann_ivf_probe"]
                    or "SortMergeJoin" in full["ann_ivf_probe"]))
+    checks.append(("multi-probe ANN candidates via bucket equi-join, no "
+                   "corpus cross join",
+                   "Cartesian" not in full["ann_lsh_topk"]
+                   and "BroadcastNestedLoop" not in full["ann_lsh_topk"]))
+    checks.append(("CC cluster labels read from checkpointed scans "
+                   "(bounded lineage across iterations)",
+                   "ExistingRDD" in full["dedup_minhash_clusters"]
+                   and "Cartesian" not in full["dedup_minhash_clusters"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -48,6 +48,7 @@ SCALE_CLASS = {
     "dedup_exact_normalized": ("shuffle", "hash groupBy on fingerprint"),
     "dedup_ngram_jaccard": ("baseline", "quadratic shingle self-join; sf<=0.1 validation twin of minhash LSH"),
     "dedup_minhash_lsh": ("bucketed", "single signature scan, bucket-group-and-pair"),
+    "dedup_minhash_clusters": ("bucketed", "LSH pairs + label propagation; iterations = cluster diameter, checkpointed"),
     "dedup_simhash": ("shuffle", "token agg then 16 codegen bit sums"),
     "dedup_embedding_cosine": ("baseline", "all-pairs; validation twin of dedup_embedding_lsh"),
     "dedup_embedding_lsh": ("bucketed", "bucket equi-join; bit count scales with corpus"),
@@ -65,7 +66,7 @@ SCALE_CLASS = {
     "embedding_norms": ("linear", "per-row array fold"),
     "ann_cosine_topk": ("broadcast", "K queries broadcast; partial top-k before exchange"),
     "ann_lsh_bucketed": ("linear", "bucket id per row + histogram"),
-    "ann_lsh_topk": ("bucketed", "per-table bucket equi-join vs broadcast queries"),
+    "ann_lsh_topk": ("bucketed", "multi-probe bucket equi-join; probes multiply only the query side"),
     "ann_ivf_assign": ("broadcast", "centroid set broadcast, codegen assignment"),
     "ann_ivf_probe": ("broadcast", "probe lists only (centroid equi-join)"),
 }
