@@ -894,11 +894,11 @@ class JSDOMParser:
                 if c != "<":
                     # Inline Text construction: a fresh node has no parent,
                     # so setter-side cache invalidation would be a no-op.
+                    # parentNode/previousSibling are unconditionally set by
+                    # the append block below, so they are not initialized.
                     child = text_node = Text.__new__(Text)
                     text_node.childNodes = []
-                    text_node.parentNode = None
                     text_node.nextSibling = None
-                    text_node.previousSibling = None
                     text_node.nextElementSibling = None
                     text_node.previousElementSibling = None
                     text_node._tc_cache = None
@@ -946,9 +946,7 @@ class JSDOMParser:
                             tag = fm.group(1)
                             el = Element.__new__(Element)
                             el.childNodes = []
-                            el.parentNode = None
                             el.nextSibling = None
-                            el.previousSibling = None
                             el.nextElementSibling = None
                             el.previousElementSibling = None
                             el._tc_cache = None
