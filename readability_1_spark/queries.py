@@ -2157,7 +2157,7 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= 10
 SQL_ANN_LSH_TOPK = _sql_ann_lsh_topk()
 
 
-def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _embedding_lsh_pairs(emb: DataFrame) -> DataFrame:
     """Bucketed embedding near-duplicate pairs — the 100 TB shape for what
     dedup_embedding_cosine computes exactly: candidate pairs come from an
     LSH-bucket EQUI-join (no all-pairs vec_id < vec_id cross), then the
@@ -2167,7 +2167,6 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit count must grow with the corpus (8 bits / 256 buckets suits the
     sf test tables; ~2*log2(n) bits keeps expected bucket sizes O(1) at
     n vectors, at the cost of recall — add hash tables to recover it)."""
-    emb = _t(spark, sf_dir, "embeddings")
     bucketed = emb.select(
         "vec_id", "embedding",
         _lsh_bucket_col().alias("bucket"),
@@ -2196,6 +2195,41 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed embedding near-dup pairs (see _embedding_lsh_pairs)."""
+    return _embedding_lsh_pairs(_t(spark, sf_dir, "embeddings"))
+
+
+def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTER RESOLUTION — the companion of
+    dedup_minhash_clusters on the vector side: LSH-bucketed cosine pairs →
+    connected components → one keeper per cluster (min vec_id); singleton
+    vectors appear with cluster_id = vec_id so `is_keeper` is a total
+    keep/drop verdict for the embedding corpus."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = (
+        _embedding_lsh_pairs(emb)
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+        .localCheckpoint()  # feeds nodes AND edges — compute once
+    )
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    cc = connected_components(nodes, pairs)
+    labeled = emb.select(F.col("vec_id").alias("doc_id")).join(
+        cc, "doc_id", "left"
+    ).select("doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
+        F.col("doc_id").alias("vec_id"),
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_keeper"),
+    )
+
+
 SQL_DEDUP_EMBEDDING_LSH = f"""
 WITH b AS (
   SELECT vec_id, embedding, {_sql_lsh_bucket_expr()} AS bucket,
@@ -2211,6 +2245,35 @@ WITH b AS (
   FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 )
 SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.25
+"""
+
+
+SQL_DEDUP_EMBEDDING_CLUSTERS = f"""
+WITH RECURSIVE b AS (
+  SELECT vec_id, embedding, {_sql_lsh_bucket_expr()} AS bucket,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  WHERE round(
+          list_sum(list_transform(generate_series(1, len(a.embedding)),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (a.norm * b.norm), 6) >= 0.25
+), edges AS (
+  SELECT vec_a AS src, vec_b AS dst FROM pairs
+  UNION ALL
+  SELECT vec_b AS src, vec_a AS dst FROM pairs
+), reach(vec_id, r) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT re.vec_id, e.dst FROM reach re JOIN edges e ON e.src = re.r
+), cc AS (SELECT vec_id, min(r) AS cluster_id FROM reach GROUP BY vec_id)
+SELECT vec_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+       (vec_id = cluster_id) AS is_keeper
+FROM cc
 """
 
 
@@ -2428,6 +2491,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, SQL_DEDUP_EMBEDDING_LSH),
+    "dedup_embedding_clusters": (q_dedup_embedding_clusters, SQL_DEDUP_EMBEDDING_CLUSTERS),
     # text analysis
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "token_cms_heavy_hitters": (q_token_cms_heavy_hitters, SQL_TOKEN_CMS),

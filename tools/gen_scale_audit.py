@@ -52,6 +52,7 @@ SCALE_CLASS = {
     "dedup_simhash": ("shuffle", "token agg then 16 codegen bit sums"),
     "dedup_embedding_cosine": ("baseline", "all-pairs; validation twin of dedup_embedding_lsh"),
     "dedup_embedding_lsh": ("bucketed", "bucket equi-join; bit count scales with corpus"),
+    "dedup_embedding_clusters": ("bucketed", "LSH pairs + label propagation; iterations = cluster diameter, checkpointed"),
     "doc_fingerprint": ("shuffle", "rolling-hash fold + fingerprint group sizes"),
     "doc_winnow_fingerprints": ("linear", "per-row array expressions only"),
     "token_cms_heavy_hitters": ("linear", "fixed 256-cell sketch, map-side combine"),
