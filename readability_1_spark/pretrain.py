@@ -8,6 +8,9 @@ training-data team would actually run over an agent-transcript corpus.
       → fuzzy dedup: minhash-LSH near-dup pairs → connected components →
         one keeper per cluster (near-dup inflation dominates exact dups on
         crawl corpora, so a real pretraining run always has this stage)
+      → decontamination (optional): docs whose 3-gram overlap with a
+        broadcast benchmark shingle set exceeds a threshold are dropped
+      → PII redaction: email/URL/phone → typed sentinels, count kept
       → JVM-side quality gates (length / token count / sentence-ness /
         stopword ratio / link density proxy)
       → curated parquet (text + metadata + token counts) + a stats row
@@ -28,7 +31,27 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .pipeline import extract_transcripts
-from .queries import STOPWORDS, TOKEN_SPLIT, _minhash_pairs, connected_components
+from .queries import (
+    PII_EMAIL,
+    PII_PHONE,
+    PII_URL,
+    STOPWORDS,
+    TOKEN_SPLIT,
+    _minhash_pairs,
+    _shingle_array_expr,
+    connected_components,
+)
+
+
+def shingle_set(texts: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct 3-word shingles of a (small) text corpus — the benchmark
+    side of the decontamination stage.  Meant to be broadcast."""
+    ws = texts.select(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda x: x != ""
+        ).alias("ws")
+    )
+    return ws.select(F.explode(_shingle_array_expr()).alias("shingle")).distinct()
 
 
 def curate_pretraining_data(
@@ -39,6 +62,9 @@ def curate_pretraining_data(
     min_periods: int = 3,
     max_stopword_ratio: float = 0.7,
     near_dedup: bool = True,
+    redact_pii: bool = True,
+    benchmark_shingles: DataFrame | None = None,
+    max_contamination: float = 0.2,
 ) -> DataFrame:
     """transcripts → curated documents DataFrame (no sink).
 
@@ -95,6 +121,61 @@ def curate_pretraining_data(
             losers.select(F.col("doc_id").alias("_nd_id")), "_nd_id", "left_anti"
         ).drop("_nd_id")
 
+    if benchmark_shingles is not None:
+        # Decontamination: drop documents whose distinct-3-gram overlap with
+        # the (broadcast) benchmark shingle set exceeds max_contamination —
+        # the train/test-leak gate every pretraining run needs.
+        sh = (
+            deduped.select(
+                "conv_id", "turn_idx",
+                F.filter(
+                    F.split(F.lower(F.col("text_content")), TOKEN_SPLIT),
+                    lambda x: x != "",
+                ).alias("ws"),
+            )
+            .select("conv_id", "turn_idx", F.explode(_shingle_array_expr()).alias("shingle"))
+            .distinct()
+        )
+        hits = sh.join(F.broadcast(benchmark_shingles), "shingle")
+        ratios = (
+            sh.groupBy("conv_id", "turn_idx")
+            .agg(F.count(F.lit(1)).alias("_n_sh"))
+            .join(
+                hits.groupBy("conv_id", "turn_idx").agg(
+                    F.count(F.lit(1)).alias("_n_hit")
+                ),
+                ["conv_id", "turn_idx"],
+                "left",
+            )
+        )
+        contaminated = ratios.filter(
+            F.coalesce(F.col("_n_hit"), F.lit(0))
+            / F.greatest(F.col("_n_sh"), F.lit(1))
+            > max_contamination
+        ).select("conv_id", "turn_idx")
+        deduped = deduped.join(contaminated, ["conv_id", "turn_idx"], "left_anti")
+
+    if redact_pii:
+        # PII scrub AFTER dedup (hashes/pairs see the raw extraction) and
+        # BEFORE the quality gates (token stats describe the shipped text).
+        n_pii = (
+            F.size(F.regexp_extract_all("text_content", F.lit(f"({PII_EMAIL})")))
+            + F.size(F.regexp_extract_all("text_content", F.lit(f"({PII_URL})")))
+            + F.size(F.regexp_extract_all("text_content", F.lit(f"({PII_PHONE})")))
+        )
+        deduped = deduped.withColumn("n_pii_redactions", n_pii).withColumn(
+            "text_content",
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(F.col("text_content"), PII_EMAIL, "<EMAIL>"),
+                    PII_URL, "<URL>",
+                ),
+                PII_PHONE, "<PHONE>",
+            ),
+        )
+    else:
+        deduped = deduped.withColumn("n_pii_redactions", F.lit(0))
+
     ws = F.filter(
         F.split(F.lower(F.col("text_content")), TOKEN_SPLIT), lambda x: x != ""
     )
@@ -106,8 +187,10 @@ def curate_pretraining_data(
     )
     scored = deduped.select(
         "conv_id", "turn_idx", "part_id", "content_hash",
-        "title", "byline", "text_content", "spans",
-        F.col("length").alias("n_chars"),
+        "title", "byline", "text_content", "spans", "n_pii_redactions",
+        # length of the SHIPPED text (equals the extraction `length` unless
+        # redaction rewrote it)
+        F.length("text_content").alias("n_chars"),
         n_tokens.alias("n_tokens"),
         periods.alias("n_periods"),
         F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6).alias("stopword_ratio"),

@@ -299,6 +299,63 @@ def test_pretrain_near_dedup_collapses_clusters(spark):
     assert len(kept_all) == 4
 
 
+def test_pretrain_redaction_and_decontamination(spark):
+    """PII redaction rewrites the shipped text (counting redactions) and
+    the decontamination gate drops documents overlapping a benchmark
+    shingle set; both off → original behavior."""
+    from readability_1_spark.pretrain import curate_pretraining_data, shingle_set
+
+    pii_text = (
+        "Contact the author at jane.doe@example.com for the full data set. "
+        "The survey methodology follows the standard practice described in "
+        "the published handbook and repeats every control question twice. "
+        "Results were collected over two years by a team of volunteers in "
+        "three different regions of the country during the study period. "
+        "All of the responses were transcribed and checked against the "
+        "original recordings before the analysis began in the autumn. "
+        "A public copy of the materials is hosted at https://example.com/x "
+        "so that other researchers can reproduce every number in the paper."
+    )
+    clean_text = (
+        "The festival opens with a parade through the old town and ends "
+        "with a concert by the harbor that lasts late into the night. "
+        "Local bakers sell bread and honey cakes from wooden stalls while "
+        "children watch the puppet theatre on the square near the church. "
+        "Visitors come from the surrounding villages and from the city "
+        "because the program changes every year and never disappoints. "
+        "Volunteers spend the whole spring preparing the decorations and "
+        "rehearsing the dances that are performed on the final evening."
+    )
+    rows = [
+        ("conv-p", 0, "tool", _page(pii_text), "browser", None),
+        ("conv-c", 0, "tool", _page(clean_text), "browser", None),
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+
+    kept = {r.conv_id: r for r in curate_pretraining_data(t, num_parts=4).collect()}
+    assert set(kept) == {"conv-p", "conv-c"}
+    assert kept["conv-p"].n_pii_redactions == 2
+    assert "<EMAIL>" in kept["conv-p"].text_content
+    assert "<URL>" in kept["conv-p"].text_content
+    assert "jane.doe@example.com" not in kept["conv-p"].text_content
+    assert kept["conv-c"].n_pii_redactions == 0
+    assert kept["conv-p"].n_chars == len(kept["conv-p"].text_content)
+
+    # decontaminate against the PII doc's own shingles → only conv-c stays
+    bench = shingle_set(spark.createDataFrame([(pii_text,)], "text string"))
+    decon = curate_pretraining_data(t, num_parts=4, benchmark_shingles=bench)
+    assert [r.conv_id for r in decon.collect()] == ["conv-c"]
+
+    # redaction off → raw text ships
+    raw = {r.conv_id: r for r in curate_pretraining_data(
+        t, num_parts=4, redact_pii=False
+    ).collect()}
+    assert "jane.doe@example.com" in raw["conv-p"].text_content
+    assert raw["conv-p"].n_pii_redactions == 0
+
+
 def test_connected_components_chain_and_isolated(spark):
     """CC over a 6-node chain (diameter 5 — forces several propagation
     rounds), a separate triangle, and an isolated node."""
