@@ -2454,6 +2454,172 @@ FROM assigned WHERE rn = 1 GROUP BY centroid_id
 
 
 # --------------------------------------------------------------------------
+# Corpus assembly: deterministic splits, domain mixing, sequence packing
+# --------------------------------------------------------------------------
+
+SPLIT_BUCKETS = 1000
+SPLIT_TRAIN_LT = 980  # buckets [0,980) -> train, [980,990) -> val, rest -> test
+SPLIT_VAL_LT = 990
+
+
+def _md5_bucket(col_str, n: int = SPLIT_BUCKETS):
+    """Deterministic content-hash bucket shared bit-for-bit with the DuckDB
+    oracle: base-31 polynomial fold of the ASCII codes of the first 8 hex
+    chars of md5(key), mod n.  Unrolled to 8 substr/ascii terms so both
+    engines evaluate the identical integer expression (max intermediate
+    127*31**7 ~ 3.5e12, well inside BIGINT)."""
+    hexs = F.md5(col_str.cast("binary"))
+    h = F.lit(0).cast("long")
+    for i in range(8):
+        h = h * 31 + F.ascii(F.substring(hexs, i + 1, 1))
+    return F.pmod(h, F.lit(n))
+
+
+def _sql_md5_poly(hex_col: str) -> str:
+    h = "CAST(0 AS BIGINT)"
+    for i in range(8):
+        h = f"({h} * 31 + ascii(substr({hex_col}, {i + 1}, 1)))"
+    return h
+
+
+def q_data_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment by content-stable hash bucket (md5 of the
+    doc key -> 1000 buckets -> 98/1/1).  The split survives re-partitioning,
+    re-ingestion and corpus growth because it depends only on the key — the
+    property a 100 TB pipeline needs so val/test never bleed into train
+    across runs.  Pure JVM expressions, no shuffle at all."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = _md5_bucket(F.col("doc_id").cast("string"))
+    split = (
+        F.when(bucket < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select(
+        "doc_id", bucket.alias("split_bucket"), split.alias("split")
+    )
+
+
+SQL_DATA_SPLIT_ASSIGN = f"""
+WITH hx AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+), b AS (
+  SELECT doc_id, {_sql_md5_poly('h')} % {SPLIT_BUCKETS} AS split_bucket FROM hx
+)
+SELECT doc_id, split_bucket,
+       CASE WHEN split_bucket < {SPLIT_TRAIN_LT} THEN 'train'
+            WHEN split_bucket < {SPLIT_VAL_LT} THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+# source -> integer upsampling factor; a real pipeline derives this from
+# target mixture proportions (e.g. DoReMi / The Pile's epoch weights).
+MIX_WEIGHTS = [(f"src{i}", 1 + (i % 3)) for i in range(20)]
+
+
+def q_domain_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing by deterministic integer upsampling: a tiny
+    source->copies weight table is broadcast-joined to the corpus and each
+    doc explodes into `copies` rows tagged with copy_idx.  At 100 TB the
+    weight map stays O(#sources) (broadcast, no shuffle) and the explode is
+    linear in output size; fractional weights compose with
+    q_data_split_assign's hash bucket (keep copy iff bucket < frac*1000)."""
+    docs = _t(spark, sf_dir, "documents")
+    weights = spark.createDataFrame(MIX_WEIGHTS, "source string, copies int")
+    return (
+        docs.select("doc_id", "source")
+        .join(F.broadcast(weights), "source")
+        .select(
+            "doc_id",
+            "source",
+            "copies",
+            F.explode(F.sequence(F.lit(1), F.col("copies"))).alias("ci"),
+        )
+        .select(
+            "doc_id", "source", "copies", F.col("ci").cast("long").alias("copy_idx")
+        )
+    )
+
+
+_MIX_VALUES = ", ".join(f"('{s}', {c})" for s, c in MIX_WEIGHTS)
+SQL_DOMAIN_MIX_RESAMPLE = f"""
+WITH weights(source, copies) AS (VALUES {_MIX_VALUES})
+SELECT d.doc_id, d.source, w.copies,
+       CAST(unnest(generate_series(1, w.copies)) AS BIGINT) AS copy_idx
+FROM documents d JOIN weights w ON d.source = w.source
+"""
+
+
+PACK_BUDGET = 256  # tokens per packed sequence (sf docs median ~56 tokens)
+PACK_SHARDS = 8
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: assign docs to fixed token-budget packs
+    (context-window filling for pretraining).  Docs are sharded by key,
+    ordered by key within shard, and greedily packed — a new pack starts
+    when the running total would exceed PACK_BUDGET.  The scan is inherently
+    sequential per shard, so it runs as applyInPandas per shard (pattern (b)
+    from the build rules): one shuffle to co-locate each shard, then a
+    single linear pandas pass.  At 100 TB, shards are the parallelism unit
+    (thousands of them) exactly as real packing pipelines do it — packing is
+    only ever done within a shard, never globally.  A doc larger than the
+    budget gets its own pack."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    )
+    sized = docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).alias("shard"),
+        toks.cast("long").alias("tokens"),
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids, cur, pid = [], 0, 0
+        for t in pdf["tokens"]:
+            if cur > 0 and cur + t > PACK_BUDGET:
+                pid += 1
+                cur = int(t)
+            else:
+                cur += int(t)
+            pack_ids.append(pid)
+        pdf["pack_id"] = pack_ids
+        return pdf[["doc_id", "shard", "pack_id", "tokens"]]
+
+    return sized.groupBy("shard").applyInPandas(
+        pack, "doc_id long, shard long, pack_id long, tokens long"
+    ).select("doc_id", "shard", "pack_id", "tokens")
+
+
+SQL_SEQUENCE_PACKING = f"""
+WITH RECURSIVE sized AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         CAST(len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                              x -> x <> '')) AS BIGINT) AS tokens
+  FROM documents
+), ord AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+  FROM sized
+), packed(doc_id, shard, tokens, rn, pack_id, cum) AS (
+  SELECT doc_id, shard, tokens, rn, CAST(0 AS BIGINT), tokens
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.shard, o.tokens, o.rn,
+         CASE WHEN p.cum > 0 AND p.cum + o.tokens > {PACK_BUDGET}
+              THEN p.pack_id + 1 ELSE p.pack_id END,
+         CASE WHEN p.cum > 0 AND p.cum + o.tokens > {PACK_BUDGET}
+              THEN o.tokens ELSE p.cum + o.tokens END
+  FROM ord o JOIN packed p ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT doc_id, shard, pack_id, tokens FROM packed
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -2511,4 +2677,8 @@ QUERIES: dict[str, tuple] = {
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "ann_ivf_assign": (q_ann_ivf_assign, SQL_ANN_IVF_ASSIGN),
     "ann_ivf_probe": (q_ann_ivf_probe, SQL_ANN_IVF_PROBE),
+    # corpus assembly
+    "data_split_assign": (q_data_split_assign, SQL_DATA_SPLIT_ASSIGN),
+    "domain_mix_resample": (q_domain_mix_resample, SQL_DOMAIN_MIX_RESAMPLE),
+    "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
 }

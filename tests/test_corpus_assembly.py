@@ -1,0 +1,87 @@
+"""Semantic tests for the corpus-assembly operators (splits, domain mixing,
+sequence packing).  Oracle parity is checked separately by
+tools/verify_oracle.py / the driver gate; these assert the properties a
+pipeline user relies on."""
+
+import pytest
+
+from readability_1_spark.queries import (
+    MIX_WEIGHTS,
+    PACK_BUDGET,
+    SPLIT_BUCKETS,
+    SPLIT_TRAIN_LT,
+    SPLIT_VAL_LT,
+    q_data_split_assign,
+    q_domain_mix_resample,
+    q_sequence_packing,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_split_fractions_and_determinism(spark):
+    rows = q_data_split_assign(spark, SF_DIR).collect()
+    n = len(rows)
+    assert n == 500
+    counts = {}
+    for r in rows:
+        counts[r.split] = counts.get(r.split, 0) + 1
+        assert 0 <= r.split_bucket < SPLIT_BUCKETS
+        expected = (
+            "train"
+            if r.split_bucket < SPLIT_TRAIN_LT
+            else ("val" if r.split_bucket < SPLIT_VAL_LT else "test")
+        )
+        assert r.split == expected
+    # 98/1/1 target: with 500 docs the binomial spread is wide, but train
+    # must dominate and both held-out splits must stay tiny.
+    assert counts["train"] >= 0.95 * n
+    assert counts.get("val", 0) + counts.get("test", 0) <= 0.05 * n
+    # determinism: same assignment on a re-run (content-stable hash)
+    again = {r.doc_id: r.split for r in q_data_split_assign(spark, SF_DIR).collect()}
+    assert all(again[r.doc_id] == r.split for r in rows)
+
+
+def test_domain_mix_copy_counts(spark):
+    rows = q_domain_mix_resample(spark, SF_DIR).collect()
+    weights = dict(MIX_WEIGHTS)
+    per_doc = {}
+    for r in rows:
+        assert r.copies == weights[r.source]
+        assert 1 <= r.copy_idx <= r.copies
+        per_doc.setdefault((r.doc_id, r.source), set()).add(r.copy_idx)
+    # every doc appears exactly `copies` times with distinct copy_idx 1..copies
+    for (doc_id, source), idxs in per_doc.items():
+        assert idxs == set(range(1, weights[source] + 1))
+    # total = sum of per-source doc counts x weight (25 docs per source at sf0.01)
+    assert len(rows) == sum(25 * w for _, w in MIX_WEIGHTS)
+
+
+def test_sequence_packing_budget_and_order(spark):
+    rows = q_sequence_packing(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    packs = {}
+    for r in rows:
+        packs.setdefault((r.shard, r.pack_id), []).append(r)
+    for (shard, pack_id), members in packs.items():
+        total = sum(m.tokens for m in members)
+        # budget respected unless a single oversized doc owns the pack
+        assert total <= PACK_BUDGET or len(members) == 1
+    # within a shard, pack_id is non-decreasing in doc order and contiguous
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, members in by_shard.items():
+        members.sort(key=lambda r: r.doc_id)
+        ids = [m.pack_id for m in members]
+        assert ids[0] == 0
+        for a, b in zip(ids, ids[1:]):
+            assert b in (a, a + 1)
+    # greedy invariant: a doc opens a new pack only because it wouldn't fit
+    for shard, members in by_shard.items():
+        cur = 0
+        for m in members:
+            if cur > 0 and cur + m.tokens > PACK_BUDGET:
+                cur = m.tokens
+            else:
+                cur += m.tokens

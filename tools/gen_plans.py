@@ -47,7 +47,8 @@ def main() -> None:
 
     for name in ("q1_pricing_summary", "top_revenue_orders", "dedup_minhash_lsh",
                  "events_asof_orders", "ann_cosine_topk", "dedup_embedding_lsh",
-                 "ann_ivf_probe", "ann_lsh_topk", "dedup_minhash_clusters"):
+                 "ann_ivf_probe", "ann_lsh_topk", "dedup_minhash_clusters",
+                 "data_split_assign", "domain_mix_resample", "sequence_packing"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -81,6 +82,15 @@ def main() -> None:
                    "(bounded lineage across iterations)",
                    "ExistingRDD" in full["dedup_minhash_clusters"]
                    and "Cartesian" not in full["dedup_minhash_clusters"]))
+    checks.append(("split assignment is shuffle-free (no Exchange)",
+                   "Exchange" not in full["data_split_assign"]))
+    checks.append(("domain mix weight map broadcasts (corpus side stays put)",
+                   "BroadcastHashJoin" in full["domain_mix_resample"]
+                   and full["domain_mix_resample"].count("hashpartitioning(") == 0))
+    checks.append(("sequence packing shuffles once on shard then runs the "
+                   "pandas pass",
+                   full["sequence_packing"].count("hashpartitioning(") == 1
+                   and "FlatMapGroupsInPandas" in full["sequence_packing"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")
