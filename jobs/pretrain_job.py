@@ -2,7 +2,8 @@
 
   spark-submit --py-files dist/readability_1_spark.zip jobs/pretrain_job.py \
       --input /path/to/transcripts_parquet --output /path/to/out \
-      [--num-parts 2048] [--min-chars 500] [--min-tokens 80]
+      [--num-parts 2048] [--min-chars 500] [--min-tokens 80] \
+      [--pack-budget 2048] [--pack-shards 2048]
 """
 
 from __future__ import annotations
@@ -19,6 +20,8 @@ def main() -> None:
     ap.add_argument("--num-parts", type=int, default=2048)
     ap.add_argument("--min-chars", type=int, default=500)
     ap.add_argument("--min-tokens", type=int, default=80)
+    ap.add_argument("--pack-budget", type=int, default=2048)
+    ap.add_argument("--pack-shards", type=int, default=2048)
     args = ap.parse_args()
 
     from readability_1_spark.pretrain import run_pretrain_job
@@ -27,9 +30,14 @@ def main() -> None:
     transcripts = spark.read.parquet(args.input)
     stats = run_pretrain_job(
         spark, transcripts, args.output, num_parts=args.num_parts,
+        pack_budget=args.pack_budget, pack_shards=args.pack_shards,
         min_chars=args.min_chars, min_tokens=args.min_tokens,
     )
-    print(f"curated={stats['n_docs']} tokens={stats['total_tokens']}")
+    print(
+        f"curated={stats['n_docs']} tokens={stats['total_tokens']} "
+        f"train/val/test={stats['n_train']}/{stats['n_val']}/{stats['n_test']} "
+        f"packs={stats['n_packs']}"
+    )
     spark.stop()
 
 

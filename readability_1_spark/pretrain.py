@@ -13,7 +13,14 @@ training-data team would actually run over an agent-transcript corpus.
       → PII redaction: email/URL/phone → typed sentinels, count kept
       → JVM-side quality gates (length / token count / sentence-ness /
         stopword ratio / link density proxy)
-      → curated parquet (text + metadata + token counts) + a stats row
+      → train/val/test split (content-stable md5 bucket of the doc key —
+        survives re-ingestion and corpus growth, so held-out docs never
+        bleed into train across runs)
+      → sequence packing of the train split (greedy fixed-token-budget
+        packs, per-shard applyInPandas — the context-window filling step
+        that feeds the trainer)
+      → curated parquet (text + metadata + token counts + split) + pack
+        manifest + a stats row
 
 Every stage is a DataFrame transformation (no driver-side row loops, no
 Python in the post-kernel path); the only Python is the extraction kernel
@@ -35,12 +42,20 @@ from .queries import (
     PII_EMAIL,
     PII_PHONE,
     PII_URL,
+    SPLIT_TRAIN_LT,
+    SPLIT_VAL_LT,
     STOPWORDS,
     TOKEN_SPLIT,
+    _md5_bucket,
     _minhash_pairs,
     _shingle_array_expr,
     connected_components,
 )
+
+
+def _doc_key():
+    """Content-stable doc key: identical across runs/partitionings."""
+    return F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string"))
 
 
 def shingle_set(texts: DataFrame, text_col: str = "text") -> DataFrame:
@@ -195,11 +210,55 @@ def curate_pretraining_data(
         periods.alias("n_periods"),
         F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6).alias("stopword_ratio"),
     )
-    return scored.filter(
+    gated = scored.filter(
         (F.col("n_chars") >= min_chars)
         & (F.col("n_tokens") >= min_tokens)
         & (F.col("n_periods") >= min_periods)
         & (F.col("stopword_ratio") <= max_stopword_ratio)
+    )
+    # Split LAST: dedup/gates must not see the split (they act corpus-wide),
+    # and the bucket depends only on the doc key, so the same doc lands in
+    # the same split on every run regardless of gate/dedup tuning upstream.
+    bucket = _md5_bucket(_doc_key())
+    return gated.withColumn(
+        "split",
+        F.when(bucket < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def pack_sequences(
+    curated: DataFrame, budget: int = 2048, n_shards: int = 64
+) -> DataFrame:
+    """Greedy sequence packing over curated docs: shard by content-stable
+    key hash, order by (conv_id, turn_idx) within shard, open a new pack
+    when the running token total would exceed `budget`.  One shuffle to
+    co-locate shards, then a single linear pandas pass per shard — shards
+    are the parallelism unit (set n_shards ~ cores x a small factor on a
+    real cluster).  A doc larger than the budget gets its own pack."""
+    keyed = curated.select(
+        "conv_id",
+        "turn_idx",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        _md5_bucket(_doc_key(), n_shards).alias("shard"),
+    )
+
+    def pack(pdf):
+        pdf = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        pack_ids, cur, pid = [], 0, 0
+        for t in pdf["n_tokens"]:
+            if cur > 0 and cur + t > budget:
+                pid += 1
+                cur = int(t)
+            else:
+                cur += int(t)
+            pack_ids.append(pid)
+        pdf["pack_id"] = pack_ids
+        return pdf[["conv_id", "turn_idx", "shard", "pack_id", "n_tokens"]]
+
+    return keyed.groupBy("shard").applyInPandas(
+        pack, "conv_id string, turn_idx int, shard long, pack_id long, n_tokens long"
     )
 
 
@@ -208,23 +267,43 @@ def run_pretrain_job(
     transcripts: DataFrame,
     out_dir: str,
     num_parts: int = 64,
+    pack_budget: int = 2048,
+    pack_shards: int = 64,
     **gates,
 ) -> dict:
-    """Curate and write: curated parquet + a one-row stats table.  The
-    stats derive from a column-pruned read-back of the written data (the
-    same no-recompute discipline as run_extraction_job)."""
+    """Curate and write: curated parquet (with split column) + a pack
+    manifest for the train split + a one-row stats table.  The stats and
+    the packing derive from a column-pruned read-back of the written data
+    (the same no-recompute discipline as run_extraction_job)."""
     curated = curate_pretraining_data(transcripts, num_parts=num_parts, **gates)
     curated_path = os.path.join(out_dir, "curated")
     curated.write.mode("overwrite").parquet(curated_path)
 
     back = spark.read.parquet(curated_path)
+    packs = pack_sequences(
+        back.filter(F.col("split") == "train"),
+        budget=pack_budget,
+        n_shards=pack_shards,
+    )
+    packs_path = os.path.join(out_dir, "packs")
+    packs.write.mode("overwrite").parquet(packs_path)
+
     stats_row = back.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("n_chars").alias("total_chars"),
         F.countDistinct("conv_id").alias("n_conversations"),
+        F.count(F.when(F.col("split") == "train", 1)).alias("n_train"),
+        F.count(F.when(F.col("split") == "val", 1)).alias("n_val"),
+        F.count(F.when(F.col("split") == "test", 1)).alias("n_test"),
     ).collect()[0]
+    n_packs_row = (
+        spark.read.parquet(packs_path)
+        .agg(F.count_distinct("shard", "pack_id").alias("n_packs"))
+        .collect()[0]
+    )
     stats = {k: (int(v) if v is not None else 0) for k, v in stats_row.asDict().items()}
+    stats["n_packs"] = int(n_packs_row.n_packs or 0)
     spark.createDataFrame([stats]).write.mode("overwrite").parquet(
         os.path.join(out_dir, "stats")
     )

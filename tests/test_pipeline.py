@@ -356,6 +356,45 @@ def test_pretrain_redaction_and_decontamination(spark):
     assert raw["conv-p"].n_pii_redactions == 0
 
 
+def test_pretrain_split_and_packing(spark, tmp_path):
+    """The composite assigns a content-stable split to every curated doc and
+    packs the train split into fixed-token-budget sequences."""
+    from readability_1_spark.pretrain import (
+        curate_pretraining_data,
+        pack_sequences,
+        run_pretrain_job,
+    )
+    from readability_1_spark.transcripts import smoke_transcripts
+
+    t = smoke_transcripts(spark)
+    curated = curate_pretraining_data(t, num_parts=8)
+    rows = curated.collect()
+    assert rows and all(r.split in ("train", "val", "test") for r in rows)
+    # split is a pure function of the doc key: identical on a re-run
+    again = {(r.conv_id, r.turn_idx): r.split for r in curated.collect()}
+    assert all(again[(r.conv_id, r.turn_idx)] == r.split for r in rows)
+
+    budget = 300
+    packs = pack_sequences(curated, budget=budget, n_shards=4).collect()
+    assert len(packs) == len(rows)
+    by_pack = {}
+    for p in packs:
+        by_pack.setdefault((p.shard, p.pack_id), []).append(p)
+    for members in by_pack.values():
+        total = sum(m.n_tokens for m in members)
+        assert total <= budget or len(members) == 1
+
+    stats = run_pretrain_job(
+        spark, t, str(tmp_path / "out"), num_parts=8,
+        pack_budget=budget, pack_shards=4,
+    )
+    assert stats["n_train"] + stats["n_val"] + stats["n_test"] == stats["n_docs"]
+    packs_back = spark.read.parquet(str(tmp_path / "out" / "packs")).collect()
+    assert len(packs_back) == stats["n_train"]
+    assert stats["n_packs"] >= 1
+    assert stats["n_packs"] == len({(p.shard, p.pack_id) for p in packs_back})
+
+
 def test_connected_components_chain_and_isolated(spark):
     """CC over a 6-node chain (diameter 5 — forces several propagation
     rounds), a separate triangle, and an isolated node."""
