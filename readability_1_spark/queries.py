@@ -2453,6 +2453,107 @@ FROM assigned WHERE rn = 1 GROUP BY centroid_id
 """
 
 
+def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality score without an external model: a bigram
+    language model with Laplace smoothing is trained on the corpus itself
+    (the CCNet/KenLM filtering pattern, self-contained), then each doc is
+    scored by its mean bigram log-probability — low scores flag gibberish /
+    boilerplate / OOD text.  P(w2|w1) = (C(w1 w2)+1) / (C(w1 ·)+V) where
+    C(w1 ·) counts w1 as bigram history and V is the corpus vocabulary, so
+    the distribution normalizes exactly.  Shapes for 100 TB: bigram/history
+    counts are groupBy aggregates (map-side combine), scoring is two
+    equi-joins on the count tables (AQE handles stop-word skew), the vocab
+    size is a 1-row broadcast.  No Python anywhere."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    toked = docs.select("doc_id", ws.alias("ws"))
+
+    def bigram_at(arr):
+        return lambda i: F.concat_ws(
+            " ", F.element_at(arr, i), F.element_at(arr, i + 1)
+        )
+
+    # sequence(1, 0) DESCENDS in Spark — guard docs with < 2 tokens.
+    bigrams = F.when(
+        F.size("ws") >= 2,
+        F.transform(F.sequence(F.lit(1), F.size("ws") - 1), bigram_at(F.col("ws"))),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = toked.select("doc_id", F.explode(bigrams).alias("bigram"))
+
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt2"))
+    c1 = (
+        bg.select(F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("cnt1"))
+    )
+    vocab = toked.select(F.explode("ws").alias("w")).agg(
+        F.countDistinct("w").alias("vsz")
+    )
+
+    scored = (
+        bg.join(c2, "bigram")
+        .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("cnt2") + F.lit(1)).cast("double")
+                        / (F.col("cnt1") + F.col("vsz")).cast("double")
+                    )
+                ),
+                6,
+            ).alias("avg_logprob"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            "avg_logprob",
+        )
+    )
+
+
+SQL_DOC_LM_SCORE = f"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                     x -> x <> '') AS ws
+  FROM documents
+), bg AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+  FROM toked
+), c2 AS (
+  SELECT bigram, count(*) AS cnt2 FROM bg GROUP BY bigram
+), c1 AS (
+  SELECT split_part(bigram, ' ', 1) AS w1, count(*) AS cnt1
+  FROM bg GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT w) AS vsz
+  FROM (SELECT unnest(ws) AS w FROM toked)
+), scored AS (
+  SELECT bg.doc_id, count(*) AS n_bigrams,
+         round(avg(ln(CAST(c2.cnt2 + 1 AS DOUBLE)
+                      / CAST(c1.cnt1 + v.vsz AS DOUBLE))), 6) AS avg_logprob
+  FROM bg
+  JOIN c2 USING (bigram)
+  JOIN c1 ON split_part(bg.bigram, ' ', 1) = c1.w1
+  CROSS JOIN v
+  GROUP BY bg.doc_id
+)
+SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams, s.avg_logprob
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Corpus assembly: deterministic splits, domain mixing, sequence packing
 # --------------------------------------------------------------------------
@@ -2669,6 +2770,7 @@ QUERIES: dict[str, tuple] = {
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "extract_quality_filter": (q_extract_quality_filter, SQL_EXTRACT_QUALITY_FILTER),
+    "doc_lm_score": (q_doc_lm_score, SQL_DOC_LM_SCORE),
     "multimodal_binary_stats": (q_multimodal_binary_stats, SQL_MULTIMODAL_BINARY_STATS),
     # similarity search
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
