@@ -84,6 +84,30 @@ def run_stream_to_parquet(extractions: DataFrame, out_dir: str,
     return writer.start()
 
 
+def streaming_dedup_exact(transcripts: DataFrame,
+                          watermark: str | None = None) -> DataFrame:
+    """Streaming exact dedup on the payload hash via Spark's built-in
+    stateful dropDuplicates: the state store keeps one entry per distinct
+    content hash, so only the FIRST occurrence flows downstream — across
+    micro-batches within a run, and across restarts via the checkpoint.
+    Placed before the extraction kernel it is the streaming analogue of the
+    batch pipeline's payload dedup (kernel runs once per distinct page).
+
+    State grows with distinct hashes, which is unbounded on an endless
+    crawl; pass `watermark` (e.g. "7 days") to switch to
+    dropDuplicatesWithinWatermark, bounding state to the watermark horizon
+    (set it to the crawl revisit period — a page reseen after the horizon
+    re-extracts, which is what you want anyway)."""
+    hashed = transcripts.withColumn(
+        "content_hash", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256)
+    )
+    if watermark is not None:
+        return hashed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["content_hash"]
+        )
+    return hashed.dropDuplicates(["content_hash"])
+
+
 SESSION_OUT_DDL = (
     "conv_id STRING, session_idx INT, session_start TIMESTAMP, "
     "session_end TIMESTAMP, n_turns BIGINT, html_turns BIGINT"

@@ -344,6 +344,67 @@ def test_real_gif_frame_sampling_distributed(spark):
         assert got[(1, i)].frame_status == "decoder_unavailable"
 
 
+def test_streaming_dedup_exact(spark, tmp_path):
+    """Stateful streaming dedup: first occurrence of each payload survives,
+    duplicates within a micro-batch, across micro-batches, and across
+    RESTARTS (checkpointed state) are dropped."""
+    import datetime
+
+    from readability_1_spark.streaming import (
+        stream_transcripts_from_dir,
+        streaming_dedup_exact,
+    )
+    from readability_1_spark.transcripts import TRANSCRIPT_SCHEMA
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+    def turn(conv, idx, text):
+        return (conv, idx, "tool", text, None, t0)
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    p1, p2, p3, p4 = (f"<html><body><p>page {i}</p></body></html>" for i in range(4))
+    spark.createDataFrame(
+        [turn("c0", 0, p1), turn("c0", 1, p2), turn("c1", 0, p1)],
+        TRANSCRIPT_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(
+        [turn("c2", 0, p2), turn("c2", 1, p3)], TRANSCRIPT_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        def run():
+            deduped = streaming_dedup_exact(
+                stream_transcripts_from_dir(spark, in_dir, max_files_per_trigger=1)
+            )
+            q = (
+                deduped.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+
+        run()
+        texts = [r.text for r in spark.read.parquet(out_dir).collect()]
+        assert sorted(texts) == sorted([p1, p2, p3])
+
+        # restart with one already-seen and one new payload: only p4 appends
+        spark.createDataFrame(
+            [turn("c3", 0, p1), turn("c3", 1, p4)], TRANSCRIPT_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+        run()
+        texts = [r.text for r in spark.read.parquet(out_dir).collect()]
+        assert sorted(texts) == sorted([p1, p2, p3, p4])
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
 def test_streaming_stateful_sessionization(spark, tmp_path):
     """applyInPandasWithState gap sessionization: a >gap pause inside the
     stream closes and emits the previous session; open sessions stay in
