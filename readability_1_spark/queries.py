@@ -2453,6 +2453,70 @@ FROM assigned WHERE rn = 1 GROUP BY centroid_id
 """
 
 
+SIMHASH_BANDS = 4  # 16 bits -> 4 nibbles; Hamming <= 3 pairs share >= 1 nibble
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS without a cross join: band the 16-bit simhash
+    into 4 nibbles — by pigeonhole any pair within Hamming distance 3 agrees
+    on at least one whole nibble, so a (band, nibble) equi-join generates
+    ALL such candidates; an exact bit_count(XOR) re-check keeps pairs with
+    hamming <= 3.  Same band-join shape as dedup_minhash_lsh, so the 100 TB
+    path is identical: one explode (4x rows), one shuffle on the band key,
+    bucket-sized join products.  At 10^12 docs you widen the fingerprint
+    (64-bit) and the bands with it.  On the sf synthetic corpus (shared
+    vocabulary, so word-frequency simhashes crowd together) the 16-bit
+    fingerprint is deliberately coarse — ~28% of all pairs land within
+    Hamming 3 at sf0.01 — which exercises the worst case for bucket sizes;
+    selectivity comes from fingerprint width, the knob the docstring above
+    says to turn at scale."""
+    sim = q_dedup_simhash(spark, sf_dir)
+    bands = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("simhash", 4 * b).bitwiseAND(F.lit(15)).alias("bv"),
+                )
+                for b in range(SIMHASH_BANDS)
+            ])
+        ).alias("x"),
+    ).select("doc_id", "simhash", "x.band", "x.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 3)
+        .distinct()
+    )
+
+
+SQL_DEDUP_SIMHASH_PAIRS = f"""
+WITH bands AS (
+  SELECT doc_id, simhash, b AS band, (simhash >> (4 * b)) & 15 AS bv
+  FROM ({SQL_DEDUP_SIMHASH}) sim,
+       UNNEST(generate_series(0, {SIMHASH_BANDS - 1})) AS t(b)
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality score without an external model: a bigram
     language model with Laplace smoothing is trained on the corpus itself
@@ -2756,6 +2820,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_minhash_clusters": (q_dedup_minhash_clusters, SQL_DEDUP_MINHASH_CLUSTERS),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
     "dedup_embedding_lsh": (q_dedup_embedding_lsh, SQL_DEDUP_EMBEDDING_LSH),
     "dedup_embedding_clusters": (q_dedup_embedding_clusters, SQL_DEDUP_EMBEDDING_CLUSTERS),

@@ -70,6 +70,7 @@ SCALE_CLASS = {
     "ann_lsh_topk": ("bucketed", "multi-probe bucket equi-join; probes multiply only the query side"),
     "ann_ivf_assign": ("broadcast", "centroid set broadcast, codegen assignment"),
     "ann_ivf_probe": ("broadcast", "probe lists only (centroid equi-join)"),
+    "dedup_simhash_pairs": ("bucketed", "nibble-band equi-join candidates + exact Hamming re-check; widen fingerprint at scale"),
     "doc_lm_score": ("shuffle", "bigram/history count groupBys (map-side combine) + two equi-joins; vocab is a 1-row broadcast"),
     "data_split_assign": ("linear", "content-hash bucket, zero shuffles"),
     "domain_mix_resample": ("broadcast", "O(#sources) weight map broadcast + linear explode"),
