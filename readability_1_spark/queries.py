@@ -2453,6 +2453,122 @@ FROM assigned WHERE rn = 1 GROUP BY centroid_id
 """
 
 
+KMEANS_K = 8
+KMEANS_ITERS = 2
+EMB_DIM = 64
+
+
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF quantizer TRAINING: Lloyd's k-means (k=8, 2 iterations,
+    deterministic init = first k vectors) entirely as DataFrame ops — the
+    iterative-algorithm pattern at scale.  Per iteration: assignment is a
+    broadcast of the tiny centroid set with a codegen'd distance expression
+    (no shuffle on the corpus), the update is one groupBy(centroid, dim)
+    average (map-side combine) re-assembled into centroid arrays, and the
+    new centroids are localCheckpoint'ed so lineage stays bounded across
+    iterations (same discipline as connected_components).  Determinism for
+    the exact DuckDB oracle: distances and centroid dims are rounded to 6
+    decimals at every step, ties break on centroid_id — the oracle unrolls
+    both iterations as CTEs and matches by value hash.  Returns the final
+    assignment (vec_id, centroid_id, dist)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def sq_dist(e_col, c_col):
+        return F.aggregate(
+            F.zip_with(
+                e_col, c_col,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(cent):
+        pairs = emb.crossJoin(F.broadcast(cent))
+        dist = F.round(F.sqrt(sq_dist(F.col("embedding"), F.col("c_emb"))), 6)
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("dist").asc(), F.col("centroid_id").asc()
+        )
+        return (
+            pairs.withColumn("dist", dist)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", "centroid_id", "dist")
+        )
+
+    cent = emb.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("centroid_id"),
+        F.transform("embedding", lambda x: F.round(x.cast("double"), 6)).alias(
+            "c_emb"
+        ),
+    )
+    for _ in range(KMEANS_ITERS):
+        a = assign(cent)
+        dims = a.select(
+            "centroid_id", F.posexplode("embedding").alias("pos", "val")
+        )
+        u = dims.groupBy("centroid_id", "pos").agg(
+            F.round(F.avg(F.col("val").cast("double")), 6).alias("v")
+        )
+        cent = (
+            u.groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: s["v"],
+                ).alias("c_emb")
+            )
+            .localCheckpoint()
+        )
+    return assign(cent).select("vec_id", "centroid_id", "dist")
+
+
+def _sql_kmeans_dist(cent: str) -> str:
+    return (
+        f"round(sqrt(list_sum(list_transform(generate_series(1, {EMB_DIM}), "
+        f"i -> (CAST(e.embedding[i] AS DOUBLE) - {cent}.c_emb[i]) "
+        f"* (CAST(e.embedding[i] AS DOUBLE) - {cent}.c_emb[i])))), 6)"
+    )
+
+
+def _sql_kmeans_iter(n: int) -> str:
+    """One unrolled Lloyd iteration: assignment CTE a{n} from centroids
+    c{n-1}, then updated centroids c{n}."""
+    return f"""a{n} AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_sql_kmeans_dist('c')} ASC, c.centroid_id ASC) AS rn
+    FROM embeddings e, c{n - 1} c
+  ) WHERE rn = 1
+), u{n} AS (
+  SELECT a.centroid_id, d.i AS dim,
+         round(avg(CAST(e.embedding[d.i] AS DOUBLE)), 6) AS v
+  FROM a{n} a JOIN embeddings e USING (vec_id),
+       UNNEST(generate_series(1, {EMB_DIM})) AS d(i)
+  GROUP BY a.centroid_id, d.i
+), c{n} AS (
+  SELECT centroid_id, list(v ORDER BY dim) AS c_emb FROM u{n} GROUP BY centroid_id
+)"""
+
+
+SQL_ANN_IVF_KMEANS = f"""
+WITH c0 AS (
+  SELECT vec_id AS centroid_id,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS c_emb
+  FROM embeddings WHERE vec_id < {KMEANS_K}
+),
+{", ".join(_sql_kmeans_iter(n) for n in range(1, KMEANS_ITERS + 1))}
+SELECT vec_id, centroid_id, dist FROM (
+  SELECT e.vec_id, c.centroid_id, {_sql_kmeans_dist('c')} AS dist,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           {_sql_kmeans_dist('c')} ASC, c.centroid_id ASC) AS rn
+  FROM embeddings e, c{KMEANS_ITERS} c
+) WHERE rn = 1
+"""
+
+
 SIMHASH_BANDS = 4  # 16 bits -> 4 nibbles; Hamming <= 3 pairs share >= 1 nibble
 
 
@@ -2717,6 +2833,49 @@ FROM documents d JOIN weights w ON d.source = w.source
 """
 
 
+# lang -> keep-rate in thousandths; a real pipeline derives these from
+# per-language token targets (downsample the head language, keep the tail).
+SAMPLE_RATES = {"en": 500, "de": 900, "es": 900, "fr": 900, "zh": 700}
+
+
+def q_corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates applied
+    via the same content-stable md5 bucket as q_data_split_assign (keep iff
+    bucket < rate).  Unlike rand()-based sampling this is reproducible
+    across runs, engines, and partitionings — rerunning the pipeline keeps
+    exactly the same docs — and composes with the split operator (both read
+    the same bucket, so sampling never unbalances the held-out splits).
+    Rate map is a broadcast O(#languages) join; everything else is per-row
+    JVM expressions, zero extra shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    rates = spark.createDataFrame(
+        sorted(SAMPLE_RATES.items()), "lang string, keep_lt int"
+    )
+    bucket = _md5_bucket(F.col("doc_id").cast("string"))
+    return (
+        docs.select("doc_id", "lang", bucket.alias("sample_bucket"))
+        .join(F.broadcast(rates), "lang")
+        .filter(F.col("sample_bucket") < F.col("keep_lt"))
+        .select("doc_id", "lang", "sample_bucket")
+    )
+
+
+_RATE_VALUES = ", ".join(f"('{k}', {v})" for k, v in sorted(SAMPLE_RATES.items()))
+SQL_CORPUS_SAMPLE_STRATIFIED = f"""
+WITH rates(lang, keep_lt) AS (VALUES {_RATE_VALUES}),
+hx AS (
+  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+), b AS (
+  SELECT doc_id, lang,
+         {_sql_md5_poly('h')} % {SPLIT_BUCKETS} AS sample_bucket
+  FROM hx
+)
+SELECT b.doc_id, b.lang, b.sample_bucket
+FROM b JOIN rates r ON b.lang = r.lang
+WHERE b.sample_bucket < r.keep_lt
+"""
+
+
 PACK_BUDGET = 256  # tokens per packed sequence (sf docs median ~56 tokens)
 PACK_SHARDS = 8
 
@@ -2844,8 +3003,10 @@ QUERIES: dict[str, tuple] = {
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "ann_ivf_assign": (q_ann_ivf_assign, SQL_ANN_IVF_ASSIGN),
     "ann_ivf_probe": (q_ann_ivf_probe, SQL_ANN_IVF_PROBE),
+    "ann_ivf_kmeans": (q_ann_ivf_kmeans, SQL_ANN_IVF_KMEANS),
     # corpus assembly
     "data_split_assign": (q_data_split_assign, SQL_DATA_SPLIT_ASSIGN),
     "domain_mix_resample": (q_domain_mix_resample, SQL_DOMAIN_MIX_RESAMPLE),
+    "corpus_sample_stratified": (q_corpus_sample_stratified, SQL_CORPUS_SAMPLE_STRATIFIED),
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
 }

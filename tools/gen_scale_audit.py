@@ -71,6 +71,8 @@ SCALE_CLASS = {
     "ann_ivf_assign": ("broadcast", "centroid set broadcast, codegen assignment"),
     "ann_ivf_probe": ("broadcast", "probe lists only (centroid equi-join)"),
     "dedup_simhash_pairs": ("bucketed", "nibble-band equi-join candidates + exact Hamming re-check; widen fingerprint at scale"),
+    "ann_ivf_kmeans": ("broadcast", "Lloyd iterations: centroid broadcast assignment + (centroid,dim) groupBy update; checkpointed per iteration"),
+    "corpus_sample_stratified": ("broadcast", "O(#languages) rate map broadcast; content-hash keep filter, no shuffle"),
     "doc_lm_score": ("shuffle", "bigram/history count groupBys (map-side combine) + two equi-joins; vocab is a 1-row broadcast"),
     "data_split_assign": ("linear", "content-hash bucket, zero shuffles"),
     "domain_mix_resample": ("broadcast", "O(#sources) weight map broadcast + linear explode"),
@@ -107,10 +109,11 @@ def main() -> None:
 
 Generated by `tools/gen_scale_audit.py` at sf0.01 (plan shapes are
 scale-independent; AQE may coalesce at runtime).  `cartesian` flags
-CartesianProduct/BroadcastNestedLoopJoin nodes — the four `yes` rows are
-all intentional bounded broadcast cross joins: the exact baselines
-(ann_cosine_topk, dedup_embedding_cosine) and the tiny-centroid-set
-products of the IVF quantizer (ann_ivf_assign, ann_ivf_probe).
+CartesianProduct/BroadcastNestedLoopJoin nodes — every `yes` row is an
+intentional bounded broadcast cross join: the exact baselines
+(ann_cosine_topk, dedup_embedding_cosine), the tiny-centroid-set
+products of the IVF quantizer (ann_ivf_assign, ann_ivf_probe,
+ann_ivf_kmeans), and the 1-row vocab-size scalar of doc_lm_score.
 
 | query | scale class | shuffles | broadcasts | SMJ | cartesian | note |
 |---|---|---|---|---|---|---|
