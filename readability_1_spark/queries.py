@@ -2453,6 +2453,44 @@ FROM assigned WHERE rn = 1 GROUP BY centroid_id
 """
 
 
+def q_events_rolling_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-FRAME analytics: per-user rolling mean of `value` over the
+    last 3 events (ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), running
+    cumulative sum, and the delta vs the previous event — the per-entity
+    feature shapes a behavioral/training-signal pipeline computes.  One
+    shuffle on user_id serves all three frames; order is made deterministic
+    with an event_id tiebreak so the oracle hash-matches."""
+    ev = _t(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    w3 = Window.partitionBy("user_id").orderBy(*order).rowsBetween(-2, 0)
+    wcum = Window.partitionBy("user_id").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wlag = Window.partitionBy("user_id").orderBy(*order)
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w3), 6).alias("rolling_avg3"),
+        F.round(F.sum("value").over(wcum), 6).alias("running_sum"),
+        F.round(F.col("value") - F.lag("value", 1).over(wlag), 6).alias("delta_prev"),
+    )
+
+
+SQL_EVENTS_ROLLING_STATS = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+         AS rolling_avg3,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+         AS running_sum,
+       round(value - lag(value, 1) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id), 6)
+         AS delta_prev
+FROM events
+"""
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 2
 EMB_DIM = 64
@@ -2972,6 +3010,7 @@ QUERIES: dict[str, tuple] = {
     "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
     "lineitem_percentiles": (q_lineitem_percentiles, SQL_LINEITEM_PERCENTILES),
+    "events_rolling_stats": (q_events_rolling_stats, SQL_EVENTS_ROLLING_STATS),
     # dedup family
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_exact_normalized": (q_dedup_exact_normalized, SQL_DEDUP_EXACT_NORMALIZED),

@@ -72,6 +72,7 @@ SCALE_CLASS = {
     "ann_ivf_probe": ("broadcast", "probe lists only (centroid equi-join)"),
     "dedup_simhash_pairs": ("bucketed", "nibble-band equi-join candidates + exact Hamming re-check; widen fingerprint at scale"),
     "ann_ivf_kmeans": ("broadcast", "Lloyd iterations: centroid broadcast assignment + (centroid,dim) groupBy update; checkpointed per iteration"),
+    "events_rolling_stats": ("shuffle", "one user_id exchange serves all three window frames"),
     "corpus_sample_stratified": ("broadcast", "O(#languages) rate map broadcast; content-hash keep filter, no shuffle"),
     "doc_lm_score": ("shuffle", "bigram/history count groupBys (map-side combine) + two equi-joins; vocab is a 1-row broadcast"),
     "data_split_assign": ("linear", "content-hash bucket, zero shuffles"),
