@@ -13,9 +13,9 @@ training-data team would actually run over an agent-transcript corpus.
       → PII redaction: email/URL/phone → typed sentinels, count kept
       → JVM-side quality gates (length / token count / sentence-ness /
         stopword ratio / link density proxy)
-      → train/val/test split (content-stable md5 bucket of the doc key —
-        survives re-ingestion and corpus growth, so held-out docs never
-        bleed into train across runs)
+      → train/val/test split (md5 bucket of the CONTENT hash — survives
+        re-ingestion, corpus growth, and keeper churn in dedup, so held-out
+        text never bleeds into train across runs)
       → sequence packing of the train split (greedy fixed-token-budget
         packs, per-shard applyInPandas — the context-window filling step
         that feeds the trainer)
@@ -50,6 +50,7 @@ from .queries import (
     _minhash_pairs,
     _shingle_array_expr,
     connected_components,
+    greedy_pack_ids,
 )
 
 
@@ -216,10 +217,11 @@ def curate_pretraining_data(
         & (F.col("n_periods") >= min_periods)
         & (F.col("stopword_ratio") <= max_stopword_ratio)
     )
-    # Split LAST: dedup/gates must not see the split (they act corpus-wide),
-    # and the bucket depends only on the doc key, so the same doc lands in
-    # the same split on every run regardless of gate/dedup tuning upstream.
-    bucket = _md5_bucket(_doc_key())
+    # Split LAST: dedup/gates must not see the split (they act corpus-wide).
+    # The bucket is keyed on content_hash — the CONTENT, not provenance —
+    # so the same text lands in the same split even when re-ingestion
+    # changes which (conv_id, turn_idx) survives dedup as its keeper.
+    bucket = _md5_bucket(F.col("content_hash"))
     return gated.withColumn(
         "split",
         F.when(bucket < SPLIT_TRAIN_LT, F.lit("train"))
@@ -231,8 +233,8 @@ def curate_pretraining_data(
 def pack_sequences(
     curated: DataFrame, budget: int = 2048, n_shards: int = 64
 ) -> DataFrame:
-    """Greedy sequence packing over curated docs: shard by content-stable
-    key hash, order by (conv_id, turn_idx) within shard, open a new pack
+    """Greedy sequence packing over curated docs: shard by deterministic
+    doc-key hash, order by (conv_id, turn_idx) within shard, open a new pack
     when the running token total would exceed `budget`.  One shuffle to
     co-locate shards, then a single linear pandas pass per shard — shards
     are the parallelism unit (set n_shards ~ cores x a small factor on a
@@ -246,15 +248,7 @@ def pack_sequences(
 
     def pack(pdf):
         pdf = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
-        pack_ids, cur, pid = [], 0, 0
-        for t in pdf["n_tokens"]:
-            if cur > 0 and cur + t > budget:
-                pid += 1
-                cur = int(t)
-            else:
-                cur += int(t)
-            pack_ids.append(pid)
-        pdf["pack_id"] = pack_ids
+        pdf["pack_id"] = greedy_pack_ids(pdf["n_tokens"], budget)
         return pdf[["conv_id", "turn_idx", "shard", "pack_id", "n_tokens"]]
 
     return keyed.groupBy("shard").applyInPandas(

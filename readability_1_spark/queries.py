@@ -2678,10 +2678,14 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored by its mean bigram log-probability — low scores flag gibberish /
     boilerplate / OOD text.  P(w2|w1) = (C(w1 w2)+1) / (C(w1 ·)+V) where
     C(w1 ·) counts w1 as bigram history and V is the corpus vocabulary, so
-    the distribution normalizes exactly.  Shapes for 100 TB: bigram/history
-    counts are groupBy aggregates (map-side combine), scoring is two
-    equi-joins on the count tables (AQE handles stop-word skew), the vocab
-    size is a 1-row broadcast.  No Python anywhere."""
+    the distribution normalizes exactly.  Shapes for 100 TB: occurrences
+    are first collapsed to (doc, bigram, multiplicity) — the count-table
+    joins then move one row per DISTINCT bigram per doc instead of one per
+    occurrence, shrinking the hot-stopword shuffle by the repeat factor —
+    then bigram/history counts are groupBy aggregates (map-side combine),
+    scoring is two equi-joins with a multiplicity-weighted mean (identical
+    result to the per-occurrence average), and the vocab size is a 1-row
+    broadcast.  No Python anywhere."""
     docs = _t(spark, sf_dir, "documents")
     ws = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
     toked = docs.select("doc_id", ws.alias("ws"))
@@ -2698,32 +2702,33 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(F.array().cast("array<string>"))
     bg = toked.select("doc_id", F.explode(bigrams).alias("bigram"))
 
-    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("cnt2"))
+    bgk = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("k"))
+    c2 = bgk.groupBy("bigram").agg(F.sum("k").alias("cnt2"))
     c1 = (
-        bg.select(F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"))
+        bgk.select(
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"), "k"
+        )
         .groupBy("w1")
-        .agg(F.count(F.lit(1)).alias("cnt1"))
+        .agg(F.sum("k").alias("cnt1"))
     )
     vocab = toked.select(F.explode("ws").alias("w")).agg(
         F.countDistinct("w").alias("vsz")
     )
 
+    logp = F.log(
+        (F.col("cnt2") + F.lit(1)).cast("double")
+        / (F.col("cnt1") + F.col("vsz")).cast("double")
+    )
     scored = (
-        bg.join(c2, "bigram")
+        bgk.join(c2, "bigram")
         .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
         .join(c1, "w1")
         .crossJoin(F.broadcast(vocab))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("k").alias("n_bigrams"),
             F.round(
-                F.avg(
-                    F.log(
-                        (F.col("cnt2") + F.lit(1)).cast("double")
-                        / (F.col("cnt1") + F.col("vsz")).cast("double")
-                    )
-                ),
-                6,
+                F.sum(F.col("k") * logp) / F.sum("k"), 6
             ).alias("avg_logprob"),
         )
     )
@@ -2749,23 +2754,26 @@ WITH toked AS (
          unnest(list_transform(generate_series(1, len(ws) - 1),
                                i -> ws[i] || ' ' || ws[i + 1])) AS bigram
   FROM toked
+), bgk AS (
+  SELECT doc_id, bigram, count(*) AS k FROM bg GROUP BY doc_id, bigram
 ), c2 AS (
-  SELECT bigram, count(*) AS cnt2 FROM bg GROUP BY bigram
+  SELECT bigram, CAST(sum(k) AS BIGINT) AS cnt2 FROM bgk GROUP BY bigram
 ), c1 AS (
-  SELECT split_part(bigram, ' ', 1) AS w1, count(*) AS cnt1
-  FROM bg GROUP BY 1
+  SELECT split_part(bigram, ' ', 1) AS w1, CAST(sum(k) AS BIGINT) AS cnt1
+  FROM bgk GROUP BY 1
 ), v AS (
   SELECT count(DISTINCT w) AS vsz
   FROM (SELECT unnest(ws) AS w FROM toked)
 ), scored AS (
-  SELECT bg.doc_id, count(*) AS n_bigrams,
-         round(avg(ln(CAST(c2.cnt2 + 1 AS DOUBLE)
-                      / CAST(c1.cnt1 + v.vsz AS DOUBLE))), 6) AS avg_logprob
-  FROM bg
+  SELECT bgk.doc_id, CAST(sum(bgk.k) AS BIGINT) AS n_bigrams,
+         round(sum(bgk.k * ln(CAST(c2.cnt2 + 1 AS DOUBLE)
+                              / CAST(c1.cnt1 + v.vsz AS DOUBLE)))
+               / sum(bgk.k), 6) AS avg_logprob
+  FROM bgk
   JOIN c2 USING (bigram)
-  JOIN c1 ON split_part(bg.bigram, ' ', 1) = c1.w1
+  JOIN c1 ON split_part(bgk.bigram, ' ', 1) = c1.w1
   CROSS JOIN v
-  GROUP BY bg.doc_id
+  GROUP BY bgk.doc_id
 )
 SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams, s.avg_logprob
 FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
@@ -2883,8 +2891,10 @@ def q_corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     across runs, engines, and partitionings — rerunning the pipeline keeps
     exactly the same docs — and composes with the split operator (both read
     the same bucket, so sampling never unbalances the held-out splits).
-    Rate map is a broadcast O(#languages) join; everything else is per-row
-    JVM expressions, zero extra shuffles."""
+    Rate map is a broadcast O(#languages) LEFT join — a language missing
+    from the map defaults to keep-everything (rate 1000), so new corpus
+    languages surface in the sample instead of silently vanishing.
+    Everything else is per-row JVM expressions, zero extra shuffles."""
     docs = _t(spark, sf_dir, "documents")
     rates = spark.createDataFrame(
         sorted(SAMPLE_RATES.items()), "lang string, keep_lt int"
@@ -2892,8 +2902,11 @@ def q_corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = _md5_bucket(F.col("doc_id").cast("string"))
     return (
         docs.select("doc_id", "lang", bucket.alias("sample_bucket"))
-        .join(F.broadcast(rates), "lang")
-        .filter(F.col("sample_bucket") < F.col("keep_lt"))
+        .join(F.broadcast(rates), "lang", "left")
+        .filter(
+            F.col("sample_bucket")
+            < F.coalesce(F.col("keep_lt"), F.lit(SPLIT_BUCKETS))
+        )
         .select("doc_id", "lang", "sample_bucket")
     )
 
@@ -2909,13 +2922,31 @@ hx AS (
   FROM hx
 )
 SELECT b.doc_id, b.lang, b.sample_bucket
-FROM b JOIN rates r ON b.lang = r.lang
-WHERE b.sample_bucket < r.keep_lt
+FROM b LEFT JOIN rates r ON b.lang = r.lang
+WHERE b.sample_bucket < COALESCE(r.keep_lt, {SPLIT_BUCKETS})
 """
 
 
 PACK_BUDGET = 256  # tokens per packed sequence (sf docs median ~56 tokens)
 PACK_SHARDS = 8
+
+
+def greedy_pack_ids(tokens, budget: int) -> list[int]:
+    """Greedy sequential packing: one pack id per input, in order; a new
+    pack opens when the running total would exceed `budget` (a single item
+    larger than the budget gets its own pack).  Shared by the
+    sequence_packing query, pretrain.pack_sequences, and their oracles'
+    semantics — one definition so the twins cannot drift."""
+    pack_ids, cur, pid = [], 0, 0
+    for t in tokens:
+        t = int(t)
+        if cur > 0 and cur + t > budget:
+            pid += 1
+            cur = t
+        else:
+            cur += t
+        pack_ids.append(pid)
+    return pack_ids
 
 
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2941,15 +2972,7 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def pack(pdf):
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        pack_ids, cur, pid = [], 0, 0
-        for t in pdf["tokens"]:
-            if cur > 0 and cur + t > PACK_BUDGET:
-                pid += 1
-                cur = int(t)
-            else:
-                cur += int(t)
-            pack_ids.append(pid)
-        pdf["pack_id"] = pack_ids
+        pdf["pack_id"] = greedy_pack_ids(pdf["tokens"], PACK_BUDGET)
         return pdf[["doc_id", "shard", "pack_id", "tokens"]]
 
     return sized.groupBy("shard").applyInPandas(

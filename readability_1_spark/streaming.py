@@ -97,15 +97,24 @@ def streaming_dedup_exact(transcripts: DataFrame,
     crawl; pass `watermark` (e.g. "7 days") to switch to
     dropDuplicatesWithinWatermark, bounding state to the watermark horizon
     (set it to the crawl revisit period — a page reseen after the horizon
-    re-extracts, which is what you want anyway)."""
+    re-extracts, which is what you want anyway).
+
+    NULL-text turns carry no payload, so they are NOT deduped against each
+    other (dropDuplicates would treat NULL as one shared value and silently
+    drop all but the first); they pass through with a NULL content_hash,
+    matching the batch pipeline's hash-only-real-payloads discipline."""
     hashed = transcripts.withColumn(
-        "content_hash", F.sha2(F.coalesce(F.col("text"), F.lit("")), 256)
+        "content_hash",
+        F.when(F.col("text").isNotNull(), F.sha2(F.col("text"), 256)),
     )
+    payloads = hashed.filter(F.col("content_hash").isNotNull())
     if watermark is not None:
-        return hashed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
-            ["content_hash"]
-        )
-    return hashed.dropDuplicates(["content_hash"])
+        deduped = payloads.withWatermark(
+            "ts", watermark
+        ).dropDuplicatesWithinWatermark(["content_hash"])
+    else:
+        deduped = payloads.dropDuplicates(["content_hash"])
+    return deduped.unionByName(hashed.filter(F.col("content_hash").isNull()))
 
 
 SESSION_OUT_DDL = (

@@ -77,11 +77,14 @@ def test_sequence_packing_budget_and_order(spark):
         assert ids[0] == 0
         for a, b in zip(ids, ids[1:]):
             assert b in (a, a + 1)
-    # greedy invariant: a doc opens a new pack only because it wouldn't fit
+    # greedy invariant: independently replay the greedy scan and assert the
+    # operator produced exactly those pack ids
     for shard, members in by_shard.items():
-        cur = 0
+        cur, pid = 0, 0
         for m in members:
             if cur > 0 and cur + m.tokens > PACK_BUDGET:
+                pid += 1
                 cur = m.tokens
             else:
                 cur += m.tokens
+            assert m.pack_id == pid, (shard, m.doc_id, m.pack_id, pid)

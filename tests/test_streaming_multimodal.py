@@ -365,12 +365,16 @@ def test_streaming_dedup_exact(spark, tmp_path):
         str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt"),
     )
     p1, p2, p3, p4 = (f"<html><body><p>page {i}</p></body></html>" for i in range(4))
+    # NULL-text turns carry no payload: they must ALL pass through (they are
+    # not duplicates of each other), with a NULL content_hash.
     spark.createDataFrame(
-        [turn("c0", 0, p1), turn("c0", 1, p2), turn("c1", 0, p1)],
+        [turn("c0", 0, p1), turn("c0", 1, p2), turn("c1", 0, p1),
+         turn("c0", 2, None)],
         TRANSCRIPT_SCHEMA,
     ).coalesce(1).write.mode("append").parquet(in_dir)
     spark.createDataFrame(
-        [turn("c2", 0, p2), turn("c2", 1, p3)], TRANSCRIPT_SCHEMA
+        [turn("c2", 0, p2), turn("c2", 1, p3), turn("c2", 2, None)],
+        TRANSCRIPT_SCHEMA,
     ).coalesce(1).write.mode("append").parquet(in_dir)
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -391,15 +395,21 @@ def test_streaming_dedup_exact(spark, tmp_path):
             q.awaitTermination(180)
 
         run()
-        texts = [r.text for r in spark.read.parquet(out_dir).collect()]
+        rows = spark.read.parquet(out_dir).collect()
+        texts = [r.text for r in rows if r.text is not None]
         assert sorted(texts) == sorted([p1, p2, p3])
+        nulls = [r for r in rows if r.text is None]
+        assert len(nulls) == 2 and all(r.content_hash is None for r in nulls)
 
         # restart with one already-seen and one new payload: only p4 appends
         spark.createDataFrame(
             [turn("c3", 0, p1), turn("c3", 1, p4)], TRANSCRIPT_SCHEMA
         ).coalesce(1).write.mode("append").parquet(in_dir)
         run()
-        texts = [r.text for r in spark.read.parquet(out_dir).collect()]
+        texts = [
+            r.text for r in spark.read.parquet(out_dir).collect()
+            if r.text is not None
+        ]
         assert sorted(texts) == sorted([p1, p2, p3, p4])
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
