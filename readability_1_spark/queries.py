@@ -2491,6 +2491,145 @@ FROM events
 """
 
 
+BPE_MERGES = 3
+
+
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016): learn the first 3
+    merges over the corpus word-frequency table.  Per iteration: count
+    adjacent symbol pairs weighted by word frequency, take the most
+    frequent pair (ties: lexicographic), merge it greedily left-to-right in
+    every word.  The whole loop is DataFrame ops over the DISTINCT-word
+    table (tiny next to the corpus: pair counting is a groupBy with
+    map-side combine, the winning pair is a 1-row broadcast, the state is
+    localCheckpoint'ed per iteration).
+
+    Cross-engine determinism trick: a word's symbol sequence is one string
+    — symbols joined by TWO spaces, wrapped in single spaces — so the
+    greedy non-overlapping left-to-right merge is a plain `replace(s,
+    ' a  b ', ' ab ')` with byte-identical semantics in Spark and DuckDB
+    (consecutive occurrences keep matching because the pattern consumes
+    only one of the two separator spaces).  Returns the merge table
+    (merge_rank, left_sym, right_sym, merged, pair_count)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    words = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    chars = F.filter(F.split(F.col("tok"), ""), lambda x: x != "")
+    state = words.select(
+        "cnt",
+        F.concat(
+            F.lit(" "), F.array_join(chars, "  "), F.lit(" ")
+        ).alias("s"),
+    ).localCheckpoint()
+
+    merges = []
+    for rank in range(1, BPE_MERGES + 1):
+        syms = F.split(F.trim(F.col("s")), "  ")
+
+        def pair_at(arr):
+            return lambda i: F.struct(
+                F.element_at(arr, i).alias("left_sym"),
+                F.element_at(arr, i + 1).alias("right_sym"),
+            )
+
+        pairs = state.select(
+            "cnt",
+            F.explode(
+                F.when(
+                    F.size(syms) >= 2,
+                    F.transform(F.sequence(F.lit(1), F.size(syms) - 1), pair_at(syms)),
+                ).otherwise(F.array().cast("array<struct<left_sym:string,right_sym:string>>"))
+            ).alias("p"),
+        ).select("cnt", "p.left_sym", "p.right_sym")
+        top = (
+            pairs.groupBy("left_sym", "right_sym")
+            .agg(F.sum("cnt").alias("pair_count"))
+            .orderBy(
+                F.col("pair_count").desc(),
+                F.col("left_sym").asc(),
+                F.col("right_sym").asc(),
+            )
+            .limit(1)
+            .localCheckpoint()
+        )
+        merges.append(
+            top.select(
+                F.lit(rank).alias("merge_rank"),
+                "left_sym",
+                "right_sym",
+                F.concat("left_sym", "right_sym").alias("merged"),
+                "pair_count",
+            )
+        )
+        state = (
+            state.crossJoin(F.broadcast(top))
+            .withColumn(
+                "s",
+                F.replace(
+                    F.col("s"),
+                    F.concat(
+                        F.lit(" "), F.col("left_sym"), F.lit("  "),
+                        F.col("right_sym"), F.lit(" "),
+                    ),
+                    F.concat(
+                        F.lit(" "), F.col("left_sym"), F.col("right_sym"),
+                        F.lit(" "),
+                    ),
+                ),
+            )
+            .select("cnt", "s")
+            .localCheckpoint()
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _sql_bpe_iter(n: int) -> str:
+    """One unrolled BPE iteration: pair counts p{n} over state s{n-1}, the
+    winning pair t{n}, merged state s{n}."""
+    return f"""p{n} AS (
+  SELECT sub.syms[t.i] AS left_sym, sub.syms[t.i + 1] AS right_sym,
+         CAST(sum(sub.cnt) AS BIGINT) AS pair_count
+  FROM (SELECT cnt, string_split(trim(s), '  ') AS syms FROM s{n - 1}) sub,
+       UNNEST(generate_series(1, len(sub.syms) - 1)) AS t(i)
+  GROUP BY 1, 2
+), t{n} AS (
+  SELECT left_sym, right_sym, pair_count FROM p{n}
+  ORDER BY pair_count DESC, left_sym ASC, right_sym ASC LIMIT 1
+), s{n} AS (
+  SELECT s.cnt,
+         replace(s.s, ' ' || t.left_sym || '  ' || t.right_sym || ' ',
+                      ' ' || t.left_sym || t.right_sym || ' ') AS s
+  FROM s{n - 1} s, t{n} t
+)"""
+
+
+SQL_BPE_LEARN_MERGES = f"""
+WITH words AS (
+  SELECT tok, count(*) AS cnt
+  FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                              x -> x <> '')) AS tok
+    FROM documents
+  ) GROUP BY tok
+), s0 AS (
+  SELECT cnt,
+         ' ' || array_to_string(
+                  list_transform(generate_series(1, len(tok)), i -> tok[i]),
+                  '  ') || ' ' AS s
+  FROM words
+),
+{", ".join(_sql_bpe_iter(n) for n in range(1, BPE_MERGES + 1))}
+{" UNION ALL ".join(
+    f"SELECT {n} AS merge_rank, left_sym, right_sym, "
+    f"left_sym || right_sym AS merged, pair_count FROM t{n}"
+    for n in range(1, BPE_MERGES + 1)
+)}
+"""
+
+
 KMEANS_K = 8
 KMEANS_ITERS = 2
 EMB_DIM = 64
@@ -3057,6 +3196,7 @@ QUERIES: dict[str, tuple] = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "extract_quality_filter": (q_extract_quality_filter, SQL_EXTRACT_QUALITY_FILTER),
     "doc_lm_score": (q_doc_lm_score, SQL_DOC_LM_SCORE),
+    "bpe_learn_merges": (q_bpe_learn_merges, SQL_BPE_LEARN_MERGES),
     "multimodal_binary_stats": (q_multimodal_binary_stats, SQL_MULTIMODAL_BINARY_STATS),
     # similarity search
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
