@@ -2586,9 +2586,61 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def q_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merges: segment every word with the 3 merges
+    from q_bpe_learn_merges and report per-doc subword statistics
+    (n_words, n_subwords, chars-per-subword fertility).  The segmentation
+    is computed ONCE per distinct word (vocab-sized compute), then
+    equi-joined back to the doc→word occurrences — the corpus-sized side
+    only does a hash join on the word key, exactly how a production
+    tokenizer-stats job shapes the work.  The 3-row merge table is
+    collected driver-side (a tokenizer ships its merges; same discipline
+    as the pipeline's bounded todo-set collect)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tokens(docs)
+    words = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    chars = F.filter(F.split(F.col("tok"), ""), lambda x: x != "")
+    state = words.select(
+        "tok",
+        F.concat(F.lit(" "), F.array_join(chars, "  "), F.lit(" ")).alias("s"),
+    )
+    # replay the same merge sequence the trainer learns (shared constants)
+    trained = q_bpe_learn_merges(spark, sf_dir).localCheckpoint()
+    merges = [
+        (r["left_sym"], r["right_sym"])
+        for r in trained.orderBy("merge_rank").collect()  # 3 rows, driver-side
+    ]
+    for left, right in merges:
+        state = state.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(f" {left}  {right} "),
+                F.lit(f" {left}{right} "),
+            ),
+        )
+    segmented = state.select(
+        "tok",
+        F.size(F.split(F.trim(F.col("s")), "  ")).alias("n_sub"),
+        F.length("tok").alias("n_chars"),
+    )
+    return (
+        toks.join(segmented, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").alias("n_subwords"),
+            F.round(
+                F.sum("n_chars").cast("double") / F.sum("n_sub"), 6
+            ).alias("chars_per_subword"),
+        )
+    )
+
+
 def _sql_bpe_iter(n: int) -> str:
     """One unrolled BPE iteration: pair counts p{n} over state s{n-1}, the
-    winning pair t{n}, merged state s{n}."""
+    winning pair t{n}, merged state s{n} (tok carried through so the
+    tokenize query can reuse the same chain)."""
     return f"""p{n} AS (
   SELECT sub.syms[t.i] AS left_sym, sub.syms[t.i + 1] AS right_sym,
          CAST(sum(sub.cnt) AS BIGINT) AS pair_count
@@ -2599,34 +2651,58 @@ def _sql_bpe_iter(n: int) -> str:
   SELECT left_sym, right_sym, pair_count FROM p{n}
   ORDER BY pair_count DESC, left_sym ASC, right_sym ASC LIMIT 1
 ), s{n} AS (
-  SELECT s.cnt,
+  SELECT s.tok, s.cnt,
          replace(s.s, ' ' || t.left_sym || '  ' || t.right_sym || ' ',
                       ' ' || t.left_sym || t.right_sym || ' ') AS s
   FROM s{n - 1} s, t{n} t
 )"""
 
 
-SQL_BPE_LEARN_MERGES = f"""
-WITH words AS (
-  SELECT tok, count(*) AS cnt
-  FROM (
-    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
-                              x -> x <> '')) AS tok
-    FROM documents
-  ) GROUP BY tok
+_SQL_DOC_TOKENS = f"""dtoks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                            x -> x <> '')) AS tok
+  FROM documents
+)"""
+
+_SQL_BPE_CHAIN = (
+    f"""{_SQL_DOC_TOKENS}, words AS (
+  SELECT tok, count(*) AS cnt FROM dtoks GROUP BY tok
 ), s0 AS (
-  SELECT cnt,
+  SELECT tok, cnt,
          ' ' || array_to_string(
                   list_transform(generate_series(1, len(tok)), i -> tok[i]),
                   '  ') || ' ' AS s
   FROM words
 ),
-{", ".join(_sql_bpe_iter(n) for n in range(1, BPE_MERGES + 1))}
+"""
+    + ", ".join(_sql_bpe_iter(n) for n in range(1, BPE_MERGES + 1))
+)
+
+
+SQL_BPE_LEARN_MERGES = f"""
+WITH {_SQL_BPE_CHAIN}
 {" UNION ALL ".join(
     f"SELECT {n} AS merge_rank, left_sym, right_sym, "
     f"left_sym || right_sym AS merged, pair_count FROM t{n}"
     for n in range(1, BPE_MERGES + 1)
 )}
+"""
+
+
+SQL_BPE_TOKENIZE_STATS = f"""
+WITH {_SQL_BPE_CHAIN},
+seg AS (
+  SELECT tok, len(string_split(trim(s), '  ')) AS n_sub,
+         len(tok) AS n_chars
+  FROM s{BPE_MERGES}
+)
+SELECT d.doc_id, count(*) AS n_words,
+       CAST(sum(seg.n_sub) AS BIGINT) AS n_subwords,
+       round(CAST(sum(seg.n_chars) AS DOUBLE) / sum(seg.n_sub), 6)
+         AS chars_per_subword
+FROM dtoks d JOIN seg USING (tok)
+GROUP BY d.doc_id
 """
 
 
@@ -3197,6 +3273,7 @@ QUERIES: dict[str, tuple] = {
     "extract_quality_filter": (q_extract_quality_filter, SQL_EXTRACT_QUALITY_FILTER),
     "doc_lm_score": (q_doc_lm_score, SQL_DOC_LM_SCORE),
     "bpe_learn_merges": (q_bpe_learn_merges, SQL_BPE_LEARN_MERGES),
+    "bpe_tokenize_stats": (q_bpe_tokenize_stats, SQL_BPE_TOKENIZE_STATS),
     "multimodal_binary_stats": (q_multimodal_binary_stats, SQL_MULTIMODAL_BINARY_STATS),
     # similarity search
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),

@@ -74,6 +74,7 @@ SCALE_CLASS = {
     "ann_ivf_kmeans": ("broadcast", "Lloyd iterations: centroid broadcast assignment + (centroid,dim) groupBy update; checkpointed per iteration"),
     "events_rolling_stats": ("shuffle", "one user_id exchange serves all three window frames"),
     "bpe_learn_merges": ("shuffle", "iterates over the DISTINCT-word table (tiny vs corpus); pair groupBy with map-side combine, 1-row winner broadcast, checkpointed state"),
+    "bpe_tokenize_stats": ("shuffle", "segmentation computed once per distinct word, joined back on the word key; corpus side does one hash join"),
     "corpus_sample_stratified": ("broadcast", "O(#languages) rate map broadcast; content-hash keep filter, no shuffle"),
     "doc_lm_score": ("shuffle", "bigram/history count groupBys (map-side combine) + two equi-joins; vocab is a 1-row broadcast"),
     "data_split_assign": ("linear", "content-hash bucket, zero shuffles"),
