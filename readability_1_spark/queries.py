@@ -2491,6 +2491,41 @@ FROM events
 """
 
 
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: parse the JSON `props` payload,
+    extract a typed field, and aggregate on it — the schema-on-read path
+    every event pipeline needs.  get_json_object stays JVM-side (codegen);
+    at 100 TB the extraction is a per-row expression and the rollup is one
+    small-cardinality groupBy with map-side combine."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_EVENTS_JSON_PROPS = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       round(avg(k), 6) AS avg_k,
+       max(k) AS max_k
+FROM (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+) WHERE k IS NOT NULL
+GROUP BY event_type
+"""
+
+
 BPE_MERGES = 3
 
 
@@ -3249,6 +3284,7 @@ QUERIES: dict[str, tuple] = {
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
     "lineitem_percentiles": (q_lineitem_percentiles, SQL_LINEITEM_PERCENTILES),
     "events_rolling_stats": (q_events_rolling_stats, SQL_EVENTS_ROLLING_STATS),
+    "events_json_props": (q_events_json_props, SQL_EVENTS_JSON_PROPS),
     # dedup family
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_exact_normalized": (q_dedup_exact_normalized, SQL_DEDUP_EXACT_NORMALIZED),

@@ -73,6 +73,7 @@ SCALE_CLASS = {
     "dedup_simhash_pairs": ("bucketed", "nibble-band equi-join candidates + exact Hamming re-check; widen fingerprint at scale"),
     "ann_ivf_kmeans": ("broadcast", "Lloyd iterations: centroid broadcast assignment + (centroid,dim) groupBy update; checkpointed per iteration"),
     "events_rolling_stats": ("shuffle", "one user_id exchange serves all three window frames"),
+    "events_json_props": ("linear", "JVM-side JSON extraction + small-cardinality rollup"),
     "bpe_learn_merges": ("shuffle", "iterates over the DISTINCT-word table (tiny vs corpus); pair groupBy with map-side combine, 1-row winner broadcast, checkpointed state"),
     "bpe_tokenize_stats": ("shuffle", "segmentation computed once per distinct word, joined back on the word key; corpus side does one hash join"),
     "corpus_sample_stratified": ("broadcast", "O(#languages) rate map broadcast; content-hash keep filter, no shuffle"),
