@@ -3030,6 +3030,47 @@ FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
 
 
+def q_doc_quality_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-percentile gating: rank every doc's LM score WITHIN ITS
+    LANGUAGE (percent_rank; raw log-probs are not comparable across
+    languages) and flag the bottom decile — the relative-threshold filter
+    curation teams use instead of absolute score cutoffs.  Composition of
+    doc_lm_score with one lang-partitioned window; ties broken by doc_id
+    for a deterministic oracle."""
+    scores = q_doc_lm_score(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").asc(), F.col("doc_id").asc()
+    )
+    return (
+        scores.join(docs, "doc_id")
+        .filter(F.col("avg_logprob").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            "avg_logprob",
+            F.round(F.percent_rank().over(w), 6).alias("lang_pctile"),
+        )
+        .withColumn("low_quality", F.col("lang_pctile") < 0.1)
+    )
+
+
+SQL_DOC_QUALITY_RANK = f"""
+WITH scores AS ({SQL_DOC_LM_SCORE}),
+ranked AS (
+  SELECT s.doc_id, d.lang, s.avg_logprob,
+         round(percent_rank() OVER (PARTITION BY d.lang
+                                    ORDER BY s.avg_logprob ASC, s.doc_id ASC),
+               6) AS lang_pctile
+  FROM scores s JOIN documents d ON s.doc_id = d.doc_id
+  WHERE s.avg_logprob IS NOT NULL
+)
+SELECT doc_id, lang, avg_logprob, lang_pctile,
+       lang_pctile < 0.1 AS low_quality
+FROM ranked
+"""
+
+
 # --------------------------------------------------------------------------
 # Corpus assembly: deterministic splits, domain mixing, sequence packing
 # --------------------------------------------------------------------------
@@ -3308,6 +3349,7 @@ QUERIES: dict[str, tuple] = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "extract_quality_filter": (q_extract_quality_filter, SQL_EXTRACT_QUALITY_FILTER),
     "doc_lm_score": (q_doc_lm_score, SQL_DOC_LM_SCORE),
+    "doc_quality_rank": (q_doc_quality_rank, SQL_DOC_QUALITY_RANK),
     "bpe_learn_merges": (q_bpe_learn_merges, SQL_BPE_LEARN_MERGES),
     "bpe_tokenize_stats": (q_bpe_tokenize_stats, SQL_BPE_TOKENIZE_STATS),
     "multimodal_binary_stats": (q_multimodal_binary_stats, SQL_MULTIMODAL_BINARY_STATS),

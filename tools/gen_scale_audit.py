@@ -78,6 +78,7 @@ SCALE_CLASS = {
     "bpe_tokenize_stats": ("shuffle", "segmentation computed once per distinct word, joined back on the word key; corpus side does one hash join"),
     "corpus_sample_stratified": ("broadcast", "O(#languages) rate map broadcast; content-hash keep filter, no shuffle"),
     "doc_lm_score": ("shuffle", "bigram/history count groupBys (map-side combine) + two equi-joins; vocab is a 1-row broadcast"),
+    "doc_quality_rank": ("shuffle", "LM-score subplan + one lang-partitioned window (5 partitions; percentile per language)"),
     "data_split_assign": ("linear", "content-hash bucket, zero shuffles"),
     "domain_mix_resample": ("broadcast", "O(#sources) weight map broadcast + linear explode"),
     "sequence_packing": ("shuffle", "one shard shuffle, then linear per-shard pandas pass"),
