@@ -2491,6 +2491,143 @@ FROM events
 """
 
 
+HLL_BUCKETS = 64  # 2^6 registers; standard-error ~ 1.04/sqrt(64) ~ 13%
+
+
+def hll_estimate(df: DataFrame, col: str) -> DataFrame:
+    """1-row HyperLogLog cardinality estimate of `df[col]` (md5-based, so
+    deterministic across engines and runs).  Register maxima via one
+    64-group groupBy with map-side combine; includes the empty-register
+    harmonic contribution and the linear-counting small-range correction.
+    Returns (hll_estimate double, n_registers_hit long)."""
+    hashed = df.withColumn("h", F.md5(F.col(col).cast("binary")))
+    bucket = F.pmod(
+        F.conv(F.substring("h", 1, 2), 16, 10).cast("long"), F.lit(HLL_BUCKETS)
+    )
+    # leading-zero count of the 56-bit suffix (hex chars 3..16): number of
+    # leading '0' hex chars * 4 + zeros inside the first non-zero digit.
+    suffix = F.substring("h", 3, 14)
+    stripped = F.regexp_replace(suffix, "^0+", "")
+    nz_digit = F.substring(stripped, 1, 1)
+    digit_lz = (
+        F.when(nz_digit == "1", 3)
+        .when(nz_digit.isin("2", "3"), 2)
+        .when(nz_digit.isin("4", "5", "6", "7"), 1)
+        .otherwise(0)
+    )
+    rank = F.when(F.length(stripped) == 0, F.lit(14 * 4 + 1)).otherwise(
+        (F.length(suffix) - F.length(stripped)) * 4 + digit_lz + 1
+    )
+    regs = (
+        hashed.select(bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy("bucket")
+        .agg(F.max("rank").alias("m"))
+    )
+    alpha_m2 = 0.709 * HLL_BUCKETS * HLL_BUCKETS  # alpha_64 for m=64
+    sums = regs.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("sum_pow"),
+        F.count(F.lit(1)).alias("n_registers_hit"),
+    )
+    # empty registers contribute 2^-0 = 1 each to the harmonic sum; below
+    # 2.5*m the standard linear-counting correction replaces the raw
+    # estimate (raw HLL overshoots badly in the small range).
+    empties = F.lit(HLL_BUCKETS) - F.col("n_registers_hit")
+    raw = F.lit(alpha_m2) / (F.col("sum_pow") + empties.cast("double"))
+    linear = F.lit(float(HLL_BUCKETS)) * F.log(
+        F.lit(float(HLL_BUCKETS)) / empties.cast("double")
+    )
+    return sums.select(
+        F.round(
+            F.when((raw <= 2.5 * HLL_BUCKETS) & (empties > 0), linear).otherwise(raw),
+            3,
+        ).alias("hll_estimate"),
+        "n_registers_hit",
+    )
+
+
+def q_distinct_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cardinality sketch: a from-scratch HyperLogLog over the corpus token
+    stream, fully deterministic so the DuckDB oracle is EXACT (unlike
+    approx_count_distinct, whose engine-internal hash can't be mirrored).
+    Register index = first hex byte of md5(token) mod 64; rank = leading
+    zero bits of the remaining 56-bit prefix + 1, computed from the hex
+    string with a 16-way CASE (identical in both engines).  Register
+    maxima are a 64-group groupBy (map-side combine — the sketch property
+    that matters at 100 TB: the shuffle carries 64 rows per mapper no
+    matter the corpus size); the harmonic-mean estimate is one tiny
+    aggregate.  Output: the estimate next to the true distinct count and
+    the relative error."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tokens(docs).select("tok")
+    est = hll_estimate(toks, "tok")
+    truth = toks.agg(F.countDistinct("tok").alias("true_distinct"))
+    return (
+        est.crossJoin(truth)
+        .select(
+            "hll_estimate",
+            "n_registers_hit",
+            "true_distinct",
+            F.round(
+                F.abs(F.col("hll_estimate") - F.col("true_distinct"))
+                / F.col("true_distinct"),
+                3,
+            ).alias("rel_error"),
+        )
+    )
+
+
+SQL_DISTINCT_HLL_ESTIMATE = f"""
+WITH toks AS (
+  SELECT md5(tok) AS h, tok
+  FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                              x -> x <> '')) AS tok
+    FROM documents
+  )
+), ranked AS (
+  SELECT CAST(('0x' || substring(h, 1, 2))::BIGINT % {HLL_BUCKETS} AS BIGINT)
+           AS bucket,
+         CASE WHEN len(regexp_replace(substring(h, 3, 14), '^0+', '')) = 0
+              THEN {14 * 4 + 1}
+              ELSE (14 - len(regexp_replace(substring(h, 3, 14), '^0+', ''))) * 4
+                   + CASE substring(regexp_replace(substring(h, 3, 14), '^0+', ''), 1, 1)
+                       WHEN '1' THEN 3
+                       WHEN '2' THEN 2 WHEN '3' THEN 2
+                       WHEN '4' THEN 1 WHEN '5' THEN 1
+                       WHEN '6' THEN 1 WHEN '7' THEN 1
+                       ELSE 0 END
+                   + 1 END AS rank,
+         tok
+  FROM toks
+), regs AS (
+  SELECT bucket, max(rank) AS m FROM ranked GROUP BY bucket
+), sums AS (
+  SELECT sum(power(2.0, -m)) AS sum_pow, count(*) AS n_registers_hit
+  FROM regs
+), est AS (
+  SELECT round(
+           CASE WHEN {0.709 * HLL_BUCKETS * HLL_BUCKETS}
+                     / (sum_pow + ({HLL_BUCKETS} - n_registers_hit))
+                     <= {2.5 * HLL_BUCKETS}
+                 AND n_registers_hit < {HLL_BUCKETS}
+                THEN {float(HLL_BUCKETS)}
+                     * ln({float(HLL_BUCKETS)}
+                          / ({HLL_BUCKETS} - n_registers_hit))
+                ELSE {0.709 * HLL_BUCKETS * HLL_BUCKETS}
+                     / (sum_pow + ({HLL_BUCKETS} - n_registers_hit))
+           END, 3) AS hll_estimate,
+         n_registers_hit
+  FROM sums
+), truth AS (
+  SELECT count(DISTINCT tok) AS true_distinct FROM ranked
+)
+SELECT e.hll_estimate, e.n_registers_hit, t.true_distinct,
+       round(abs(e.hll_estimate - t.true_distinct) / t.true_distinct, 3)
+         AS rel_error
+FROM est e CROSS JOIN truth t
+"""
+
+
 def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column handling: parse the JSON `props` payload,
     extract a typed field, and aggregate on it — the schema-on-read path
@@ -3340,6 +3477,7 @@ QUERIES: dict[str, tuple] = {
     # text analysis
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "token_cms_heavy_hitters": (q_token_cms_heavy_hitters, SQL_TOKEN_CMS),
+    "distinct_hll_estimate": (q_distinct_hll_estimate, SQL_DISTINCT_HLL_ESTIMATE),
     "text_redact_pii": (q_text_redact_pii, SQL_TEXT_REDACT_PII),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "benchmark_contamination": (q_benchmark_contamination, SQL_BENCHMARK_CONTAMINATION),

@@ -1,9 +1,10 @@
 """Semantic tests for the corpus-assembly operators (splits, domain mixing,
-sequence packing).  Oracle parity is checked separately by
+sequence packing) and sketches.  Oracle parity is checked separately by
 tools/verify_oracle.py / the driver gate; these assert the properties a
 pipeline user relies on."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from readability_1_spark.queries import (
     MIX_WEIGHTS,
@@ -11,6 +12,7 @@ from readability_1_spark.queries import (
     SPLIT_BUCKETS,
     SPLIT_TRAIN_LT,
     SPLIT_VAL_LT,
+    hll_estimate,
     q_data_split_assign,
     q_domain_mix_resample,
     q_sequence_packing,
@@ -88,3 +90,33 @@ def test_sequence_packing_budget_and_order(spark):
             else:
                 cur += m.tokens
             assert m.pack_id == pid, (shard, m.doc_id, m.pack_id, pid)
+
+
+def test_hll_high_cardinality_raw_branch(spark):
+    """At n >> 2.5*m the raw harmonic-mean branch is used (the sf corpus's
+    31-token vocab only exercises linear counting); a 64-register sketch
+    must land within ~3 standard errors (3 * 1.04/sqrt(64) ~ 39%)."""
+    n = 5000
+    df = spark.range(n).select(
+        F.concat(F.lit("item-"), F.col("id").cast("string")).alias("v")
+    )
+    row = hll_estimate(df, "v").collect()[0]
+    # all 64 registers hit at n=5000 -> linear counting is impossible here,
+    # so this value comes from the raw-HLL branch
+    assert row.n_registers_hit == 64
+    assert abs(row.hll_estimate - n) / n < 0.39, row.hll_estimate
+
+
+def test_hll_exact_duplicates_collapse(spark):
+    """Duplicates of the same value never change the sketch: 8 copies of
+    200 values estimate the same as 1 copy."""
+    base = spark.range(200).select(
+        F.concat(F.lit("x"), F.col("id").cast("string")).alias("v")
+    )
+    dup = base
+    for _ in range(3):
+        dup = dup.unionAll(dup)  # 8 copies
+    one = hll_estimate(base, "v").collect()[0]
+    many = hll_estimate(dup, "v").collect()[0]
+    assert one.hll_estimate == many.hll_estimate
+    assert one.n_registers_hit == many.n_registers_hit
