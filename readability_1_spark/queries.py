@@ -2494,12 +2494,12 @@ FROM events
 HLL_BUCKETS = 64  # 2^6 registers; standard-error ~ 1.04/sqrt(64) ~ 13%
 
 
-def hll_estimate(df: DataFrame, col: str) -> DataFrame:
-    """1-row HyperLogLog cardinality estimate of `df[col]` (md5-based, so
-    deterministic across engines and runs).  Register maxima via one
-    64-group groupBy with map-side combine; includes the empty-register
-    harmonic contribution and the linear-counting small-range correction.
-    Returns (hll_estimate double, n_registers_hit long)."""
+def hll_registers(df: DataFrame, col: str, keys: list[str] | None = None) -> DataFrame:
+    """HyperLogLog register maxima of `df[col]` (md5-based, deterministic
+    across engines), optionally per `keys` group — the MERGEABLE sketch
+    form: max-ing two groups' registers per bucket IS the union's sketch.
+    Returns (*keys, bucket, m)."""
+    keys = keys or []
     hashed = df.withColumn("h", F.md5(F.col(col).cast("binary")))
     bucket = F.pmod(
         F.conv(F.substring("h", 1, 2), 16, 10).cast("long"), F.lit(HLL_BUCKETS)
@@ -2518,31 +2518,43 @@ def hll_estimate(df: DataFrame, col: str) -> DataFrame:
     rank = F.when(F.length(stripped) == 0, F.lit(14 * 4 + 1)).otherwise(
         (F.length(suffix) - F.length(stripped)) * 4 + digit_lz + 1
     )
-    regs = (
-        hashed.select(bucket.alias("bucket"), rank.alias("rank"))
-        .groupBy("bucket")
+    return (
+        hashed.select(*keys, bucket.alias("bucket"), rank.alias("rank"))
+        .groupBy(*keys, "bucket")
         .agg(F.max("rank").alias("m"))
     )
+
+
+def hll_estimate_from_registers(regs: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Estimate from (bucket, m) registers, per optional `keys` group:
+    harmonic mean with the empty-register terms (2^-0 = 1 each) and the
+    linear-counting small-range correction (raw HLL overshoots badly below
+    2.5*m).  Returns (*keys, hll_estimate double, n_registers_hit long)."""
+    keys = keys or []
     alpha_m2 = 0.709 * HLL_BUCKETS * HLL_BUCKETS  # alpha_64 for m=64
-    sums = regs.agg(
+    sums = regs.groupBy(*keys).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("sum_pow"),
         F.count(F.lit(1)).alias("n_registers_hit"),
     )
-    # empty registers contribute 2^-0 = 1 each to the harmonic sum; below
-    # 2.5*m the standard linear-counting correction replaces the raw
-    # estimate (raw HLL overshoots badly in the small range).
     empties = F.lit(HLL_BUCKETS) - F.col("n_registers_hit")
     raw = F.lit(alpha_m2) / (F.col("sum_pow") + empties.cast("double"))
     linear = F.lit(float(HLL_BUCKETS)) * F.log(
         F.lit(float(HLL_BUCKETS)) / empties.cast("double")
     )
     return sums.select(
+        *keys,
         F.round(
             F.when((raw <= 2.5 * HLL_BUCKETS) & (empties > 0), linear).otherwise(raw),
             3,
         ).alias("hll_estimate"),
         "n_registers_hit",
     )
+
+
+def hll_estimate(df: DataFrame, col: str) -> DataFrame:
+    """1-row HyperLogLog cardinality estimate of `df[col]`.  See
+    hll_registers / hll_estimate_from_registers."""
+    return hll_estimate_from_registers(hll_registers(df, col))
 
 
 def q_distinct_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2625,6 +2637,91 @@ SELECT e.hll_estimate, e.n_registers_hit, t.true_distinct,
        round(abs(e.hll_estimate - t.true_distinct) / t.true_distinct, 3)
          AS rel_error
 FROM est e CROSS JOIN truth t
+"""
+
+
+def q_hll_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY — the property that makes sketches the right
+    tool on a cluster: each source keeps its own 64-register HLL, and
+    max-ing registers per bucket across sources IS the union's sketch (no
+    re-scan of the data).  Emits one row per source plus a '__merged__'
+    row whose estimate is identical to sketching the whole corpus
+    directly (asserted in tests/test_corpus_assembly.py).  At 100 TB this
+    is how per-shard/per-day sketches roll up to a global cardinality for
+    free."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = _tokens(docs).join(docs.select("doc_id", "source"), "doc_id")
+    regs = hll_registers(toks, "tok", ["source"]).localCheckpoint()
+    per_source = hll_estimate_from_registers(regs, ["source"])
+    merged_regs = regs.groupBy("bucket").agg(F.max("m").alias("m"))
+    merged = hll_estimate_from_registers(merged_regs).select(
+        F.lit("__merged__").alias("source"), "hll_estimate", "n_registers_hit"
+    )
+    return per_source.unionByName(merged)
+
+
+_SQL_HLL_RANK = f"""
+  SELECT CAST(('0x' || substring(h, 1, 2))::BIGINT % {HLL_BUCKETS} AS BIGINT)
+           AS bucket,
+         CASE WHEN len(regexp_replace(substring(h, 3, 14), '^0+', '')) = 0
+              THEN {14 * 4 + 1}
+              ELSE (14 - len(regexp_replace(substring(h, 3, 14), '^0+', ''))) * 4
+                   + CASE substring(regexp_replace(substring(h, 3, 14), '^0+', ''), 1, 1)
+                       WHEN '1' THEN 3
+                       WHEN '2' THEN 2 WHEN '3' THEN 2
+                       WHEN '4' THEN 1 WHEN '5' THEN 1
+                       WHEN '6' THEN 1 WHEN '7' THEN 1
+                       ELSE 0 END
+                   + 1 END AS rank"""
+
+_SQL_HLL_EST = f"""
+  SELECT {{key}} round(
+           CASE WHEN {0.709 * HLL_BUCKETS * HLL_BUCKETS}
+                     / (sum_pow + ({HLL_BUCKETS} - n_registers_hit))
+                     <= {2.5 * HLL_BUCKETS}
+                 AND n_registers_hit < {HLL_BUCKETS}
+                THEN {float(HLL_BUCKETS)}
+                     * ln({float(HLL_BUCKETS)}
+                          / ({HLL_BUCKETS} - n_registers_hit))
+                ELSE {0.709 * HLL_BUCKETS * HLL_BUCKETS}
+                     / (sum_pow + ({HLL_BUCKETS} - n_registers_hit))
+           END, 3) AS hll_estimate,
+         n_registers_hit"""
+
+SQL_HLL_MERGE_BY_SOURCE = f"""
+WITH toks AS (
+  SELECT source, md5(tok) AS h
+  FROM (
+    SELECT source,
+           unnest(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                              x -> x <> '')) AS tok
+    FROM documents
+  )
+), ranked AS (
+  SELECT source, r.bucket, r.rank FROM (
+    {_SQL_HLL_RANK}, source FROM toks
+  ) r
+), regs AS (
+  SELECT source, bucket, max(rank) AS m FROM ranked GROUP BY source, bucket
+), src_sums AS (
+  SELECT source, sum(power(2.0, -m)) AS sum_pow,
+         count(*) AS n_registers_hit
+  FROM regs GROUP BY source
+), src_est AS (
+{_SQL_HLL_EST.format(key="source,")}
+  FROM src_sums
+), merged_regs AS (
+  SELECT bucket, max(m) AS m FROM regs GROUP BY bucket
+), merged_sums AS (
+  SELECT sum(power(2.0, -m)) AS sum_pow, count(*) AS n_registers_hit
+  FROM merged_regs
+), merged_est AS (
+{_SQL_HLL_EST.format(key="'__merged__' AS source,")}
+  FROM merged_sums
+)
+SELECT source, hll_estimate, n_registers_hit FROM src_est
+UNION ALL
+SELECT source, hll_estimate, n_registers_hit FROM merged_est
 """
 
 
@@ -3478,6 +3575,7 @@ QUERIES: dict[str, tuple] = {
     "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
     "token_cms_heavy_hitters": (q_token_cms_heavy_hitters, SQL_TOKEN_CMS),
     "distinct_hll_estimate": (q_distinct_hll_estimate, SQL_DISTINCT_HLL_ESTIMATE),
+    "hll_merge_by_source": (q_hll_merge_by_source, SQL_HLL_MERGE_BY_SOURCE),
     "text_redact_pii": (q_text_redact_pii, SQL_TEXT_REDACT_PII),
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "benchmark_contamination": (q_benchmark_contamination, SQL_BENCHMARK_CONTAMINATION),

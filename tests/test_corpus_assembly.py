@@ -120,3 +120,19 @@ def test_hll_exact_duplicates_collapse(spark):
     many = hll_estimate(dup, "v").collect()[0]
     assert one.hll_estimate == many.hll_estimate
     assert one.n_registers_hit == many.n_registers_hit
+
+
+def test_hll_merge_equals_direct_sketch(spark):
+    """Mergeability: max-ing per-source registers reproduces EXACTLY the
+    estimate of sketching the whole corpus directly."""
+    from readability_1_spark.queries import (
+        q_distinct_hll_estimate,
+        q_hll_merge_by_source,
+    )
+
+    direct = q_distinct_hll_estimate(spark, SF_DIR).collect()[0]
+    merged = {
+        r.source: r for r in q_hll_merge_by_source(spark, SF_DIR).collect()
+    }["__merged__"]
+    assert merged.hll_estimate == direct.hll_estimate
+    assert merged.n_registers_hit == direct.n_registers_hit

@@ -80,6 +80,7 @@ SCALE_CLASS = {
     "doc_lm_score": ("shuffle", "bigram/history count groupBys (map-side combine) + two equi-joins; vocab is a 1-row broadcast"),
     "doc_quality_rank": ("shuffle", "LM-score subplan + one lang-partitioned window (5 partitions; percentile per language)"),
     "distinct_hll_estimate": ("linear", "64-register sketch: shuffle carries 64 rows per mapper regardless of corpus size (truth column is validation-only)"),
+    "hll_merge_by_source": ("linear", "per-source registers (64 x #sources rows) then bucket-max merge; mergeability = free global rollup"),
     "data_split_assign": ("linear", "content-hash bucket, zero shuffles"),
     "domain_mix_resample": ("broadcast", "O(#sources) weight map broadcast + linear explode"),
     "sequence_packing": ("shuffle", "one shard shuffle, then linear per-shard pandas pass"),
