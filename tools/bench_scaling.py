@@ -220,16 +220,25 @@ cannot quadruple.
 Interleaved head-to-head against the reference under node (now a
 standing harness: `python3 tools/head_to_head.py` — alternating reps,
 full 101-fixture corpus, node net of process startup).  Round-3
-sessions measured per-window MEDIANS of 1.00× and 1.06× (reps ranged
-0.60×–1.55×; the host ran ~40% below its round-2 capacity in these
-windows and V8 degrades more under contention than CPython).  Round-2
-sessions on a faster-capacity host measured medians 1.39×/1.58×/1.64×;
-round 1 measured 2.4×.  Every protocol and window puts the kernel
-inside the 2× bar.  The gap is recovered in production through
-parallelism and payload dedup (extract once per distinct page, join
-back) — per the DRIVER's artifact of record, BENCH_r02.json: 1,007.6
-turns/s dedup path vs 455.6 without, at sf0.1 local[32]; best local
-windows reached 1,754/1,914 t/s and are reported only as such.
+sessions measured per-window MEDIANS of 1.00×, 1.06×, and 0.98× — the
+last window (late round 3) had reps 0.98/0.84/1.00 with the ENGINE
+BEATING NODE in one rep; reps across windows ranged 0.60×–1.55×; the
+host ran 40–55% below its round-2 capacity in those windows (node
+itself: 32–37 docs/s vs ~78 in round 2) and V8 degrades more under
+contention than CPython.  That same capacity dip is why round-3 local
+bench totals (53–80 s, extract 16–26 s at sf0.1) read worse than
+BENCH_r02.json (38.1 s / 11.1 s): the interleaved control shows the
+engine at reference parity per-core, so any BENCH_r03-vs-r02 wall-time
+delta is host capacity, not a code regression — the dedup-path stage
+actually improved (3.7–4.7 s across the same slow windows vs 5.0 s in
+BENCH_r02).  Round-2 sessions on a faster-capacity host measured
+medians 1.39×/1.58×/1.64×; round 1 measured 2.4×.  Every protocol and
+window puts the kernel inside the 2× bar.  The gap is recovered in
+production through parallelism and payload dedup (extract once per
+distinct page, join back) — per the DRIVER's artifact of record,
+BENCH_r02.json: 1,007.6 turns/s dedup path vs 455.6 without, at sf0.1
+local[32]; best local windows reached 1,754/1,914 t/s and are reported
+only as such.
 """)
     print(f"report written: 2->8 best {max(eff28):.3f}, 8->32 best {max(eff832):.3f}")
 
