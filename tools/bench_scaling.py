@@ -220,12 +220,15 @@ cannot quadruple.
 Interleaved head-to-head against the reference under node (now a
 standing harness: `python3 tools/head_to_head.py` — alternating reps,
 full 101-fixture corpus, node net of process startup).  Round-3
-sessions measured per-window MEDIANS of 1.00×, 1.06×, and 0.98× — the
-last window (late round 3) had reps 0.98/0.84/1.00 with the ENGINE
-BEATING NODE in one rep; reps across windows ranged 0.60×–1.55×; the
-host ran 40–55% below its round-2 capacity in those windows (node
-itself: 32–37 docs/s vs ~78 in round 2) and V8 degrades more under
-contention than CPython.  That same capacity dip is why round-3 local
+sessions measured per-window MEDIANS of 1.00×, 1.06×, 0.98×, and 1.41×
+— the 0.98× window had reps 0.98/0.84/1.00 with the ENGINE BEATING
+NODE in one rep; reps across windows ranged 0.60×–1.55×.  The ratio
+tracks host capacity because the engines degrade differently under
+contention: in depressed windows (node at 32–37 docs/s vs ~78 at full
+capacity) V8 loses more and the ratio sits at parity; in recovering
+windows (node back at ~60) the ratio returns toward the 1.4–1.6 range
+round 2 measured at full capacity, while the engine held a steady
+40–44 docs/s across all of them.  That same capacity dip is why round-3 local
 bench totals (53–80 s, extract 16–26 s at sf0.1) read worse than
 BENCH_r02.json (38.1 s / 11.1 s): the interleaved control shows the
 engine at reference parity per-core, so any BENCH_r03-vs-r02 wall-time
