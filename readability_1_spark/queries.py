@@ -2568,9 +2568,10 @@ def q_distinct_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     that matters at 100 TB: the shuffle carries 64 rows per mapper no
     matter the corpus size); the harmonic-mean estimate is one tiny
     aggregate.  Output: the estimate next to the true distinct count and
-    the relative error."""
+    the relative error.  The token stream is checkpointed once so the
+    sketch path and the validation truth path share one tokenize scan."""
     docs = _t(spark, sf_dir, "documents")
-    toks = _tokens(docs).select("tok")
+    toks = _tokens(docs).select("tok").localCheckpoint()
     est = hll_estimate(toks, "tok")
     truth = toks.agg(F.countDistinct("tok").alias("true_distinct"))
     return (
@@ -2586,78 +2587,6 @@ def q_distinct_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_error"),
         )
     )
-
-
-SQL_DISTINCT_HLL_ESTIMATE = f"""
-WITH toks AS (
-  SELECT md5(tok) AS h, tok
-  FROM (
-    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
-                              x -> x <> '')) AS tok
-    FROM documents
-  )
-), ranked AS (
-  SELECT CAST(('0x' || substring(h, 1, 2))::BIGINT % {HLL_BUCKETS} AS BIGINT)
-           AS bucket,
-         CASE WHEN len(regexp_replace(substring(h, 3, 14), '^0+', '')) = 0
-              THEN {14 * 4 + 1}
-              ELSE (14 - len(regexp_replace(substring(h, 3, 14), '^0+', ''))) * 4
-                   + CASE substring(regexp_replace(substring(h, 3, 14), '^0+', ''), 1, 1)
-                       WHEN '1' THEN 3
-                       WHEN '2' THEN 2 WHEN '3' THEN 2
-                       WHEN '4' THEN 1 WHEN '5' THEN 1
-                       WHEN '6' THEN 1 WHEN '7' THEN 1
-                       ELSE 0 END
-                   + 1 END AS rank,
-         tok
-  FROM toks
-), regs AS (
-  SELECT bucket, max(rank) AS m FROM ranked GROUP BY bucket
-), sums AS (
-  SELECT sum(power(2.0, -m)) AS sum_pow, count(*) AS n_registers_hit
-  FROM regs
-), est AS (
-  SELECT round(
-           CASE WHEN {0.709 * HLL_BUCKETS * HLL_BUCKETS}
-                     / (sum_pow + ({HLL_BUCKETS} - n_registers_hit))
-                     <= {2.5 * HLL_BUCKETS}
-                 AND n_registers_hit < {HLL_BUCKETS}
-                THEN {float(HLL_BUCKETS)}
-                     * ln({float(HLL_BUCKETS)}
-                          / ({HLL_BUCKETS} - n_registers_hit))
-                ELSE {0.709 * HLL_BUCKETS * HLL_BUCKETS}
-                     / (sum_pow + ({HLL_BUCKETS} - n_registers_hit))
-           END, 3) AS hll_estimate,
-         n_registers_hit
-  FROM sums
-), truth AS (
-  SELECT count(DISTINCT tok) AS true_distinct FROM ranked
-)
-SELECT e.hll_estimate, e.n_registers_hit, t.true_distinct,
-       round(abs(e.hll_estimate - t.true_distinct) / t.true_distinct, 3)
-         AS rel_error
-FROM est e CROSS JOIN truth t
-"""
-
-
-def q_hll_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch MERGEABILITY — the property that makes sketches the right
-    tool on a cluster: each source keeps its own 64-register HLL, and
-    max-ing registers per bucket across sources IS the union's sketch (no
-    re-scan of the data).  Emits one row per source plus a '__merged__'
-    row whose estimate is identical to sketching the whole corpus
-    directly (asserted in tests/test_corpus_assembly.py).  At 100 TB this
-    is how per-shard/per-day sketches roll up to a global cardinality for
-    free."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = _tokens(docs).join(docs.select("doc_id", "source"), "doc_id")
-    regs = hll_registers(toks, "tok", ["source"]).localCheckpoint()
-    per_source = hll_estimate_from_registers(regs, ["source"])
-    merged_regs = regs.groupBy("bucket").agg(F.max("m").alias("m"))
-    merged = hll_estimate_from_registers(merged_regs).select(
-        F.lit("__merged__").alias("source"), "hll_estimate", "n_registers_hit"
-    )
-    return per_source.unionByName(merged)
 
 
 _SQL_HLL_RANK = f"""
@@ -2688,11 +2617,75 @@ _SQL_HLL_EST = f"""
            END, 3) AS hll_estimate,
          n_registers_hit"""
 
+
+SQL_DISTINCT_HLL_ESTIMATE = f"""
+WITH toks AS (
+  SELECT md5(tok) AS h, tok
+  FROM (
+    SELECT unnest(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                              x -> x <> '')) AS tok
+    FROM documents
+  )
+), ranked AS (
+  SELECT r.bucket, r.rank, r.tok FROM (
+    {_SQL_HLL_RANK}, tok FROM toks
+  ) r
+), regs AS (
+  SELECT bucket, max(rank) AS m FROM ranked GROUP BY bucket
+), sums AS (
+  SELECT sum(power(2.0, -m)) AS sum_pow, count(*) AS n_registers_hit
+  FROM regs
+), est AS (
+{_SQL_HLL_EST.format(key="")}
+  FROM sums
+), truth AS (
+  SELECT count(DISTINCT tok) AS true_distinct FROM ranked
+)
+SELECT e.hll_estimate, e.n_registers_hit, t.true_distinct,
+       round(abs(e.hll_estimate - t.true_distinct) / t.true_distinct, 3)
+         AS rel_error
+FROM est e CROSS JOIN truth t
+"""
+
+
+def q_hll_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY — the property that makes sketches the right
+    tool on a cluster: each source keeps its own 64-register HLL of the
+    source's distinct (token, doc) pairs, and max-ing registers per bucket
+    across sources IS the union's sketch (no re-scan of the data).  Emits
+    one row per source plus a '__merged__' row whose estimate is identical
+    to sketching all pairs directly (asserted in
+    tests/test_corpus_assembly.py).  The pair cardinality (~hundreds per
+    source, ~14k merged at sf0.01) deliberately exercises the RAW
+    harmonic-mean branch on both engines — distinct_hll_estimate's
+    31-token vocab only covers the linear-counting branch.  At 100 TB this
+    is how per-shard/per-day sketches roll up to a global cardinality for
+    free; `source` is projected through the explode, so no join touches
+    the corpus-sized stream."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    toks = docs.select(
+        "source", "doc_id", F.explode(ws).alias("tok")
+    ).select(
+        "source",
+        F.concat(F.col("tok"), F.lit("#"), F.col("doc_id").cast("string")).alias(
+            "term"
+        ),
+    )
+    regs = hll_registers(toks, "term", ["source"]).localCheckpoint()
+    per_source = hll_estimate_from_registers(regs, ["source"])
+    merged_regs = regs.groupBy("bucket").agg(F.max("m").alias("m"))
+    merged = hll_estimate_from_registers(merged_regs).select(
+        F.lit("__merged__").alias("source"), "hll_estimate", "n_registers_hit"
+    )
+    return per_source.unionByName(merged)
+
+
 SQL_HLL_MERGE_BY_SOURCE = f"""
 WITH toks AS (
-  SELECT source, md5(tok) AS h
+  SELECT source, md5(tok || '#' || CAST(doc_id AS VARCHAR)) AS h
   FROM (
-    SELECT source,
+    SELECT source, doc_id,
            unnest(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
                               x -> x <> '')) AS tok
     FROM documents
@@ -2763,28 +2756,19 @@ GROUP BY event_type
 BPE_MERGES = 3
 
 
-def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer training (Sennrich et al. 2016): learn the first 3
-    merges over the corpus word-frequency table.  Per iteration: count
-    adjacent symbol pairs weighted by word frequency, take the most
-    frequent pair (ties: lexicographic), merge it greedily left-to-right in
-    every word.  The whole loop is DataFrame ops over the DISTINCT-word
-    table (tiny next to the corpus: pair counting is a groupBy with
-    map-side combine, the winning pair is a 1-row broadcast, the state is
-    localCheckpoint'ed per iteration).
-
-    Cross-engine determinism trick: a word's symbol sequence is one string
-    — symbols joined by TWO spaces, wrapped in single spaces — so the
-    greedy non-overlapping left-to-right merge is a plain `replace(s,
-    ' a  b ', ' ab ')` with byte-identical semantics in Spark and DuckDB
-    (consecutive occurrences keep matching because the pattern consumes
-    only one of the two separator spaces).  Returns the merge table
-    (merge_rank, left_sym, right_sym, merged, pair_count)."""
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Shared BPE trainer: runs the merge loop ONCE and returns
+    (merge_row_dfs, final_state) where final_state carries (tok, cnt, s) —
+    the same shape the SQL chain's s{N} CTE has — so the tokenize query
+    reads the trained segmentation directly instead of replaying training.
+    The state is localCheckpoint'ed per iteration (bounded lineage; the
+    word table is vocab-sized, tiny next to the corpus)."""
     docs = _t(spark, sf_dir, "documents")
     toks = _tokens(docs)
     words = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     chars = F.filter(F.split(F.col("tok"), ""), lambda x: x != "")
     state = words.select(
+        "tok",
         "cnt",
         F.concat(
             F.lit(" "), F.array_join(chars, "  "), F.lit(" ")
@@ -2846,9 +2830,30 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                 ),
             )
-            .select("cnt", "s")
+            .select("tok", "cnt", "s")
             .localCheckpoint()
         )
+    return merges, state
+
+
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training (Sennrich et al. 2016): learn the first 3
+    merges over the corpus word-frequency table.  Per iteration: count
+    adjacent symbol pairs weighted by word frequency, take the most
+    frequent pair (ties: lexicographic), merge it greedily left-to-right in
+    every word.  The whole loop is DataFrame ops over the DISTINCT-word
+    table (tiny next to the corpus: pair counting is a groupBy with
+    map-side combine, the winning pair is a 1-row broadcast, the state is
+    localCheckpoint'ed per iteration).
+
+    Cross-engine determinism trick: a word's symbol sequence is one string
+    — symbols joined by TWO spaces, wrapped in single spaces — so the
+    greedy non-overlapping left-to-right merge is a plain `replace(s,
+    ' a  b ', ' ab ')` with byte-identical semantics in Spark and DuckDB
+    (consecutive occurrences keep matching because the pattern consumes
+    only one of the two separator spaces).  Returns the merge table
+    (merge_rank, left_sym, right_sym, merged, pair_count)."""
+    merges, _state = _bpe_train(spark, sf_dir)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
@@ -2857,37 +2862,16 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the learned BPE merges: segment every word with the 3 merges
-    from q_bpe_learn_merges and report per-doc subword statistics
-    (n_words, n_subwords, chars-per-subword fertility).  The segmentation
-    is computed ONCE per distinct word (vocab-sized compute), then
-    equi-joined back to the doc→word occurrences — the corpus-sized side
-    only does a hash join on the word key, exactly how a production
-    tokenizer-stats job shapes the work.  The 3-row merge table is
-    collected driver-side (a tokenizer ships its merges; same discipline
-    as the pipeline's bounded todo-set collect)."""
+    from the shared trainer (_bpe_train — training runs ONCE and its final
+    per-word state is read directly, mirroring the SQL chain's s3 CTE) and
+    report per-doc subword statistics (n_words, n_subwords,
+    chars-per-subword fertility).  The segmentation exists once per
+    distinct word (vocab-sized), then equi-joins back to the doc→word
+    occurrences — the corpus-sized side only does a hash join on the word
+    key, exactly how a production tokenizer-stats job shapes the work."""
     docs = _t(spark, sf_dir, "documents")
     toks = _tokens(docs)
-    words = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    chars = F.filter(F.split(F.col("tok"), ""), lambda x: x != "")
-    state = words.select(
-        "tok",
-        F.concat(F.lit(" "), F.array_join(chars, "  "), F.lit(" ")).alias("s"),
-    )
-    # replay the same merge sequence the trainer learns (shared constants)
-    trained = q_bpe_learn_merges(spark, sf_dir).localCheckpoint()
-    merges = [
-        (r["left_sym"], r["right_sym"])
-        for r in trained.orderBy("merge_rank").collect()  # 3 rows, driver-side
-    ]
-    for left, right in merges:
-        state = state.withColumn(
-            "s",
-            F.replace(
-                F.col("s"),
-                F.lit(f" {left}  {right} "),
-                F.lit(f" {left}{right} "),
-            ),
-        )
+    _merges, state = _bpe_train(spark, sf_dir)
     segmented = state.select(
         "tok",
         F.size(F.split(F.trim(F.col("s")), "  ")).alias("n_sub"),

@@ -124,15 +124,23 @@ def test_hll_exact_duplicates_collapse(spark):
 
 def test_hll_merge_equals_direct_sketch(spark):
     """Mergeability: max-ing per-source registers reproduces EXACTLY the
-    estimate of sketching the whole corpus directly."""
-    from readability_1_spark.queries import (
-        q_distinct_hll_estimate,
-        q_hll_merge_by_source,
-    )
+    estimate of sketching all (token, doc) pairs directly — and the pair
+    cardinality forces the RAW harmonic branch (all 64 registers hit)."""
+    from readability_1_spark.queries import TOKEN_SPLIT, q_hll_merge_by_source
 
-    direct = q_distinct_hll_estimate(spark, SF_DIR).collect()[0]
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    ws = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    pairs = docs.select("doc_id", F.explode(ws).alias("tok")).select(
+        F.concat(F.col("tok"), F.lit("#"), F.col("doc_id").cast("string")).alias(
+            "term"
+        )
+    )
+    direct = hll_estimate(pairs, "term").collect()[0]
     merged = {
         r.source: r for r in q_hll_merge_by_source(spark, SF_DIR).collect()
     }["__merged__"]
     assert merged.hll_estimate == direct.hll_estimate
     assert merged.n_registers_hit == direct.n_registers_hit
+    # high cardinality -> every register hit -> raw branch, cross-checked
+    # against the DuckDB oracle by verify_oracle / the driver gate
+    assert merged.n_registers_hit == 64
