@@ -81,6 +81,7 @@ def curate_pretraining_data(
     redact_pii: bool = True,
     benchmark_shingles: DataFrame | None = None,
     max_contamination: float = 0.2,
+    split_by: str = "content",
 ) -> DataFrame:
     """transcripts → curated documents DataFrame (no sink).
 
@@ -218,10 +219,20 @@ def curate_pretraining_data(
         & (F.col("stopword_ratio") <= max_stopword_ratio)
     )
     # Split LAST: dedup/gates must not see the split (they act corpus-wide).
-    # The bucket is keyed on content_hash — the CONTENT, not provenance —
-    # so the same text lands in the same split even when re-ingestion
-    # changes which (conv_id, turn_idx) survives dedup as its keeper.
-    bucket = _md5_bucket(F.col("content_hash"))
+    # split_by="content" (default) keys the bucket on content_hash — the
+    # CONTENT, not provenance — so the same text lands in the same split
+    # even when re-ingestion changes which (conv_id, turn_idx) survives
+    # dedup as its keeper.  split_by="conversation" keys on conv_id so ALL
+    # turns of a conversation share one split — the group-aware choice when
+    # turns of one conversation are correlated enough that putting some in
+    # train and some in held-out would leak (the per-doc analogue of
+    # GroupKFold).
+    if split_by == "conversation":
+        bucket = _md5_bucket(F.col("conv_id"))
+    elif split_by == "content":
+        bucket = _md5_bucket(F.col("content_hash"))
+    else:
+        raise ValueError(f"split_by must be 'content' or 'conversation', got {split_by!r}")
     return gated.withColumn(
         "split",
         F.when(bucket < SPLIT_TRAIN_LT, F.lit("train"))

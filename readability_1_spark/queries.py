@@ -3388,6 +3388,40 @@ FROM documents d JOIN weights w ON d.source = w.source
 """
 
 
+SAMPLE_TOPN = 100
+
+
+def q_corpus_sample_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size uniform sample: the N docs with the smallest
+    content-hash values — the deterministic fixed-size eval-set draw
+    (rand() gives neither exact N nor reproducibility; LIMIT without
+    ORDER BY gives neither uniformity nor determinism).  The hash makes
+    it uniform, the full order makes it stable under re-partitioning, and
+    orderBy+limit compiles to TakeOrdered (per-partition top-N, then a
+    single N-row merge on the driver — no global sort at 100 TB).
+    Because it keys on the same md5 polynomial as q_data_split_assign,
+    fixed-size samples nest: top-50 is a subset of top-100 forever."""
+    docs = _t(spark, sf_dir, "documents")
+    h = _md5_bucket(F.col("doc_id").cast("string"), 1000000007)
+    return (
+        docs.select("doc_id", "lang", h.alias("sample_key"))
+        .orderBy(F.col("sample_key").asc(), F.col("doc_id").asc())
+        .limit(SAMPLE_TOPN)
+    )
+
+
+SQL_CORPUS_SAMPLE_TOPN = f"""
+WITH hx AS (
+  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+)
+SELECT doc_id, lang,
+       {_sql_md5_poly('h')} % 1000000007 AS sample_key
+FROM hx
+ORDER BY sample_key ASC, doc_id ASC
+LIMIT {SAMPLE_TOPN}
+"""
+
+
 # lang -> keep-rate in thousandths; a real pipeline derives these from
 # per-language token targets (downsample the head language, keep the tail).
 SAMPLE_RATES = {"en": 500, "de": 900, "es": 900, "fr": 900, "zh": 700}
@@ -3585,5 +3619,6 @@ QUERIES: dict[str, tuple] = {
     "data_split_assign": (q_data_split_assign, SQL_DATA_SPLIT_ASSIGN),
     "domain_mix_resample": (q_domain_mix_resample, SQL_DOMAIN_MIX_RESAMPLE),
     "corpus_sample_stratified": (q_corpus_sample_stratified, SQL_CORPUS_SAMPLE_STRATIFIED),
+    "corpus_sample_topn": (q_corpus_sample_topn, SQL_CORPUS_SAMPLE_TOPN),
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
 }

@@ -384,6 +384,13 @@ def test_pretrain_split_and_packing(spark, tmp_path):
         total = sum(m.n_tokens for m in members)
         assert total <= budget or len(members) == 1
 
+    # conversation-level split: every turn of a conversation shares a split
+    by_conv = curate_pretraining_data(t, num_parts=8, split_by="conversation")
+    conv_splits = {}
+    for r in by_conv.collect():
+        conv_splits.setdefault(r.conv_id, set()).add(r.split)
+    assert all(len(s) == 1 for s in conv_splits.values())
+
     stats = run_pretrain_job(
         spark, t, str(tmp_path / "out"), num_parts=8,
         pack_budget=budget, pack_shards=4,

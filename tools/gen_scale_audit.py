@@ -77,6 +77,7 @@ SCALE_CLASS = {
     "bpe_learn_merges": ("shuffle", "iterates over the DISTINCT-word table (tiny vs corpus); pair groupBy with map-side combine, 1-row winner broadcast, checkpointed state"),
     "bpe_tokenize_stats": ("shuffle", "segmentation computed once per distinct word, joined back on the word key; corpus side does one hash join"),
     "corpus_sample_stratified": ("broadcast", "O(#languages) rate map broadcast; content-hash keep filter, no shuffle"),
+    "corpus_sample_topn": ("linear", "TakeOrdered: per-partition top-N, single N-row driver merge, no global sort"),
     "doc_lm_score": ("shuffle", "bigram/history count groupBys (map-side combine) + two equi-joins; vocab is a 1-row broadcast"),
     "doc_quality_rank": ("shuffle", "LM-score subplan + one lang-partitioned window (5 partitions; percentile per language)"),
     "distinct_hll_estimate": ("linear", "64-register sketch: shuffle carries 64 rows per mapper regardless of corpus size (truth column is validation-only)"),
