@@ -3393,7 +3393,7 @@ SAMPLE_TOPN = 100
 
 def q_corpus_sample_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-size uniform sample: the N docs with the smallest
-    content-hash values — the deterministic fixed-size eval-set draw
+    key-hash values — the deterministic fixed-size eval-set draw
     (rand() gives neither exact N nor reproducibility; LIMIT without
     ORDER BY gives neither uniformity nor determinism).  The hash makes
     it uniform, the full order makes it stable under re-partitioning, and
