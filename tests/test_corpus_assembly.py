@@ -144,3 +144,27 @@ def test_hll_merge_equals_direct_sketch(spark):
     # high cardinality -> every register hit -> raw branch, cross-checked
     # against the DuckDB oracle by verify_oracle / the driver gate
     assert merged.n_registers_hit == 64
+
+
+def test_topn_sample_nests(spark):
+    """Fixed-size samples nest: the top-50 draw is a subset of the top-100
+    draw (same hash order), and both are deterministic across runs."""
+    from readability_1_spark.queries import q_corpus_sample_topn
+
+    top100 = {r.doc_id for r in q_corpus_sample_topn(spark, SF_DIR).collect()}
+    assert len(top100) == 100
+    again = {r.doc_id for r in q_corpus_sample_topn(spark, SF_DIR).collect()}
+    assert again == top100
+    # reconstruct the top-50 with the same ordering expression
+    from readability_1_spark.queries import _md5_bucket
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    h = _md5_bucket(F.col("doc_id").cast("string"), 1000000007)
+    top50 = {
+        r.doc_id
+        for r in docs.select("doc_id", h.alias("k"))
+        .orderBy(F.col("k").asc(), F.col("doc_id").asc())
+        .limit(50)
+        .collect()
+    }
+    assert top50 < top100
