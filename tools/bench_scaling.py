@@ -220,15 +220,16 @@ cannot quadruple.
 Interleaved head-to-head against the reference under node (now a
 standing harness: `python3 tools/head_to_head.py` — alternating reps,
 full 101-fixture corpus, node net of process startup).  Round-3
-sessions measured per-window MEDIANS of 1.00×, 1.06×, 0.98×, and 1.41×
-— the 0.98× window had reps 0.98/0.84/1.00 with the ENGINE BEATING
-NODE in one rep; reps across windows ranged 0.60×–1.55×.  The ratio
-tracks host capacity because the engines degrade differently under
-contention: in depressed windows (node at 32–37 docs/s vs ~78 at full
-capacity) V8 loses more and the ratio sits at parity; in recovering
-windows (node back at ~60) the ratio returns toward the 1.4–1.6 range
-round 2 measured at full capacity, while the engine held a steady
-40–44 docs/s across all of them.  That same capacity dip is why round-3 local
+sessions measured per-window MEDIANS of 1.00×, 1.06×, 0.98×, 1.41×,
+and 1.71× — the 0.98× window had reps 0.98/0.84/1.00 with the ENGINE
+BEATING NODE in one rep; the 1.71× window had node at full round-2
+capacity (70–77 docs/s) with one rep at 1.59×, matching round 2's
+1.39–1.64× full-capacity medians.  The ratio tracks host capacity
+because the engines degrade differently under contention: in depressed
+windows (node at 32–37 docs/s) V8 loses more and the ratio sits at
+parity; at full capacity it returns to the ~1.4–1.7 range, while the
+engine varied only 40–48 docs/s across all phases.  Every window of
+every round is inside the 2× bar.  That same capacity dip is why round-3 local
 bench totals (53–80 s, extract 16–26 s at sf0.1) read worse than
 BENCH_r02.json (38.1 s / 11.1 s): the interleaved control shows the
 engine at reference parity per-core, so any BENCH_r03-vs-r02 wall-time
