@@ -1043,6 +1043,15 @@ class JSDOMParser:
                         + "' and got "
                         + html[cc : cc + len(closing_tag)]
                     )
+                    # The discarded subtree root is never appended, so the
+                    # fast-path constructor's deferred parentNode /
+                    # previousSibling writes never happen.  Restore detached
+                    # (None) semantics so ancestor walks on a document whose
+                    # body/head lives inside a discarded subtree read None —
+                    # the reference reads JS undefined — instead of raising
+                    # AttributeError (JSDOMParser.js readNode returning null).
+                    el.parentNode = None
+                    el.previousSibling = None
             # Append `child` to the current node (inlined appendChild).
             last = child_nodes[-1] if child_nodes else None
             if last is not None:

@@ -78,6 +78,7 @@ def curate_pretraining_data(
     min_periods: int = 3,
     max_stopword_ratio: float = 0.7,
     near_dedup: bool = True,
+    cc_max_iter: int = 25,
     redact_pii: bool = True,
     benchmark_shingles: DataFrame | None = None,
     max_contamination: float = 0.2,
@@ -131,7 +132,11 @@ def curate_pretraining_data(
             .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
             .distinct()
         )
-        losers = connected_components(nodes, pairs).filter(
+        # cc_max_iter reaches here from run_pretrain_job via **gates; the
+        # large-star/small-star CC converges in O(log n) rounds regardless
+        # of chain diameter, so the loud-failure default almost never needs
+        # raising — but the knob exists for pathological corpora.
+        losers = connected_components(nodes, pairs, max_iter=cc_max_iter).filter(
             F.col("doc_id") != F.col("cluster_id")
         )
         deduped = keyed.join(
@@ -175,20 +180,27 @@ def curate_pretraining_data(
     if redact_pii:
         # PII scrub AFTER dedup (hashes/pairs see the raw extraction) and
         # BEFORE the quality gates (token stats describe the shipped text).
-        n_pii = (
-            F.size(F.regexp_extract_all("text_content", F.lit(f"({PII_EMAIL})")))
-            + F.size(F.regexp_extract_all("text_content", F.lit(f"({PII_URL})")))
-            + F.size(F.regexp_extract_all("text_content", F.lit(f"({PII_PHONE})")))
-        )
-        deduped = deduped.withColumn("n_pii_redactions", n_pii).withColumn(
-            "text_content",
-            F.regexp_replace(
-                F.regexp_replace(
-                    F.regexp_replace(F.col("text_content"), PII_EMAIL, "<EMAIL>"),
-                    PII_URL, "<URL>",
-                ),
-                PII_PHONE, "<PHONE>",
-            ),
+        # Invariant: n_pii_redactions counts each pattern on the text the
+        # corresponding replace actually ran on (EMAIL on raw, URL after the
+        # email pass, PHONE after the url pass) — i.e. exactly the number of
+        # substitutions performed, with no double-count when one pattern's
+        # match sits inside another's (an email inside a URL is rewritten
+        # once, and counted once).
+        deduped = (
+            deduped.withColumn(
+                "_t1", F.regexp_replace(F.col("text_content"), PII_EMAIL, "<EMAIL>")
+            )
+            .withColumn("_t2", F.regexp_replace(F.col("_t1"), PII_URL, "<URL>"))
+            .withColumn(
+                "n_pii_redactions",
+                F.size(F.regexp_extract_all("text_content", F.lit(f"({PII_EMAIL})")))
+                + F.size(F.regexp_extract_all("_t1", F.lit(f"({PII_URL})")))
+                + F.size(F.regexp_extract_all("_t2", F.lit(f"({PII_PHONE})"))),
+            )
+            .withColumn(
+                "text_content", F.regexp_replace(F.col("_t2"), PII_PHONE, "<PHONE>")
+            )
+            .drop("_t1", "_t2")
         )
     else:
         deduped = deduped.withColumn("n_pii_redactions", F.lit(0))

@@ -970,41 +970,83 @@ def connected_components(
     `edges`  — columns (doc_a, doc_b), one row per undirected edge.
     Returns (id_col, cluster_id) where cluster_id = min node id reachable.
 
-    Scale notes: each iteration is one edge⋈label join + one min groupBy —
-    both hash-partitioned on the node id, so consecutive iterations reuse
-    the same partitioning.  Iteration count is the cluster DIAMETER, not
-    corpus size; LSH near-dup clusters are near-cliques (every pair that
-    shares a band signature is a direct edge), so diameters are tiny —
-    `max_iter` is a safety bound, overrunning it raises instead of
-    returning a half-merged labeling.  Per-iteration localCheckpoint
-    truncates the lineage (an unbounded iterative plan tree is the classic
-    Spark CC failure mode) and makes the convergence count cheap."""
-    und = (
-        edges.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionByName(
-            edges.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
+    Algorithm: alternating LARGE-STAR / SMALL-STAR (Kiveris, Lattanzi,
+    Mirrokni, Rastogi, Vassilvitskii — "Connected Components in MapReduce
+    and Beyond", SoCC'14).  Each round rewires the edge set toward the
+    component minimum:
+
+      large-star(u): m = min(Γ(u) ∪ {u}); emit (v, m) for v ∈ Γ(u), v > u
+      small-star(u): over edges oriented larger→smaller, m = min(S(u));
+                     emit (v, m) for v ∈ S(u) and (u, m)
+
+    Both operations preserve connectivity, and the alternation converges
+    to per-component stars rooted at the component minimum in O(log n)
+    ROUNDS — independent of component diameter, unlike one-hop min-label
+    propagation (which the round-3 version used and which a chain-shaped
+    near-dup corpus, doc i ~ doc i+1, blows past any fixed bound).
+    `max_iter` stays a safety bound; overrunning it raises instead of
+    returning a half-merged labeling.  Per-round localCheckpoint truncates
+    the lineage (an unbounded iterative plan tree is the classic Spark CC
+    failure mode); every groupBy/join hashes on a node id, so AQE reuses
+    the same partitioning across rounds.  Convergence = edge-set fixpoint,
+    checked exactly with two exceptAll probes on the checkpointed sets."""
+    canon = lambda x, y: [F.least(x, y).alias("a"), F.greatest(x, y).alias("b")]
+    e = (
+        edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(*canon(F.col("a"), F.col("b")))
+        .distinct()
         .localCheckpoint()
     )
-    labels = nodes.select(
-        F.col(id_col), F.col(id_col).alias("cluster_id")
-    ).localCheckpoint()
+    e_cnt = e.count()
     for _ in range(max_iter):
-        nbr_min = (
-            und.join(labels, und["src"] == labels[id_col])
-            .groupBy(F.col("dst").alias(id_col))
-            .agg(F.min("cluster_id").alias("nbr_min"))
+        # Large-star: group the bidirected edge list by u, connect every
+        # strictly-larger neighbor to min(Γ(u) ∪ {u}).
+        nbrs = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
-        merged = labels.join(nbr_min, id_col, "left").select(
-            F.col(id_col),
-            F.col("cluster_id").alias("_old"),
-            # least() skips NULLs (isolated nodes keep their own label)
-            F.least("cluster_id", "nbr_min").alias("cluster_id"),
-        ).localCheckpoint()
-        changed = merged.filter(F.col("_old") != F.col("cluster_id")).count()
-        labels = merged.drop("_old")
-        if changed == 0:
-            return labels
+        m_lg = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("u", "_mn").alias("m"))
+        )
+        e_lg = (
+            nbrs.join(m_lg, "u")
+            .filter(F.col("v") > F.col("u"))
+            .filter(F.col("v") != F.col("m"))
+            .select(*canon(F.col("v"), F.col("m")))
+            .distinct()
+            .localCheckpoint()
+        )
+        # Small-star: orient toward the larger endpoint (canonical form a<b
+        # already gives us u=b with smaller-neighbor set {a}), connect every
+        # smaller neighbor AND u itself to the minimum smaller neighbor.
+        sn = e_lg.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        m_sm = sn.groupBy("u").agg(F.min("v").alias("m"))
+        e_sm = (
+            sn.join(m_sm, "u")
+            .select(F.col("v").alias("x"), F.col("m").alias("y"))
+            .unionByName(m_sm.select(F.col("u").alias("x"), F.col("m").alias("y")))
+            .filter(F.col("x") != F.col("y"))
+            .select(*canon(F.col("x"), F.col("y")))
+            .distinct()
+            .localCheckpoint()
+        )
+        # Exact fixpoint test, cheap-first: both sets are distinct and
+        # checkpointed, so equal counts + one empty set-difference imply
+        # equality; unequal counts (every non-final round) skip the
+        # exceptAll job entirely.
+        e_sm_cnt = e_sm.count()
+        if e_sm_cnt == e_cnt and e_sm.exceptAll(e).isEmpty():
+            # Fixpoint: per-component stars rooted at the component min.
+            labels = e_sm.select(
+                F.col("b").alias(id_col), F.col("a").alias("cluster_id")
+            )
+            return nodes.join(labels, id_col, "left").select(
+                F.col(id_col),
+                F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            )
+        e, e_cnt = e_sm, e_sm_cnt
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} iterations"
     )
@@ -3361,12 +3403,17 @@ def q_domain_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc explodes into `copies` rows tagged with copy_idx.  At 100 TB the
     weight map stays O(#sources) (broadcast, no shuffle) and the explode is
     linear in output size; fractional weights compose with
-    q_data_split_assign's hash bucket (keep copy iff bucket < frac*1000)."""
+    q_data_split_assign's hash bucket (keep copy iff bucket < frac*1000).
+    Sources ABSENT from the weight map keep one copy (left join +
+    coalesce(copies, 1)) — same keep-default discipline as
+    q_corpus_sample_stratified, so an unlisted source can never silently
+    vanish from the mixed corpus."""
     docs = _t(spark, sf_dir, "documents")
     weights = spark.createDataFrame(MIX_WEIGHTS, "source string, copies int")
     return (
         docs.select("doc_id", "source")
-        .join(F.broadcast(weights), "source")
+        .join(F.broadcast(weights), "source", "left")
+        .withColumn("copies", F.coalesce("copies", F.lit(1)))
         .select(
             "doc_id",
             "source",
@@ -3382,9 +3429,9 @@ def q_domain_mix_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MIX_VALUES = ", ".join(f"('{s}', {c})" for s, c in MIX_WEIGHTS)
 SQL_DOMAIN_MIX_RESAMPLE = f"""
 WITH weights(source, copies) AS (VALUES {_MIX_VALUES})
-SELECT d.doc_id, d.source, w.copies,
-       CAST(unnest(generate_series(1, w.copies)) AS BIGINT) AS copy_idx
-FROM documents d JOIN weights w ON d.source = w.source
+SELECT d.doc_id, d.source, COALESCE(w.copies, 1) AS copies,
+       CAST(unnest(generate_series(1, COALESCE(w.copies, 1))) AS BIGINT) AS copy_idx
+FROM documents d LEFT JOIN weights w ON d.source = w.source
 """
 
 

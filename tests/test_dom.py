@@ -197,3 +197,38 @@ def test_duplicate_attributes_last_wins():
 
     _serialize_children(doc, outer)
     assert "".join(outer) == '<div id="a" id="b">x</div>'
+
+
+def test_discarded_subtree_root_has_detached_semantics():
+    # Regression: a mismatched-ancestor document (<div> around <body> with the
+    # div's closing tag missing) discards the div subtree in the unwind loop.
+    # The fast-path constructor defers parentNode/previousSibling writes to the
+    # append block, which never runs for a discarded root — those attributes
+    # must still read None (JS undefined in the reference), not raise
+    # AttributeError, because doc.body can live inside the discarded subtree
+    # and direct Readability(parse(html)) use walks its ancestors.
+    from readability_1_spark.readability import Readability
+
+    html = (
+        "<html><head><title>Mismatched ancestor</title></head><div><body>"
+        + "".join(
+            f"<p>Paragraph {i} with some, commas, and enough length to score"
+            " well in the readability algorithm, yes indeed it keeps going.</p>"
+            for i in range(30)
+        )
+        + "</body></html>"
+    )
+    parser = JSDOMParser()
+    doc = parser.parse(html, "http://fakehost/test/page.html")
+    assert parser.error_state  # the pipeline still classifies this parse_error
+    assert doc.body is not None
+    div = doc.body.parentNode
+    assert div.localName == "div"
+    assert div.parentNode is None
+    assert div.previousSibling is None
+    # Direct API use must extract, not crash (verified byte-exact vs the
+    # reference's ungated JSDOMParser+Readability path when this was fixed).
+    article = Readability(doc).parse()
+    assert article is not None
+    assert article["title"] == "Mismatched ancestor"
+    assert "Paragraph 0 with some, commas" in article["textContent"]

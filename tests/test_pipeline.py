@@ -419,18 +419,36 @@ def test_connected_components_chain_and_isolated(spark):
 
 
 def test_connected_components_iteration_bound(spark):
-    """A chain longer than max_iter must raise, not silently return a
-    half-merged labeling."""
+    """A component too deep for max_iter rounds must raise, not silently
+    return a half-merged labeling.  Large-star/small-star needs O(log n)
+    rounds, so a 64-node chain cannot finish in one round."""
     import pytest as _pytest
 
     from readability_1_spark.queries import connected_components
 
     edges = spark.createDataFrame(
-        [(i, i + 1) for i in range(8)], "doc_a int, doc_b int"
+        [(i, i + 1) for i in range(63)], "doc_a int, doc_b int"
     )
-    nodes = spark.createDataFrame([(i,) for i in range(9)], "doc_id int")
+    nodes = spark.createDataFrame([(i,) for i in range(64)], "doc_id int")
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(nodes, edges, max_iter=2)
+        connected_components(nodes, edges, max_iter=1)
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Round-3 verdict ask: a 1,000-doc chain-shaped near-dup corpus
+    (doc i ~ doc i+1, diameter 999) must converge WITHIN the default
+    max_iter bound — one-hop min-label propagation needs 999 rounds here;
+    alternating large-star/small-star needs O(log n)."""
+    from readability_1_spark.queries import connected_components
+
+    n = 1000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a int, doc_b int"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id int")
+    got = connected_components(nodes, edges)  # default max_iter=25
+    assert got.filter(F.col("cluster_id") != 0).count() == 0
+    assert got.count() == n
 
 
 def test_quadratic_baselines_guarded(spark, monkeypatch):
