@@ -1016,7 +1016,6 @@ def connected_components(
             .filter(F.col("v") != F.col("m"))
             .select(*canon(F.col("v"), F.col("m")))
             .distinct()
-            .localCheckpoint()
         )
         # Small-star: orient toward the larger endpoint (canonical form a<b
         # already gives us u=b with smaller-neighbor set {a}), connect every
