@@ -2532,22 +2532,42 @@ FROM events
 """
 
 
-HLL_BUCKETS = 64  # 2^6 registers; standard-error ~ 1.04/sqrt(64) ~ 13%
+HLL_P = 11  # m = 2^p registers; standard error ~1.04/sqrt(m) = 2.3% at p=11.
+# p is capped at 16 because the bucket index reads the first 16 md5 bits
+# (4 hex chars); the rank reads the independent next 48 bits.  Production
+# HLLs run p = 11..14; p = 6 (the round-3 fixed size, ~13% error) survives
+# only as a knob for the error-curve table in COVERAGE.md.
 
 
-def hll_registers(df: DataFrame, col: str, keys: list[str] | None = None) -> DataFrame:
+def _hll_alpha(m: int) -> float:
+    """Standard HLL bias-correction constant (Flajolet et al. 2007)."""
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1 + 1.079 / m)
+
+
+def hll_registers(
+    df: DataFrame, col: str, keys: list[str] | None = None, p: int = HLL_P
+) -> DataFrame:
     """HyperLogLog register maxima of `df[col]` (md5-based, deterministic
     across engines), optionally per `keys` group — the MERGEABLE sketch
     form: max-ing two groups' registers per bucket IS the union's sketch.
-    Returns (*keys, bucket, m)."""
+    m = 2^p registers (p ≤ 16).  Returns (*keys, bucket, m)."""
+    assert 4 <= p <= 16, "p must be in [4, 16]"
     keys = keys or []
+    m_regs = 1 << p
     hashed = df.withColumn("h", F.md5(F.col(col).cast("binary")))
+    # 2^16 % 2^p == 0, so mod of the 16-bit prefix is uniform for any p<=16.
     bucket = F.pmod(
-        F.conv(F.substring("h", 1, 2), 16, 10).cast("long"), F.lit(HLL_BUCKETS)
+        F.conv(F.substring("h", 1, 4), 16, 10).cast("long"), F.lit(m_regs)
     )
-    # leading-zero count of the 56-bit suffix (hex chars 3..16): number of
+    # leading-zero count of the 48-bit suffix (hex chars 5..16): number of
     # leading '0' hex chars * 4 + zeros inside the first non-zero digit.
-    suffix = F.substring("h", 3, 14)
+    suffix = F.substring("h", 5, 12)
     stripped = F.regexp_replace(suffix, "^0+", "")
     nz_digit = F.substring(stripped, 1, 1)
     digit_lz = (
@@ -2556,7 +2576,7 @@ def hll_registers(df: DataFrame, col: str, keys: list[str] | None = None) -> Dat
         .when(nz_digit.isin("4", "5", "6", "7"), 1)
         .otherwise(0)
     )
-    rank = F.when(F.length(stripped) == 0, F.lit(14 * 4 + 1)).otherwise(
+    rank = F.when(F.length(stripped) == 0, F.lit(12 * 4 + 1)).otherwise(
         (F.length(suffix) - F.length(stripped)) * 4 + digit_lz + 1
     )
     return (
@@ -2566,49 +2586,53 @@ def hll_registers(df: DataFrame, col: str, keys: list[str] | None = None) -> Dat
     )
 
 
-def hll_estimate_from_registers(regs: DataFrame, keys: list[str] | None = None) -> DataFrame:
+def hll_estimate_from_registers(
+    regs: DataFrame, keys: list[str] | None = None, p: int = HLL_P
+) -> DataFrame:
     """Estimate from (bucket, m) registers, per optional `keys` group:
     harmonic mean with the empty-register terms (2^-0 = 1 each) and the
     linear-counting small-range correction (raw HLL overshoots badly below
     2.5*m).  Returns (*keys, hll_estimate double, n_registers_hit long)."""
     keys = keys or []
-    alpha_m2 = 0.709 * HLL_BUCKETS * HLL_BUCKETS  # alpha_64 for m=64
+    m_regs = 1 << p
+    alpha_m2 = _hll_alpha(m_regs) * m_regs * m_regs
     sums = regs.groupBy(*keys).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("m"))).alias("sum_pow"),
         F.count(F.lit(1)).alias("n_registers_hit"),
     )
-    empties = F.lit(HLL_BUCKETS) - F.col("n_registers_hit")
+    empties = F.lit(m_regs) - F.col("n_registers_hit")
     raw = F.lit(alpha_m2) / (F.col("sum_pow") + empties.cast("double"))
-    linear = F.lit(float(HLL_BUCKETS)) * F.log(
-        F.lit(float(HLL_BUCKETS)) / empties.cast("double")
+    linear = F.lit(float(m_regs)) * F.log(
+        F.lit(float(m_regs)) / empties.cast("double")
     )
     return sums.select(
         *keys,
         F.round(
-            F.when((raw <= 2.5 * HLL_BUCKETS) & (empties > 0), linear).otherwise(raw),
+            F.when((raw <= 2.5 * m_regs) & (empties > 0), linear).otherwise(raw),
             3,
         ).alias("hll_estimate"),
         "n_registers_hit",
     )
 
 
-def hll_estimate(df: DataFrame, col: str) -> DataFrame:
+def hll_estimate(df: DataFrame, col: str, p: int = HLL_P) -> DataFrame:
     """1-row HyperLogLog cardinality estimate of `df[col]`.  See
     hll_registers / hll_estimate_from_registers."""
-    return hll_estimate_from_registers(hll_registers(df, col))
+    return hll_estimate_from_registers(hll_registers(df, col, p=p), p=p)
 
 
 def q_distinct_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cardinality sketch: a from-scratch HyperLogLog over the corpus token
     stream, fully deterministic so the DuckDB oracle is EXACT (unlike
     approx_count_distinct, whose engine-internal hash can't be mirrored).
-    Register index = first hex byte of md5(token) mod 64; rank = leading
-    zero bits of the remaining 56-bit prefix + 1, computed from the hex
-    string with a 16-way CASE (identical in both engines).  Register
-    maxima are a 64-group groupBy (map-side combine — the sketch property
-    that matters at 100 TB: the shuffle carries 64 rows per mapper no
-    matter the corpus size); the harmonic-mean estimate is one tiny
-    aggregate.  Output: the estimate next to the true distinct count and
+    Register index = first 16 md5 bits mod m (m = 2^HLL_P, default 2^11 —
+    ~2.3% standard error; the COVERAGE.md error-curve table reports
+    p ∈ {6, 11, 14}); rank = leading zero bits of the independent 48-bit
+    suffix + 1, computed from the hex string with a 16-way CASE (identical
+    in both engines).  Register maxima are an m-group groupBy (map-side
+    combine — the sketch property that matters at 100 TB: the shuffle
+    carries ≤ m rows per mapper no matter the corpus size); the
+    harmonic-mean estimate is one tiny aggregate.  Output: the estimate next to the true distinct count and
     the relative error.  The token stream is checkpointed once so the
     sketch path and the validation truth path share one tokenize scan."""
     docs = _t(spark, sf_dir, "documents")
@@ -2630,13 +2654,16 @@ def q_distinct_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_HLL_RANK = f"""
-  SELECT CAST(('0x' || substring(h, 1, 2))::BIGINT % {HLL_BUCKETS} AS BIGINT)
+def _sql_hll_rank(p: int = HLL_P) -> str:
+    """DuckDB twin of hll_registers' bucket/rank expressions at m = 2^p."""
+    m_regs = 1 << p
+    return f"""
+  SELECT CAST(('0x' || substring(h, 1, 4))::BIGINT % {m_regs} AS BIGINT)
            AS bucket,
-         CASE WHEN len(regexp_replace(substring(h, 3, 14), '^0+', '')) = 0
-              THEN {14 * 4 + 1}
-              ELSE (14 - len(regexp_replace(substring(h, 3, 14), '^0+', ''))) * 4
-                   + CASE substring(regexp_replace(substring(h, 3, 14), '^0+', ''), 1, 1)
+         CASE WHEN len(regexp_replace(substring(h, 5, 12), '^0+', '')) = 0
+              THEN {12 * 4 + 1}
+              ELSE (12 - len(regexp_replace(substring(h, 5, 12), '^0+', ''))) * 4
+                   + CASE substring(regexp_replace(substring(h, 5, 12), '^0+', ''), 1, 1)
                        WHEN '1' THEN 3
                        WHEN '2' THEN 2 WHEN '3' THEN 2
                        WHEN '4' THEN 1 WHEN '5' THEN 1
@@ -2644,17 +2671,22 @@ _SQL_HLL_RANK = f"""
                        ELSE 0 END
                    + 1 END AS rank"""
 
-_SQL_HLL_EST = f"""
-  SELECT {{key}} round(
-           CASE WHEN {0.709 * HLL_BUCKETS * HLL_BUCKETS}
-                     / (sum_pow + ({HLL_BUCKETS} - n_registers_hit))
-                     <= {2.5 * HLL_BUCKETS}
-                 AND n_registers_hit < {HLL_BUCKETS}
-                THEN {float(HLL_BUCKETS)}
-                     * ln({float(HLL_BUCKETS)}
-                          / ({HLL_BUCKETS} - n_registers_hit))
-                ELSE {0.709 * HLL_BUCKETS * HLL_BUCKETS}
-                     / (sum_pow + ({HLL_BUCKETS} - n_registers_hit))
+
+def _sql_hll_est(key: str, p: int = HLL_P) -> str:
+    """DuckDB twin of hll_estimate_from_registers at m = 2^p."""
+    m_regs = 1 << p
+    alpha_m2 = _hll_alpha(m_regs) * m_regs * m_regs
+    return f"""
+  SELECT {key} round(
+           CASE WHEN {alpha_m2!r}
+                     / (sum_pow + ({m_regs} - n_registers_hit))
+                     <= {2.5 * m_regs}
+                 AND n_registers_hit < {m_regs}
+                THEN {float(m_regs)}
+                     * ln({float(m_regs)}
+                          / ({m_regs} - n_registers_hit))
+                ELSE {alpha_m2!r}
+                     / (sum_pow + ({m_regs} - n_registers_hit))
            END, 3) AS hll_estimate,
          n_registers_hit"""
 
@@ -2669,7 +2701,7 @@ WITH toks AS (
   )
 ), ranked AS (
   SELECT r.bucket, r.rank, r.tok FROM (
-    {_SQL_HLL_RANK}, tok FROM toks
+    {_sql_hll_rank()}, tok FROM toks
   ) r
 ), regs AS (
   SELECT bucket, max(rank) AS m FROM ranked GROUP BY bucket
@@ -2677,7 +2709,7 @@ WITH toks AS (
   SELECT sum(power(2.0, -m)) AS sum_pow, count(*) AS n_registers_hit
   FROM regs
 ), est AS (
-{_SQL_HLL_EST.format(key="")}
+{_sql_hll_est("")}
   FROM sums
 ), truth AS (
   SELECT count(DISTINCT tok) AS true_distinct FROM ranked
@@ -2691,13 +2723,13 @@ FROM est e CROSS JOIN truth t
 
 def q_hll_merge_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch MERGEABILITY — the property that makes sketches the right
-    tool on a cluster: each source keeps its own 64-register HLL of the
-    source's distinct (token, doc) pairs, and max-ing registers per bucket
-    across sources IS the union's sketch (no re-scan of the data).  Emits
-    one row per source plus a '__merged__' row whose estimate is identical
-    to sketching all pairs directly (asserted in
-    tests/test_corpus_assembly.py).  The pair cardinality (~hundreds per
-    source, ~14k merged at sf0.01) deliberately exercises the RAW
+    tool on a cluster: each source keeps its own 2^HLL_P-register HLL of
+    the source's distinct (token, doc) pairs, and max-ing registers per
+    bucket across sources IS the union's sketch (no re-scan of the data).
+    Emits one row per source plus a '__merged__' row whose estimate is
+    identical to sketching all pairs directly (asserted in
+    tests/test_corpus_assembly.py).  The merged cardinality (~14k at
+    sf0.01, above 2.5·m = 5120 at the default p=11) exercises the RAW
     harmonic-mean branch on both engines — distinct_hll_estimate's
     31-token vocab only covers the linear-counting branch.  At 100 TB this
     is how per-shard/per-day sketches roll up to a global cardinality for
@@ -2733,7 +2765,7 @@ WITH toks AS (
   )
 ), ranked AS (
   SELECT source, r.bucket, r.rank FROM (
-    {_SQL_HLL_RANK}, source FROM toks
+    {_sql_hll_rank()}, source FROM toks
   ) r
 ), regs AS (
   SELECT source, bucket, max(rank) AS m FROM ranked GROUP BY source, bucket
@@ -2742,7 +2774,7 @@ WITH toks AS (
          count(*) AS n_registers_hit
   FROM regs GROUP BY source
 ), src_est AS (
-{_SQL_HLL_EST.format(key="source,")}
+{_sql_hll_est("source,")}
   FROM src_sums
 ), merged_regs AS (
   SELECT bucket, max(m) AS m FROM regs GROUP BY bucket
@@ -2750,7 +2782,7 @@ WITH toks AS (
   SELECT sum(power(2.0, -m)) AS sum_pow, count(*) AS n_registers_hit
   FROM merged_regs
 ), merged_est AS (
-{_SQL_HLL_EST.format(key="'__merged__' AS source,")}
+{_sql_hll_est("'__merged__' AS source,")}
   FROM merged_sums
 )
 SELECT source, hll_estimate, n_registers_hit FROM src_est

@@ -94,17 +94,30 @@ def test_sequence_packing_budget_and_order(spark):
 
 def test_hll_high_cardinality_raw_branch(spark):
     """At n >> 2.5*m the raw harmonic-mean branch is used (the sf corpus's
-    31-token vocab only exercises linear counting); a 64-register sketch
-    must land within ~3 standard errors (3 * 1.04/sqrt(64) ~ 39%)."""
+    31-token vocab only exercises linear counting); a p=6 (64-register)
+    sketch must land within ~3 standard errors (3 * 1.04/sqrt(64) ~ 39%)."""
     n = 5000
     df = spark.range(n).select(
         F.concat(F.lit("item-"), F.col("id").cast("string")).alias("v")
     )
-    row = hll_estimate(df, "v").collect()[0]
+    row = hll_estimate(df, "v", p=6).collect()[0]
     # all 64 registers hit at n=5000 -> linear counting is impossible here,
     # so this value comes from the raw-HLL branch
     assert row.n_registers_hit == 64
     assert abs(row.hll_estimate - n) / n < 0.39, row.hll_estimate
+
+
+def test_hll_default_p_raw_branch_accuracy(spark):
+    """The production default (p=11, 2048 registers) on a cardinality well
+    above 2.5*m = 5120: raw-branch estimate within ~3 standard errors
+    (3 * 1.04/sqrt(2048) ~ 6.9%)."""
+    n = 50_000
+    df = spark.range(n).select(
+        F.concat(F.lit("item-"), F.col("id").cast("string")).alias("v")
+    )
+    row = hll_estimate(df, "v").collect()[0]
+    assert row.n_registers_hit > 2048 * 0.9  # nearly all registers hit
+    assert abs(row.hll_estimate - n) / n < 0.069, row.hll_estimate
 
 
 def test_hll_exact_duplicates_collapse(spark):
@@ -125,7 +138,7 @@ def test_hll_exact_duplicates_collapse(spark):
 def test_hll_merge_equals_direct_sketch(spark):
     """Mergeability: max-ing per-source registers reproduces EXACTLY the
     estimate of sketching all (token, doc) pairs directly — and the pair
-    cardinality forces the RAW harmonic branch (all 64 registers hit)."""
+    cardinality (~14k > 2.5*m = 5120 at p=11) forces the RAW branch."""
     from readability_1_spark.queries import TOKEN_SPLIT, q_hll_merge_by_source
 
     docs = spark.read.parquet(SF_DIR + "/documents.parquet")
@@ -141,9 +154,11 @@ def test_hll_merge_equals_direct_sketch(spark):
     }["__merged__"]
     assert merged.hll_estimate == direct.hll_estimate
     assert merged.n_registers_hit == direct.n_registers_hit
-    # high cardinality -> every register hit -> raw branch, cross-checked
-    # against the DuckDB oracle by verify_oracle / the driver gate
-    assert merged.n_registers_hit == 64
+    # high cardinality -> nearly every register hit and the estimate above
+    # the 2.5*m linear-counting cutoff -> raw branch, cross-checked against
+    # the DuckDB oracle by verify_oracle / the driver gate
+    assert merged.n_registers_hit > 2048 * 0.9
+    assert merged.hll_estimate > 2.5 * 2048
 
 
 def test_topn_sample_nests(spark):

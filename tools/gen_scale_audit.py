@@ -48,11 +48,11 @@ SCALE_CLASS = {
     "dedup_exact_normalized": ("shuffle", "hash groupBy on fingerprint"),
     "dedup_ngram_jaccard": ("baseline", "quadratic shingle self-join; sf<=0.1 validation twin of minhash LSH"),
     "dedup_minhash_lsh": ("bucketed", "single signature scan, bucket-group-and-pair"),
-    "dedup_minhash_clusters": ("bucketed", "LSH pairs + label propagation; iterations = cluster diameter, checkpointed"),
+    "dedup_minhash_clusters": ("bucketed", "LSH pairs + large-star/small-star CC (O(log n) rounds, diameter-independent), checkpointed per round"),
     "dedup_simhash": ("shuffle", "token agg then 16 codegen bit sums"),
     "dedup_embedding_cosine": ("baseline", "all-pairs; validation twin of dedup_embedding_lsh"),
     "dedup_embedding_lsh": ("bucketed", "bucket equi-join; bit count scales with corpus"),
-    "dedup_embedding_clusters": ("bucketed", "LSH pairs + label propagation; iterations = cluster diameter, checkpointed"),
+    "dedup_embedding_clusters": ("bucketed", "LSH pairs + large-star/small-star CC (O(log n) rounds, diameter-independent), checkpointed per round"),
     "doc_fingerprint": ("shuffle", "rolling-hash fold + fingerprint group sizes"),
     "doc_winnow_fingerprints": ("linear", "per-row array expressions only"),
     "token_cms_heavy_hitters": ("linear", "fixed 256-cell sketch, map-side combine"),
@@ -80,8 +80,8 @@ SCALE_CLASS = {
     "corpus_sample_topn": ("linear", "TakeOrdered: per-partition top-N, single N-row driver merge, no global sort"),
     "doc_lm_score": ("shuffle", "bigram/history count groupBys (map-side combine) + two equi-joins; vocab is a 1-row broadcast"),
     "doc_quality_rank": ("shuffle", "LM-score subplan + one lang-partitioned window (5 partitions; percentile per language)"),
-    "distinct_hll_estimate": ("linear", "64-register sketch: shuffle carries 64 rows per mapper regardless of corpus size (truth column is validation-only)"),
-    "hll_merge_by_source": ("linear", "per-source registers (64 x #sources rows) then bucket-max merge; mergeability = free global rollup"),
+    "distinct_hll_estimate": ("linear", "2^p-register sketch (default p=11, 2048): shuffle carries <=2048 rows per mapper regardless of corpus size (truth column is validation-only)"),
+    "hll_merge_by_source": ("linear", "per-source registers (2048 x #sources rows) then bucket-max merge; mergeability = free global rollup"),
     "data_split_assign": ("linear", "content-hash bucket, zero shuffles"),
     "domain_mix_resample": ("broadcast", "O(#sources) weight map broadcast + linear explode"),
     "sequence_packing": ("shuffle", "one shard shuffle, then linear per-shard pandas pass"),
