@@ -183,3 +183,40 @@ def test_topn_sample_nests(spark):
         .collect()
     }
     assert top50 < top100
+
+
+def test_bpe_early_stop_and_learned_merges(spark, tmp_path):
+    """The trainer stops when the best pair's weighted count < 2 (not at
+    the BPE_MERGES cap), and sub-2 pairs are never merged.  Corpus: 'ab'
+    twice (pair weight 2 -> merged), 'xy' once (weight 1 -> left split)."""
+    from readability_1_spark.queries import _bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "ab ab", "s"), (2, "xy", "s")], "doc_id long, text string, source string"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    merges, state = _bpe_train(spark, str(tmp_path))
+    rows = merges.collect()
+    assert [(r.merge_rank, r.merged, r.pair_count) for r in rows] == [(1, "ab", 2)]
+    seg = {r.tok: r.s for r in state.collect()}
+    assert seg == {"ab": " ab ", "xy": " x  y "}
+
+
+def test_bpe_full_depth_on_sf_corpus(spark):
+    """At sf0.01 the 31-word vocab supports the full 50-merge depth (no
+    early stop), ranks are consecutive, counts non-increasing within the
+    greedy guarantee domain, and the tokenize stats reflect the merges
+    (fertility above 1 char/subword means merges actually applied)."""
+    from readability_1_spark.queries import (
+        BPE_MERGES,
+        q_bpe_learn_merges,
+        q_bpe_tokenize_stats,
+    )
+
+    rows = q_bpe_learn_merges(spark, SF_DIR).orderBy("merge_rank").collect()
+    assert len(rows) == BPE_MERGES == 50
+    assert [r.merge_rank for r in rows] == list(range(1, 51))
+    assert all(r.pair_count >= 2 for r in rows)
+    stats = q_bpe_tokenize_stats(spark, SF_DIR).collect()
+    assert len(stats) == 500
+    assert all(s.chars_per_subword > 1.0 for s in stats)
