@@ -50,6 +50,7 @@ from .queries import (
     _minhash_pairs,
     _shingle_array_expr,
     connected_components,
+    ffd_pack_ids,
     greedy_pack_ids,
 )
 
@@ -254,14 +255,21 @@ def curate_pretraining_data(
 
 
 def pack_sequences(
-    curated: DataFrame, budget: int = 2048, n_shards: int = 64
+    curated: DataFrame,
+    budget: int = 2048,
+    n_shards: int = 64,
+    strategy: str = "ffd",
 ) -> DataFrame:
-    """Greedy sequence packing over curated docs: shard by deterministic
-    doc-key hash, order by (conv_id, turn_idx) within shard, open a new pack
-    when the running token total would exceed `budget`.  One shuffle to
-    co-locate shards, then a single linear pandas pass per shard — shards
-    are the parallelism unit (set n_shards ~ cores x a small factor on a
-    real cluster).  A doc larger than the budget gets its own pack."""
+    """Sequence packing over curated docs: shard by deterministic doc-key
+    hash, then pack within shard.  One shuffle to co-locate shards, then a
+    single linear pandas pass per shard — shards are the parallelism unit
+    (set n_shards ~ cores x a small factor on a real cluster).  A doc
+    larger than the budget gets its own pack.
+
+    strategy='ffd' (default): token-count-DESC first-fit-decreasing —
+    tighter packs on skewed length distributions (the 11/9-OPT classic).
+    strategy='greedy': order-preserving (conv_id, turn_idx) scan — use
+    when downstream wants documents in conversation order within packs."""
     keyed = curated.select(
         "conv_id",
         "turn_idx",
@@ -270,8 +278,15 @@ def pack_sequences(
     )
 
     def pack(pdf):
-        pdf = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
-        pdf["pack_id"] = greedy_pack_ids(pdf["n_tokens"], budget)
+        if strategy == "ffd":
+            pdf = pdf.sort_values(
+                ["n_tokens", "conv_id", "turn_idx"],
+                ascending=[False, True, True],
+            ).reset_index(drop=True)
+            pdf["pack_id"] = ffd_pack_ids(pdf["n_tokens"], budget)
+        else:
+            pdf = pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+            pdf["pack_id"] = greedy_pack_ids(pdf["n_tokens"], budget)
         return pdf[["conv_id", "turn_idx", "shard", "pack_id", "n_tokens"]]
 
     return keyed.groupBy("shard").applyInPandas(

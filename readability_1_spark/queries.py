@@ -3583,6 +3583,29 @@ def greedy_pack_ids(tokens, budget: int) -> list[int]:
     return pack_ids
 
 
+def ffd_pack_ids(tokens, budget: int) -> list[int]:
+    """First-fit packing: each item (already in the caller's order —
+    token-count DESC for first-fit-DECREASING, the standard 11/9-OPT bin
+    packing heuristic) goes into the lowest-indexed open pack with room,
+    else opens a new pack.  An item larger than the budget opens its own
+    pack and nothing else ever fits there.  Shared by the
+    sequence_packing_ffd query, pretrain.pack_sequences(strategy='ffd'),
+    and their oracles' semantics — one definition so twins cannot drift."""
+    loads: list[int] = []
+    out: list[int] = []
+    for t in tokens:
+        t = int(t)
+        for i, ld in enumerate(loads):
+            if ld + t <= budget:
+                loads[i] = ld + t
+                out.append(i)
+                break
+        else:
+            loads.append(t)
+            out.append(len(loads) - 1)
+    return out
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing: assign docs to fixed token-budget packs
     (context-window filling for pretraining).  Docs are sharded by key,
@@ -3593,34 +3616,115 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     single linear pandas pass.  At 100 TB, shards are the parallelism unit
     (thousands of them) exactly as real packing pipelines do it — packing is
     only ever done within a shard, never globally.  A doc larger than the
-    budget gets its own pack."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.size(
-        F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
-    )
-    sized = docs.select(
-        "doc_id",
-        F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).alias("shard"),
-        toks.cast("long").alias("tokens"),
-    )
+    budget gets its own pack.  Each row carries its pack's total and fill
+    ratio (pack_tokens / PACK_BUDGET) — the waste a corpus owner watches."""
+    sized = _pack_sized(spark, sf_dir)
 
     def pack(pdf):
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
         pdf["pack_id"] = greedy_pack_ids(pdf["tokens"], PACK_BUDGET)
         return pdf[["doc_id", "shard", "pack_id", "tokens"]]
 
-    return sized.groupBy("shard").applyInPandas(
+    packed = sized.groupBy("shard").applyInPandas(
         pack, "doc_id long, shard long, pack_id long, tokens long"
-    ).select("doc_id", "shard", "pack_id", "tokens")
+    )
+    return _with_fill_ratio(packed)
 
 
-SQL_SEQUENCE_PACKING = f"""
-WITH RECURSIVE sized AS (
+def _pack_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    )
+    return docs.select(
+        "doc_id",
+        F.pmod(F.col("doc_id"), F.lit(PACK_SHARDS)).alias("shard"),
+        toks.cast("long").alias("tokens"),
+    )
+
+
+def _with_fill_ratio(packed: DataFrame) -> DataFrame:
+    w = Window.partitionBy("shard", "pack_id")
+    return packed.select(
+        "doc_id",
+        "shard",
+        "pack_id",
+        "tokens",
+        F.sum("tokens").over(w).alias("pack_tokens"),
+        F.round(F.sum("tokens").over(w) / F.lit(float(PACK_BUDGET)), 6).alias(
+            "fill_ratio"
+        ),
+    )
+
+
+def q_sequence_packing_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing sequence packing: within each shard, docs are
+    taken in token-count-DESC order (doc_id tiebreak) and each goes into
+    the lowest-indexed open pack that still has room — the classic
+    11/9-OPT bin-packing heuristic, strictly tighter than the
+    order-preserving greedy scan on skewed length distributions (asserted
+    in tests/test_corpus_assembly.py).  Same execution shape as
+    sequence_packing: one shuffle to co-locate shards, one linear pandas
+    pass; the open-pack scan is per shard, never global.  The DuckDB twin
+    carries the open-pack load vector as a LIST column through the
+    recursive CTE — exact first-fit semantics, not an approximation."""
+    sized = _pack_sized(spark, sf_dir)
+
+    def pack(pdf):
+        pdf = pdf.sort_values(
+            ["tokens", "doc_id"], ascending=[False, True]
+        ).reset_index(drop=True)
+        pdf["pack_id"] = ffd_pack_ids(pdf["tokens"], PACK_BUDGET)
+        return pdf[["doc_id", "shard", "pack_id", "tokens"]]
+
+    packed = sized.groupBy("shard").applyInPandas(
+        pack, "doc_id long, shard long, pack_id long, tokens long"
+    )
+    return _with_fill_ratio(packed)
+
+
+def q_sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack-efficiency comparison: one row per packing strategy with pack
+    count and weighted mean fill (total_tokens / (n_packs * budget)) — the
+    number that says how much context-window space each strategy wastes.
+    FFD's fill must dominate greedy's (tested)."""
+    out = None
+    for variant, q in (
+        ("greedy", q_sequence_packing),
+        ("ffd", q_sequence_packing_ffd),
+    ):
+        agg = (
+            q(spark, sf_dir)
+            .groupBy()
+            .agg(
+                F.count_distinct("shard", "pack_id").alias("n_packs"),
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("tokens").alias("total_tokens"),
+            )
+            .select(
+                F.lit(variant).alias("variant"),
+                "n_packs",
+                "n_docs",
+                "total_tokens",
+                F.round(
+                    F.col("total_tokens")
+                    / (F.col("n_packs") * F.lit(float(PACK_BUDGET))),
+                    6,
+                ).alias("mean_fill"),
+            )
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out
+
+
+_SQL_PACK_SIZED = f"""sized AS (
   SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
          CAST(len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
                               x -> x <> '')) AS BIGINT) AS tokens
   FROM documents
-), ord AS (
+)"""
+
+_SQL_PACK_GREEDY = f"""ord AS (
   SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
   FROM sized
 ), packed(doc_id, shard, tokens, rn, pack_id, cum) AS (
@@ -3633,8 +3737,92 @@ WITH RECURSIVE sized AS (
          CASE WHEN p.cum > 0 AND p.cum + o.tokens > {PACK_BUDGET}
               THEN o.tokens ELSE p.cum + o.tokens END
   FROM ord o JOIN packed p ON o.shard = p.shard AND o.rn = p.rn + 1
+)"""
+
+# First-fit state: the open-pack load vector rides the recursion as a LIST
+# column; `fit` = 1-based index of the first pack with room (NULL -> open a
+# new pack).  The fit expression appears twice (pack_id and loads update)
+# because the recursive SELECT has no lateral binding that all DuckDB
+# versions accept.
+_SQL_PACK_FFD_FIT = (
+    f"list_filter(generate_series(1, CAST(len(p.loads) AS BIGINT)), "
+    f"i -> p.loads[i] + o.tokens <= {PACK_BUDGET})[1]"
 )
-SELECT doc_id, shard, pack_id, tokens FROM packed
+
+_SQL_PACK_FFD = f"""ord AS (
+  SELECT *, row_number() OVER (PARTITION BY shard
+                               ORDER BY tokens DESC, doc_id ASC) AS rn
+  FROM sized
+), packed(doc_id, shard, tokens, rn, pack_id, loads) AS (
+  SELECT doc_id, shard, tokens, rn, CAST(0 AS BIGINT), [tokens]
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.shard, o.tokens, o.rn,
+         CAST(COALESCE({_SQL_PACK_FFD_FIT} - 1, len(p.loads)) AS BIGINT),
+         CASE WHEN {_SQL_PACK_FFD_FIT} IS NULL
+              THEN list_append(p.loads, o.tokens)
+              ELSE list_transform(
+                     generate_series(1, CAST(len(p.loads) AS BIGINT)),
+                     i -> CASE WHEN i = {_SQL_PACK_FFD_FIT}
+                               THEN p.loads[i] + o.tokens
+                               ELSE p.loads[i] END)
+         END
+  FROM ord o JOIN packed p ON o.shard = p.shard AND o.rn = p.rn + 1
+)"""
+
+_SQL_PACK_FILL = f"""
+SELECT doc_id, shard, pack_id, tokens,
+       CAST(sum(tokens) OVER (PARTITION BY shard, pack_id) AS BIGINT)
+         AS pack_tokens,
+       round(sum(tokens) OVER (PARTITION BY shard, pack_id)
+             / {float(PACK_BUDGET)}, 6) AS fill_ratio
+FROM packed
+"""
+
+SQL_SEQUENCE_PACKING = f"""
+WITH RECURSIVE {_SQL_PACK_SIZED}, {_SQL_PACK_GREEDY}
+{_SQL_PACK_FILL}
+"""
+
+SQL_SEQUENCE_PACKING_FFD = f"""
+WITH RECURSIVE {_SQL_PACK_SIZED}, {_SQL_PACK_FFD}
+{_SQL_PACK_FILL}
+"""
+
+SQL_SEQUENCE_PACKING_STATS = f"""
+WITH RECURSIVE {_SQL_PACK_SIZED}, {_SQL_PACK_GREEDY}, g_stats AS (
+  SELECT 'greedy' AS variant, count(DISTINCT (shard, pack_id)) AS n_packs,
+         count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS total_tokens
+  FROM packed
+), ord2 AS (
+  SELECT *, row_number() OVER (PARTITION BY shard
+                               ORDER BY tokens DESC, doc_id ASC) AS rn
+  FROM sized
+), packed2(doc_id, shard, tokens, rn, pack_id, loads) AS (
+  SELECT doc_id, shard, tokens, rn, CAST(0 AS BIGINT), [tokens]
+  FROM ord2 WHERE rn = 1
+  UNION ALL
+  SELECT o.doc_id, o.shard, o.tokens, o.rn,
+         CAST(COALESCE({_SQL_PACK_FFD_FIT} - 1, len(p.loads)) AS BIGINT),
+         CASE WHEN {_SQL_PACK_FFD_FIT} IS NULL
+              THEN list_append(p.loads, o.tokens)
+              ELSE list_transform(
+                     generate_series(1, CAST(len(p.loads) AS BIGINT)),
+                     i -> CASE WHEN i = {_SQL_PACK_FFD_FIT}
+                               THEN p.loads[i] + o.tokens
+                               ELSE p.loads[i] END)
+         END
+  FROM ord2 o JOIN packed2 p ON o.shard = p.shard AND o.rn = p.rn + 1
+), f_stats AS (
+  SELECT 'ffd' AS variant, count(DISTINCT (shard, pack_id)) AS n_packs,
+         count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS total_tokens
+  FROM packed2
+), both_stats AS (
+  SELECT * FROM g_stats UNION ALL SELECT * FROM f_stats
+)
+SELECT variant, n_packs, n_docs, total_tokens,
+       round(total_tokens / (n_packs * {float(PACK_BUDGET)}), 6) AS mean_fill
+FROM both_stats
 """
 
 
@@ -3698,6 +3886,8 @@ QUERIES: dict[str, tuple] = {
     "bpe_learn_merges": (q_bpe_learn_merges, SQL_BPE_LEARN_MERGES),
     "bpe_tokenize_stats": (q_bpe_tokenize_stats, SQL_BPE_TOKENIZE_STATS),
     "multimodal_binary_stats": (q_multimodal_binary_stats, SQL_MULTIMODAL_BINARY_STATS),
+    "sequence_packing_ffd": (q_sequence_packing_ffd, SQL_SEQUENCE_PACKING_FFD),
+    "sequence_packing_stats": (q_sequence_packing_stats, SQL_SEQUENCE_PACKING_STATS),
     # similarity search
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),

@@ -220,3 +220,51 @@ def test_bpe_full_depth_on_sf_corpus(spark):
     stats = q_bpe_tokenize_stats(spark, SF_DIR).collect()
     assert len(stats) == 500
     assert all(s.chars_per_subword > 1.0 for s in stats)
+
+
+def test_ffd_fill_beats_greedy_on_skewed_corpus(spark, tmp_path):
+    """FFD must pack at least as tightly as the order-preserving greedy
+    scan on a skewed length distribution (big docs early strand capacity
+    that only later small docs could fill), and the registered stats query
+    must agree on the sf corpus."""
+    from readability_1_spark.queries import (
+        PACK_BUDGET,
+        ffd_pack_ids,
+        greedy_pack_ids,
+        q_sequence_packing_stats,
+    )
+
+    # Skewed: 129/127 pairs just over/under half the budget.  FFD pairs
+    # every 129 with a 127 (20 exact-fit packs); the order-preserving scan
+    # strands the first 129 alone and needs 21.
+    sizes = [129, 129, 127, 127] * 10
+    greedy_packs = max(greedy_pack_ids(sizes, 256)) + 1
+    ffd_sorted = sorted(sizes, reverse=True)
+    ffd_packs = max(ffd_pack_ids(ffd_sorted, 256)) + 1
+    assert ffd_packs < greedy_packs  # strictly better on this corpus
+    assert sum(sizes) <= ffd_packs * 256
+
+    stats = {r.variant: r for r in q_sequence_packing_stats(spark, SF_DIR).collect()}
+    assert stats["ffd"].n_packs <= stats["greedy"].n_packs
+    assert stats["ffd"].mean_fill >= stats["greedy"].mean_fill
+    assert stats["ffd"].total_tokens == stats["greedy"].total_tokens
+    assert 0 < stats["ffd"].mean_fill <= 1.0 + 500 / PACK_BUDGET
+
+
+def test_pack_sequences_ffd_respects_budget(spark):
+    """pretrain.pack_sequences(strategy='ffd') keeps the budget invariant
+    (single-doc packs exempt) and covers every row exactly once."""
+    from readability_1_spark.pretrain import pack_sequences
+
+    curated = spark.createDataFrame(
+        [(f"c{i}", 0, t) for i, t in enumerate([150, 50] * 10 + [300, 7])],
+        "conv_id string, turn_idx int, n_tokens long",
+    )
+    packs = pack_sequences(curated, budget=256, n_shards=2).collect()
+    assert len(packs) == 22
+    by_pack = {}
+    for p in packs:
+        by_pack.setdefault((p.shard, p.pack_id), []).append(p)
+    for members in by_pack.values():
+        total = sum(m.n_tokens for m in members)
+        assert total <= 256 or len(members) == 1

@@ -84,7 +84,9 @@ SCALE_CLASS = {
     "hll_merge_by_source": ("linear", "per-source registers (2048 x #sources rows) then bucket-max merge; mergeability = free global rollup"),
     "data_split_assign": ("linear", "content-hash bucket, zero shuffles"),
     "domain_mix_resample": ("broadcast", "O(#sources) weight map broadcast + linear explode"),
-    "sequence_packing": ("shuffle", "one shard shuffle, then linear per-shard pandas pass"),
+    "sequence_packing": ("shuffle", "one shard shuffle, then linear per-shard pandas pass; fill_ratio via one window over (shard, pack_id)"),
+    "sequence_packing_ffd": ("shuffle", "token-desc first-fit within shard: same one-shuffle shape; open-pack scan bounded by packs-per-shard"),
+    "sequence_packing_stats": ("shuffle", "two packing subplans + 1-row aggregates; comparison output is O(#variants)"),
 }
 
 
