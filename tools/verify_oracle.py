@@ -3,8 +3,14 @@ on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count, schema
 (column names), and an order-insensitive value multiset.
 
 Usage: python3 tools/verify_oracle.py [query ...]
+
+A full-registry run (no query args) also writes CORRECTNESS_LOCAL.json at
+the repo root — the committed artifact of record for queries past the
+external driver's ~50-entry window (see the registry-order note in
+queries.py).
 """
 
+import json
 import math
 import os
 import sys
@@ -65,6 +71,7 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
 
     failures = []
+    results = {}
     for name in names:
         fn, sql = QUERIES[name]
         t0 = time.time()
@@ -122,7 +129,27 @@ def main():
             print(f"FAIL {name}: {'; '.join(str(s)[:400] for s in status)}")
         else:
             print(f"PASS {name} ({len(srows)} rows, spark {t1-t0:.1f}s)")
+        results[name] = {
+            "rows_match": len(srows) == len(drows),
+            "schema_match": sc == dc,
+            "hash_match": not status,
+            "spark_rows": len(srows),
+            "oracle_rows": len(drows),
+            "err": "; ".join(str(s)[:300] for s in status) or None,
+        }
     print(f"\n{len(names)-len(failures)}/{len(names)} queries pass")
+    if not sys.argv[1:]:  # full-registry run -> artifact of record
+        out = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "CORRECTNESS_LOCAL.json",
+        )
+        with open(out, "w") as f:
+            json.dump(
+                {"sf_dir": SF_DIR, "n_pass": len(names) - len(failures),
+                 "n_total": len(names), "queries": results},
+                f, indent=1,
+            )
+        print(f"wrote {out}")
     spark.stop()
     sys.exit(1 if failures else 0)
 
