@@ -3623,10 +3623,11 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     def pack(pdf):
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
         pdf["pack_id"] = greedy_pack_ids(pdf["tokens"], PACK_BUDGET)
-        return pdf[["doc_id", "shard", "pack_id", "tokens"]]
+        pdf["pack_tokens"] = pdf.groupby("pack_id")["tokens"].transform("sum")
+        return pdf[["doc_id", "shard", "pack_id", "tokens", "pack_tokens"]]
 
     packed = sized.groupBy("shard").applyInPandas(
-        pack, "doc_id long, shard long, pack_id long, tokens long"
+        pack, "doc_id long, shard long, pack_id long, tokens long, pack_tokens long"
     )
     return _with_fill_ratio(packed)
 
@@ -3644,14 +3645,17 @@ def _pack_sized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _with_fill_ratio(packed: DataFrame) -> DataFrame:
-    w = Window.partitionBy("shard", "pack_id")
+    """pack_tokens comes out of the per-shard pandas pass (the shard's rows
+    are already co-located there — a window would add a second Exchange);
+    fill_ratio is a per-row expression.  F.round (HALF_UP) matches DuckDB's
+    round; pandas' numpy half-even would not."""
     return packed.select(
         "doc_id",
         "shard",
         "pack_id",
         "tokens",
-        F.sum("tokens").over(w).alias("pack_tokens"),
-        F.round(F.sum("tokens").over(w) / F.lit(float(PACK_BUDGET)), 6).alias(
+        "pack_tokens",
+        F.round(F.col("pack_tokens") / F.lit(float(PACK_BUDGET)), 6).alias(
             "fill_ratio"
         ),
     )
@@ -3675,10 +3679,11 @@ def q_sequence_packing_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["tokens", "doc_id"], ascending=[False, True]
         ).reset_index(drop=True)
         pdf["pack_id"] = ffd_pack_ids(pdf["tokens"], PACK_BUDGET)
-        return pdf[["doc_id", "shard", "pack_id", "tokens"]]
+        pdf["pack_tokens"] = pdf.groupby("pack_id")["tokens"].transform("sum")
+        return pdf[["doc_id", "shard", "pack_id", "tokens", "pack_tokens"]]
 
     packed = sized.groupBy("shard").applyInPandas(
-        pack, "doc_id long, shard long, pack_id long, tokens long"
+        pack, "doc_id long, shard long, pack_id long, tokens long, pack_tokens long"
     )
     return _with_fill_ratio(packed)
 
