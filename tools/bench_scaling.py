@@ -217,35 +217,41 @@ cannot quadruple.
 
 ## Reference single-node comparison (BASELINE.md)
 
-Interleaved head-to-head against the reference under node (now a
-standing harness: `python3 tools/head_to_head.py` — alternating reps,
-full 101-fixture corpus, node net of process startup).  Round-3
-sessions measured per-window MEDIANS of 1.00×, 1.06×, 0.98×, 1.41×,
-and 1.71× — the 0.98× window had reps 0.98/0.84/1.00 with the ENGINE
-BEATING NODE in one rep; the 1.71× window had node at full round-2
-capacity (70–77 docs/s) with one rep at 1.59×, matching round 2's
-1.39–1.64× full-capacity medians.  The ratio tracks host capacity
-because the engines degrade differently under contention: in depressed
-windows (node at 32–37 docs/s) V8 loses more and the ratio sits at
-parity; at full capacity it returns to the ~1.4–1.7 range, while the
-engine varied only 40–48 docs/s across all phases.  Every window of
-every round is inside the 2× bar.  That same capacity dip is why round-3 local
-bench totals (53–80 s, extract 16–26 s at sf0.1) read worse than
-BENCH_r02.json (38.1 s / 11.1 s): the interleaved control shows the
-engine at reference parity per-core, so any BENCH_r03-vs-r02 wall-time
-delta is host capacity, not a code regression — the dedup-path stage
-actually improved (3.7–4.7 s across the same slow windows vs 5.0 s in
-BENCH_r02).  Round-2 sessions on a faster-capacity host measured
-medians 1.39×/1.58×/1.64×; round 1 measured 2.4×.  Every protocol and
-window puts the kernel inside the 2× bar.  The gap is recovered in
+Interleaved head-to-head against the reference under node (standing
+harness: `python3 tools/head_to_head.py` — alternating reps, full
+101-fixture corpus, node net of process startup).  Round-4 sessions at
+FULL host capacity (node 52–85 docs/s) measured per-window medians of
+1.63× and 1.53×, consistent with round 2's 1.39–1.64× full-capacity
+medians and round 3's capacity-dependent 0.98×–1.71× range (the parity
+windows occur when host contention hurts V8 more than CPython).  Every
+window of every round is inside the 2× bar.
+
+Round-4 closure of the per-fixture question (committed analysis): an
+in-process per-document comparison over all 101 fixtures shows the gap
+is SPREAD, not concentrated — the worst per-doc ratios (3–5×) are all
+sub-millisecond documents where fixed per-call overhead dominates and
+wall-time impact is nil, while the heaviest documents run at 1.35–1.56×
+(wikipedia-2: 309 ms vs 228 ms, 18% of total corpus time).  Zeroing the
+three 2–3× mid-size outliers (salon-1, pixnet, yahoo-2, +84 ms
+combined) would move the total-corpus ratio only 1.70→1.62.  A fresh
+cProfile pass is flat: the parser main loop is 26% self-time and no
+other frame exceeds 8%, with textContent/link-density/inner-text
+caching already in place — the remaining gap is V8-JIT-vs-CPython on
+pointer-heavy tree walks, and further micro-optimization trades
+byte-equality risk for single-digit percent.  Accepted as the
+engineering position (round-3 verdict: "don't chase past diminishing
+returns").
+
+Since round 4, `bench.py` embeds fixed-work capacity probes (a
+deterministic single-thread CPython work unit before/after the run plus
+a node probe over a 12-fixture subset) and emits `capacity_index` and
+capacity-normalized turns/s in its JSON line, so cross-round wall-time
+deltas in the driver's BENCH artifacts are self-interpreting without
+side-channel controls.  The per-core kernel gap is recovered in
 production through parallelism and payload dedup (extract once per
-distinct page, join back) — per the DRIVER's artifact of record,
-BENCH_r02.json: 1,007.6 turns/s dedup path vs 455.6 without, at sf0.1
-local[32]; best local windows reached 1,754/1,914 t/s and are reported
-only as such.  Late-round-3 fast-window bench re-confirmed the dedup
-path at 2.97 s (~1,700 t/s — above round-1's 1,342 t/s), closing the
-round-2 verdict's dedup-regression question: the stage got faster, the
-earlier slow readings were host capacity.
+distinct page, join back): BENCH_r04 measured 573.6 t/s raw extraction
+and 2,265 t/s on the dedup path at sf0.1 local[32] (659 / 2,603
+capacity-normalized at index 0.87).
 """)
     print(f"report written: 2->8 best {max(eff28):.3f}, 8->32 best {max(eff832):.3f}")
 
