@@ -30,9 +30,12 @@ N_TURNS = int(os.environ.get("SCALING_N_TURNS", "30000"))
 def child(cpus: int) -> None:
     from pyspark.sql import functions as F
 
+    from bench import PROBE_NOMINAL_SEC, cpy_probe
     from readability_1_spark.pipeline import extract_transcripts
     from readability_1_spark.session import get_spark
     from readability_1_spark.transcripts import scaled_transcripts
+
+    probe_pre = round(cpy_probe(), 4)
 
     spark = get_spark(app_name=f"scaling_{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=max(32, cpus))
@@ -57,12 +60,19 @@ def child(cpus: int) -> None:
         dt = time.time() - t0
         if best_dt is None or dt < best_dt:
             best_dt = dt
+    spark.stop()
+    # Capacity annotation (round 4+): the same fixed-work probe bench.py
+    # uses, run before Spark start and after stop, so every committed
+    # window carries its own host-capacity context in runs.jsonl.
+    probe_post = round(cpy_probe(), 4)
+    cap_idx = round(PROBE_NOMINAL_SEC / ((probe_pre + probe_post) / 2), 3)
     print(json.dumps({
         "cpus": cpus, "n_turns": N_TURNS, "html_turns": n_html,
         "wall_sec": round(best_dt, 2), "turns_per_sec": round(n_html / best_dt, 2),
         "status_counts": counts,
+        "capacity": {"cpy_probe_sec": [probe_pre, probe_post],
+                     "capacity_index": cap_idx},
     }))
-    spark.stop()
 
 
 _CEILING_SRCS: list[str] | None = None
