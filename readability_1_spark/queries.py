@@ -124,6 +124,75 @@ def q_extract_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document PARAGRAPH dedup over extracted article text — the
+    CCNet/RefinedWeb pass that strips boilerplate paragraphs surviving
+    extraction (repeated bylines, licence blocks, nav fragments shared
+    between page variants): split each ok-turn's text_content on newline,
+    trim with an engine-identical [ \\t\\r\\f] class, drop empties, keep
+    only the FIRST occurrence of each paragraph corpus-wide (stable
+    (conv_id, turn_idx, para_idx) order), and report per-turn paragraph
+    counts, removed-duplicate counts, and surviving characters.
+
+    Scale shape: posexplode is linear in output, the first-occurrence
+    window hash-partitions on the paragraph digest (the only corpus-wide
+    shuffle — exactly how a production paragraph-dedup shards), and the
+    per-turn rollup re-shuffles on the turn key.  The fixture corpus has
+    755 duplicate paragraph occurrences across 7,839 (distinct pages
+    sharing chrome), so the operator does real work on its test bed."""
+    from .pipeline import extract_transcripts
+
+    df = spark.read.parquet(TRANSCRIPTS_PQ)
+    ex = extract_transcripts(df, num_parts=16).filter(F.col("status") == "ok")
+    pieces = ex.select(
+        "conv_id",
+        "turn_idx",
+        F.posexplode(F.split(F.col("text_content"), "\n")).alias("pos", "piece"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        (F.col("pos") + 1).alias("para_idx"),
+        F.regexp_replace("piece", "^[ \t\r\f]+|[ \t\r\f]+$", "").alias("para"),
+    ).filter(F.col("para") != "")
+    w = Window.partitionBy("para").orderBy("conv_id", "turn_idx", "para_idx")
+    ranked = pieces.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("conv_id", "turn_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_paras"),
+            F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0)).alias("n_kept_first"),
+            F.sum(F.when(F.col("_rn") > 1, 1).otherwise(0)).alias("n_dupes_removed"),
+            F.sum(
+                F.when(F.col("_rn") == 1, F.length("para")).otherwise(0)
+            ).alias("kept_chars"),
+        )
+    )
+
+
+SQL_EXTRACT_PARAGRAPH_DEDUP = f"""
+WITH g AS (
+  SELECT conv_id, turn_idx, text_content
+  FROM read_parquet('{GOLDENS_PQ}') WHERE status = 'ok'
+), split_docs AS (
+  SELECT conv_id, turn_idx, string_split(text_content, chr(10)) AS ps FROM g
+), pieces AS (
+  SELECT conv_id, turn_idx, CAST(t.i AS INT) AS para_idx,
+         regexp_replace(ps[t.i], '^[ \t\r\f]+|[ \t\r\f]+$', '', 'g') AS para
+  FROM split_docs, UNNEST(generate_series(1, len(ps))) AS t(i)
+), ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY para ORDER BY conv_id, turn_idx, para_idx) AS rn
+  FROM pieces WHERE para <> ''
+)
+SELECT conv_id, turn_idx,
+       count(*) AS n_paras,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept_first,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dupes_removed,
+       CAST(sum(CASE WHEN rn = 1 THEN len(para) ELSE 0 END) AS BIGINT) AS kept_chars
+FROM ranked GROUP BY conv_id, turn_idx
+"""
+
+
 SQL_EXTRACT_STATUS_COUNTS = f"""
 SELECT status, count(*) AS n_turns, sum(length) AS total_chars
 FROM read_parquet('{GOLDENS_PQ}') GROUP BY status
@@ -3847,6 +3916,7 @@ QUERIES: dict[str, tuple] = {
     "extraction_lineage": (q_extraction_lineage, SQL_EXTRACTION_LINEAGE),
     "turn_ordering_check": (q_turn_ordering_check, SQL_TURN_ORDERING_CHECK),
     "html_gate_selectivity": (q_html_gate_selectivity, SQL_HTML_GATE_SELECTIVITY),
+    "extract_paragraph_dedup": (q_extract_paragraph_dedup, SQL_EXTRACT_PARAGRAPH_DEDUP),
     # similarity search / ANN
     "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
     "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),

@@ -24,6 +24,7 @@ SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
 SCALE_CLASS = {
     "extract_fixture_turns": ("shuffle", "salt scatter -> Arrow kernel; kernel cost dominates"),
     "extract_status_counts": ("shuffle", "kernel + tiny status rollup"),
+    "extract_paragraph_dedup": ("shuffle", "kernel -> posexplode (linear) -> first-occurrence window hashed on paragraph digest -> turn rollup; the para-key shuffle is the one corpus-wide exchange"),
     "readerable_flags": ("shuffle", "kernel gate only"),
     "extraction_lineage": ("shuffle", "kernel + part_id rollup (map-side combine)"),
     "turn_ordering_check": ("shuffle", "one window partition per conv_id"),
