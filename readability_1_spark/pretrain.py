@@ -80,6 +80,7 @@ def curate_pretraining_data(
     max_stopword_ratio: float = 0.7,
     near_dedup: bool = True,
     cc_max_iter: int = 25,
+    paragraph_dedup: bool = False,
     redact_pii: bool = True,
     benchmark_shingles: DataFrame | None = None,
     max_contamination: float = 0.2,
@@ -143,6 +144,49 @@ def curate_pretraining_data(
         deduped = keyed.join(
             losers.select(F.col("doc_id").alias("_nd_id")), "_nd_id", "left_anti"
         ).drop("_nd_id")
+
+    if paragraph_dedup:
+        # CCNet/RefinedWeb-style paragraph-level dedup AFTER document-level
+        # dedup (whole-doc duplicates are already gone; this strips shared
+        # boilerplate paragraphs that survive extraction) and BEFORE the
+        # PII/quality stages (token stats must describe the shipped text).
+        # First corpus-wide occurrence of each trimmed non-empty paragraph
+        # wins under stable (conv_id, turn_idx, position) order; empty
+        # pieces are kept so surviving structure is preserved.  The
+        # paragraph-digest window is the one corpus-wide shuffle; the
+        # rebuild is a per-turn sort + join (bounded by document size).
+        pieces = deduped.select(
+            "conv_id",
+            "turn_idx",
+            F.posexplode(
+                F.split(F.col("text_content"), "\n")
+            ).alias("_pos", "_piece"),
+        ).withColumn(
+            "_trim", F.regexp_replace("_piece", "^[ \t\r\f]+|[ \t\r\f]+$", "")
+        )
+        w = Window.partitionBy("_trim").orderBy("conv_id", "turn_idx", "_pos")
+        kept = pieces.withColumn(
+            "_rn",
+            F.when(F.col("_trim") == "", F.lit(1)).otherwise(
+                F.row_number().over(w)
+            ),
+        ).filter(F.col("_rn") == 1)
+        rebuilt = kept.groupBy("conv_id", "turn_idx").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_pos", "_piece"))),
+                    lambda s: s["_piece"],
+                ),
+                "\n",
+            ).alias("_new_text")
+        )
+        deduped = (
+            deduped.join(rebuilt, ["conv_id", "turn_idx"], "left")
+            .withColumn(
+                "text_content", F.coalesce("_new_text", F.lit(""))
+            )
+            .drop("_new_text")
+        )
 
     if benchmark_shingles is not None:
         # Decontamination: drop documents whose distinct-3-gram overlap with

@@ -467,3 +467,68 @@ def test_quadratic_baselines_guarded(spark, monkeypatch):
     # forced override still runs (plan construction succeeds lazily)
     Q.q_dedup_ngram_jaccard(spark, sf_dir, allow_quadratic=True)
     Q.q_dedup_embedding_cosine(spark, sf_dir, allow_quadratic=True)
+
+
+def test_pretrain_paragraph_dedup_strips_shared_boilerplate(spark):
+    """paragraph_dedup=True: a licence paragraph shared by two otherwise
+    distinct documents survives only in the corpus-wide-first turn; unique
+    paragraphs are untouched; default (off) keeps both copies."""
+    from readability_1_spark.pretrain import curate_pretraining_data
+
+    boiler = (
+        "This article is licensed under the creative commons attribution "
+        "share alike license and may be reproduced with attribution to the "
+        "original publisher and author of the piece in question here."
+    )
+    body_a = (
+        "The expedition crossed the high mountain pass before the first "
+        "snows of the season closed the route for the rest of the winter. "
+        "Supplies were carried by mule train and every crate was weighed "
+        "and logged by the quartermaster at each camp along the way."
+    )
+    body_b = (
+        "The observatory released the survey data after two years of "
+        "calibration work on the new wide field camera and its filters. "
+        "Astronomers around the world downloaded the catalog within hours "
+        "and began cross matching the sources against earlier surveys."
+    )
+
+    def page(body):
+        return (
+            "<html><head><title>t</title></head><body><div id=\"main\">"
+            f"<p>{body}</p>\n<p>{boiler}</p>"
+            "</div></body></html>"
+        )
+
+    rows = [
+        ("conv-a", 0, "tool", page(body_a), "browser", None),
+        ("conv-b", 0, "tool", page(body_b), "browser", None),
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+
+    kept = {
+        r.conv_id: r
+        for r in curate_pretraining_data(
+            t, num_parts=4, paragraph_dedup=True, min_chars=100,
+            min_tokens=20, min_periods=1
+        ).collect()
+    }
+    assert set(kept) == {"conv-a", "conv-b"}
+    # conv-a is first in (conv_id, turn_idx) order -> keeps the boilerplate
+    assert boiler in kept["conv-a"].text_content
+    assert body_a in kept["conv-a"].text_content
+    # conv-b loses the duplicate paragraph but keeps its own body
+    assert boiler not in kept["conv-b"].text_content
+    assert body_b in kept["conv-b"].text_content
+
+    off = {
+        r.conv_id: r
+        for r in curate_pretraining_data(
+            t, num_parts=4, min_chars=100, min_tokens=20, min_periods=1
+        ).collect()
+    }
+    assert boiler in off["conv-a"].text_content
+    assert boiler in off["conv-b"].text_content
