@@ -532,3 +532,51 @@ def test_pretrain_paragraph_dedup_strips_shared_boilerplate(spark):
     }
     assert boiler in off["conv-a"].text_content
     assert boiler in off["conv-b"].text_content
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Large-star/small-star CC vs an independent union-find oracle on
+    seeded random graphs (mixed topology: chains, cliques, stars emerge at
+    these densities), including isolated nodes."""
+    import random
+
+    from readability_1_spark.queries import connected_components
+
+    def uf_labels(n, edge_list):
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_list:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min-id per component
+        comp_min = {}
+        for v in range(n):
+            r = find(v)
+            comp_min[r] = min(comp_min.get(r, v), v)
+        return {v: comp_min[find(v)] for v in range(n)}
+
+    rng = random.Random(40404)
+    for case in range(4):
+        n = rng.randint(20, 60)
+        m = rng.randint(0, n * 2)
+        edge_list = [
+            (rng.randrange(n), rng.randrange(n)) for _ in range(m)
+        ]
+        edge_list = [e for e in edge_list if e[0] != e[1]]
+        expected = uf_labels(n, edge_list)
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id int")
+        edges = spark.createDataFrame(
+            edge_list or [(0, 0)], "doc_a int, doc_b int"
+        )  # (0,0) self-loop is filtered inside, yielding an empty edge set
+        got = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(nodes, edges).collect()
+        }
+        assert got == expected, f"case {case}: n={n} m={len(edge_list)}"
