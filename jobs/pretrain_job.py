@@ -3,7 +3,8 @@
   spark-submit --py-files dist/readability_1_spark.zip jobs/pretrain_job.py \
       --input /path/to/transcripts_parquet --output /path/to/out \
       [--num-parts 2048] [--min-chars 500] [--min-tokens 80] \
-      [--pack-budget 2048] [--pack-shards 2048]
+      [--pack-budget 2048] [--pack-shards 2048] \
+      [--pack-strategy ffd|greedy] [--paragraph-dedup] [--cc-max-iter 25]
 """
 
 from __future__ import annotations
@@ -22,6 +23,9 @@ def main() -> None:
     ap.add_argument("--min-tokens", type=int, default=80)
     ap.add_argument("--pack-budget", type=int, default=2048)
     ap.add_argument("--pack-shards", type=int, default=2048)
+    ap.add_argument("--pack-strategy", choices=("ffd", "greedy"), default="ffd")
+    ap.add_argument("--paragraph-dedup", action="store_true")
+    ap.add_argument("--cc-max-iter", type=int, default=25)
     args = ap.parse_args()
 
     from readability_1_spark.pretrain import run_pretrain_job
@@ -31,7 +35,9 @@ def main() -> None:
     stats = run_pretrain_job(
         spark, transcripts, args.output, num_parts=args.num_parts,
         pack_budget=args.pack_budget, pack_shards=args.pack_shards,
+        pack_strategy=args.pack_strategy,
         min_chars=args.min_chars, min_tokens=args.min_tokens,
+        paragraph_dedup=args.paragraph_dedup, cc_max_iter=args.cc_max_iter,
     )
     print(
         f"curated={stats['n_docs']} tokens={stats['total_tokens']} "

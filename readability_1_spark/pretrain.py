@@ -345,6 +345,7 @@ def run_pretrain_job(
     num_parts: int = 64,
     pack_budget: int = 2048,
     pack_shards: int = 64,
+    pack_strategy: str = "ffd",
     **gates,
 ) -> dict:
     """Curate and write: curated parquet (with split column) + a pack
@@ -360,6 +361,7 @@ def run_pretrain_job(
         back.filter(F.col("split") == "train"),
         budget=pack_budget,
         n_shards=pack_shards,
+        strategy=pack_strategy,
     )
     packs_path = os.path.join(out_dir, "packs")
     packs.write.mode("overwrite").parquet(packs_path)
