@@ -67,8 +67,12 @@ def cpy_probe(iters: int = _PROBE_ITERS) -> float:
 
 def node_probe() -> float | None:
     """Reference-side capacity probe: docs/sec for node running the actual
-    reference library over a fixed 12-fixture subset.  None if node or the
-    fixture corpus is unavailable (the index then rests on cpy_probe alone)."""
+    reference library over a fixed 12-fixture subset.  GROSS of node
+    process startup and JSON (de)serialization — a capacity INDEX to
+    compare across bench runs, NOT comparable to tools/head_to_head.py's
+    startup-net full-corpus docs/s (the capacity_index itself is anchored
+    on cpy_probe; this value is corroborating context only).  None if node
+    or the fixture corpus is unavailable."""
     try:
         docs = []
         for d in sorted(os.listdir(_REF_FIXTURES))[:_NODE_PROBE_DOCS]:

@@ -155,6 +155,11 @@ def curate_pretraining_data(
         # pieces are kept so surviving structure is preserved.  The
         # paragraph-digest window is the one corpus-wide shuffle; the
         # rebuild is a per-turn sort + join (bounded by document size).
+        # With near_dedup off, `deduped` still reads straight from the
+        # extraction kernel and this stage consumes it twice (pieces + the
+        # final join) — checkpoint so the kernel never runs twice.
+        if not near_dedup:
+            deduped = deduped.localCheckpoint()
         pieces = deduped.select(
             "conv_id",
             "turn_idx",
@@ -164,13 +169,19 @@ def curate_pretraining_data(
         ).withColumn(
             "_trim", F.regexp_replace("_piece", "^[ \t\r\f]+|[ \t\r\f]+$", "")
         )
+        # Blank pieces are all kept and never compared — route them AROUND
+        # the window (unionByName) instead of through it: every blank line
+        # in the corpus hashes to the same '' partition, which would make
+        # one window task the corpus-wide straggler at scale.
+        blanks = pieces.filter(F.col("_trim") == "")
         w = Window.partitionBy("_trim").orderBy("conv_id", "turn_idx", "_pos")
-        kept = pieces.withColumn(
-            "_rn",
-            F.when(F.col("_trim") == "", F.lit(1)).otherwise(
-                F.row_number().over(w)
-            ),
-        ).filter(F.col("_rn") == 1)
+        kept = (
+            pieces.filter(F.col("_trim") != "")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+            .unionByName(blanks)
+        )
         rebuilt = kept.groupBy("conv_id", "turn_idx").agg(
             F.array_join(
                 F.transform(

@@ -2913,9 +2913,15 @@ def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES):
     localCheckpoint'ed (bounded lineage; the word table is vocab-sized,
     tiny next to the corpus).  Stops early when the best pair's weighted
     count < 2, mirrored exactly by the SQL chain's conditional merge."""
-    key = (spark.sparkContext.applicationId, sf_dir, n_merges)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, n_merges)
     if key in _BPE_CACHE:
         return _BPE_CACHE[key]
+    # Evict entries from other (stopped) sessions: they pin DataFrame/RDD
+    # handles of a dead SparkContext and the cache would otherwise grow one
+    # entry per session in a long-lived interpreter.
+    for k in [k for k in _BPE_CACHE if k[0] != app_id]:
+        del _BPE_CACHE[k]
     docs = _t(spark, sf_dir, "documents")
     toks = _tokens(docs)
     words = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
@@ -3823,13 +3829,17 @@ _SQL_PACK_FFD_FIT = (
     f"i -> p.loads[i] + o.tokens <= {PACK_BUDGET})[1]"
 )
 
-_SQL_PACK_FFD = f"""ord AS (
+def _sql_pack_ffd(ord_name: str = "ord", packed_name: str = "packed") -> str:
+    """First-fit-decreasing recursive-CTE body, parameterized on CTE names
+    so sequence_packing_ffd and sequence_packing_stats share ONE
+    definition (twin-drift guard, same rationale as ffd_pack_ids)."""
+    return f"""{ord_name} AS (
   SELECT *, row_number() OVER (PARTITION BY shard
                                ORDER BY tokens DESC, doc_id ASC) AS rn
   FROM sized
-), packed(doc_id, shard, tokens, rn, pack_id, loads) AS (
+), {packed_name}(doc_id, shard, tokens, rn, pack_id, loads) AS (
   SELECT doc_id, shard, tokens, rn, CAST(0 AS BIGINT), [tokens]
-  FROM ord WHERE rn = 1
+  FROM {ord_name} WHERE rn = 1
   UNION ALL
   SELECT o.doc_id, o.shard, o.tokens, o.rn,
          CAST(COALESCE({_SQL_PACK_FFD_FIT} - 1, len(p.loads)) AS BIGINT),
@@ -3841,8 +3851,12 @@ _SQL_PACK_FFD = f"""ord AS (
                                THEN p.loads[i] + o.tokens
                                ELSE p.loads[i] END)
          END
-  FROM ord o JOIN packed p ON o.shard = p.shard AND o.rn = p.rn + 1
+  FROM {ord_name} o JOIN {packed_name} p
+    ON o.shard = p.shard AND o.rn = p.rn + 1
 )"""
+
+
+_SQL_PACK_FFD = _sql_pack_ffd()
 
 _SQL_PACK_FILL = f"""
 SELECT doc_id, shard, pack_id, tokens,
@@ -3868,26 +3882,7 @@ WITH RECURSIVE {_SQL_PACK_SIZED}, {_SQL_PACK_GREEDY}, g_stats AS (
   SELECT 'greedy' AS variant, count(DISTINCT (shard, pack_id)) AS n_packs,
          count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS total_tokens
   FROM packed
-), ord2 AS (
-  SELECT *, row_number() OVER (PARTITION BY shard
-                               ORDER BY tokens DESC, doc_id ASC) AS rn
-  FROM sized
-), packed2(doc_id, shard, tokens, rn, pack_id, loads) AS (
-  SELECT doc_id, shard, tokens, rn, CAST(0 AS BIGINT), [tokens]
-  FROM ord2 WHERE rn = 1
-  UNION ALL
-  SELECT o.doc_id, o.shard, o.tokens, o.rn,
-         CAST(COALESCE({_SQL_PACK_FFD_FIT} - 1, len(p.loads)) AS BIGINT),
-         CASE WHEN {_SQL_PACK_FFD_FIT} IS NULL
-              THEN list_append(p.loads, o.tokens)
-              ELSE list_transform(
-                     generate_series(1, CAST(len(p.loads) AS BIGINT)),
-                     i -> CASE WHEN i = {_SQL_PACK_FFD_FIT}
-                               THEN p.loads[i] + o.tokens
-                               ELSE p.loads[i] END)
-         END
-  FROM ord2 o JOIN packed2 p ON o.shard = p.shard AND o.rn = p.rn + 1
-), f_stats AS (
+), {_sql_pack_ffd("ord2", "packed2")}, f_stats AS (
   SELECT 'ffd' AS variant, count(DISTINCT (shard, pack_id)) AS n_packs,
          count(*) AS n_docs, CAST(sum(tokens) AS BIGINT) AS total_tokens
   FROM packed2

@@ -82,10 +82,20 @@ def main():
         except Exception as e:
             failures.append((name, f"spark error: {e}"))
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
+            results[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": None, "oracle_rows": None,
+                "err": f"spark error: {str(e)[:300]}",
+            }
             continue
         t1 = time.time()
         if sql is None:
             print(f"ok?  {name}: rows-only ({len(srows)} rows, {t1-t0:.1f}s)")
+            results[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(srows), "oracle_rows": None,
+                "err": "rows-only (no oracle SQL)",
+            }
             continue
         try:
             res = con.execute(sql)
@@ -94,6 +104,11 @@ def main():
         except Exception as e:
             failures.append((name, f"duckdb error: {e}"))
             print(f"FAIL {name}: duckdb error: {str(e)[:300]}")
+            results[name] = {
+                "rows_match": False, "schema_match": False, "hash_match": False,
+                "spark_rows": len(srows), "oracle_rows": None,
+                "err": f"duckdb error: {str(e)[:300]}",
+            }
             continue
         sc, sm = df_to_multiset(scols, srows)
         dc, dm = df_to_multiset(dcols, drows)
