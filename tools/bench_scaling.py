@@ -139,19 +139,38 @@ def report() -> None:
         if k not in best or r["turns_per_sec"] > best[k]["turns_per_sec"]:
             best[k] = r
     # Within-round efficiency: consecutive (2,8,32) triples and (8,32)
-    # pairs at the same n_turns share ~one capacity window.
+    # pairs at the same n_turns share ~one capacity window.  Since round 4
+    # every run carries its own capacity_index, so pairs whose two sides
+    # measured within 10% of each other's index form the CAPACITY-STABLE
+    # subset — the objective version of "same window" (pre-annotation runs
+    # can't qualify and are counted only in the all-window stats).
+    def _stable(a, b) -> bool:
+        ca = (a.get("capacity") or {}).get("capacity_index")
+        cb = (b.get("capacity") or {}).get("capacity_index")
+        return (
+            ca is not None and cb is not None
+            and abs(ca - cb) / max(ca, cb) <= 0.10
+        )
+
     eff28, eff416, eff832 = [], [], []
+    st28, st416, st832 = [], [], []
     pair_rows = []
     for prev, cur in zip(runs, runs[1:]):
         if prev["n_turns"] != cur["n_turns"]:
             continue
+        e = cur["turns_per_sec"] / prev["turns_per_sec"] / 4
         if prev["cpus"] == 2 and cur["cpus"] == 8:
-            eff28.append(cur["turns_per_sec"] / prev["turns_per_sec"] / 4)
+            eff28.append(e)
+            if _stable(prev, cur):
+                st28.append(e)
         if prev["cpus"] == 4 and cur["cpus"] == 16:
-            eff416.append(cur["turns_per_sec"] / prev["turns_per_sec"] / 4)
+            eff416.append(e)
+            if _stable(prev, cur):
+                st416.append(e)
         if prev["cpus"] == 8 and cur["cpus"] == 32:
-            e = cur["turns_per_sec"] / prev["turns_per_sec"] / 4
             eff832.append(e)
+            if _stable(prev, cur):
+                st832.append(e)
             pair_rows.append(
                 f"| {prev['n_turns']} | {prev['turns_per_sec']:.1f} | "
                 f"{cur['turns_per_sec']:.1f} | {e:.3f} |"
@@ -159,6 +178,11 @@ def report() -> None:
     med28 = sorted(eff28)[len(eff28) // 2]
     med416 = sorted(eff416)[len(eff416) // 2] if eff416 else None
     med832 = sorted(eff832)[len(eff832) // 2]
+
+    def _stmed(xs):
+        return sorted(xs)[len(xs) // 2] if xs else None
+
+    stmed28, stmed416, stmed832 = _stmed(st28), _stmed(st416), _stmed(st832)
 
     ceiling = raw_cpu_ceiling()
     print("kernel mp ceiling docs/s:", ceiling)
@@ -198,9 +222,19 @@ Status counts are identical at every size (deterministic job):
 4→16 across {len(eff416)} windows (a second independent N→4N pair):
 best {max(eff416):.3f}, median {med416:.3f}.
 8→32 across {len(eff832)} windows: best {max(eff832):.3f}, median {med832:.3f}.
-All raw windows are committed; medians include throttled windows where the
-two sizes straddled a capacity shift, which biases the ratio down — the
-within-round BEST is the cleanest same-capacity estimate this VM allows.
+All raw windows are committed; the all-window medians include throttled
+windows where the two sizes straddled a capacity shift, which biases the
+ratio down.  Since round 4 every run carries a measured capacity_index,
+so the CAPACITY-STABLE subset (both sides within 10% of each other's
+index — the objective "same window" test) is reported alongside:
+
+2→8 stable subset ({len(st28)} windows): median
+{f"{stmed28:.3f}" if stmed28 is not None else "n/a"};
+4→16 stable subset ({len(st416)} windows): median
+{f"{stmed416:.3f}" if stmed416 is not None else "n/a"};
+8→32 stable subset ({len(st832)} windows): median
+{f"{stmed832:.3f}" if stmed832 is not None else "n/a"}.
+Pre-annotation (rounds 1–3) windows appear only in the all-window stats.
 
 8→32 windows (including larger inputs):
 
