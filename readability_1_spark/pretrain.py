@@ -325,6 +325,8 @@ def pack_sequences(
     tighter packs on skewed length distributions (the 11/9-OPT classic).
     strategy='greedy': order-preserving (conv_id, turn_idx) scan — use
     when downstream wants documents in conversation order within packs."""
+    if strategy not in ("ffd", "greedy"):
+        raise ValueError(f"strategy must be 'ffd' or 'greedy', got {strategy!r}")
     keyed = curated.select(
         "conv_id",
         "turn_idx",

@@ -1025,11 +1025,49 @@ FROM bands a JOIN bands b
 )
 
 
+SMALL_GRAPH_EDGES = 1_000_000  # below this, one union-find pass beats
+# paying per-round star-iteration job latency (two groupBys + distinct +
+# checkpoint + count per round); above it, the O(log n) star rounds are
+# the only thing that survives 100 TB.
+
+
+def _union_find_labels(id_col: str):
+    """applyInPandas kernel factory: the WHOLE (small) edge set in one
+    group -> (node, min-reachable-label).  Path-halving union-by-min;
+    linear in edges, bounded by SMALL_GRAPH_EDGES."""
+
+    def kernel(pdf):
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.get(r, r) != r:
+                parent[r] = parent.get(parent[r], parent[r])
+                r = parent[r]
+            return r
+
+        for a, b in zip(pdf["a"], pdf["b"]):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # root at the smaller label so the final label is the
+                # component min, matching the star-rounds contract
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        seen = set(pdf["a"]) | set(pdf["b"])
+        rows = [(n, find(n)) for n in seen]
+        import pandas as pd
+
+        return pd.DataFrame(rows, columns=[id_col, "cluster_id"])
+
+    return kernel
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> DataFrame:
     """Connected components over an undirected edge list, as pure DataFrame
     transformations: iterative min-label propagation (label(v) becomes the
@@ -1068,6 +1106,24 @@ def connected_components(
         .localCheckpoint()
     )
     e_cnt = e.count()
+    if e_cnt <= small_graph_edges:
+        # Small-graph fast path (round-4 verdict ask): the star rounds'
+        # per-round job latency dominates tiny edge sets, so finish with
+        # ONE single-group union-find pass instead.  The group is bounded
+        # by small_graph_edges, so the lone task is memory-safe; at scale
+        # the count() above routes every real corpus to the star rounds.
+        id_type = e.schema["a"].dataType.simpleString()
+        labels = (
+            e.groupBy(F.lit(0).alias("_g"))
+            .applyInPandas(
+                _union_find_labels(id_col),
+                f"{id_col} {id_type}, cluster_id {id_type}",
+            )
+        )
+        return nodes.join(labels, id_col, "left").select(
+            F.col(id_col),
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
     for _ in range(max_iter):
         # Large-star: group the bidirected edge list by u, connect every
         # strictly-larger neighbor to min(Γ(u) ∪ {u}).
@@ -2914,7 +2970,16 @@ def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES):
     tiny next to the corpus).  Stops early when the best pair's weighted
     count < 2, mirrored exactly by the SQL chain's conditional merge."""
     app_id = spark.sparkContext.applicationId
-    key = (app_id, sf_dir, n_merges)
+    # Cheap corpus fingerprint (mtime+size of documents.parquet) in the key:
+    # a tool regenerating the corpus in place within one Spark session must
+    # not be served stale merges/state (ADVICE round 4).
+    doc_path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(doc_path)
+        corpus_fp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        corpus_fp = None
+    key = (app_id, sf_dir, n_merges, corpus_fp)
     if key in _BPE_CACHE:
         return _BPE_CACHE[key]
     # Evict entries from other (stopped) sessions: they pin DataFrame/RDD

@@ -431,7 +431,9 @@ def test_connected_components_iteration_bound(spark):
     )
     nodes = spark.createDataFrame([(i,) for i in range(64)], "doc_id int")
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(nodes, edges, max_iter=1)
+        # small_graph_edges=0 forces the star rounds (the default would take
+        # the single-pass union-find fast path and never iterate)
+        connected_components(nodes, edges, max_iter=1, small_graph_edges=0)
 
 
 def test_connected_components_long_chain_converges(spark):
@@ -446,9 +448,13 @@ def test_connected_components_long_chain_converges(spark):
         [(i, i + 1) for i in range(n - 1)], "doc_a int, doc_b int"
     )
     nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id int")
-    got = connected_components(nodes, edges)  # default max_iter=25
+    got = connected_components(nodes, edges, small_graph_edges=0)  # star path
     assert got.filter(F.col("cluster_id") != 0).count() == 0
     assert got.count() == n
+    # the small-graph union-find fast path must agree on the same chain
+    fast = connected_components(nodes, edges)  # default threshold -> fast path
+    assert fast.filter(F.col("cluster_id") != 0).count() == 0
+    assert fast.count() == n
 
 
 def test_quadratic_baselines_guarded(spark, monkeypatch):
@@ -575,8 +581,9 @@ def test_connected_components_random_graphs_vs_union_find(spark):
         edges = spark.createDataFrame(
             edge_list or [(0, 0)], "doc_a int, doc_b int"
         )  # (0,0) self-loop is filtered inside, yielding an empty edge set
-        got = {
-            r.doc_id: r.cluster_id
-            for r in connected_components(nodes, edges).collect()
-        }
-        assert got == expected, f"case {case}: n={n} m={len(edge_list)}"
+        for kw in ({}, {"small_graph_edges": 0}):  # fast path AND star rounds
+            got = {
+                r.doc_id: r.cluster_id
+                for r in connected_components(nodes, edges, **kw).collect()
+            }
+            assert got == expected, f"case {case} kw={kw}: n={n} m={len(edge_list)}"
