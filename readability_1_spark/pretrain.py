@@ -351,6 +351,79 @@ def pack_sequences(
     )
 
 
+def pack_token_sequences(
+    doc_ids_df: DataFrame,
+    seq_len: int,
+    eos_id: int,
+    id_col: str = "doc_id",
+    n_ranges: int = 64,
+) -> DataFrame:
+    """Concat-and-chunk packing of REAL token ids into fixed-length
+    training sequences (GPT-style): append a document-boundary EOS marker
+    to every document's id array, concatenate all documents into one
+    global token stream in `id_col` order, and cut the stream every
+    `seq_len` tokens.  Returns (seq_id, n_tokens, token_ids ARRAY<INT>);
+    every sequence is exactly seq_len tokens except the final remainder.
+
+    The global prefix sum is computed scale-safely in TWO passes instead
+    of one single-partition global window (which would serialize the
+    whole corpus through one task at 10^12 docs):
+      1. range-partition by `id_col` (ascending key ranges land on
+         ascending partition ids), localCheckpoint to pin the
+         partitioning, then aggregate ONE row per partition (bounded by
+         n_ranges — the only driver collect) and turn the running totals
+         into per-partition base offsets broadcast back as a map literal;
+      2. a per-partition window adds the within-partition cumulative sum,
+         so every document knows its global stream offset without any
+         cross-partition data movement.
+    After that it is one posexplode (linear) and one shuffle on seq_id."""
+    d = (
+        doc_ids_df.select(
+            F.col(id_col),
+            F.concat("ids", F.array(F.lit(eos_id).cast("int"))).alias("ids"),
+        )
+        .withColumn("n", F.size("ids"))
+        .repartitionByRange(n_ranges, id_col)
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    parts = sorted(
+        (r.pid, r.tot)
+        for r in d.groupBy("pid").agg(F.sum("n").alias("tot")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, tot in parts:
+        offsets[pid] = acc
+        acc += tot
+    if not offsets:  # empty corpus
+        return d.sparkSession.createDataFrame(
+            [], "seq_id bigint, n_tokens bigint, token_ids array<int>"
+        )
+    base = F.create_map(
+        *[l for pid, off in sorted(offsets.items())
+          for l in (F.lit(pid), F.lit(off))]
+    )
+    w = Window.partitionBy("pid").orderBy(id_col)
+    d2 = d.withColumn(
+        "start",
+        F.element_at(base, F.col("pid")) + F.sum("n").over(w) - F.col("n"),
+    )
+    toks = d2.select("start", F.posexplode("ids").alias("p", "tid")).select(
+        (F.col("start") + F.col("p")).alias("g"), "tid"
+    )
+    return (
+        toks.withColumn("seq_id", F.expr(f"g div {int(seq_len)}"))
+        .groupBy("seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("g", "tid"))),
+                lambda x: x["tid"],
+            ).alias("token_ids"),
+        )
+    )
+
+
 def run_pretrain_job(
     spark: SparkSession,
     transcripts: DataFrame,

@@ -3108,6 +3108,116 @@ def q_bpe_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_vocab(spark: SparkSession, sf_dir: str):
+    """Deterministic id space over the trained BPE vocabulary: base symbols
+    (the corpus's distinct characters, lexicographically sorted) get ids
+    0..B-1, then each learned merge gets B + merge_rank - 1.  If two
+    different merges ever produce the same surface string (e.g. (a,bc) and
+    (ab,c) both yielding 'abc'), the SMALLER id wins on both engines
+    (setdefault here, MIN(id) in the SQL twin).  Returns
+    (vocab dict, n_base, n_merges, final_state) — the vocab is bounded
+    (≤36 base chars + ≤BPE_MERGES merges), so collecting it is driver-safe."""
+    merges, state = _bpe_train(spark, sf_dir)
+    base_syms = sorted(
+        r.c
+        for r in state.select(F.explode(F.split("tok", "")).alias("c"))
+        .filter(F.col("c") != "")
+        .distinct()
+        .collect()
+    )
+    vocab = {s: i for i, s in enumerate(base_syms)}
+    n_base = len(base_syms)
+    merge_rows = merges.collect()
+    for r in merge_rows:
+        vocab.setdefault(r.merged, n_base + r.merge_rank - 1)
+    return vocab, n_base, len(merge_rows), state
+
+
+def _doc_token_ids(spark: SparkSession, sf_dir: str):
+    """(per_doc DataFrame (doc_id, ids ARRAY<INT> in document order),
+    eos_id).  Segmentation exists once per DISTINCT word (vocab-sized) and
+    equi-joins back to positional doc→word occurrences; per-doc order is
+    restored with array_sort over (pos, ids) structs, so the corpus-sized
+    side never leaves the JVM.  Documents with zero tokens produce no row
+    (inner join) — mirrored by the SQL twin.  eos_id = n_base + n_merges,
+    one past the largest assigned id."""
+    vocab, n_base, n_merges, state = _bpe_vocab(spark, sf_dir)
+    map_expr = F.create_map(
+        *[l for s, i in sorted(vocab.items()) for l in (F.lit(s), F.lit(i))]
+    )
+    seg = state.select(
+        "tok",
+        F.transform(
+            F.split(F.trim("s"), "  "),
+            lambda sym: F.element_at(map_expr, sym).cast("int"),
+        ).alias("ids"),
+    )
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(F.split(F.lower("text"), TOKEN_SPLIT), lambda x: x != "")
+        ).alias("pos", "tok"),
+    )
+    per_doc = (
+        toks.join(seg, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "ids"))),
+                    lambda x: x["ids"],
+                )
+            ).alias("ids")
+        )
+    )
+    return per_doc, n_base + n_merges
+
+
+def q_bpe_tokenize_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide tokenization to REAL token ids (round-4 verdict ask #1):
+    apply the learned merge table and emit each document's full subword id
+    sequence in document order.  This is the terminal artifact a
+    pretraining pipeline tokenizes toward — `pack_token_ids` chunks this
+    stream into fixed-length training sequences.  token_ids is emitted as
+    a space-joined string (the full id sequence, hash-compared cell by
+    cell) because the driver's value hash compares pandas representations,
+    where nested arrays are not hash-stable across engines."""
+    per_doc, _eos = _doc_token_ids(spark, sf_dir)
+    return per_doc.select(
+        "doc_id",
+        F.size("ids").cast("bigint").alias("n_tokens"),
+        F.array_join(
+            F.transform("ids", lambda i: i.cast("string")), " "
+        ).alias("token_ids"),
+    )
+
+
+PACK_IDS_SEQ_LEN = 64  # fixed training-sequence length for pack_token_ids
+
+
+def q_pack_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk packing of REAL token ids: every
+    document's id sequence plus a document-boundary EOS marker
+    (id = vocab_size) concatenates into one global stream in doc_id order,
+    chunked into fixed PACK_IDS_SEQ_LEN-token training sequences.  The
+    global prefix sum uses a scale-safe two-pass scheme (range-partition
+    by doc_id, per-partition totals broadcast back as base offsets,
+    per-partition window) — no single-partition global window; see
+    pretrain.pack_token_sequences."""
+    from .pretrain import pack_token_sequences
+
+    per_doc, eos_id = _doc_token_ids(spark, sf_dir)
+    seqs = pack_token_sequences(per_doc, PACK_IDS_SEQ_LEN, eos_id)
+    return seqs.select(
+        "seq_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.array_join(
+            F.transform("token_ids", lambda i: i.cast("string")), " "
+        ).alias("token_ids"),
+    )
+
+
 def _sql_bpe_iter(n: int) -> str:
     """One unrolled BPE iteration: pair counts p{n} over state s{n-1}, the
     winning pair t{n}, merged state s{n} (tok carried through so the
@@ -3182,6 +3292,87 @@ SELECT d.doc_id, count(*) AS n_words,
          AS chars_per_subword
 FROM dtoks d JOIN seg USING (tok)
 GROUP BY d.doc_id
+"""
+
+
+# Shared SQL tail for the token-id queries: vocabulary ids (base chars
+# sorted, then merges at B + rank - 1, MIN(id) on surface collisions —
+# mirrors _bpe_vocab), per-word id segmentation, positional doc tokens,
+# and per-doc flattened id sequences in document order.
+_SQL_BPE_IDS_CHAIN = (
+    _SQL_BPE_CHAIN
+    + f""", bmerges AS (
+  {" UNION ALL ".join(
+      f"SELECT {n} AS merge_rank, left_sym, right_sym FROM t{n} "
+      f"WHERE pair_count >= 2"
+      for n in range(1, BPE_MERGES + 1)
+  )}
+), bases AS (
+  SELECT DISTINCT sym FROM (
+    SELECT unnest(string_split(trim(s), '  ')) AS sym FROM s0
+  )
+), vocab AS (
+  SELECT sym, CAST(MIN(id) AS INT) AS id FROM (
+    SELECT sym, CAST(row_number() OVER (ORDER BY sym) - 1 AS BIGINT) AS id
+    FROM bases
+    UNION ALL
+    SELECT left_sym || right_sym AS sym,
+           (SELECT count(*) FROM bases) + merge_rank - 1 AS id
+    FROM bmerges
+  ) GROUP BY sym
+), seg_ids AS (
+  SELECT tok, string_split(trim(s), '  ') AS syms FROM s{BPE_MERGES}
+), seg_pos AS (
+  SELECT tok, t.j AS j, syms[t.j] AS sym
+  FROM seg_ids, UNNEST(generate_series(1, len(syms))) t(j)
+), tok_ids AS (
+  SELECT tok, list(id ORDER BY j) AS ids
+  FROM seg_pos JOIN vocab USING (sym) GROUP BY tok
+), dtoks_pos AS (
+  SELECT doc_id, t.i AS pos, toks[t.i] AS tok
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                           x -> x <> '') AS toks
+        FROM documents),
+       UNNEST(generate_series(1, len(toks))) t(i)
+), doc_ids AS (
+  SELECT doc_id, flatten(list(ids ORDER BY pos)) AS ids
+  FROM dtoks_pos JOIN tok_ids USING (tok)
+  GROUP BY doc_id
+)"""
+)
+
+
+SQL_BPE_TOKENIZE_IDS = f"""
+WITH {_SQL_BPE_IDS_CHAIN}
+SELECT doc_id, CAST(len(ids) AS BIGINT) AS n_tokens,
+       array_to_string(ids, ' ') AS token_ids
+FROM doc_ids
+"""
+
+
+SQL_PACK_TOKEN_IDS = f"""
+WITH {_SQL_BPE_IDS_CHAIN},
+with_eos AS (
+  SELECT doc_id,
+         list_concat(ids, list_value(CAST(
+           (SELECT count(*) FROM bases) + (SELECT count(*) FROM bmerges)
+           AS INT))) AS ids
+  FROM doc_ids
+), offs AS (
+  SELECT doc_id, ids,
+         CAST(sum(len(ids)) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - len(ids) AS BIGINT) AS start
+  FROM with_eos
+), gpos AS (
+  SELECT offs.start + t.i - 1 AS g, ids[t.i] AS tid
+  FROM offs, UNNEST(generate_series(1, len(ids))) t(i)
+)
+SELECT CAST(g // {PACK_IDS_SEQ_LEN} AS BIGINT) AS seq_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY g) AS token_ids
+FROM gpos GROUP BY seq_id
 """
 
 
@@ -4023,6 +4214,8 @@ QUERIES: dict[str, tuple] = {
     "doc_quality_rank": (q_doc_quality_rank, SQL_DOC_QUALITY_RANK),
     "bpe_learn_merges": (q_bpe_learn_merges, SQL_BPE_LEARN_MERGES),
     "bpe_tokenize_stats": (q_bpe_tokenize_stats, SQL_BPE_TOKENIZE_STATS),
+    "bpe_tokenize_ids": (q_bpe_tokenize_ids, SQL_BPE_TOKENIZE_IDS),
+    "pack_token_ids": (q_pack_token_ids, SQL_PACK_TOKEN_IDS),
     # relational core (headliners)
     "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
