@@ -3735,6 +3735,235 @@ def _sql_md5_poly(hex_col: str) -> str:
     return h
 
 
+# --------------------------------------------------------------------------
+# Trained quality classifier (fastText-style linear model on hashed
+# token features, trained on the rule-gate labels)
+# --------------------------------------------------------------------------
+
+QC_HASH_D = 16   # hashed unigram buckets
+QC_N_FEATS = QC_HASH_D + 4  # + n_tokens/100, n_chars/1000, stop_ratio, cpt/10
+QC_ITERS = 15
+QC_LR = 2.0
+
+_QC_CACHE: dict = {}  # (applicationId, sf_dir) -> (weights list, bias)
+
+
+def _round6_half_up(x: float) -> float:
+    """Python-side twin of Spark F.round / DuckDB round(x, 6): HALF-UP
+    (away from zero) applied to the EXACT binary value of the double —
+    Python's builtin round() is half-even and would diverge on ...5e-7
+    boundaries."""
+    import decimal
+
+    return float(
+        decimal.Decimal(x).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _qc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc feature row (doc_id, y, f0..f19), every feature round(…,6):
+    16 hashed-unigram count ratios (md5 base-31 poly fold mod 16 — the
+    same deterministic hash as _md5_bucket) + 4 dense stats.  Label y =
+    the rule gate (n_tokens >= 50 AND stopword_ratio >= 0.05) the trained
+    model is asked to reproduce.  All JVM-side expressions, one corpus
+    scan, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    base = docs.select(
+        "doc_id",
+        F.size(ws).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.size(F.filter(ws, lambda x: F.array_contains(stop_arr, x))).alias("n_stop"),
+        F.transform(ws, lambda x: _md5_bucket(x, QC_HASH_D)).alias("bks"),
+    ).filter(F.col("n_tokens") > 0)
+
+    def _eq(j):
+        return lambda x: x == F.lit(j)
+
+    hashed = [
+        F.round(
+            F.size(F.filter(F.col("bks"), _eq(j))) / F.col("n_tokens"), 6
+        ).alias(f"f{j}")
+        for j in range(QC_HASH_D)
+    ]
+    return base.select(
+        "doc_id",
+        (
+            (F.col("n_tokens") >= 50)
+            & ((F.col("n_stop") / F.col("n_tokens")) >= 0.05)
+        ).cast("int").alias("y"),
+        *hashed,
+        F.round(F.col("n_tokens") / 100, 6).alias(f"f{QC_HASH_D}"),
+        F.round(F.col("n_chars") / 1000, 6).alias(f"f{QC_HASH_D + 1}"),
+        F.round(F.col("n_stop") / F.col("n_tokens"), 6).alias(f"f{QC_HASH_D + 2}"),
+        F.round((F.col("n_chars") / F.col("n_tokens")) / 10, 6).alias(
+            f"f{QC_HASH_D + 3}"
+        ),
+    )
+
+
+def _qc_train(spark: SparkSession, sf_dir: str):
+    """Full-batch gradient descent for the linear quality classifier, as
+    DataFrame aggregations: per iteration ONE job computes the 21 gradient
+    sums (map-side combine), one collected row updates the weights.
+
+    Cross-engine determinism (the DuckDB oracle unrolls the same
+    iterations): the activation is the ALGEBRAIC sigmoid
+    p = 0.5 + z/(2(1+|z|)) — a rational function, so no exp() whose last
+    ulp differs between libm and the JVM — and every stage is
+    round(…,6): z, p, each per-doc gradient term, each gradient SUM, each
+    weight update.  Per-doc terms are multiples of 1e-6, so their sum is
+    ≥5e-7 from any rounding boundary and summation-order noise (~1e-13)
+    cannot flip the rounded value; weight updates then divide identical
+    rounded inputs.  Driver-side rounding uses HALF-UP on the exact
+    binary value (matching F.round/DuckDB), never Python's half-even
+    round()."""
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    if key in _QC_CACHE:
+        return _QC_CACHE[key]
+    for k in [k for k in _QC_CACHE if k[0] != app_id]:
+        del _QC_CACHE[k]
+    feats = _qc_features(spark, sf_dir).localCheckpoint()
+    n = feats.count()
+    w = [0.0] * QC_N_FEATS
+    b = 0.0
+    for _ in range(QC_ITERS):
+        z = F.lit(b)
+        for j in range(QC_N_FEATS):
+            z = z + F.lit(w[j]) * F.col(f"f{j}")
+        scored = feats.withColumn("z", F.round(z, 6)).withColumn(
+            "p",
+            F.round(
+                F.lit(0.5)
+                + F.col("z") / (F.lit(2.0) * (F.lit(1.0) + F.abs(F.col("z")))),
+                6,
+            ),
+        )
+        aggs = [
+            F.round(
+                F.sum(F.round((F.col("p") - F.col("y")) * F.col(f"f{j}"), 6)), 6
+            ).alias(f"g{j}")
+            for j in range(QC_N_FEATS)
+        ] + [
+            F.round(F.sum(F.round(F.col("p") - F.col("y"), 6)), 6).alias("gb")
+        ]
+        row = scored.agg(*aggs).collect()[0]
+        w = [
+            _round6_half_up(w[j] - QC_LR * row[j] / n) for j in range(QC_N_FEATS)
+        ]
+        b = _round6_half_up(b - QC_LR * row[QC_N_FEATS] / n)
+    _QC_CACHE[key] = (w, b)
+    return w, b
+
+
+def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (round-4 verdict ask #5), the
+    CCNet/RefinedWeb-style stage the rule gates approximate: a trained
+    linear classifier over hashed token n-gram features + dense doc
+    stats, trained with full-batch gradient descent on the rule-gate
+    labels (QC_ITERS iterations, one aggregation job each), then scored
+    corpus-wide JVM-side.  Deterministic end-to-end (fixed init, fixed
+    iteration count, round-6 at every stage, algebraic sigmoid) so the
+    DuckDB oracle can replay training exactly.  Returns per-doc
+    (score, pred, label)."""
+    w, b = _qc_train(spark, sf_dir)
+    feats = _qc_features(spark, sf_dir)
+    z = F.lit(b)
+    for j in range(QC_N_FEATS):
+        z = z + F.lit(w[j]) * F.col(f"f{j}")
+    scored = feats.withColumn("z", F.round(z, 6)).withColumn(
+        "score",
+        F.round(
+            F.lit(0.5)
+            + F.col("z") / (F.lit(2.0) * (F.lit(1.0) + F.abs(F.col("z")))),
+            6,
+        ),
+    )
+    return scored.select(
+        "doc_id",
+        "score",
+        (F.col("score") >= 0.5).cast("int").alias("pred"),
+        F.col("y").alias("label"),
+    )
+
+
+def _sql_qc_chain() -> str:
+    """Generated DuckDB twin of _qc_features + _qc_train: feats CTE, then
+    QC_ITERS unrolled (pz{t}: per-doc z/p under w{t-1}; g{t}: gradient
+    sums; w{t}: updated weights) with the identical expression order and
+    round(…,6) placement as the Spark side."""
+    D, T = QC_HASH_D, QC_ITERS
+    stop_in = ", ".join(f"'{s}'" for s in STOPWORDS)
+    bucket = f"{_sql_md5_poly('md5(x)')} % {D}"
+    fcols = ",\n         ".join(
+        f"round(len(list_filter(bks, x -> x = {j})) / n_tokens, 6) AS f{j}"
+        for j in range(D)
+    )
+    z_terms = " + ".join(f"w.w{j} * f.f{j}" for j in range(QC_N_FEATS))
+    parts = [f"""tk AS MATERIALIZED (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                     x -> x <> '') AS ws,
+         length(text) AS n_chars
+  FROM documents
+), qbase AS MATERIALIZED (
+  SELECT doc_id, len(ws) AS n_tokens, n_chars,
+         len(list_filter(ws, x -> x IN ({stop_in}))) AS n_stop,
+         list_transform(ws, x -> {bucket}) AS bks
+  FROM tk WHERE len(ws) > 0
+), feats AS MATERIALIZED (
+  SELECT doc_id,
+         CASE WHEN n_tokens >= 50 AND n_stop / n_tokens >= 0.05
+              THEN 1 ELSE 0 END AS y,
+         {fcols},
+         round(n_tokens / 100, 6) AS f{D},
+         round(n_chars / 1000, 6) AS f{D + 1},
+         round(n_stop / n_tokens, 6) AS f{D + 2},
+         round((n_chars / n_tokens) / 10, 6) AS f{D + 3}
+  FROM qbase
+), nn AS (SELECT count(*) AS n FROM feats),
+w0 AS (SELECT {", ".join(f"CAST(0 AS DOUBLE) AS w{j}" for j in range(QC_N_FEATS))}, CAST(0 AS DOUBLE) AS b)"""]
+    for t in range(1, T + 1):
+        gcols = ", ".join(
+            f"round(sum(round((p - y) * f{j}, 6)), 6) AS g{j}"
+            for j in range(QC_N_FEATS)
+        )
+        wcols = ", ".join(
+            f"round(w.w{j} - {QC_LR} * g.g{j} / nn.n, 6) AS w{j}"
+            for j in range(QC_N_FEATS)
+        )
+        parts.append(f"""pz{t} AS MATERIALIZED (
+  SELECT f.*, round(0.5 + z / (2.0 * (1.0 + abs(z))), 6) AS p
+  FROM (SELECT f.*, round(w.b + {z_terms}, 6) AS z
+        FROM feats f CROSS JOIN w{t - 1} w) f
+), g{t} AS MATERIALIZED (
+  SELECT {gcols}, round(sum(round(p - y, 6)), 6) AS gb FROM pz{t}
+), w{t} AS MATERIALIZED (
+  SELECT {wcols}, round(w.b - {QC_LR} * g.gb / nn.n, 6) AS b
+  FROM w{t - 1} w CROSS JOIN g{t} g CROSS JOIN nn
+)""")
+    parts.append(f"""final AS (
+  SELECT f.doc_id, f.y,
+         round(0.5 + z / (2.0 * (1.0 + abs(z))), 6) AS score
+  FROM (SELECT f.*, round(w.b + {z_terms}, 6) AS z
+        FROM feats f CROSS JOIN w{T} w) f
+)""")
+    return ",\n".join(parts)
+
+
+SQL_DOC_QUALITY_CLASSIFIER = f"""
+WITH {_sql_qc_chain()}
+SELECT doc_id, score,
+       CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS pred,
+       y AS label
+FROM final
+"""
+
+
 def q_data_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test assignment by content-stable hash bucket (md5 of the
     doc key -> 1000 buckets -> 98/1/1).  The split survives re-partitioning,
@@ -4212,6 +4441,7 @@ QUERIES: dict[str, tuple] = {
     "extract_quality_filter": (q_extract_quality_filter, SQL_EXTRACT_QUALITY_FILTER),
     "doc_lm_score": (q_doc_lm_score, SQL_DOC_LM_SCORE),
     "doc_quality_rank": (q_doc_quality_rank, SQL_DOC_QUALITY_RANK),
+    "doc_quality_classifier": (q_doc_quality_classifier, SQL_DOC_QUALITY_CLASSIFIER),
     "bpe_learn_merges": (q_bpe_learn_merges, SQL_BPE_LEARN_MERGES),
     "bpe_tokenize_stats": (q_bpe_tokenize_stats, SQL_BPE_TOKENIZE_STATS),
     "bpe_tokenize_ids": (q_bpe_tokenize_ids, SQL_BPE_TOKENIZE_IDS),

@@ -334,3 +334,31 @@ def test_pack_token_ids_reassembles_corpus(spark):
     # and the per-doc tokenize query agrees with the stream it feeds
     tok = {r.doc_id: r.n_tokens for r in q_bpe_tokenize_ids(spark, sf).collect()}
     assert sum(tok.values()) + len(tok) == len(corpus_stream)
+
+
+def test_doc_quality_classifier_agrees_with_rule_gates(spark):
+    """Round-4 verdict ask #5 'done' criterion: the trained linear
+    classifier must rank documents consistently with the rule-gate labels
+    it was trained on (AUC well above chance) and agree on most hard
+    predictions.  A linear model cannot express the AND-of-thresholds gate
+    exactly, so the bars are deliberately below 1.0."""
+    import bisect
+
+    from readability_1_spark.queries import q_doc_quality_classifier
+
+    rows = q_doc_quality_classifier(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    acc = sum((r.pred == r.label) for r in rows) / len(rows)
+    pos = sorted(r.score for r in rows if r.label == 1)
+    neg = sorted(r.score for r in rows if r.label == 0)
+    assert pos and neg  # both classes present in the corpus
+    auc = sum(
+        bisect.bisect_left(neg, p)
+        + 0.5 * (bisect.bisect_right(neg, p) - bisect.bisect_left(neg, p))
+        for p in pos
+    ) / (len(pos) * len(neg))
+    assert auc >= 0.80, f"AUC {auc:.3f} below bar"
+    assert acc >= 0.70, f"accuracy {acc:.3f} below bar"
+    # determinism: a second invocation returns identical scores
+    again = {r.doc_id: r.score for r in q_doc_quality_classifier(spark, SF_DIR).collect()}
+    assert all(again[r.doc_id] == r.score for r in rows)
