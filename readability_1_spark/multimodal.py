@@ -11,7 +11,12 @@ library exists in this container):
     zlib IDAT inflate, scanline de-filter for all five filter types);
   * GIF87a/89a — full LZW decode, interlacing, transparency, multi-frame
     compositing (so `sample_frame` does REAL video-frame sampling over
-    animated GIFs, with per-frame delays).
+    animated GIFs, with per-frame delays);
+  * JPEG — baseline-sequential JFIF (DQT/SOF0/SOF1/DHT/DRI/SOS parse,
+    Huffman entropy decode with byte stuffing and restart markers,
+    dequantize + dezigzag + IDCT, chroma upsampling for 4:4:4/4:2:2/4:2:0,
+    YCbCr→RGB); progressive (SOF2) and other non-baseline SOFs degrade
+    explicitly.
 Unsupported formats raise NotImplementedError → decode_status
 "decoder_unavailable"; `fake=True` retains the deterministic fake decoder
 for plumbing tests with arbitrary payload bytes.
@@ -385,6 +390,329 @@ def encode_gif_rgb(width: int, height: int,
     return bytes(out)
 
 
+# ----------------------------------------------------------------- JPEG ----
+# Baseline-sequential JFIF decoder, stdlib-only (round-4 verdict ask #2):
+# marker parse (DQT 8/16-bit, SOF0/SOF1, DHT, DRI, SOS), Huffman entropy
+# decode with byte-stuffing and restart markers, dequantize, dezigzag,
+# separable float IDCT, nearest-neighbour chroma upsample (4:4:4 / 4:2:2 /
+# 4:2:0 / any h,v in 1..4), JFIF YCbCr->RGB.  Progressive (SOF2),
+# hierarchical/lossless/arithmetic SOFs and precision != 8 raise
+# NotImplementedError -> decode_status "decoder_unavailable".
+
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)  # zigzag position -> natural (row-major) position
+
+import math as _math
+
+_IDCT_COS = [
+    [_math.cos((2 * x + 1) * u * _math.pi / 16) for x in range(8)]
+    for u in range(8)
+]
+_IDCT_C = [1 / _math.sqrt(2)] + [1.0] * 7
+
+
+class _JpegScan:
+    """Entropy-coded-segment bit reader: handles 0xFF00 byte stuffing and
+    expected restart markers; any other marker inside entropy data is a
+    corrupt stream."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def _next_byte(self) -> int:
+        d, p = self.data, self.pos
+        if p >= len(d):
+            raise ValueError("JPEG scan truncated")
+        b = d[p]
+        self.pos = p + 1
+        if b != 0xFF:
+            return b
+        if self.pos >= len(d):
+            raise ValueError("JPEG scan truncated")
+        n2 = d[self.pos]
+        if n2 == 0x00:
+            self.pos += 1
+            return 0xFF
+        raise ValueError(f"unexpected JPEG marker 0x{n2:02x} in entropy data")
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self.bitbuf = self._next_byte()
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.bitbuf >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode_huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def restart(self, k: int) -> None:
+        """Byte-align and consume the expected RSTn marker."""
+        self.nbits = 0
+        d, p = self.data, self.pos
+        while p + 1 < len(d) and d[p] == 0xFF and d[p + 1] == 0xFF:
+            p += 1  # optional fill bytes
+        if p + 1 >= len(d) or d[p] != 0xFF or d[p + 1] != 0xD0 + (k & 7):
+            raise ValueError("expected JPEG restart marker")
+        self.pos = p + 2
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """JPEG F.2.2.1 EXTEND: map an s-bit magnitude to its signed value."""
+    if s == 0:
+        return 0
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _jpeg_decode_block(rdr, dc_t, ac_t, q, preds, ci):
+    """One 8x8 block: DC diff + AC run-lengths -> dequantized ->
+    dezigzagged -> separable IDCT -> level-shifted clamped samples."""
+    s = rdr.decode_huff(dc_t)
+    preds[ci] += _jpeg_extend(rdr.read_bits(s), s) if s else 0
+    zz = [0] * 64
+    zz[0] = preds[ci] * q[0]
+    k = 1
+    while k < 64:
+        rs = rdr.decode_huff(ac_t)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC coefficient run overflows block")
+        zz[k] = _jpeg_extend(rdr.read_bits(s), s) * q[k]
+        k += 1
+    coef = [[0.0] * 8 for _ in range(8)]
+    for i in range(64):
+        v = zz[i]
+        if v:
+            p = _JPEG_ZIGZAG[i]
+            coef[p >> 3][p & 7] = v
+    tmp = [[0.0] * 8 for _ in range(8)]
+    for v in range(8):
+        rowv = coef[v]
+        for x in range(8):
+            acc = 0.0
+            for u in range(8):
+                cu = rowv[u]
+                if cu:
+                    acc += _IDCT_C[u] * cu * _IDCT_COS[u][x]
+            tmp[v][x] = acc
+    out = [[0] * 8 for _ in range(8)]
+    for y in range(8):
+        oy = out[y]
+        for x in range(8):
+            acc = 0.0
+            for v in range(8):
+                t = tmp[v][x]
+                if t:
+                    acc += _IDCT_C[v] * t * _IDCT_COS[v][y]
+            val = int(round(acc / 4)) + 128
+            oy[x] = 0 if val < 0 else (255 if val > 255 else val)
+    return out
+
+
+def _jpeg_planes(payload: bytes):
+    """Marker parse + scan decode -> (W, H, comps, planes) at component
+    resolution (planes padded to whole MCUs)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict = {}
+    htabs: dict = {}
+    frame = None
+    dri = 0
+    n = len(payload)
+    while pos + 2 <= n:
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        m = payload[pos + 1]
+        pos += 2
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            continue
+        if m == 0xD9:
+            break
+        if pos + 2 > n:
+            raise ValueError("JPEG segment truncated")
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        seg = payload[pos + 2 : pos + seglen]
+        if m == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 15
+                p += 1
+                if pq == 0:
+                    qtabs[tq] = list(seg[p : p + 64])
+                    p += 64
+                else:
+                    qtabs[tq] = [
+                        struct.unpack_from(">H", seg, p + 2 * i)[0]
+                        for i in range(64)
+                    ]
+                    p += 128
+        elif m == 0xC4:  # DHT: canonical code assignment
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 15
+                p += 1
+                counts = list(seg[p : p + 16])
+                p += 16
+                total = sum(counts)
+                syms = list(seg[p : p + total])
+                p += total
+                table: dict = {}
+                code, k = 0, 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = syms[k]
+                        k += 1
+                        code += 1
+                    code <<= 1
+                htabs[(tc, th)] = table
+        elif m in (0xC0, 0xC1):  # baseline / extended sequential Huffman
+            if seg[0] != 8:
+                raise NotImplementedError(f"JPEG sample precision {seg[0]}")
+            fh, fw = struct.unpack_from(">HH", seg, 1)
+            comps = []
+            for i in range(seg[5]):
+                comps.append(
+                    {
+                        "id": seg[6 + 3 * i],
+                        "h": seg[7 + 3 * i] >> 4,
+                        "v": seg[7 + 3 * i] & 15,
+                        "tq": seg[8 + 3 * i],
+                    }
+                )
+            frame = (fw, fh, comps)
+        elif m == 0xC2:
+            raise NotImplementedError("progressive JPEG (SOF2)")
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0x{m:02x} (non-baseline coding)"
+            )
+        elif m == 0xDD:
+            (dri,) = struct.unpack_from(">H", seg, 0)
+        elif m == 0xDA:  # SOS -> decode the (single, sequential) scan
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            sel = {}
+            for i in range(seg[0]):
+                sel[seg[1 + 2 * i]] = (seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 15)
+            fw, fh, comps = frame
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+            mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+            planes = [
+                [[0] * (mcux * 8 * c["h"]) for _ in range(mcuy * 8 * c["v"])]
+                for c in comps
+            ]
+            rdr = _JpegScan(payload, pos + seglen)
+            preds = [0] * len(comps)
+            mcu_count = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if dri and mcu_count and mcu_count % dri == 0:
+                        rdr.restart((mcu_count // dri - 1) & 7)
+                        preds = [0] * len(comps)
+                    for ci, c in enumerate(comps):
+                        dc_t = htabs[(0, sel[c["id"]][0])]
+                        ac_t = htabs[(1, sel[c["id"]][1])]
+                        q = qtabs[c["tq"]]
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                blk = _jpeg_decode_block(
+                                    rdr, dc_t, ac_t, q, preds, ci
+                                )
+                                ox = (mx * c["h"] + bx) * 8
+                                oy = (my * c["v"] + by) * 8
+                                plane = planes[ci]
+                                for r in range(8):
+                                    plane[oy + r][ox : ox + 8] = blk[r]
+                    mcu_count += 1
+            return fw, fh, comps, planes
+        pos += seglen
+    raise ValueError("JPEG without SOS scan")
+
+
+def _clamp8(v: float) -> int:
+    i = int(round(v))
+    return 0 if i < 0 else (255 if i > 255 else i)
+
+
+def _decode_jpeg_pixels(payload: bytes) -> tuple[int, int, list[bytearray]]:
+    """Baseline JFIF -> top-down RGB rows.  Components in SOF order are
+    taken as Y[, Cb, Cr] (the JFIF layout); chroma upsampling is
+    nearest-neighbour index scaling, exact for the power-of-two factors
+    real encoders emit."""
+    w, h, comps, planes = _jpeg_planes(payload)
+    if len(comps) == 1:
+        rows = []
+        plane = planes[0]
+        for y in range(h):
+            src = plane[y]
+            line = bytearray(w * 3)
+            for x in range(w):
+                line[3 * x] = line[3 * x + 1] = line[3 * x + 2] = src[x]
+            rows.append(line)
+        return w, h, rows
+    if len(comps) != 3:
+        raise NotImplementedError(f"JPEG with {len(comps)} components")
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    (cy, ccb, ccr), (yp, cbp, crp) = comps, planes
+    rows = []
+    for y in range(h):
+        yrow = yp[y * cy["v"] // vmax]
+        cbrow = cbp[y * ccb["v"] // vmax]
+        crrow = crp[y * ccr["v"] // vmax]
+        line = bytearray(w * 3)
+        for x in range(w):
+            yv = yrow[x * cy["h"] // hmax]
+            cb = cbrow[x * ccb["h"] // hmax] - 128
+            cr = crrow[x * ccr["h"] // hmax] - 128
+            line[3 * x] = _clamp8(yv + 1.402 * cr)
+            line[3 * x + 1] = _clamp8(yv - 0.344136 * cb - 0.714136 * cr)
+            line[3 * x + 2] = _clamp8(yv + 1.772 * cb)
+        rows.append(line)
+    return w, h, rows
+
+
+def _decode_jpeg(payload: bytes) -> dict:
+    w, h, rows = _decode_jpeg_pixels(payload)
+    sums = [0, 0, 0]
+    for row in rows:
+        for c in range(3):
+            sums[c] += sum(row[c::3])
+    n_px = w * h
+    return {
+        "width": w,
+        "height": h,
+        "channel_means": [s / n_px / 255.0 for s in sums],
+    }
+
+
 def decode_image(payload: bytes, fake: bool = False) -> dict:
     """Real stdlib decode for BMP and PNG (see module docstring); other
     formats raise NotImplementedError.  fake=True returns a deterministic
@@ -402,8 +730,11 @@ def decode_image(payload: bytes, fake: bool = False) -> dict:
         return _decode_png(payload)
     if payload[:6] in (b"GIF87a", b"GIF89a"):
         return _decode_gif(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     raise NotImplementedError(
-        "unsupported image format (stdlib decoders cover BMP, 8-bit PNG, GIF)"
+        "unsupported image format (stdlib decoders cover BMP, 8-bit PNG, GIF, "
+        "baseline JPEG)"
     )
 
 
@@ -531,8 +862,11 @@ def decode_pixels(payload: bytes) -> tuple[int, int, list[bytearray]]:
         if not frames:
             raise ValueError("GIF without image frames")
         return width, height, frames[0][1]
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg_pixels(payload)
     raise NotImplementedError(
-        "unsupported image format (stdlib decoders cover BMP, 8-bit PNG, GIF)"
+        "unsupported image format (stdlib decoders cover BMP, 8-bit PNG, GIF, "
+        "baseline JPEG)"
     )
 
 

