@@ -145,6 +145,28 @@ def rand_document(rng: random.Random) -> str:
     return f"<html>{head}{body}</html>"
 
 
+def rand_opts(rng: random.Random) -> dict:
+    """Random point on the reference's full option surface
+    (Readability.js:113-118 maxElemsToParse/nbTopCandidates/charThreshold/
+    classesToPreserve, :293 keepClasses).  charThreshold=0 and absent keys
+    exercise the JS `||`-falsy default paths on both engines."""
+    opts: dict = {}
+    if rng.random() < 0.8:
+        opts["charThreshold"] = rng.choice([0, 1, 25, 140, 250, 500, 1000])
+    if rng.random() < 0.7:
+        opts["nbTopCandidates"] = rng.choice([1, 2, 3, 5, 10])
+    if rng.random() < 0.5:
+        opts["keepClasses"] = rng.random() < 0.5
+    if rng.random() < 0.6:
+        opts["classesToPreserve"] = rng.sample(
+            ["caption", "comment", "article", "hid", "page", "x"],
+            rng.randint(0, 3),
+        )
+    if rng.random() < 0.25:
+        opts["maxElemsToParse"] = rng.choice([0, 50, 500, 5000])
+    return opts
+
+
 def run_reference(cases: list[str]) -> list[dict]:
     proc = subprocess.run(
         ["node", REF_RUNNER],
@@ -175,9 +197,24 @@ def main() -> None:
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     mode = sys.argv[3] if len(sys.argv) > 3 else "random"
     rng = random.Random(seed)
-    gen = mutate_fixture if mode == "mutate" else rand_document
-    cases = [gen(rng) for _ in range(n)]
-    mine_all = [extract_one(html) for html in cases]
+    if mode == "options":
+        # Option-surface fuzz (round-4 verdict ask #8): random opts per doc
+        # against the node reference, over both random documents and
+        # mutated real fixtures.
+        cases = [
+            (mutate_fixture(rng) if rng.random() < 0.5 else rand_document(rng))
+            for _ in range(n)
+        ]
+        opts_list = [rand_opts(rng) for _ in range(n)]
+        mine_all = [
+            extract_one(html, opts=dict(opts)) if opts else extract_one(html, opts={})
+            for html, opts in zip(cases, opts_list)
+        ]
+    else:
+        gen = mutate_fixture if mode == "mutate" else rand_document
+        cases = [gen(rng) for _ in range(n)]
+        opts_list = None
+        mine_all = [extract_one(html) for html in cases]
     # The reference's discardTo never terminates on unterminated comments
     # (JSDOMParser.js:1027-1032 jumps BACKWARD on not-found): our engine
     # detects non-advancing input and returns parse_error instead.  Such
@@ -187,13 +224,19 @@ def main() -> None:
         if not (m["status"] == "parse_error" and "stuck" in (m.get("error") or ""))
     ]
     skipped = n - len(comparable)
-    refs = run_reference([cases[i] for i in comparable])
+    if opts_list is not None:
+        refs = run_reference(
+            [{"html": cases[i], "opts": opts_list[i]} for i in comparable]
+        )
+    else:
+        refs = run_reference([cases[i] for i in comparable])
     failures = []
     for idx, ref in zip(comparable, refs):
         diffs = compare_one(cases[idx], ref, mine_all[idx])
         if diffs:
             failures.append(
-                {"html": cases[idx], "diffs": diffs, "ref_status": ref["status"]}
+                {"html": cases[idx], "diffs": diffs, "ref_status": ref["status"],
+                 **({"opts": opts_list[idx]} if opts_list is not None else {})}
             )
     print(
         f"{len(comparable) - len(failures)}/{len(comparable)} match "

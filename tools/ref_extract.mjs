@@ -14,7 +14,7 @@ const OPTS = { classesToPreserve: ["caption"] };
 const realLog = console.log;
 console.log = () => {};
 
-function runOne(source) {
+function runOne(source, opts = OPTS) {
   const parser = new JSDOMParser();
   let doc;
   try {
@@ -25,7 +25,7 @@ function runOne(source) {
   if (parser.errorState) return { status: "parse_error" };
   let reader;
   try {
-    reader = new Readability(doc, OPTS);
+    reader = new Readability(doc, opts);
   } catch (e) {
     return { status: "no_document" };
   }
@@ -33,6 +33,8 @@ function runOne(source) {
   try {
     result = reader.parse();
   } catch (e) {
+    if (String(e && e.message).includes("Aborting parsing document"))
+      return { status: "too_large" };
     return { status: "error" };
   }
   if (!result) return { status: "null_result" };
@@ -56,7 +58,8 @@ process.stdin.setEncoding("utf8");
 process.stdin.on("data", d => (input += d));
 process.stdin.on("end", () => {
   const cases = JSON.parse(input);
-  const out = cases.map(runOne);
+  const out = cases.map(c =>
+    typeof c === "string" ? runOne(c) : runOne(c.html, c.opts ?? OPTS));
   console.log = realLog;
   process.stdout.write("\n" + JSON.stringify(out) + "\n");
 });
