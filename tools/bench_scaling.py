@@ -108,6 +108,33 @@ def raw_cpu_ceiling() -> dict:
     return out
 
 
+def ceiling_window() -> None:
+    """One COMMITTED SMT-ceiling control window (round-4 verdict ask #4):
+    the bare-multiprocessing 2/8/32 kernel ceiling measured under the same
+    capacity-probe protocol as the Spark windows (cpy_probe before/after,
+    capacity_index in the emitted line), appended to runs.jsonl as
+    kind=mp_ceiling so the 8→32-vs-ceiling comparison in BENCH/BASELINE.md
+    is generated from committed data, not prose."""
+    from bench import PROBE_NOMINAL_SEC, cpy_probe
+
+    probe_pre = round(cpy_probe(), 4)
+    ceiling = raw_cpu_ceiling()
+    probe_post = round(cpy_probe(), 4)
+    cap_idx = round(PROBE_NOMINAL_SEC / ((probe_pre + probe_post) / 2), 3)
+    line = json.dumps({
+        "kind": "mp_ceiling",
+        "docs_per_sec": {str(k): v for k, v in ceiling.items()},
+        "eff_2_8": round(ceiling[8] / ceiling[2] / 4, 3),
+        "eff_8_32": round(ceiling[32] / ceiling[8] / 4, 3),
+        "capacity": {"cpy_probe_sec": [probe_pre, probe_post],
+                     "capacity_index": cap_idx},
+    })
+    print(line)
+    os.makedirs(os.path.dirname(RUNS_FILE), exist_ok=True)
+    with open(RUNS_FILE, "a") as f:
+        f.write(line + "\n")
+
+
 RUNS_FILE = os.path.join(REPO, "BENCH", "runs.jsonl")
 
 
@@ -129,9 +156,14 @@ def run_round(sizes=(2, 8, 32)) -> None:
 
 def report() -> None:
     runs = []
+    ceiling_runs = []
     with open(RUNS_FILE) as f:
         for line in f:
-            runs.append(json.loads(line))
+            r = json.loads(line)
+            if r.get("kind") == "mp_ceiling":
+                ceiling_runs.append(r)
+            else:
+                runs.append(r)
     # Group by size within each input scale; best-of across windows.
     best: dict[tuple[int, int], dict] = {}
     for r in runs:
@@ -184,10 +216,35 @@ def report() -> None:
 
     stmed28, stmed416, stmed832 = _stmed(st28), _stmed(st416), _stmed(st832)
 
-    ceiling = raw_cpu_ceiling()
+    if ceiling_runs:
+        # Committed in-round control windows (kind=mp_ceiling).  An
+        # externally-throttled host suppresses the low-parallelism side
+        # more, biasing the control ratio; prefer the high-capacity subset
+        # (capacity_index >= 0.85) when it has >= 3 windows.
+        last = ceiling_runs[-1]
+        ceiling = {int(k): v for k, v in last["docs_per_sec"].items()}
+        hi = [r for r in ceiling_runs
+              if (r.get("capacity") or {}).get("capacity_index", 0) >= 0.85]
+        use, subset = (hi, "capacity>=0.85 subset") if len(hi) >= 3 else (
+            ceiling_runs, "all windows")
+        ceil_28 = sorted(r["eff_2_8"] for r in use)
+        ceil_832 = sorted(r["eff_8_32"] for r in use)
+        hw_2_8 = ceil_28[len(ceil_28) // 2]
+        hw_8_32 = ceil_832[len(ceil_832) // 2]
+        ceil_note = (
+            f"{len(use)}/{len(ceiling_runs)} committed mp_ceiling windows "
+            f"({subset}) in runs.jsonl, capacity-annotated under the same "
+            f"probe protocol as the Spark windows: "
+            f"8→32 control median {hw_8_32:.3f} "
+            f"(range {min(ceil_832):.3f}–{max(ceil_832):.3f}), "
+            f"2→8 control median {hw_2_8:.3f}"
+        )
+    else:  # no committed control yet: one-shot measurement, prose-only
+        ceiling = raw_cpu_ceiling()
+        hw_2_8 = (ceiling[8] / ceiling[2]) / 4
+        hw_8_32 = (ceiling[32] / ceiling[8]) / 4
+        ceil_note = "one-shot (uncommitted) control"
     print("kernel mp ceiling docs/s:", ceiling)
-    hw_2_8 = (ceiling[8] / ceiling[2]) / 4
-    hw_8_32 = (ceiling[32] / ceiling[8]) / 4
 
     n0 = 30000
     r2, r8, r32 = best[(n0, 2)], best[(n0, 8)], best[(n0, 32)]
@@ -233,7 +290,11 @@ index — the objective "same window" test) is reported alongside:
 4→16 stable subset ({len(st416)} windows): median
 {f"{stmed416:.3f}" if stmed416 is not None else "n/a"};
 8→32 stable subset ({len(st832)} windows): median
-{f"{stmed832:.3f}" if stmed832 is not None else "n/a"}.
+{f"{stmed832:.3f}" if stmed832 is not None else "n/a"} — vs the committed
+bare-multiprocessing SMT-ceiling control median **{hw_8_32:.3f}** measured
+in-round under the same probe protocol ({ceil_note}); the stable 8→32
+median reaches {f"{stmed832 / hw_8_32:.0%}" if stmed832 is not None else "n/a"}
+of what this box's SMT hardware allows the bare kernel.
 Pre-annotation (rounds 1–3) windows appear only in the all-window stats.
 
 8→32 windows (including larger inputs):
@@ -245,8 +306,9 @@ Pre-annotation (rounds 1–3) windows appear only in the all-window stats.
 ## Hardware ceiling (same kernel, bare multiprocessing, zero pipeline)
 
 The identical extraction kernel under plain multiprocessing measures
-{json.dumps(ceiling)} docs/s at 2/8/32 procs: hardware-ceiling efficiency
-{hw_2_8:.2f} (2→8) and {hw_8_32:.2f} (8→32).  The kernel is allocation/
+{json.dumps(ceiling)} docs/s at 2/8/32 procs (latest committed window):
+hardware-ceiling efficiency {hw_2_8:.2f} (2→8) and {hw_8_32:.2f} (8→32),
+from {ceil_note}.  The kernel is allocation/
 string-heavy and saturates shared memory bandwidth; 32 "cores" are 16
 physical × SMT.  The 2→8 north-rule bar (≥0.8) is met within-round
 (best {max(eff28):.3f}); 8→32 reaches ~{max(eff832)/hw_8_32:.0%} of what
@@ -307,6 +369,8 @@ def main() -> None:
         report()
     elif len(sys.argv) > 1 and sys.argv[1] == "--pair416":
         run_round(sizes=(4, 16))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ceiling":
+        ceiling_window()
     elif len(sys.argv) > 1 and sys.argv[1] == "--pair":
         # 8->32-focused pair at a larger input (set SCALING_N_TURNS): more
         # rows per task amortize fixed job costs that dominate 32-core runs
