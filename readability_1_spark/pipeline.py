@@ -335,12 +335,13 @@ def run_extraction_job(
     manifest = (
         manifest.withColumn("rows_written", F.coalesce(F.col("rows_written"), F.lit(0)))
         .withColumn("run_id", F.lit(run_id))
+        .withColumn("batch_id", F.lit(batch_id))
         .withColumn("committed_at", F.current_timestamp())
-        .select("run_id", "part_id", "rows_written", "committed_at")
+        .select("run_id", "batch_id", "part_id", "rows_written", "committed_at")
     )
     storage.append(manifest, "checkpoints")
     n_rows = written.count() if written is not None else 0
-    return {"run_id": run_id, "rows": n_rows}
+    return {"run_id": run_id, "batch_id": batch_id, "rows": n_rows}
 
 
 def read_consistent(storage: Storage, run_id: str) -> DataFrame | None:
@@ -356,6 +357,43 @@ def read_consistent(storage: Storage, run_id: str) -> DataFrame | None:
     w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.col("parse_ms").desc())
     return (
         extractions.join(F.broadcast(done), "part_id", "left_semi")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def read_as_of(storage: Storage, run_id: str, batch_id: str) -> DataFrame | None:
+    """Snapshot/time-travel-equivalent read over the parquet-manifest
+    fallback (the `VERSION AS OF` a real Iceberg catalog would give —
+    Storage's `writeTo` path; the sandbox has no Iceberg runtime jar, so
+    this is the TESTED surface).  The checkpoint manifest is the snapshot
+    log: each run-batch appends one manifest slice (run_id, batch_id,
+    part_ids, committed_at), so the table state "as of batch B" is the
+    extractions of exactly the batches whose manifest committed at or
+    before B's commit, restricted to the part_ids those batches
+    checkpointed — a partially-written later batch is invisible, like an
+    uncommitted Iceberg snapshot."""
+    extractions = storage.read("extractions")
+    checkpoints = storage.read("checkpoints")
+    if extractions is None or checkpoints is None:
+        return None
+    cp = checkpoints.filter(F.col("run_id") == run_id)
+    batch_times = cp.groupBy("batch_id").agg(F.max("committed_at").alias("_t"))
+    tgt = batch_times.filter(F.col("batch_id") == batch_id).collect()
+    if not tgt:
+        return None
+    visible = batch_times.filter(F.col("_t") <= tgt[0]._t).select("batch_id")
+    done = (
+        cp.join(visible, "batch_id", "left_semi").select("part_id").distinct()
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.col("parse_ms").desc())
+    return (
+        extractions.filter(F.col("run_id") == run_id)
+        .join(F.broadcast(visible), "batch_id", "left_semi")
+        .join(F.broadcast(done), "part_id", "left_semi")
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .drop("_rn")
