@@ -4387,8 +4387,15 @@ FROM both_stats
 QUERIES: dict[str, tuple] = {
     # NOTE: dict ORDER is part of the driver contract - the external
     # correctness harness checks the first ~50 entries, so families are
-    # rotated to keep every query covered by an artifact of record
-    # (the rest via the committed verify_oracle transcript, CORRECTNESS_LOCAL_*).
+    # ROTATED each round to keep driver attestation fresh across the
+    # registry (the rest via the committed verify_oracle transcript,
+    # CORRECTNESS_LOCAL.json).  Round-5 window: extraction + the new
+    # token-id/classifier queries + the queries whose code paths changed
+    # this round (connected-components clusters, packing, multimodal) +
+    # the 18 relational queries rotated back IN (last driver-attested in
+    # r03).  Rotated OUT (all driver-green in r03+r04): the 7 ANN queries,
+    # 7 long-green dedup entries, 5 fingerprint/sketch entries.
+    # tests/test_driver_contract.py pins this window; update BOTH together.
     # extraction (oracle = committed reference goldens)
     "extract_fixture_turns": (q_extract_fixture_turns, SQL_EXTRACT_FIXTURE_TURNS),
     "extract_status_counts": (q_extract_status_counts, SQL_EXTRACT_STATUS_COUNTS),
@@ -4397,17 +4404,19 @@ QUERIES: dict[str, tuple] = {
     "turn_ordering_check": (q_turn_ordering_check, SQL_TURN_ORDERING_CHECK),
     "html_gate_selectivity": (q_html_gate_selectivity, SQL_HTML_GATE_SELECTIVITY),
     "extract_paragraph_dedup": (q_extract_paragraph_dedup, SQL_EXTRACT_PARAGRAPH_DEDUP),
-    # similarity search / ANN
-    "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
-    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
-    "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH_BUCKETED),
-    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
-    "ann_ivf_assign": (q_ann_ivf_assign, SQL_ANN_IVF_ASSIGN),
-    "ann_ivf_probe": (q_ann_ivf_probe, SQL_ANN_IVF_PROBE),
-    "ann_ivf_kmeans": (q_ann_ivf_kmeans, SQL_ANN_IVF_KMEANS),
+    # tokenizer + trained classifier (new/changed this round)
+    "bpe_learn_merges": (q_bpe_learn_merges, SQL_BPE_LEARN_MERGES),
+    "bpe_tokenize_stats": (q_bpe_tokenize_stats, SQL_BPE_TOKENIZE_STATS),
+    "bpe_tokenize_ids": (q_bpe_tokenize_ids, SQL_BPE_TOKENIZE_IDS),
+    "pack_token_ids": (q_pack_token_ids, SQL_PACK_TOKEN_IDS),
+    "doc_quality_classifier": (q_doc_quality_classifier, SQL_DOC_QUALITY_CLASSIFIER),
+    # cluster resolution (connected_components changed this round)
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_minhash_clusters": (q_dedup_minhash_clusters, SQL_DEDUP_MINHASH_CLUSTERS),
+    "dedup_embedding_clusters": (q_dedup_embedding_clusters, SQL_DEDUP_EMBEDDING_CLUSTERS),
     # multimodal
     "multimodal_binary_stats": (q_multimodal_binary_stats, SQL_MULTIMODAL_BINARY_STATS),
-    # corpus assembly
+    # corpus assembly (packing layer touched this round)
     "data_split_assign": (q_data_split_assign, SQL_DATA_SPLIT_ASSIGN),
     "domain_mix_resample": (q_domain_mix_resample, SQL_DOMAIN_MIX_RESAMPLE),
     "corpus_sample_stratified": (q_corpus_sample_stratified, SQL_CORPUS_SAMPLE_STRATIFIED),
@@ -4415,42 +4424,20 @@ QUERIES: dict[str, tuple] = {
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "sequence_packing_ffd": (q_sequence_packing_ffd, SQL_SEQUENCE_PACKING_FFD),
     "sequence_packing_stats": (q_sequence_packing_stats, SQL_SEQUENCE_PACKING_STATS),
-    # dedup family
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "dedup_exact_normalized": (q_dedup_exact_normalized, SQL_DEDUP_EXACT_NORMALIZED),
-    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
-    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
-    "dedup_minhash_clusters": (q_dedup_minhash_clusters, SQL_DEDUP_MINHASH_CLUSTERS),
-    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
-    "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
-    "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
-    "dedup_embedding_lsh": (q_dedup_embedding_lsh, SQL_DEDUP_EMBEDDING_LSH),
-    "dedup_embedding_clusters": (q_dedup_embedding_clusters, SQL_DEDUP_EMBEDDING_CLUSTERS),
-    # text analysis
-    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
-    "token_cms_heavy_hitters": (q_token_cms_heavy_hitters, SQL_TOKEN_CMS),
-    "distinct_hll_estimate": (q_distinct_hll_estimate, SQL_DISTINCT_HLL_ESTIMATE),
-    "hll_merge_by_source": (q_hll_merge_by_source, SQL_HLL_MERGE_BY_SOURCE),
-    "text_redact_pii": (q_text_redact_pii, SQL_TEXT_REDACT_PII),
-    "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
-    "benchmark_contamination": (q_benchmark_contamination, SQL_BENCHMARK_CONTAMINATION),
-    "doc_winnow_fingerprints": (q_doc_winnow_fingerprints, SQL_DOC_WINNOW),
+    # text analysis (window slice)
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "extract_quality_filter": (q_extract_quality_filter, SQL_EXTRACT_QUALITY_FILTER),
     "doc_lm_score": (q_doc_lm_score, SQL_DOC_LM_SCORE),
     "doc_quality_rank": (q_doc_quality_rank, SQL_DOC_QUALITY_RANK),
-    "doc_quality_classifier": (q_doc_quality_classifier, SQL_DOC_QUALITY_CLASSIFIER),
-    "bpe_learn_merges": (q_bpe_learn_merges, SQL_BPE_LEARN_MERGES),
-    "bpe_tokenize_stats": (q_bpe_tokenize_stats, SQL_BPE_TOKENIZE_STATS),
-    "bpe_tokenize_ids": (q_bpe_tokenize_ids, SQL_BPE_TOKENIZE_IDS),
-    "pack_token_ids": (q_pack_token_ids, SQL_PACK_TOKEN_IDS),
-    # relational core (headliners)
+    "text_redact_pii": (q_text_redact_pii, SQL_TEXT_REDACT_PII),
+    "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
+    "benchmark_contamination": (q_benchmark_contamination, SQL_BENCHMARK_CONTAMINATION),
+    # relational core (rotated back into the window this round)
     "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
-    # relational core (long-green tail; past the driver's 50-entry window, covered by the committed verify_oracle transcript)
     "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
     "order_priority_rank": (q_order_priority_rank, SQL_ORDER_PRIORITY_RANK),
     "events_user_stats": (q_events_user_stats, SQL_EVENTS_USER_STATS),
@@ -4466,5 +4453,30 @@ QUERIES: dict[str, tuple] = {
     "lineitem_percentiles": (q_lineitem_percentiles, SQL_LINEITEM_PERCENTILES),
     "events_rolling_stats": (q_events_rolling_stats, SQL_EVENTS_ROLLING_STATS),
     "events_json_props": (q_events_json_props, SQL_EVENTS_JSON_PROPS),
+    # ---- past the driver's ~50-entry window from here (rotated OUT this
+    # round; all driver-attested green in r03 AND r04, re-attested every
+    # round by the committed CORRECTNESS_LOCAL.json full-registry run) ----
+    # similarity search / ANN
+    "embedding_norms": (q_embedding_norms, SQL_EMBEDDING_NORMS),
+    "ann_cosine_topk": (q_ann_cosine_topk, SQL_ANN_COSINE_TOPK),
+    "ann_lsh_bucketed": (q_ann_lsh_bucketed, SQL_ANN_LSH_BUCKETED),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
+    "ann_ivf_assign": (q_ann_ivf_assign, SQL_ANN_IVF_ASSIGN),
+    "ann_ivf_probe": (q_ann_ivf_probe, SQL_ANN_IVF_PROBE),
+    "ann_ivf_kmeans": (q_ann_ivf_kmeans, SQL_ANN_IVF_KMEANS),
+    # dedup long-green tail
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_exact_normalized": (q_dedup_exact_normalized, SQL_DEDUP_EXACT_NORMALIZED),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
+    "dedup_embedding_cosine": (q_dedup_embedding_cosine, SQL_DEDUP_EMBEDDING_COSINE),
+    "dedup_embedding_lsh": (q_dedup_embedding_lsh, SQL_DEDUP_EMBEDDING_LSH),
+    # fingerprints + sketches
+    "doc_fingerprint": (q_doc_fingerprint, SQL_DOC_FINGERPRINT),
+    "doc_winnow_fingerprints": (q_doc_winnow_fingerprints, SQL_DOC_WINNOW),
+    "token_cms_heavy_hitters": (q_token_cms_heavy_hitters, SQL_TOKEN_CMS),
+    "distinct_hll_estimate": (q_distinct_hll_estimate, SQL_DISTINCT_HLL_ESTIMATE),
+    "hll_merge_by_source": (q_hll_merge_by_source, SQL_HLL_MERGE_BY_SOURCE),
 }
 

@@ -35,3 +35,45 @@ def test_entry_from_foreign_cwd(tmp_path):
         env={**os.environ, "PYTHONPATH": ""},
     )
     assert "DRIVER_CONTRACT_OK" in out.stdout, out.stderr[-3000:]
+
+
+# The driver's external correctness harness checks only the FIRST ~50
+# registry entries, so dict insertion order is a load-bearing contract
+# (ADVICE round 4): pin the window membership so accidental insertions or
+# reorders fail loudly.  Update this list ONLY together with a deliberate
+# rotation (see the registry-order note atop QUERIES in queries.py).
+DRIVER_WINDOW_50 = [
+    "extract_fixture_turns", "extract_status_counts", "readerable_flags",
+    "extraction_lineage", "turn_ordering_check", "html_gate_selectivity",
+    "extract_paragraph_dedup",
+    "bpe_learn_merges", "bpe_tokenize_stats", "bpe_tokenize_ids",
+    "pack_token_ids", "doc_quality_classifier",
+    "dedup_minhash_lsh", "dedup_minhash_clusters", "dedup_embedding_clusters",
+    "multimodal_binary_stats",
+    "data_split_assign", "domain_mix_resample", "corpus_sample_stratified",
+    "corpus_sample_topn", "sequence_packing", "sequence_packing_ffd",
+    "sequence_packing_stats",
+    "text_quality", "token_counts", "lang_id", "extract_quality_filter",
+    "doc_lm_score", "doc_quality_rank", "text_redact_pii", "doc_repetition",
+    "benchmark_contamination",
+    "q1_pricing_summary", "events_sessionize", "top_revenue_orders",
+    "nation_revenue", "order_priority_rank", "events_user_stats",
+    "events_asof_orders", "value_band_range_join", "revenue_rollup",
+    "revenue_cube", "events_set_ops", "big_spender_exists",
+    "events_resample_hourly", "customers_without_orders", "events_pivot",
+    "lineitem_percentiles", "events_rolling_stats", "events_json_props",
+]
+
+
+def test_registry_window_pinned():
+    from readability_1_spark.queries import QUERIES
+
+    names = list(QUERIES)
+    assert names[:50] == DRIVER_WINDOW_50, (
+        "first-50 registry window changed - if this is a deliberate "
+        "rotation, update DRIVER_WINDOW_50 and regenerate "
+        "CORRECTNESS_LOCAL.json; otherwise move the new entry past "
+        "position 50"
+    )
+    # every registered query has an oracle twin slot (None = rows-only)
+    assert all(isinstance(v, tuple) and len(v) == 2 for v in QUERIES.values())
