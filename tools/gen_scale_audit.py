@@ -88,6 +88,9 @@ SCALE_CLASS = {
     "sequence_packing": ("shuffle", "one shard shuffle, then linear per-shard pandas pass; fill_ratio via one window over (shard, pack_id)"),
     "sequence_packing_ffd": ("shuffle", "token-desc first-fit within shard: same one-shuffle shape; open-pack scan bounded by packs-per-shard"),
     "sequence_packing_stats": ("shuffle", "two packing subplans + 1-row aggregates; comparison output is O(#variants)"),
+    "bpe_tokenize_ids": ("shuffle", "per-distinct-word id segmentation (vocab-sized) hash-joined to positional occurrences; per-doc order restored JVM-side (array_sort), one doc_id exchange"),
+    "pack_token_ids": ("shuffle", "two-pass distributed prefix sum (range partition + per-partition window, one bounded driver collect of per-partition totals) -> linear posexplode -> one seq_id exchange; no global single-partition window"),
+    "doc_quality_classifier": ("shuffle", "feature scan is linear JVM expressions; each training iteration is ONE aggregation job with map-side combine (21 sums); scoring pass linear"),
 }
 
 
