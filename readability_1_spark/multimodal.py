@@ -12,11 +12,12 @@ library exists in this container):
   * GIF87a/89a — full LZW decode, interlacing, transparency, multi-frame
     compositing (so `sample_frame` does REAL video-frame sampling over
     animated GIFs, with per-frame delays);
-  * JPEG — baseline-sequential JFIF (DQT/SOF0/SOF1/DHT/DRI/SOS parse,
-    Huffman entropy decode with byte stuffing and restart markers,
+  * JPEG — baseline-sequential AND progressive JFIF (DQT/SOF0/SOF1/
+    SOF2/DHT/DRI/SOS parse; Huffman entropy decode with byte stuffing and
+    restart markers; progressive spectral selection + successive
+    approximation with DC/AC first and refinement passes and EOB runs;
     dequantize + dezigzag + IDCT, chroma upsampling for 4:4:4/4:2:2/4:2:0,
-    YCbCr→RGB); progressive (SOF2) and other non-baseline SOFs degrade
-    explicitly.
+    YCbCr→RGB); hierarchical/lossless/arithmetic SOFs degrade explicitly.
 Unsupported formats raise NotImplementedError → decode_status
 "decoder_unavailable"; `fake=True` retains the deterministic fake decoder
 for plumbing tests with arbitrary payload bytes.
@@ -391,12 +392,14 @@ def encode_gif_rgb(width: int, height: int,
 
 
 # ----------------------------------------------------------------- JPEG ----
-# Baseline-sequential JFIF decoder, stdlib-only (round-4 verdict ask #2):
-# marker parse (DQT 8/16-bit, SOF0/SOF1, DHT, DRI, SOS), Huffman entropy
-# decode with byte-stuffing and restart markers, dequantize, dezigzag,
-# separable float IDCT, nearest-neighbour chroma upsample (4:4:4 / 4:2:2 /
-# 4:2:0 / any h,v in 1..4), JFIF YCbCr->RGB.  Progressive (SOF2),
-# hierarchical/lossless/arithmetic SOFs and precision != 8 raise
+# JFIF decoder, stdlib-only (round-4 verdict ask #2 + progressive):
+# marker parse (DQT 8/16-bit, SOF0/SOF1/SOF2, DHT, DRI, SOS), Huffman
+# entropy decode with byte-stuffing and restart markers, dequantize,
+# dezigzag, separable float IDCT, nearest-neighbour chroma upsample
+# (4:4:4 / 4:2:2 / 4:2:0 / any h,v in 1..4), JFIF YCbCr->RGB.  Progressive
+# (SOF2) decodes fully: spectral-selection bands, successive-approximation
+# DC/AC first + refinement passes, EOB runs, per-scan restart intervals.
+# Hierarchical/lossless/arithmetic SOFs and precision != 8 raise
 # NotImplementedError -> decode_status "decoder_unavailable".
 
 _JPEG_ZIGZAG = (
@@ -503,6 +506,12 @@ def _jpeg_decode_block(rdr, dc_t, ac_t, q, preds, ci):
             raise ValueError("JPEG AC coefficient run overflows block")
         zz[k] = _jpeg_extend(rdr.read_bits(s), s) * q[k]
         k += 1
+    return _jpeg_idct(zz)
+
+
+def _jpeg_idct(zz):
+    """Dequantized zigzag coefficients -> 8x8 level-shifted clamped samples
+    (separable float IDCT)."""
     coef = [[0.0] * 8 for _ in range(8)]
     for i in range(64):
         v = zz[i]
@@ -533,6 +542,141 @@ def _jpeg_decode_block(rdr, dc_t, ac_t, q, preds, ci):
     return out
 
 
+def _jpeg_progressive_scan(
+    payload, pos, frame, htabs, sel, dri, store, ss, se, ah, al
+):
+    """Decode ONE progressive scan (ITU-T T.81 G.2) into the raw
+    coefficient store: DC first/refinement (interleaved or single
+    component), AC first pass with EOB runs, AC successive-approximation
+    refinement with correction bits.  Returns the stream position after
+    the scan's entropy data."""
+    fw, fh, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    scomps = [(ci, c) for ci, c in enumerate(comps) if c["id"] in sel]
+    rdr = _JpegScan(payload, pos)
+    preds = {ci: 0 for ci, _ in scomps}
+    state = {"eobrun": 0}
+
+    def dc_tab(c):
+        return htabs[(0, sel[c["id"]][0])]
+
+    def ac_tab(c):
+        return htabs[(1, sel[c["id"]][1])]
+
+    def dc_first(blk, ci, c):
+        s = rdr.decode_huff(dc_tab(c))
+        preds[ci] += _jpeg_extend(rdr.read_bits(s), s) if s else 0
+        blk[0] = preds[ci] << al
+
+    def dc_refine(blk):
+        if rdr.read_bit():
+            blk[0] |= 1 << al  # two's-complement OR reverses the >>Al shift
+
+    def ac_first(blk, c):
+        if state["eobrun"] > 0:
+            state["eobrun"] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = rdr.decode_huff(ac_tab(c))
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:  # EOBn: run of (1<<r) + ext blocks ends here
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += rdr.read_bits(r)
+                    return
+                k += 16  # ZRL
+            else:
+                k += r
+                if k > se:
+                    raise ValueError("JPEG progressive AC run overflow")
+                blk[k] = _jpeg_extend(rdr.read_bits(s), s) << al
+                k += 1
+
+    def ac_refine(blk, c):
+        p1, m1 = 1 << al, -(1 << al)
+        k = ss
+        if state["eobrun"] == 0:
+            while k <= se:
+                rs = rdr.decode_huff(ac_tab(c))
+                r, s = rs >> 4, rs & 15
+                val = 0
+                if s == 0:
+                    if r < 15:
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += rdr.read_bits(r)
+                        break
+                    # r == 15: span 16 zero-history coefficients
+                else:
+                    if s != 1:
+                        raise ValueError("JPEG AC refinement with size != 1")
+                    val = p1 if rdr.read_bit() else m1
+                # advance over r zero-history positions, emitting correction
+                # bits for every nonzero-history coefficient passed
+                while k <= se:
+                    if blk[k] != 0:
+                        if rdr.read_bit() and not (blk[k] & p1):
+                            blk[k] += p1 if blk[k] > 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val and k <= se:
+                    blk[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            # EOB-run tail: correction bits for the rest of the band
+            while k <= se:
+                if blk[k] != 0:
+                    if rdr.read_bit() and not (blk[k] & p1):
+                        blk[k] += p1 if blk[k] > 0 else m1
+                k += 1
+            state["eobrun"] -= 1
+
+    def maybe_restart(count):
+        if dri and count and count % dri == 0:
+            rdr.restart((count // dri - 1) & 7)
+            for ci in preds:
+                preds[ci] = 0
+            state["eobrun"] = 0
+
+    if ss == 0 and len(scomps) > 1:  # interleaved DC scan: MCU walk
+        mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+        mcu_count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart(mcu_count)
+                for ci, c in scomps:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            blk = store[ci][my * c["v"] + by][mx * c["h"] + bx]
+                            dc_first(blk, ci, c) if ah == 0 else dc_refine(blk)
+                mcu_count += 1
+    else:  # non-interleaved: raster over the component's own block grid
+        ci, c = scomps[0]
+        cw = -(-fw * c["h"] // hmax)
+        ch = -(-fh * c["v"] // vmax)
+        bw, bh = -(-cw // 8), -(-ch // 8)
+        cnt = 0
+        for by in range(bh):
+            for bx in range(bw):
+                maybe_restart(cnt)
+                blk = store[ci][by][bx]
+                if ss == 0:
+                    dc_first(blk, ci, c) if ah == 0 else dc_refine(blk)
+                elif ah == 0:
+                    ac_first(blk, c)
+                else:
+                    ac_refine(blk, c)
+                cnt += 1
+    return rdr.pos
+
+
 def _jpeg_planes(payload: bytes):
     """Marker parse + scan decode -> (W, H, comps, planes) at component
     resolution (planes padded to whole MCUs)."""
@@ -543,12 +687,17 @@ def _jpeg_planes(payload: bytes):
     htabs: dict = {}
     frame = None
     dri = 0
+    progressive = False
+    store = None  # progressive raw-coefficient store per component
     n = len(payload)
     while pos + 2 <= n:
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
         m = payload[pos + 1]
         pos += 2
+        if m == 0xFF:  # fill byte before a marker
+            pos -= 1
+            continue
         if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
             continue
         if m == 0xD9:
@@ -590,7 +739,7 @@ def _jpeg_planes(payload: bytes):
                         code += 1
                     code <<= 1
                 htabs[(tc, th)] = table
-        elif m in (0xC0, 0xC1):  # baseline / extended sequential Huffman
+        elif m in (0xC0, 0xC1, 0xC2):  # baseline / ext. sequential / progressive
             if seg[0] != 8:
                 raise NotImplementedError(f"JPEG sample precision {seg[0]}")
             fh, fw = struct.unpack_from(">HH", seg, 1)
@@ -605,20 +754,46 @@ def _jpeg_planes(payload: bytes):
                     }
                 )
             frame = (fw, fh, comps)
-        elif m == 0xC2:
-            raise NotImplementedError("progressive JPEG (SOF2)")
+            progressive = m == 0xC2
         elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"JPEG SOF marker 0x{m:02x} (non-baseline coding)"
             )
         elif m == 0xDD:
             (dri,) = struct.unpack_from(">H", seg, 0)
-        elif m == 0xDA:  # SOS -> decode the (single, sequential) scan
+        elif m == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             sel = {}
-            for i in range(seg[0]):
+            ns = seg[0]
+            for i in range(ns):
                 sel[seg[1 + 2 * i]] = (seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 15)
+            if progressive:
+                ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+                ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 15
+                fw, fh, comps = frame
+                if store is None:
+                    hmax = max(c["h"] for c in comps)
+                    vmax = max(c["v"] for c in comps)
+                    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+                    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+                    store = [
+                        [
+                            [[0] * 64 for _ in range(mcux * c["h"])]
+                            for _ in range(mcuy * c["v"])
+                        ]
+                        for c in comps
+                    ]
+                pos = _jpeg_progressive_scan(
+                    payload, pos + seglen, frame, htabs, sel, dri, store,
+                    ss, se, ah, al,
+                )
+                # resync to the next marker (drop padding bits/bytes)
+                while pos + 1 < n and not (
+                    payload[pos] == 0xFF and payload[pos + 1] != 0x00
+                ):
+                    pos += 1
+                continue
             fw, fh, comps = frame
             hmax = max(c["h"] for c in comps)
             vmax = max(c["v"] for c in comps)
@@ -653,6 +828,23 @@ def _jpeg_planes(payload: bytes):
                     mcu_count += 1
             return fw, fh, comps, planes
         pos += seglen
+    if progressive and store is not None:
+        # All scans decoded: dequantize the accumulated raw coefficients
+        # and IDCT every block.
+        fw, fh, comps = frame
+        planes = []
+        for ci, c in enumerate(comps):
+            q = qtabs[c["tq"]]
+            grid = store[ci]
+            ph, pw = len(grid) * 8, len(grid[0]) * 8
+            plane = [[0] * pw for _ in range(ph)]
+            for by, brow in enumerate(grid):
+                for bx, zz in enumerate(brow):
+                    blk = _jpeg_idct([zz[i] * q[i] for i in range(64)])
+                    for r in range(8):
+                        plane[by * 8 + r][bx * 8 : bx * 8 + 8] = blk[r]
+            planes.append(plane)
+        return fw, fh, comps, planes
     raise ValueError("JPEG without SOS scan")
 
 
@@ -734,7 +926,7 @@ def decode_image(payload: bytes, fake: bool = False) -> dict:
         return _decode_jpeg(payload)
     raise NotImplementedError(
         "unsupported image format (stdlib decoders cover BMP, 8-bit PNG, GIF, "
-        "baseline JPEG)"
+        "baseline + progressive JPEG)"
     )
 
 
@@ -866,7 +1058,7 @@ def decode_pixels(payload: bytes) -> tuple[int, int, list[bytearray]]:
         return _decode_jpeg_pixels(payload)
     raise NotImplementedError(
         "unsupported image format (stdlib decoders cover BMP, 8-bit PNG, GIF, "
-        "baseline JPEG)"
+        "baseline + progressive JPEG)"
     )
 
 

@@ -883,9 +883,10 @@ def test_real_jpeg_decode_image_means_and_golden():
     assert means2 == out["channel_means"]
 
 
-def test_jpeg_grayscale_and_progressive_degrade():
-    """1-component JPEGs decode to gray RGB; progressive (SOF2) degrades
-    explicitly instead of mis-decoding."""
+def test_jpeg_grayscale_and_lossless_degrade():
+    """1-component JPEGs decode to gray RGB; non-baseline-non-progressive
+    SOFs (e.g. lossless SOF3) degrade explicitly instead of
+    mis-decoding."""
     import struct as st
 
     import numpy as np  # noqa: F401
@@ -899,11 +900,11 @@ def test_jpeg_grayscale_and_progressive_degrade():
     # gray input -> near-equal channels after the YCbCr round trip
     assert max(abs(rows[0][0] - rows[0][1]), abs(rows[0][1] - rows[0][2])) <= 2
 
-    # hand-build a minimal progressive header: SOI + SOF2 -> degrade
-    sof2 = b"\xff\xd8" + b"\xff\xc2" + st.pack(">H", 11) + bytes(
+    # hand-build a minimal lossless header: SOI + SOF3 -> degrade
+    sof3 = b"\xff\xd8" + b"\xff\xc3" + st.pack(">H", 11) + bytes(
         [8]) + st.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
     with pytest.raises(NotImplementedError):
-        MM.decode_image(sof2)
+        MM.decode_image(sof3)
 
 
 def test_real_jpeg_in_distributed_pipeline(spark):
@@ -926,3 +927,352 @@ def test_real_jpeg_in_distributed_pipeline(spark):
     assert feats[0].decode_status == "ok"
     assert (feats[0].decoded_width, feats[0].decoded_height) == (16, 16)
     assert feats[1].decode_status in ("decoder_unavailable", "decode_error")
+
+
+# ------------------------------------------------------ progressive JPEG ---
+# Test-side PROGRESSIVE encoder: spectral selection + successive
+# approximation (DC Al=1 then refinement; per-component AC bands at Al=1
+# then refinement to Al=0), EOB-run encoding with buffered correction
+# bits (ITU-T T.81 G.1.2).  Independent of the stdlib decoder; the
+# encoder also simulates the decoder's reconstruction so tests can assert
+# the decoded coefficients are EXACT.
+
+
+class _ProgSymbolStream:
+    """One scan's symbol/bit stream with its own Huffman alphabet."""
+
+    def __init__(self):
+        self.items = []  # ("sym", symbol) / ("bits", value, nbits)
+        self.syms = set()
+
+    def sym(self, s):
+        self.items.append(("sym", s))
+        self.syms.add(s)
+
+    def bits(self, v, n):
+        if n:
+            self.items.append(("bits", v, n))
+
+
+def _prog_encode_dc_first(stream, blocks, order, comps, al, mcu_dims):
+    mcux, mcuy = mcu_dims
+    preds = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (cid, ch, cv, tq) in enumerate(comps):
+                for by in range(cv):
+                    for bx in range(ch):
+                        c0 = int(blocks[ci][(my * cv + by, mx * ch + bx)][0])
+                        v = c0 >> al  # arithmetic shift (G.1.2.1)
+                        diff = v - preds[ci]
+                        preds[ci] = v
+                        s, bits = _jpeg_mag(diff)
+                        stream.sym(s)
+                        stream.bits(bits, s)
+
+
+def _prog_encode_dc_refine(stream, blocks, comps, al, mcu_dims):
+    mcux, mcuy = mcu_dims
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (cid, ch, cv, tq) in enumerate(comps):
+                for by in range(cv):
+                    for bx in range(ch):
+                        c0 = int(blocks[ci][(my * cv + by, mx * ch + bx)][0])
+                        stream.bits((c0 >> al) & 1, 1)
+
+
+def _trunc(v, al):
+    """AC point transform: divide by 2^al truncating toward zero."""
+    v = int(v)
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _prog_block_grid(w, h, comp, hmax, vmax):
+    cw = -(-w * comp[1] // hmax)
+    ch = -(-h * comp[2] // vmax)
+    return -(-cw // 8), -(-ch // 8)
+
+
+def _prog_encode_ac_first(stream, grid, bw, bh, ss, se, al):
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        while eobrun > 0:
+            r = min(14, eobrun.bit_length() - 1)
+            stream.sym(r << 4)
+            stream.bits(eobrun - (1 << r), r)
+            eobrun = 0
+
+    for by in range(bh):
+        for bx in range(bw):
+            zz = grid[(by, bx)]
+            vals = [_trunc(zz[k], al) for k in range(ss, se + 1)]
+            if not any(vals):
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            run = 0
+            last_nz = max(i for i, v in enumerate(vals) if v)
+            for i, v in enumerate(vals):
+                if i > last_nz:
+                    eobrun += 1  # EOB for the remainder of this block
+                    break
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    stream.sym(0xF0)
+                    run -= 16
+                s, bits = _jpeg_mag(v)
+                stream.sym((run << 4) | s)
+                stream.bits(bits, s)
+                run = 0
+    flush_eob()
+
+
+def _prog_encode_ac_refine(stream, grid, dec, bw, bh, ss, se, al):
+    """Refinement (G.1.2.3), mirroring the decoder's position walk exactly:
+    a symbol (r,1) covers r ZERO-HISTORY positions and lands on the next
+    one; correction bits for nonzero-history positions are emitted in
+    stream order AS THE WALK PASSES THEM — bits inside a ZRL span follow
+    the ZRL code, bits inside the final span follow the (r,1) code + sign
+    bit, and bits after the last new coefficient ride the (shared,
+    cross-block) EOB-run buffer."""
+    eobrun = 0
+    pending = []  # correction bits following the next EOBn symbol
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun > 0:
+            r = min(14, eobrun.bit_length() - 1)
+            stream.sym(r << 4)
+            stream.bits(eobrun - (1 << r), r)
+            for b in pending:
+                stream.bits(b, 1)
+            pending.clear()
+            eobrun = 0
+
+    def hbit(zz, k):
+        return (abs(int(zz[k])) >> al) & 1
+
+    for by in range(bh):
+        for bx in range(bw):
+            zz = grid[(by, bx)]
+            hist = dec[(by, bx)]
+            newpos = [
+                k for k in range(ss, se + 1)
+                if hist[k] == 0 and _trunc(zz[k], al) != 0
+            ]
+            if not newpos:
+                for k in range(ss, se + 1):
+                    if hist[k] != 0:
+                        pending.append(hbit(zz, k))
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            k = ss
+            for nk in newpos:
+                zneeded = sum(
+                    1 for j in range(k, nk) if hist[j] == 0
+                )  # zero-history gap the symbol's r must cover
+                while zneeded > 15:
+                    stream.sym(0xF0)
+                    zc = 0
+                    while zc < 16:  # walk: H bits interleave inside the span
+                        if hist[k] != 0:
+                            stream.bits(hbit(zz, k), 1)
+                        else:
+                            zc += 1
+                        k += 1
+                    zneeded -= 16
+                stream.sym((zneeded << 4) | 1)
+                stream.bits(1 if zz[nk] > 0 else 0, 1)
+                while k < nk:
+                    if hist[k] != 0:
+                        stream.bits(hbit(zz, k), 1)
+                    k += 1
+                k = nk + 1
+            if k <= se:  # tail joins the EOB run with its correction bits
+                for k2 in range(k, se + 1):
+                    if hist[k2] != 0:
+                        pending.append(hbit(zz, k2))
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+    flush_eob()
+
+
+def _encode_jpeg_progressive(rgb_rows, subsample="444"):
+    """RGB rows -> progressive JFIF bytes.  Scan script: interleaved DC
+    (Al=1), per-component AC bands at Al=1 (Y split 1-5 / 6-63 to exercise
+    spectral selection), DC refinement, per-component AC refinement to
+    Al=0.  Returns (payload, blocks, comps, mcu_dims) like _encode_jpeg."""
+    import struct as st
+
+    base, blocks, comps, mcu_dims = _encode_jpeg(rgb_rows, subsample, 0)
+    h = len(rgb_rows)
+    w = len(rgb_rows[0])
+    mcux, mcuy = mcu_dims
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+
+    # decoder-state simulation for refinement passes
+    dec = [
+        {key: [0] * 64 for key in blocks[ci]}
+        for ci in range(len(comps))
+    ]
+
+    def apply_dc(al):
+        for ci in range(len(comps)):
+            for key, zz in blocks[ci].items():
+                dec[ci][key][0] = (int(zz[0]) >> al) << al
+
+    def apply_dc_refine(al):
+        for ci in range(len(comps)):
+            for key, zz in blocks[ci].items():
+                dec[ci][key][0] |= int(zz[0]) & (1 << al)
+
+    def apply_ac(ci, ss, se, al):
+        for key, zz in blocks[ci].items():
+            for k in range(ss, se + 1):
+                dec[ci][key][k] = _trunc(zz[k], al) << al
+
+    scans = []  # (stream, sos_components, ss, se, ah, al)
+
+    st1 = _ProgSymbolStream()
+    _prog_encode_dc_first(st1, blocks, None, comps, 1, mcu_dims)
+    apply_dc(1)
+    scans.append((st1, list(range(len(comps))), 0, 0, 0, 1))
+
+    ac_bands = [(0, 1, 5), (1, 1, 63), (2, 1, 63), (0, 6, 63)]
+    for ci, ss, se in ac_bands:
+        stn = _ProgSymbolStream()
+        bw, bh = _prog_block_grid(w, h, comps[ci], hmax, vmax)
+        grid = blocks[ci]
+        _prog_encode_ac_first(stn, grid, bw, bh, ss, se, 1)
+        apply_ac(ci, ss, se, 1)
+        scans.append((stn, [ci], ss, se, 0, 1))
+
+    std = _ProgSymbolStream()
+    _prog_encode_dc_refine(std, blocks, comps, 0, mcu_dims)
+    apply_dc_refine(0)
+    scans.append((std, list(range(len(comps))), 0, 0, 1, 0))
+
+    for ci in range(len(comps)):
+        stn = _ProgSymbolStream()
+        bw, bh = _prog_block_grid(w, h, comps[ci], hmax, vmax)
+        _prog_encode_ac_refine(stn, blocks[ci], dec[ci], bw, bh, 1, 63, 0)
+        apply_ac_refine(blocks, dec, ci, 1, 63, 0)
+        scans.append((stn, [ci], 1, 63, 1, 0))
+
+    # exactness: after the full script the simulated reconstruction must
+    # equal the quantized coefficients
+    for ci in range(len(comps)):
+        for key, zz in blocks[ci].items():
+            assert dec[ci][key] == [int(v) for v in zz], (ci, key)
+
+    from readability_1_spark.multimodal import _JPEG_ZIGZAG
+
+    def seg_marker(m, body):
+        return b"\xff" + bytes([m]) + st.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg_marker(
+        0xDB, bytes([0]) + bytes(_JPEG_QL[_JPEG_ZIGZAG[i]] for i in range(64))
+    )
+    out += seg_marker(
+        0xDB, bytes([1]) + bytes(_JPEG_QC[_JPEG_ZIGZAG[i]] for i in range(64))
+    )
+    sof = bytes([8]) + st.pack(">HH", h, w) + bytes([3])
+    for cid, ch, cv, tq in comps:
+        sof += bytes([cid, (ch << 4) | cv, tq])
+    out += seg_marker(0xC2, sof)
+
+    for stream, cis, ss, se, ah, al in scans:
+        is_dc = ss == 0
+        tclass = 0 if is_dc else 1
+        if ah == 0 or is_dc is False:
+            # build a fixed-length canonical table over this scan's symbols
+            syms = sorted(stream.syms)
+            if syms:
+                k = len(syms)
+                L = 2
+                while (1 << L) - 1 < k:
+                    L += 1
+                counts = [0] * 16
+                counts[L - 1] = k
+                codes = {s: (L, i) for i, s in enumerate(syms)}
+                out += seg_marker(
+                    0xC4,
+                    bytes([(tclass << 4) | 0]) + bytes(counts) + bytes(syms),
+                )
+            else:
+                codes = {}
+        else:
+            codes = {}  # DC refinement: raw bits only, no Huffman codes
+        sos = bytes([len(cis)])
+        for ci in cis:
+            sos += bytes([comps[ci][0], 0x00])  # table 0 for both classes
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg_marker(0xDA, sos)
+        wtr = _JpegBitWriter()
+        for item in stream.items:
+            if item[0] == "sym":
+                L, code = codes[item[1]]
+                wtr.put(code, L)
+            else:
+                wtr.put(item[1], item[2])
+        wtr.flush()
+        out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out), blocks, comps, mcu_dims
+
+
+def apply_ac_refine(blocks, dec, ci, ss, se, al):
+    for key, zz in blocks[ci].items():
+        for k in range(ss, se + 1):
+            dec[ci][key][k] = _trunc(zz[k], al) << al
+
+
+@pytest.mark.parametrize(
+    "w,h,subsample", [(8, 8, "444"), (16, 16, "420"), (24, 17, "420"), (20, 10, "422")]
+)
+def test_progressive_jpeg_exact_vs_baseline(w, h, subsample):
+    """The progressive decode path must reconstruct EXACTLY the same
+    quantized coefficients as the baseline bitstream of the same image -
+    so the decoded pixels are byte-identical between the two encodings
+    (the IDCT inputs are equal), and match the independent numpy
+    reference within 1."""
+    import numpy as np
+
+    from readability_1_spark.multimodal import decode_pixels
+
+    rgb = _jpeg_test_image(w, h, seed=11)
+    base_payload, blocks, comps, mcu_dims = _encode_jpeg(rgb, subsample, 0)
+    prog_payload, *_ = _encode_jpeg_progressive(rgb, subsample)
+    bw_, bh_, base_rows = decode_pixels(base_payload)
+    pw_, ph_, prog_rows = decode_pixels(prog_payload)
+    assert (bw_, bh_) == (pw_, ph_) == (w, h)
+    assert [bytes(r) for r in base_rows] == [bytes(r) for r in prog_rows]
+    exp = _jpeg_reference_rgb(w, h, blocks, comps, mcu_dims)
+    got = np.array(
+        [[prog_rows[y][3 * x : 3 * x + 3] for x in range(w)] for y in range(h)],
+        dtype=int,
+    )
+    assert np.abs(got - exp).max() <= 1
+
+
+def test_progressive_jpeg_decode_image_means():
+    from readability_1_spark.multimodal import decode_image
+
+    rgb = _jpeg_test_image(16, 16, seed=5)
+    payload, *_ = _encode_jpeg_progressive(rgb, "420")
+    out = decode_image(payload)
+    assert (out["width"], out["height"]) == (16, 16)
+    assert all(0.0 <= m <= 1.0 for m in out["channel_means"])
