@@ -85,6 +85,7 @@ def curate_pretraining_data(
     benchmark_shingles: DataFrame | None = None,
     max_contamination: float = 0.2,
     split_by: str = "content",
+    model_score: bool = False,
 ) -> DataFrame:
     """transcripts → curated documents DataFrame (no sink).
 
@@ -280,12 +281,38 @@ def curate_pretraining_data(
         periods.alias("n_periods"),
         F.round(n_stop / F.greatest(n_tokens, F.lit(1)), 6).alias("stopword_ratio"),
     )
-    gated = scored.filter(
+    gate_cond = (
         (F.col("n_chars") >= min_chars)
         & (F.col("n_tokens") >= min_tokens)
         & (F.col("n_periods") >= min_periods)
         & (F.col("stopword_ratio") <= max_stopword_ratio)
     )
+    gated = scored.filter(gate_cond)
+    if model_score:
+        # Model-based quality scoring (CCNet/RefinedWeb pattern): train the
+        # linear classifier on THIS corpus's own rule-gate labels over the
+        # PRE-gate population (post-gate labels would be all-1, degenerate),
+        # then attach its score to every surviving doc as metadata for
+        # downstream mixing/thresholding.  Deterministic (see
+        # queries.train_quality_classifier); adds QC_ITERS+1 aggregation
+        # jobs over a narrow 21-column feature frame.
+        from .queries import (
+            qc_feature_frame,
+            qc_score_frame,
+            train_quality_classifier,
+        )
+
+        feats = qc_feature_frame(
+            scored,
+            text_col="text_content",
+            id_cols=("conv_id", "turn_idx"),
+            label_col=gate_cond,
+        )
+        w, b = train_quality_classifier(feats)
+        scores = qc_score_frame(
+            feats, w, b, id_cols=("conv_id", "turn_idx")
+        ).withColumnRenamed("score", "quality_score")
+        gated = gated.join(scores, ["conv_id", "turn_idx"], "left")
     # Split LAST: dedup/gates must not see the split (they act corpus-wide).
     # split_by="content" (default) keys the bucket on content_hash — the
     # CONTENT, not provenance — so the same text lands in the same split

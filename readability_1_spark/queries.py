@@ -3762,22 +3762,29 @@ def _round6_half_up(x: float) -> float:
     )
 
 
-def _qc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc feature row (doc_id, y, f0..f19), every feature round(…,6):
-    16 hashed-unigram count ratios (md5 base-31 poly fold mod 16 — the
-    same deterministic hash as _md5_bucket) + 4 dense stats.  Label y =
-    the rule gate (n_tokens >= 50 AND stopword_ratio >= 0.05) the trained
-    model is asked to reproduce.  All JVM-side expressions, one corpus
-    scan, no shuffle."""
-    docs = _t(spark, sf_dir, "documents")
-    ws = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+def qc_feature_frame(
+    df: DataFrame,
+    text_col: str = "text",
+    id_cols: tuple = ("doc_id",),
+    label_col=None,
+) -> DataFrame:
+    """Per-doc feature row (*id_cols, y, f0..f19), every feature
+    round(…,6): 16 hashed-unigram count ratios (md5 base-31 poly fold mod
+    16 — the same deterministic hash as _md5_bucket) + 4 dense stats.
+    `label_col` is the 0/1 training label (a Column); the default is the
+    rule gate (n_tokens >= 50 AND stopword_ratio >= 0.05) the registered
+    query asks the model to reproduce.  All JVM-side expressions, one
+    corpus scan, no shuffle.  Reused by pretrain.model-score stage over
+    extracted transcript text."""
+    ws = F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda x: x != "")
     stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    base = docs.select(
-        "doc_id",
+    base = df.select(
+        *id_cols,
         F.size(ws).alias("n_tokens"),
-        F.length("text").alias("n_chars"),
+        F.length(text_col).alias("n_chars"),
         F.size(F.filter(ws, lambda x: F.array_contains(stop_arr, x))).alias("n_stop"),
         F.transform(ws, lambda x: _md5_bucket(x, QC_HASH_D)).alias("bks"),
+        *([] if label_col is None else [label_col.cast("int").alias("_y")]),
     ).filter(F.col("n_tokens") > 0)
 
     def _eq(j):
@@ -3789,12 +3796,17 @@ def _qc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"f{j}")
         for j in range(QC_HASH_D)
     ]
-    return base.select(
-        "doc_id",
+    y = (
         (
             (F.col("n_tokens") >= 50)
             & ((F.col("n_stop") / F.col("n_tokens")) >= 0.05)
-        ).cast("int").alias("y"),
+        ).cast("int")
+        if label_col is None
+        else F.col("_y")
+    )
+    return base.select(
+        *id_cols,
+        y.alias("y"),
         *hashed,
         F.round(F.col("n_tokens") / 100, 6).alias(f"f{QC_HASH_D}"),
         F.round(F.col("n_chars") / 1000, 6).alias(f"f{QC_HASH_D + 1}"),
@@ -3803,6 +3815,10 @@ def _qc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"f{QC_HASH_D + 3}"
         ),
     )
+
+
+def _qc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return qc_feature_frame(_t(spark, sf_dir, "documents"))
 
 
 def _qc_train(spark: SparkSession, sf_dir: str):
@@ -3827,7 +3843,15 @@ def _qc_train(spark: SparkSession, sf_dir: str):
         return _QC_CACHE[key]
     for k in [k for k in _QC_CACHE if k[0] != app_id]:
         del _QC_CACHE[k]
-    feats = _qc_features(spark, sf_dir).localCheckpoint()
+    w, b = train_quality_classifier(_qc_features(spark, sf_dir))
+    _QC_CACHE[key] = (w, b)
+    return w, b
+
+
+def train_quality_classifier(feats: DataFrame):
+    """Generic trainer over a (…, y, f0..f19) feature frame; see _qc_train
+    for the determinism discipline.  Returns (weights, bias)."""
+    feats = feats.localCheckpoint()
     n = feats.count()
     w = [0.0] * QC_N_FEATS
     b = 0.0
@@ -3856,8 +3880,22 @@ def _qc_train(spark: SparkSession, sf_dir: str):
             _round6_half_up(w[j] - QC_LR * row[j] / n) for j in range(QC_N_FEATS)
         ]
         b = _round6_half_up(b - QC_LR * row[QC_N_FEATS] / n)
-    _QC_CACHE[key] = (w, b)
     return w, b
+
+
+def qc_score_frame(feats: DataFrame, w, b, id_cols: tuple = ("doc_id",)) -> DataFrame:
+    """Score a feature frame with trained weights: (*id_cols, score)."""
+    z = F.lit(b)
+    for j in range(QC_N_FEATS):
+        z = z + F.lit(w[j]) * F.col(f"f{j}")
+    return feats.withColumn("z", F.round(z, 6)).select(
+        *id_cols,
+        F.round(
+            F.lit(0.5)
+            + F.col("z") / (F.lit(2.0) * (F.lit(1.0) + F.abs(F.col("z")))),
+            6,
+        ).alias("score"),
+    )
 
 
 def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:

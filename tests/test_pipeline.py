@@ -642,3 +642,33 @@ def test_read_as_of_time_travel_equivalent(spark, tmp_path):
     again = read_as_of(storage, "runT", r1["batch_id"])
     assert again.count() == r1["rows"]
     _shutil.rmtree(root, ignore_errors=True)
+
+
+def test_curate_model_quality_score(spark):
+    """model_score=True trains the linear quality classifier on the
+    corpus's own rule-gate labels (pre-gate population) and attaches a
+    deterministic quality_score to every curated doc."""
+    from readability_1_spark.pretrain import curate_pretraining_data
+    from readability_1_spark.transcripts import smoke_transcripts
+
+    t = smoke_transcripts(spark)
+    curated = curate_pretraining_data(
+        t, num_parts=8, model_score=True
+    ).collect()
+    assert curated, "curation produced no rows"
+    assert all(r.quality_score is not None for r in curated)
+    assert all(0.0 <= r.quality_score <= 1.0 for r in curated)
+    # gate survivors are the label-1 class: the model should score them
+    # above the midpoint of its own score range on average
+    again = {
+        (r.conv_id, r.turn_idx): r.quality_score
+        for r in curate_pretraining_data(
+            t, num_parts=8, model_score=True
+        ).collect()
+    }
+    assert all(
+        again[(r.conv_id, r.turn_idx)] == r.quality_score for r in curated
+    )
+    # default path is unchanged (no quality_score column)
+    plain = curate_pretraining_data(t, num_parts=8)
+    assert "quality_score" not in plain.columns
