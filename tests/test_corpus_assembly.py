@@ -362,3 +362,44 @@ def test_doc_quality_classifier_agrees_with_rule_gates(spark):
     # determinism: a second invocation returns identical scores
     again = {r.doc_id: r.score for r in q_doc_quality_classifier(spark, SF_DIR).collect()}
     assert all(again[r.doc_id] == r.score for r in rows)
+
+
+def test_pack_token_sequences_property(spark):
+    """Property check over randomized corpora: for any doc-id/ids shape,
+    seq_len, and range-partition count, packing equals the reference
+    concat-and-chunk of (ids + EOS) in doc order."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from readability_1_spark.pretrain import pack_token_sequences
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        docs=st.lists(
+            st.lists(st.integers(0, 90), min_size=0, max_size=17),
+            min_size=1,
+            max_size=12,
+        ),
+        seq_len=st.integers(1, 9),
+        n_ranges=st.integers(1, 5),
+    )
+    def inner(docs, seq_len, n_ranges):
+        eos = 99
+        per_doc = spark.createDataFrame(
+            [(i, ids) for i, ids in enumerate(docs)],
+            "doc_id int, ids array<int>",
+        )
+        stream = [t for ids in docs for t in list(ids) + [eos]]
+        expected = {
+            s: stream[s * seq_len : (s + 1) * seq_len]
+            for s in range(-(-len(stream) // seq_len))
+        }
+        got = {
+            r.seq_id: list(r.token_ids)
+            for r in pack_token_sequences(
+                per_doc, seq_len, eos, n_ranges=n_ranges
+            ).collect()
+        }
+        assert got == expected
+
+    inner()
