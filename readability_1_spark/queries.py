@@ -1207,7 +1207,7 @@ def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DEDUP_MINHASH_CLUSTERS = (
+_SQL_MINHASH_CC_CTES = (
     _SHINGLES_SQL.replace("WITH toks", "WITH RECURSIVE toks", 1)
     + f"""
   , minhashes AS (
@@ -1236,12 +1236,267 @@ SQL_DEDUP_MINHASH_CLUSTERS = (
     SELECT re.doc_id, e.dst FROM reach re JOIN edges e ON e.src = re.r
   ),
   cc AS (SELECT doc_id, min(r) AS cluster_id FROM reach GROUP BY doc_id)
+"""
+)
+
+SQL_DEDUP_MINHASH_CLUSTERS = (
+    _SQL_MINHASH_CC_CTES
+    + """
 SELECT doc_id, cluster_id,
        count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
        (doc_id = cluster_id) AS is_keeper
 FROM cc
 """
 )
+
+
+def q_dedup_minhash_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection inside near-dup clusters: instead
+    of the min-doc_id keeper `dedup_minhash_clusters` uses, keep the
+    LONGEST document of each cluster (ties: min doc_id) — the policy real
+    curation runs use so boilerplate-trimmed fragments lose to the fullest
+    copy.  Built as pair generation → connected components → ONE ranking
+    window per cluster; the quality key (n_chars) rides along from the
+    scan, so the extra cost over cluster resolution is a single
+    cluster-partitioned window — no new wide shuffle at 100 TB (cluster_id
+    is already the partitioning key of the labeling join)."""
+    clusters = q_dedup_minhash_clusters(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        clusters.join(docs, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            (F.col("rn") == 1).alias("is_kept"),
+        )
+    )
+
+
+SQL_DEDUP_MINHASH_KEEP_BEST = (
+    _SQL_MINHASH_CC_CTES
+    + """
+, sized AS (
+  SELECT c.doc_id, c.cluster_id,
+         count(*) OVER (PARTITION BY c.cluster_id) AS cluster_size,
+         d.n_chars,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+  FROM cc c JOIN documents d ON c.doc_id = d.doc_id
+)
+SELECT doc_id, cluster_id, cluster_size,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       (rn = 1) AS is_kept
+FROM sized
+"""
+)
+
+
+POSTINGS_CAP = 100  # bounded per-token posting-list prefix
+
+
+def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the search-side primitive of a corpus store:
+    per token, document frequency, total term frequency, and the posting
+    list (first POSTINGS_CAP doc_ids, ascending, comma-joined).  Shape:
+    one (tok, doc_id) pre-aggregation (map-side combine collapses
+    within-doc repeats before the exchange), then a per-token rollup where
+    the posting prefix is RANK-FILTERED BEFORE collection (row_number ≤
+    cap, then collect_list) — per-token aggregation state is bounded by
+    the cap, so a stopword's million-document posting list can never
+    materialize in one task at 100 TB; df/total_tf still come from the
+    full stream via plain counting."""
+    docs = _t(spark, sf_dir, "documents")
+    per = (
+        _tokens(docs)
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    stats = per.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+    )
+    wp = Window.partitionBy("tok").orderBy("doc_id")
+    top = (
+        per.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= POSTINGS_CAP)
+        .groupBy("tok")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda d: d.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return stats.join(top, "tok").select("tok", "df", "total_tf", "postings")
+
+
+SQL_INVERTED_INDEX_POSTINGS = f"""
+WITH tk AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), per AS (
+  SELECT tok, doc_id, count(*) AS tf FROM tk GROUP BY tok, doc_id
+), stats AS (
+  SELECT tok, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+  FROM per GROUP BY tok
+), top AS (
+  SELECT tok,
+         array_to_string(
+           list_slice(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id),
+                      1, {POSTINGS_CAP}), ',') AS postings
+  FROM per GROUP BY tok
+)
+SELECT s.tok, s.df, s.total_tf, t.postings
+FROM stats s JOIN top t ON s.tok = t.tok
+"""
+
+
+EXACT_SUB_K = 8  # duplicated-span window length, in tokens
+
+
+def q_dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document EXACT-SUBSTRING deduplication — the ExactSubstr stage
+    of "Deduplicating Training Data Makes Language Models Better" (Lee et
+    al., 2022), re-expressed shuffle-first instead of suffix-array-first:
+    every K-token window is keyed by a 64-bit content hash, the globally
+    FIRST occurrence of each window (total order: doc_id, then position)
+    survives, and every token covered by a later duplicate occurrence is
+    stripped from the document.  Output is a per-doc verdict + the cleaned
+    text: (n_tokens, n_dup_windows, n_dup_tokens, dup_ratio, kept_text).
+
+    Scale shape: ONE wide shuffle, on the window hash (a 16-hex-char key,
+    not the K-token string — the projection happens before the exchange so
+    the shuffle carries ~16 bytes/window), ranked with a per-key window
+    function; coverage expansion is an explode bounded by K×dup-windows;
+    the rebuild is a per-doc index filter over the already-held token
+    array.  No all-pairs stage anywhere, so the cost is linear in corpus
+    tokens — the property that lets this replace an O(corpus) suffix array
+    at 100 TB.  Hash collisions (2⁻⁶⁴) would merge distinct windows
+    identically in both engines, keeping the oracle exact."""
+    K = EXACT_SUB_K
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != ""
+        ).alias("ws"),
+    ).filter(F.size("ws") > 0)
+    win_structs = F.transform(
+        F.sequence(F.lit(1), F.size("ws") - (K - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.substring(
+                F.md5(F.array_join(F.slice("ws", i, K), " ")), 1, 16
+            ).alias("gkey"),
+        ),
+    )
+    occ = base.select(
+        "doc_id",
+        F.explode(
+            F.when(F.size("ws") >= K, win_structs).otherwise(
+                F.array().cast("array<struct<pos:int,gkey:string>>")
+            )
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.gkey").alias("gkey"))
+    wdup = Window.partitionBy("gkey").orderBy("doc_id", "pos")
+    dup = (
+        occ.withColumn("rn", F.row_number().over(wdup))
+        .filter(F.col("rn") > 1)
+        .select("doc_id", "pos")
+    )
+    cov = dup.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (K - 1))).alias("p"),
+    ).distinct()
+    dupw = dup.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_dup_windows"))
+    cova = cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_tokens"),
+        F.collect_list("p").alias("cov"),
+    )
+    empty_cov = F.array().cast("array<int>")
+    return (
+        base.join(cova, "doc_id", "left")
+        .join(dupw, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("ws").cast("long").alias("n_tokens"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.coalesce("n_dup_tokens", F.lit(0)).cast("long").alias("n_dup_tokens"),
+            F.round(
+                F.coalesce("n_dup_tokens", F.lit(0)) / F.size("ws"), 6
+            ).alias("dup_ratio"),
+            F.array_join(
+                F.filter(
+                    "ws",
+                    lambda x, i: ~F.array_contains(
+                        F.coalesce(F.col("cov"), empty_cov), i + F.lit(1)
+                    ),
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )
+
+
+SQL_DEDUP_EXACT_SUBSTRING = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                     x -> x <> '') AS ws
+  FROM documents
+), base AS (
+  SELECT doc_id, ws, len(ws) AS n FROM toks WHERE len(ws) > 0
+), occ AS (
+  SELECT doc_id, i AS pos,
+         substr(md5(array_to_string(list_slice(ws, i, i + {EXACT_SUB_K - 1}), ' ')),
+                1, 16) AS gkey
+  FROM base, UNNEST(generate_series(1, greatest(n - {EXACT_SUB_K - 1}, 0))) AS t(i)
+), ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gkey ORDER BY doc_id, pos) AS rn
+  FROM occ
+), dup AS (
+  SELECT doc_id, pos FROM ranked WHERE rn > 1
+), cov AS (
+  SELECT DISTINCT doc_id, p
+  FROM dup, UNNEST(generate_series(pos, pos + {EXACT_SUB_K - 1})) AS c(p)
+), dupw AS (
+  SELECT doc_id, count(*) AS n_dup_windows FROM dup GROUP BY doc_id
+), cova AS (
+  SELECT doc_id, count(*) AS n_dup_tokens FROM cov GROUP BY doc_id
+), posn AS (
+  SELECT b.doc_id, t.i, b.ws[t.i] AS tok
+  FROM base b, UNNEST(generate_series(1, b.n)) AS t(i)
+), kept AS (
+  SELECT p.doc_id, string_agg(p.tok, ' ' ORDER BY p.i) AS kept_text
+  FROM posn p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM cov c WHERE c.doc_id = p.doc_id AND c.p = p.i
+  )
+  GROUP BY p.doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n AS BIGINT) AS n_tokens,
+       CAST(coalesce(dw.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+       CAST(coalesce(ca.n_dup_tokens, 0) AS BIGINT) AS n_dup_tokens,
+       round(coalesce(ca.n_dup_tokens, 0) / CAST(b.n AS DOUBLE), 6) AS dup_ratio,
+       coalesce(k.kept_text, '') AS kept_text
+FROM base b
+LEFT JOIN dupw dw ON b.doc_id = dw.doc_id
+LEFT JOIN cova ca ON b.doc_id = ca.doc_id
+LEFT JOIN kept k ON b.doc_id = k.doc_id
+"""
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4516,5 +4771,8 @@ QUERIES: dict[str, tuple] = {
     "token_cms_heavy_hitters": (q_token_cms_heavy_hitters, SQL_TOKEN_CMS),
     "distinct_hll_estimate": (q_distinct_hll_estimate, SQL_DISTINCT_HLL_ESTIMATE),
     "hll_merge_by_source": (q_hll_merge_by_source, SQL_HLL_MERGE_BY_SOURCE),
+    "dedup_exact_substring": (q_dedup_exact_substring, SQL_DEDUP_EXACT_SUBSTRING),
+    "dedup_minhash_keep_best": (q_dedup_minhash_keep_best, SQL_DEDUP_MINHASH_KEEP_BEST),
+    "inverted_index_postings": (q_inverted_index_postings, SQL_INVERTED_INDEX_POSTINGS),
 }
 
