@@ -308,9 +308,9 @@ def curate_pretraining_data(
             id_cols=("conv_id", "turn_idx"),
             label_col=gate_cond,
         )
-        w, b = train_quality_classifier(feats)
+        w, b, feats_ck = train_quality_classifier(feats, return_feats=True)
         scores = qc_score_frame(
-            feats, w, b, id_cols=("conv_id", "turn_idx")
+            feats_ck, w, b, id_cols=("conv_id", "turn_idx")
         ).withColumnRenamed("score", "quality_score")
         gated = gated.join(scores, ["conv_id", "turn_idx"], "left")
     # Split LAST: dedup/gates must not see the split (they act corpus-wide).

@@ -3298,7 +3298,16 @@ def _bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = BPE_MERGES):
                 F.lit(f" {t.left_sym}  {t.right_sym} "),
                 F.lit(f" {t.left_sym}{t.right_sym} "),
             ),
-        ).localCheckpoint()
+        )
+        # Checkpoint every 5th merge, not every merge: the inter-checkpoint
+        # lineage is just stacked literal `replace`s (cheap to replay inside
+        # the next pair-count job), so striding drops ~40 of the ~50
+        # materialization jobs while still bounding the plan depth.
+        if rank % 5 == 0:
+            state = state.localCheckpoint()
+    # The final state feeds every downstream tokenize call repeatedly —
+    # always leave it materialized.
+    state = state.localCheckpoint()
     merges_df = spark.createDataFrame(
         merge_rows,
         "merge_rank int, left_sym string, right_sym string, "
@@ -4000,7 +4009,7 @@ QC_N_FEATS = QC_HASH_D + 4  # + n_tokens/100, n_chars/1000, stop_ratio, cpt/10
 QC_ITERS = 15
 QC_LR = 2.0
 
-_QC_CACHE: dict = {}  # (applicationId, sf_dir) -> (weights list, bias)
+_QC_CACHE: dict = {}  # (applicationId, sf_dir) -> (weights, bias, checkpointed feats)
 
 
 def _round6_half_up(x: float) -> float:
@@ -4098,14 +4107,22 @@ def _qc_train(spark: SparkSession, sf_dir: str):
         return _QC_CACHE[key]
     for k in [k for k in _QC_CACHE if k[0] != app_id]:
         del _QC_CACHE[k]
-    w, b = train_quality_classifier(_qc_features(spark, sf_dir))
-    _QC_CACHE[key] = (w, b)
-    return w, b
+    w, b, feats_ck = train_quality_classifier(
+        _qc_features(spark, sf_dir), return_feats=True
+    )
+    # The checkpointed feature frame is cached alongside the weights so the
+    # scoring pass reuses the materialized 21-column frame instead of
+    # re-running the md5-per-token feature scan (same session-lifetime
+    # memory trade as _BPE_CACHE's state frame: narrow and vocab-bounded).
+    _QC_CACHE[key] = (w, b, feats_ck)
+    return _QC_CACHE[key]
 
 
-def train_quality_classifier(feats: DataFrame):
+def train_quality_classifier(feats: DataFrame, return_feats: bool = False):
     """Generic trainer over a (…, y, f0..f19) feature frame; see _qc_train
-    for the determinism discipline.  Returns (weights, bias)."""
+    for the determinism discipline.  Returns (weights, bias), or
+    (weights, bias, checkpointed_feature_frame) with return_feats=True so
+    callers can score against the already-materialized frame."""
     feats = feats.localCheckpoint()
     n = feats.count()
     w = [0.0] * QC_N_FEATS
@@ -4135,7 +4152,7 @@ def train_quality_classifier(feats: DataFrame):
             _round6_half_up(w[j] - QC_LR * row[j] / n) for j in range(QC_N_FEATS)
         ]
         b = _round6_half_up(b - QC_LR * row[QC_N_FEATS] / n)
-    return w, b
+    return (w, b, feats) if return_feats else (w, b)
 
 
 def qc_score_frame(feats: DataFrame, w, b, id_cols: tuple = ("doc_id",)) -> DataFrame:
@@ -4163,8 +4180,7 @@ def q_doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration count, round-6 at every stage, algebraic sigmoid) so the
     DuckDB oracle can replay training exactly.  Returns per-doc
     (score, pred, label)."""
-    w, b = _qc_train(spark, sf_dir)
-    feats = _qc_features(spark, sf_dir)
+    w, b, feats = _qc_train(spark, sf_dir)
     z = F.lit(b)
     for j in range(QC_N_FEATS):
         z = z + F.lit(w[j]) * F.col(f"f{j}")
