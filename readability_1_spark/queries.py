@@ -4701,8 +4701,10 @@ QUERIES: dict[str, tuple] = {
     # CORRECTNESS_LOCAL.json).  Round-5 window: extraction + the new
     # token-id/classifier queries + the queries whose code paths changed
     # this round (connected-components clusters, packing, multimodal) +
-    # the 18 relational queries rotated back IN (last driver-attested in
-    # r03).  Rotated OUT (all driver-green in r03+r04): the 7 ANN queries,
+    # the relational queries rotated back IN (last driver-attested in r03;
+    # 15 of 18 stay in-window — the last three yield their slots to the
+    # session's new operators so those get first-round driver attestation).
+    # Rotated OUT (all driver-green in r03+r04): the 7 ANN queries,
     # 7 long-green dedup entries, 5 fingerprint/sketch entries.
     # tests/test_driver_contract.py pins this window; update BOTH together.
     # extraction (oracle = committed reference goldens)
@@ -4759,6 +4761,13 @@ QUERIES: dict[str, tuple] = {
     "events_resample_hourly": (q_events_resample_hourly, SQL_EVENTS_RESAMPLE_HOURLY),
     "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
+    # new this session: exact-substring dedup, quality-aware cluster
+    # canonicalization, inverted index — in-window so the external driver
+    # attests them in their first round; they displace the last three
+    # relational entries (r03-attested, re-attested by CORRECTNESS_LOCAL).
+    "dedup_exact_substring": (q_dedup_exact_substring, SQL_DEDUP_EXACT_SUBSTRING),
+    "dedup_minhash_keep_best": (q_dedup_minhash_keep_best, SQL_DEDUP_MINHASH_KEEP_BEST),
+    "inverted_index_postings": (q_inverted_index_postings, SQL_INVERTED_INDEX_POSTINGS),
     "lineitem_percentiles": (q_lineitem_percentiles, SQL_LINEITEM_PERCENTILES),
     "events_rolling_stats": (q_events_rolling_stats, SQL_EVENTS_ROLLING_STATS),
     "events_json_props": (q_events_json_props, SQL_EVENTS_JSON_PROPS),
@@ -4787,8 +4796,5 @@ QUERIES: dict[str, tuple] = {
     "token_cms_heavy_hitters": (q_token_cms_heavy_hitters, SQL_TOKEN_CMS),
     "distinct_hll_estimate": (q_distinct_hll_estimate, SQL_DISTINCT_HLL_ESTIMATE),
     "hll_merge_by_source": (q_hll_merge_by_source, SQL_HLL_MERGE_BY_SOURCE),
-    "dedup_exact_substring": (q_dedup_exact_substring, SQL_DEDUP_EXACT_SUBSTRING),
-    "dedup_minhash_keep_best": (q_dedup_minhash_keep_best, SQL_DEDUP_MINHASH_KEEP_BEST),
-    "inverted_index_postings": (q_inverted_index_postings, SQL_INVERTED_INDEX_POSTINGS),
 }
 

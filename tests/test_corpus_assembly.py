@@ -403,3 +403,77 @@ def test_pack_token_sequences_property(spark):
         assert got == expected
 
     inner()
+
+
+def test_exact_substring_dedup_keep_first(spark, tmp_path):
+    """Keep-first semantics of the duplicated-span strip: a K=8-token span
+    shared across docs survives only at its globally first (doc_id, pos)
+    occurrence; a span repeated WITHIN a doc keeps its first copy; docs
+    shorter than K and docs with no duplicated window pass untouched."""
+    from readability_1_spark.queries import q_dedup_exact_substring
+
+    d1 = "a b c d e f g h x y"                # owns the span at pos 1
+    d2 = "q r a b c d e f g h"                # same span again at pos 3
+    d3 = "a b c"                              # shorter than K: no windows
+    d4 = "t u v w m n o k t u v w m n o k"    # internal repeat at pos 9
+    docs = spark.createDataFrame(
+        [(1, d1, "s", len(d1)), (2, d2, "s", len(d2)),
+         (3, d3, "s", len(d3)), (4, d4, "s", len(d4))],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in
+           q_dedup_exact_substring(spark, str(tmp_path)).collect()}
+    assert out[1].n_dup_windows == 0 and out[1].kept_text == d1
+    assert out[2].n_dup_windows == 1
+    assert out[2].n_dup_tokens == 8
+    assert out[2].dup_ratio == 0.8
+    assert out[2].kept_text == "q r"
+    assert out[3].n_dup_windows == 0 and out[3].kept_text == d3
+    assert out[4].n_dup_windows == 1
+    assert out[4].kept_text == "t u v w m n o k"
+
+
+def test_minhash_keep_best_prefers_longest(spark, tmp_path):
+    """Canonical selection keeps the LONGEST doc of a near-dup cluster
+    (ties: min doc_id), not the min doc_id — and singletons keep
+    themselves."""
+    from readability_1_spark.queries import q_dedup_minhash_keep_best
+
+    dup = "the quick brown fox jumps over the lazy dog again and again"
+    uniq = "completely different content with no shared shingles at all"
+    docs = spark.createDataFrame(
+        [(1, dup, "s", 10), (2, dup, "s", 50), (3, uniq, "s", 30)],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in
+           q_dedup_minhash_keep_best(spark, str(tmp_path)).collect()}
+    assert out[1].cluster_id == out[2].cluster_id
+    assert out[1].cluster_size == 2
+    assert not out[1].is_kept and out[2].is_kept  # longest wins, not min id
+    assert out[3].is_kept and out[3].cluster_size == 1
+
+
+def test_inverted_index_counts_and_cap(spark, tmp_path, monkeypatch):
+    """df counts distinct docs, total_tf counts occurrences, postings are
+    ascending doc_ids, and the posting-list prefix cap truncates (rank
+    filter BEFORE collection)."""
+    from readability_1_spark import queries
+
+    docs = spark.createDataFrame(
+        [(1, "foo bar foo", "s", 11), (2, "foo baz", "s", 7),
+         (3, "foo", "s", 3)],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.tok: r for r in
+           queries.q_inverted_index_postings(spark, str(tmp_path)).collect()}
+    assert (out["foo"].df, out["foo"].total_tf, out["foo"].postings) == (3, 4, "1,2,3")
+    assert (out["bar"].df, out["bar"].total_tf, out["bar"].postings) == (1, 1, "1")
+    assert out["baz"].postings == "2"
+    monkeypatch.setattr(queries, "POSTINGS_CAP", 2)
+    capped = {r.tok: r for r in
+              queries.q_inverted_index_postings(spark, str(tmp_path)).collect()}
+    assert capped["foo"].postings == "1,2"       # prefix, not arbitrary 2
+    assert capped["foo"].df == 3                 # df still from full stream

@@ -61,7 +61,8 @@ DRIVER_WINDOW_50 = [
     "events_asof_orders", "value_band_range_join", "revenue_rollup",
     "revenue_cube", "events_set_ops", "big_spender_exists",
     "events_resample_hourly", "customers_without_orders", "events_pivot",
-    "lineitem_percentiles", "events_rolling_stats", "events_json_props",
+    "dedup_exact_substring", "dedup_minhash_keep_best",
+    "inverted_index_postings",
 ]
 
 

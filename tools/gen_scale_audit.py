@@ -91,6 +91,9 @@ SCALE_CLASS = {
     "bpe_tokenize_ids": ("shuffle", "per-distinct-word id segmentation (vocab-sized) hash-joined to positional occurrences; per-doc order restored JVM-side (array_sort), one doc_id exchange"),
     "pack_token_ids": ("shuffle", "two-pass distributed prefix sum (range partition + per-partition window, one bounded driver collect of per-partition totals) -> linear posexplode -> one seq_id exchange; no global single-partition window"),
     "doc_quality_classifier": ("shuffle", "feature scan is linear JVM expressions; each training iteration is ONE aggregation job with map-side combine (21 sums); scoring pass linear"),
+    "dedup_exact_substring": ("shuffle", "one wide exchange on the 16-hex window hash (projected before the exchange), per-key rank window; coverage explode bounded by K x dup windows; rebuild is per-doc array filter"),
+    "dedup_minhash_keep_best": ("bucketed", "minhash pairs + CC as dedup_minhash_clusters, then ONE ranking window per cluster_id (already the partitioning key)"),
+    "inverted_index_postings": ("shuffle", "(tok,doc) pre-agg with map-side combine, then per-tok rollup; posting prefix rank-filtered BEFORE collect so per-token state is cap-bounded"),
 }
 
 
