@@ -477,3 +477,84 @@ def test_inverted_index_counts_and_cap(spark, tmp_path, monkeypatch):
               queries.q_inverted_index_postings(spark, str(tmp_path)).collect()}
     assert capped["foo"].postings == "1,2"       # prefix, not arbitrary 2
     assert capped["foo"].df == 3                 # df still from full stream
+
+
+def test_bm25_ranking_and_topk_cap(spark, tmp_path, monkeypatch):
+    """Query terms are the top-df pairs (ties lexicographic), a higher-tf
+    doc outranks a lower-tf doc of the same length for the same query,
+    rnk is gapless from 1, and BM25_TOPK caps each query's list."""
+    from readability_1_spark import queries
+
+    # dfs: t1..t8 appear in 8,7,...,1 docs -> queries (t1,t2) (t3,t4) ...
+    toks = [f"t{i}" for i in range(1, 9)]
+    rows = []
+    for d in range(1, 9):
+        body = " ".join(toks[: 9 - d])          # doc d holds t1..t_{9-d}
+        rows.append((d, body, "s", len(body)))
+    # two extra same-length docs where only tf of t8 differs
+    rows.append((20, "t8 t8 t8 zz", "s", 11))
+    rows.append((21, "t8 zz zz zz", "s", 11))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = queries.q_bm25_search_topk(spark, str(tmp_path)).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2, 3}
+    assert by_q[0][0].query_terms == "t1,t2"
+    # df ties at 3 (t6, t8) break lexicographically, so ranks 7-8 are t8, t7
+    assert by_q[3][0].query_terms == "t8,t7"
+    for q, rs in by_q.items():
+        assert [r.rnk for r in sorted(rs, key=lambda r: r.rnk)] == list(
+            range(1, len(rs) + 1)
+        )
+    # query 3 contains t8: doc 20 (tf=3) must outrank doc 21 (tf=1)
+    q3 = {r.doc_id: r for r in by_q[3]}
+    assert q3[20].score > q3[21].score
+    monkeypatch.setattr(queries, "BM25_TOPK", 2)
+    capped = queries.q_bm25_search_topk(spark, str(tmp_path)).collect()
+    for q in (0, 1, 2, 3):
+        assert len([r for r in capped if r.query_id == q]) == 2
+
+
+def test_bloom_membership_no_false_negatives(spark, tmp_path, monkeypatch):
+    """Exact duplicates of prior-snapshot docs are always bloom hits (no
+    false negatives); with the full-width filter a unique doc misses; with
+    a tiny monkeypatched filter the planted false positive (verified
+    against an independent hashlib mini-oracle) is flagged bloom_hit but
+    not actual_dup."""
+    import hashlib
+
+    from readability_1_spark import queries
+
+    def positions(text, bits):
+        h = hashlib.md5(text.encode()).hexdigest()
+        return {int(h[4 * i : 4 * i + 4], 16) % bits for i in range(4)}
+
+    t_prior = "shared prior snapshot text"
+    t_uniq = "completely fresh new text"
+    rows = [
+        (4, t_prior, "s", len(t_prior)),      # prior slice (doc_id % 4 == 0)
+        (5, t_prior, "s", len(t_prior)),      # new, exact dup of prior
+        (6, t_uniq, "s", len(t_uniq)),        # new, unique
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in
+           queries.q_dedup_bloom_membership(spark, str(tmp_path)).collect()}
+    assert out[5].actual_dup and out[5].bloom_hit
+    assert not out[6].actual_dup
+    # independent mini-oracle agrees with the full-width verdict for doc 6
+    full_set = positions(t_prior, queries.BLOOM_BITS)
+    assert out[6].bloom_hit == (positions(t_uniq, queries.BLOOM_BITS) <= full_set)
+    assert not out[6].bloom_hit
+    monkeypatch.setattr(queries, "BLOOM_BITS", 2)
+    tiny = {r.doc_id: r for r in
+            queries.q_dedup_bloom_membership(spark, str(tmp_path)).collect()}
+    assert tiny[5].bloom_hit                  # still no false negative
+    expect_fp = positions(t_uniq, 2) <= positions(t_prior, 2)
+    assert tiny[6].bloom_hit == expect_fp and not tiny[6].actual_dup

@@ -60,9 +60,9 @@ DRIVER_WINDOW_50 = [
     "nation_revenue", "order_priority_rank", "events_user_stats",
     "events_asof_orders", "value_band_range_join", "revenue_rollup",
     "revenue_cube", "events_set_ops", "big_spender_exists",
-    "events_resample_hourly", "customers_without_orders", "events_pivot",
+    "events_resample_hourly",
     "dedup_exact_substring", "dedup_minhash_keep_best",
-    "inverted_index_postings",
+    "inverted_index_postings", "bm25_search_topk", "dedup_bloom_membership",
 ]
 
 

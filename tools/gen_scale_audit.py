@@ -94,6 +94,8 @@ SCALE_CLASS = {
     "dedup_exact_substring": ("shuffle", "one wide exchange on the 16-hex window hash (projected before the exchange), per-key rank window; coverage explode bounded by K x dup windows; rebuild is per-doc array filter"),
     "dedup_minhash_keep_best": ("bucketed", "minhash pairs + CC as dedup_minhash_clusters, then ONE ranking window per cluster_id (already the partitioning key)"),
     "inverted_index_postings": ("shuffle", "(tok,doc) pre-agg with map-side combine, then per-tok rollup; posting prefix rank-filtered BEFORE collect so per-token state is cap-bounded"),
+    "bm25_search_topk": ("shuffle", "per-(tok,doc) tf + per-doc length are linear map-side-combine aggs; 8-row query-term table BROADCAST so candidates come only from query-term postings (no per-query corpus scan); term pick is TakeOrdered, not a vocab-wide window; per-query ranking window over candidates only"),
+    "dedup_bloom_membership": ("bucketed", "set-bit table bounded by BLOOM_BITS rows regardless of prior-corpus size -> broadcast equi-join on bit position + per-doc rollup; prior corpus never shuffled against the new slice; exact actual_dup twin is a linear digest join kept for FP attestation"),
 }
 
 
