@@ -173,6 +173,12 @@ def main() -> None:
         "bpe_tokenize_ids",
         "pack_token_ids",
         "doc_quality_classifier",
+        # round 5, second wave: BM25 retrieval + Bloom cross-snapshot dedup.
+        # Also excluded from the r04-comparable subtotal.
+        "bm25_search_topk",
+        "dedup_bloom_membership",
+        "gopher_quality_filters",
+        "dsir_importance_weights",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -181,7 +187,15 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    _R5_NEW = ("bpe_tokenize_ids", "pack_token_ids", "doc_quality_classifier")
+    _R5_NEW = (
+        "bpe_tokenize_ids",
+        "pack_token_ids",
+        "doc_quality_classifier",
+        "bm25_search_topk",
+        "dedup_bloom_membership",
+        "gopher_quality_filters",
+        "dsir_importance_weights",
+    )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3
     )

@@ -4187,6 +4187,273 @@ FROM ranked
 """
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+
+
+def q_gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style heuristic rule battery (the published pretraining
+    quality filters: word-count bounds, mean word length band,
+    symbol-to-word ratio of '#'/'...', bullet- and ellipsis-line
+    fractions, alphabetic-word fraction, minimum stop-word hits) evaluated
+    per document, with every intermediate stat emitted so downstream gates
+    can re-threshold without recompute.  `passes_gopher` compares the
+    ROUND-6 stats on both engines so the verdict is deterministic
+    cross-engine; zero-word docs fail via the coalesce(..., false) guard.
+
+    Scale shape: single projection over the scan — every stat is a
+    JVM-side array/regexp expression on the doc's own text (no explode, no
+    join, no shuffle); linear and whole-stage-codegen friendly at any
+    corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), "\\s+"), lambda x: x != "")
+    toks = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    lines = F.split(F.col("text"), "\n")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    word_chars = F.aggregate(
+        words, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ellipsis = F.regexp_count(F.col("text"), F.lit(r"\.\.\."))
+    n_bullet_lines = F.size(
+        F.filter(lines, lambda x: F.ltrim(x).rlike("^[-*•]"))
+    )
+    n_ellipsis_lines = F.size(
+        F.filter(lines, lambda x: F.rtrim(x).endswith("..."))
+    )
+    n_alpha_words = F.size(F.filter(words, lambda x: F.lower(x).rlike("[a-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    # try_divide: zero-word docs get NULL ratios (ANSI-safe), same as the
+    # DuckDB oracle's divide-by-zero semantics.
+    stats = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(F.try_divide(word_chars, n_words), 6).alias("mean_word_len"),
+        F.round(F.try_divide(n_hash + n_ellipsis, n_words), 6).alias(
+            "symbol_ratio"
+        ),
+        F.round(F.try_divide(n_bullet_lines, n_lines), 6).alias("bullet_frac"),
+        F.round(F.try_divide(n_ellipsis_lines, n_lines), 6).alias(
+            "ellipsis_frac"
+        ),
+        F.round(F.try_divide(n_alpha_words, n_words), 6).alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    passes = (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(
+            GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
+        )
+        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("bullet_frac") <= GOPHER_MAX_BULLET_FRAC)
+        & (F.col("ellipsis_frac") <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC)
+        & (F.col("stop_hits") >= GOPHER_MIN_STOP_HITS)
+    )
+    return stats.withColumn(
+        "passes_gopher", F.coalesce(passes, F.lit(False))
+    )
+
+
+SQL_GOPHER_QUALITY_FILTERS = f"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS words,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                     x -> x <> '') AS toks,
+         regexp_split_to_array(text, '\n') AS lines
+  FROM documents
+), stats AS (
+  SELECT doc_id,
+         len(words) AS n_words,
+         round(coalesce(list_sum(list_transform(words, x -> length(x))), 0)
+               / len(words), 6) AS mean_word_len,
+         round((length(text) - length(replace(text, '#', ''))
+                + len(regexp_extract_all(text, '\\.\\.\\.')))
+               / len(words), 6) AS symbol_ratio,
+         round(len(list_filter(lines, x -> regexp_matches(ltrim(x), '^[-*•]')))
+               / len(lines), 6) AS bullet_frac,
+         round(len(list_filter(lines, x -> rtrim(x) LIKE '%...'))
+               / len(lines), 6) AS ellipsis_frac,
+         round(len(list_filter(words, x -> regexp_matches(lower(x), '[a-z]')))
+               / len(words), 6) AS alpha_frac,
+         len(list_filter(toks, x -> x IN {GOPHER_STOPWORDS})) AS stop_hits
+  FROM t
+)
+SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+       ellipsis_frac, alpha_frac, stop_hits,
+       coalesce(n_words BETWEEN {GOPHER_MIN_WORDS} AND {GOPHER_MAX_WORDS}
+                AND mean_word_len BETWEEN {GOPHER_MIN_MEAN_WORD_LEN}
+                                      AND {GOPHER_MAX_MEAN_WORD_LEN}
+                AND symbol_ratio <= {GOPHER_MAX_SYMBOL_RATIO}
+                AND bullet_frac <= {GOPHER_MAX_BULLET_FRAC}
+                AND ellipsis_frac <= {GOPHER_MAX_ELLIPSIS_FRAC}
+                AND alpha_frac >= {GOPHER_MIN_ALPHA_FRAC}
+                AND stop_hits >= {GOPHER_MIN_STOP_HITS},
+                false) AS passes_gopher
+FROM stats
+"""
+
+
+DSIR_BUCKETS = 4096   # hashed-feature space (unigrams + bigrams)
+DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Data Selection via Importance
+    Resampling): every doc is scored by how much more likely its hashed
+    n-gram bag is under the TARGET distribution (here: the corpus's
+    lang=DSIR_TARGET_LANG slice — the language/domain-adaptation use the
+    method was published for) than under the RAW corpus distribution.  Features
+    are unigrams plus adjacent-bigram strings hashed into DSIR_BUCKETS
+    buckets (8 hex chars of md5, mod B — identical integer math in
+    DuckDB); both bag-of-buckets models are Laplace-smoothed
+    p(b) = (c_b + 1)/(tot + B); the weight is the per-feature-occurrence
+    mean of the bucket log-ratios.  Determinism: each bucket's log-ratio
+    is ROUND-6 before the weighted mean (so the summed terms are exact
+    multiples of 1e-6 times integer multiplicities — summation order
+    cannot flip the final round-6), and the weighted mean equals the
+    per-occurrence average (CLAUDE.md recipe).
+
+    Scale shape: feature explode collapses immediately to
+    (doc_id, bucket, k) with map-side combine; the two count tables are
+    bounded by DSIR_BUCKETS rows REGARDLESS of corpus size, so scoring is
+    two broadcast equi-joins on bucket plus a 1-row totals broadcast — the
+    corpus is scanned once and shuffled only on (doc_id, bucket)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    toked = docs.select("doc_id", "lang", toks.alias("ws"))
+
+    def bigram_at(arr):
+        return lambda i: F.concat_ws(
+            " ", F.element_at(arr, i), F.element_at(arr, i + 1)
+        )
+
+    # sequence(1, 0) DESCENDS in Spark — guard docs with < 2 tokens.
+    bigrams = F.when(
+        F.size("ws") >= 2,
+        F.transform(F.sequence(F.lit(1), F.size("ws") - 1), bigram_at(F.col("ws"))),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = toked.select(
+        "doc_id",
+        "lang",
+        F.explode(F.concat(F.col("ws"), bigrams)).alias("feat"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("feat"), 1, 8), 16, 10).cast("long")
+            % DSIR_BUCKETS
+        ).alias("b"),
+    )
+    per = feats.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("k"))
+    raw = per.groupBy("b").agg(F.sum("k").alias("c_raw"))
+    tgt = (
+        per.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("b")
+        .agg(F.sum("k").alias("c_tgt"))
+    )
+    totals = per.agg(
+        F.sum("k").alias("tot_raw"),
+        F.sum(F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("k"))).alias(
+            "tot_tgt"
+        ),
+    )
+    lr = F.round(
+        F.log(
+            (F.coalesce(F.col("c_tgt"), F.lit(0)) + 1).cast("double")
+            / (F.col("tot_tgt") + DSIR_BUCKETS).cast("double")
+        )
+        - F.log(
+            (F.col("c_raw") + 1).cast("double")
+            / (F.col("tot_raw") + DSIR_BUCKETS).cast("double")
+        ),
+        6,
+    )
+    scored = (
+        per.join(F.broadcast(raw), "b")
+        .join(F.broadcast(tgt), "b", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").alias("n_feats"),
+            F.round(F.sum(F.col("k") * lr) / F.sum("k"), 6).alias(
+                "logratio_per_feat"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_feats", F.lit(0)).alias("n_feats"),
+            "logratio_per_feat",
+        )
+    )
+
+
+SQL_DSIR_IMPORTANCE_WEIGHTS = f"""
+WITH toked AS (
+  SELECT doc_id, lang,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                     x -> x <> '') AS ws
+  FROM documents
+), feats AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(feat), 1, 8))::BIGINT % {DSIR_BUCKETS} AS b
+  FROM (
+    SELECT doc_id, lang,
+           unnest(list_concat(
+             ws,
+             list_transform(generate_series(1, len(ws) - 1),
+                            i -> ws[i] || ' ' || ws[i + 1])
+           )) AS feat
+    FROM toked
+  )
+), per AS (
+  SELECT doc_id, lang, b, count(*) AS k FROM feats GROUP BY doc_id, lang, b
+), raw AS (
+  SELECT b, CAST(sum(k) AS BIGINT) AS c_raw FROM per GROUP BY b
+), tgt AS (
+  SELECT b, CAST(sum(k) AS BIGINT) AS c_tgt
+  FROM per WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY b
+), totals AS (
+  SELECT CAST(sum(k) AS BIGINT) AS tot_raw,
+         CAST(sum(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN k END) AS BIGINT)
+           AS tot_tgt
+  FROM per
+), scored AS (
+  SELECT per.doc_id, CAST(sum(per.k) AS BIGINT) AS n_feats,
+         round(sum(per.k * round(
+             ln(CAST(coalesce(tgt.c_tgt, 0) + 1 AS DOUBLE)
+                / CAST(t.tot_tgt + {DSIR_BUCKETS} AS DOUBLE))
+           - ln(CAST(raw.c_raw + 1 AS DOUBLE)
+                / CAST(t.tot_raw + {DSIR_BUCKETS} AS DOUBLE)), 6))
+               / sum(per.k), 6) AS logratio_per_feat
+  FROM per
+  JOIN raw USING (b)
+  LEFT JOIN tgt USING (b)
+  CROSS JOIN totals t
+  GROUP BY per.doc_id
+)
+SELECT d.doc_id, d.lang, coalesce(s.n_feats, 0) AS n_feats,
+       s.logratio_per_feat
+FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Corpus assembly: deterministic splits, domain mixing, sequence packing
 # --------------------------------------------------------------------------
@@ -4974,8 +5241,6 @@ QUERIES: dict[str, tuple] = {
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
     "revenue_cube": (q_revenue_cube, SQL_REVENUE_CUBE),
     "events_set_ops": (q_events_set_ops, SQL_EVENTS_SET_OPS),
-    "big_spender_exists": (q_big_spender_exists, SQL_BIG_SPENDER_EXISTS),
-    "events_resample_hourly": (q_events_resample_hourly, SQL_EVENTS_RESAMPLE_HOURLY),
     # new this session: exact-substring dedup, quality-aware cluster
     # canonicalization, inverted index — in-window so the external driver
     # attests them in their first round; they displace the last three
@@ -4988,9 +5253,16 @@ QUERIES: dict[str, tuple] = {
     # displacing three more r03-attested relational entries.
     "bm25_search_topk": (q_bm25_search_topk, SQL_BM25_SEARCH_TOPK),
     "dedup_bloom_membership": (q_dedup_bloom_membership, SQL_DEDUP_BLOOM_MEMBERSHIP),
+    # Gopher rule battery + DSIR importance weights — in-window for
+    # first-round attestation, displacing two more r03-attested relational
+    # entries (big_spender_exists, events_resample_hourly).
+    "gopher_quality_filters": (q_gopher_quality_filters, SQL_GOPHER_QUALITY_FILTERS),
+    "dsir_importance_weights": (q_dsir_importance_weights, SQL_DSIR_IMPORTANCE_WEIGHTS),
     # ---- past the driver's ~50-entry window from here (rotated OUT this
     # round; all driver-attested green in r03 AND r04, re-attested every
     # round by the committed CORRECTNESS_LOCAL.json full-registry run) ----
+    "big_spender_exists": (q_big_spender_exists, SQL_BIG_SPENDER_EXISTS),
+    "events_resample_hourly": (q_events_resample_hourly, SQL_EVENTS_RESAMPLE_HOURLY),
     "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
     "events_pivot": (q_events_pivot, SQL_EVENTS_PIVOT),
     "lineitem_percentiles": (q_lineitem_percentiles, SQL_LINEITEM_PERCENTILES),

@@ -558,3 +558,77 @@ def test_bloom_membership_no_false_negatives(spark, tmp_path, monkeypatch):
     assert tiny[5].bloom_hit                  # still no false negative
     expect_fp = positions(t_uniq, 2) <= positions(t_prior, 2)
     assert tiny[6].bloom_hit == expect_fp and not tiny[6].actual_dup
+
+
+def test_gopher_filters_rule_battery(spark, tmp_path):
+    """Each Gopher rule trips on a doc crafted to violate exactly that
+    dimension; a normal prose doc passes; a whitespace-only doc fails via
+    the null-ratio guard instead of erroring."""
+    from readability_1_spark import queries
+
+    prose = "the quick brown fox jumps over that lazy dog with great energy today"
+    good = " ".join([prose] * 5)                      # 65 words, all rules met
+    short = "the cat sat with that"                   # 5 words < 50
+    symbols = good + " " + " ".join(["#"] * 10)       # 10/75 hashes > 0.1
+    bullets = "\n".join(["- item alpha beta"] * 60)   # bullet_frac 1.0 > 0.9
+    ellipsis = "\n".join(
+        [prose + "..."] * 4 + [prose] * 6             # 0.4 of lines > 0.3
+    )
+    numeric = " ".join(str(1000 + i) for i in range(60))  # alpha_frac 0.0
+    blank = "   \n  "                                 # zero words
+    rows = [
+        (1, good, "en", "s", len(good)),
+        (2, short, "en", "s", len(short)),
+        (3, symbols, "en", "s", len(symbols)),
+        (4, bullets, "en", "s", len(bullets)),
+        (5, ellipsis, "en", "s", len(ellipsis)),
+        (6, numeric, "en", "s", len(numeric)),
+        (7, blank, "en", "s", len(blank)),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in
+           queries.q_gopher_quality_filters(spark, str(tmp_path)).collect()}
+    assert out[1].passes_gopher
+    assert out[1].n_words == 65 and out[1].stop_hits >= 2
+    assert 3.0 <= out[1].mean_word_len <= 10.0
+    assert not out[2].passes_gopher and out[2].n_words == 5
+    assert not out[3].passes_gopher
+    assert out[3].symbol_ratio == round(10 / 75, 6)
+    assert not out[4].passes_gopher and out[4].bullet_frac == 1.0
+    assert not out[5].passes_gopher and out[5].ellipsis_frac == 0.4
+    assert not out[6].passes_gopher and out[6].alpha_frac == 0.0
+    assert not out[7].passes_gopher and out[7].n_words == 0
+    assert out[7].mean_word_len is None
+
+
+def test_dsir_weights_favor_target_lang(spark, tmp_path):
+    """Docs drawn from the target-language distribution score a higher
+    importance log-ratio than out-of-target docs; the feature count is
+    unigrams + adjacent bigrams; token-free docs get n_feats 0 and a null
+    weight instead of dropping out."""
+    from readability_1_spark import queries
+
+    rows = [
+        (1, "the cat sat", "en", "s", 11),
+        (2, "the cat ran", "en", "s", 11),
+        (3, "the dog sat", "en", "s", 11),
+        (4, "der hund lief schnell", "de", "s", 21),
+        (5, "der hund kam heim", "de", "s", 17),
+        (6, "!!!", "zh", "s", 3),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in
+           queries.q_dsir_importance_weights(spark, str(tmp_path)).collect()}
+    assert len(out) == 6
+    assert out[1].n_feats == 3 + 2                    # unigrams + bigrams
+    assert out[4].n_feats == 4 + 3
+    assert out[6].n_feats == 0 and out[6].logratio_per_feat is None
+    en_w = [out[d].logratio_per_feat for d in (1, 2, 3)]
+    de_w = [out[d].logratio_per_feat for d in (4, 5)]
+    assert min(en_w) > max(de_w)

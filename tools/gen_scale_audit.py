@@ -96,6 +96,8 @@ SCALE_CLASS = {
     "inverted_index_postings": ("shuffle", "(tok,doc) pre-agg with map-side combine, then per-tok rollup; posting prefix rank-filtered BEFORE collect so per-token state is cap-bounded"),
     "bm25_search_topk": ("shuffle", "per-(tok,doc) tf + per-doc length are linear map-side-combine aggs; 8-row query-term table BROADCAST so candidates come only from query-term postings (no per-query corpus scan); term pick is TakeOrdered, not a vocab-wide window; per-query ranking window over candidates only"),
     "dedup_bloom_membership": ("bucketed", "set-bit table bounded by BLOOM_BITS rows regardless of prior-corpus size -> broadcast equi-join on bit position + per-doc rollup; prior corpus never shuffled against the new slice; exact actual_dup twin is a linear digest join kept for FP attestation"),
+    "gopher_quality_filters": ("linear", "single projection over the scan - every Gopher stat is a JVM-side array/regexp expression on the doc's own text; no explode, no join, no shuffle; whole-stage codegen"),
+    "dsir_importance_weights": ("broadcast", "feature explode collapses to (doc_id, bucket, k) with map-side combine; both count tables bounded by DSIR_BUCKETS rows regardless of corpus size -> broadcast equi-joins + 1-row totals broadcast; corpus shuffled once on (doc_id, bucket)"),
 }
 
 
