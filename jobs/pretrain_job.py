@@ -4,7 +4,8 @@
       --input /path/to/transcripts_parquet --output /path/to/out \
       [--num-parts 2048] [--min-chars 500] [--min-tokens 80] \
       [--pack-budget 2048] [--pack-shards 2048] \
-      [--pack-strategy ffd|greedy] [--paragraph-dedup] [--cc-max-iter 25]
+      [--pack-strategy ffd|greedy] [--paragraph-dedup] [--cc-max-iter 25] \
+      [--gopher-gate] [--model-score]
 """
 
 from __future__ import annotations
@@ -26,6 +27,8 @@ def main() -> None:
     ap.add_argument("--pack-strategy", choices=("ffd", "greedy"), default="ffd")
     ap.add_argument("--paragraph-dedup", action="store_true")
     ap.add_argument("--cc-max-iter", type=int, default=25)
+    ap.add_argument("--gopher-gate", action="store_true")
+    ap.add_argument("--model-score", action="store_true")
     args = ap.parse_args()
 
     from readability_1_spark.pretrain import run_pretrain_job
@@ -38,6 +41,7 @@ def main() -> None:
         pack_strategy=args.pack_strategy,
         min_chars=args.min_chars, min_tokens=args.min_tokens,
         paragraph_dedup=args.paragraph_dedup, cc_max_iter=args.cc_max_iter,
+        gopher_gate=args.gopher_gate, model_score=args.model_score,
     )
     print(
         f"curated={stats['n_docs']} tokens={stats['total_tokens']} "

@@ -86,6 +86,7 @@ def curate_pretraining_data(
     max_contamination: float = 0.2,
     split_by: str = "content",
     model_score: bool = False,
+    gopher_gate: bool = False,
 ) -> DataFrame:
     """transcripts → curated documents DataFrame (no sink).
 
@@ -287,6 +288,17 @@ def curate_pretraining_data(
         & (F.col("n_periods") >= min_periods)
         & (F.col("stopword_ratio") <= max_stopword_ratio)
     )
+    if gopher_gate:
+        # Gopher rule battery (the published heuristic filter set) as an
+        # additional gate over the SHIPPED text; the stats ride along on
+        # every kept doc for downstream re-thresholding, and the verdict
+        # joins the rule-gate condition (so with model_score it also
+        # becomes part of the classifier's training labels).  Pure linear
+        # column expressions — no extra shuffle.
+        from .queries import gopher_passes_cond, gopher_stat_columns
+
+        scored = scored.select("*", *gopher_stat_columns("text_content"))
+        gate_cond = gate_cond & F.coalesce(gopher_passes_cond(), F.lit(False))
     gated = scored.filter(gate_cond)
     if model_score:
         # Model-based quality scoring (CCNet/RefinedWeb pattern): train the

@@ -4199,6 +4199,64 @@ GOPHER_MIN_ALPHA_FRAC = 0.8
 GOPHER_MIN_STOP_HITS = 2
 
 
+def gopher_stat_columns(text_col: str = "text") -> list:
+    """Aliased Column expressions for the Gopher rule stats over
+    `text_col` — shared by q_gopher_quality_filters and the curation
+    composite (pretrain.curate_pretraining_data(gopher_gate=True)).
+    try_divide: zero-word docs get NULL ratios (ANSI-safe), same as the
+    DuckDB oracle's divide-by-zero semantics."""
+    c = F.col(text_col)
+    words = F.filter(F.split(c, "\\s+"), lambda x: x != "")
+    toks = F.filter(F.split(F.lower(c), TOKEN_SPLIT), lambda x: x != "")
+    lines = F.split(c, "\n")
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    word_chars = F.aggregate(
+        words, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    n_hash = F.length(c) - F.length(F.replace(c, F.lit("#")))
+    n_ellipsis = F.regexp_count(c, F.lit(r"\.\.\."))
+    n_bullet_lines = F.size(
+        F.filter(lines, lambda x: F.ltrim(x).rlike("^[-*•]"))
+    )
+    n_ellipsis_lines = F.size(
+        F.filter(lines, lambda x: F.rtrim(x).endswith("..."))
+    )
+    n_alpha_words = F.size(F.filter(words, lambda x: F.lower(x).rlike("[a-z]")))
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    return [
+        n_words.alias("n_words"),
+        F.round(F.try_divide(word_chars, n_words), 6).alias("mean_word_len"),
+        F.round(F.try_divide(n_hash + n_ellipsis, n_words), 6).alias(
+            "symbol_ratio"
+        ),
+        F.round(F.try_divide(n_bullet_lines, n_lines), 6).alias("bullet_frac"),
+        F.round(F.try_divide(n_ellipsis_lines, n_lines), 6).alias(
+            "ellipsis_frac"
+        ),
+        F.round(F.try_divide(n_alpha_words, n_words), 6).alias("alpha_frac"),
+        stop_hits.alias("stop_hits"),
+    ]
+
+
+def gopher_passes_cond():
+    """The Gopher pass verdict over the named gopher_stat_columns; compares
+    the ROUND-6 stats so the verdict is deterministic cross-engine.  NULL
+    (zero-word docs) must be coalesced to False by the caller."""
+    return (
+        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(
+            GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
+        )
+        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("bullet_frac") <= GOPHER_MAX_BULLET_FRAC)
+        & (F.col("ellipsis_frac") <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC)
+        & (F.col("stop_hits") >= GOPHER_MIN_STOP_HITS)
+    )
+
+
 def q_gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style heuristic rule battery (the published pretraining
     quality filters: word-count bounds, mean word length band,
@@ -4214,54 +4272,9 @@ def q_gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, no shuffle); linear and whole-stage-codegen friendly at any
     corpus size."""
     docs = _t(spark, sf_dir, "documents")
-    words = F.filter(F.split(F.col("text"), "\\s+"), lambda x: x != "")
-    toks = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
-    lines = F.split(F.col("text"), "\n")
-    n_words = F.size(words)
-    n_lines = F.size(lines)
-    word_chars = F.aggregate(
-        words, F.lit(0), lambda acc, x: acc + F.length(x)
-    )
-    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
-    n_ellipsis = F.regexp_count(F.col("text"), F.lit(r"\.\.\."))
-    n_bullet_lines = F.size(
-        F.filter(lines, lambda x: F.ltrim(x).rlike("^[-*•]"))
-    )
-    n_ellipsis_lines = F.size(
-        F.filter(lines, lambda x: F.rtrim(x).endswith("..."))
-    )
-    n_alpha_words = F.size(F.filter(words, lambda x: F.lower(x).rlike("[a-z]")))
-    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
-    stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
-    # try_divide: zero-word docs get NULL ratios (ANSI-safe), same as the
-    # DuckDB oracle's divide-by-zero semantics.
-    stats = docs.select(
-        "doc_id",
-        n_words.alias("n_words"),
-        F.round(F.try_divide(word_chars, n_words), 6).alias("mean_word_len"),
-        F.round(F.try_divide(n_hash + n_ellipsis, n_words), 6).alias(
-            "symbol_ratio"
-        ),
-        F.round(F.try_divide(n_bullet_lines, n_lines), 6).alias("bullet_frac"),
-        F.round(F.try_divide(n_ellipsis_lines, n_lines), 6).alias(
-            "ellipsis_frac"
-        ),
-        F.round(F.try_divide(n_alpha_words, n_words), 6).alias("alpha_frac"),
-        stop_hits.alias("stop_hits"),
-    )
-    passes = (
-        F.col("n_words").between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
-        & F.col("mean_word_len").between(
-            GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
-        )
-        & (F.col("symbol_ratio") <= GOPHER_MAX_SYMBOL_RATIO)
-        & (F.col("bullet_frac") <= GOPHER_MAX_BULLET_FRAC)
-        & (F.col("ellipsis_frac") <= GOPHER_MAX_ELLIPSIS_FRAC)
-        & (F.col("alpha_frac") >= GOPHER_MIN_ALPHA_FRAC)
-        & (F.col("stop_hits") >= GOPHER_MIN_STOP_HITS)
-    )
+    stats = docs.select("doc_id", *gopher_stat_columns("text"))
     return stats.withColumn(
-        "passes_gopher", F.coalesce(passes, F.lit(False))
+        "passes_gopher", F.coalesce(gopher_passes_cond(), F.lit(False))
     )
 
 

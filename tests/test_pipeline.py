@@ -672,3 +672,35 @@ def test_curate_model_quality_score(spark):
     # default path is unchanged (no quality_score column)
     plain = curate_pretraining_data(t, num_parts=8)
     assert "quality_score" not in plain.columns
+
+
+def test_curate_gopher_gate(spark):
+    """gopher_gate=True attaches the Gopher rule stats to every kept doc,
+    keeps only docs whose shipped text passes the battery (verified
+    against q_gopher_quality_filters semantics recomputed on the output),
+    and is a strict subset of the default gate's survivors; the default
+    path is unchanged (no gopher columns)."""
+    from pyspark.sql import functions as F
+
+    from readability_1_spark.pretrain import curate_pretraining_data
+    from readability_1_spark.queries import gopher_passes_cond
+    from readability_1_spark.transcripts import smoke_transcripts
+
+    t = smoke_transcripts(spark)
+    plain = curate_pretraining_data(t, num_parts=8)
+    assert "n_words" not in plain.columns
+    plain_keys = {(r.conv_id, r.turn_idx) for r in plain.collect()}
+
+    gated = curate_pretraining_data(t, num_parts=8, gopher_gate=True)
+    for col in ("n_words", "mean_word_len", "symbol_ratio", "bullet_frac",
+                "ellipsis_frac", "alpha_frac", "stop_hits"):
+        assert col in gated.columns
+    rows = gated.collect()
+    assert rows, "gopher gate killed the whole corpus"
+    keys = {(r.conv_id, r.turn_idx) for r in rows}
+    assert keys <= plain_keys
+    # every survivor actually passes the battery on its shipped stats
+    recheck = gated.withColumn(
+        "_p", F.coalesce(gopher_passes_cond(), F.lit(False))
+    )
+    assert recheck.filter(~F.col("_p")).count() == 0
