@@ -179,6 +179,7 @@ def main() -> None:
         "dedup_bloom_membership",
         "gopher_quality_filters",
         "dsir_importance_weights",
+        "dedup_containment",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -195,6 +196,7 @@ def main() -> None:
         "dedup_bloom_membership",
         "gopher_quality_filters",
         "dsir_importance_weights",
+        "dedup_containment",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

@@ -938,6 +938,114 @@ WHERE round(n_common / (sa.sz + sb.sz - n_common), 6) >= 0.05
 )
 
 
+CONTAIN_DF_CAP = 8    # candidate shingles must be this rare (boilerplate cut)
+CONTAIN_MIN = 0.8     # report pairs where either direction's containment >= this
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment dedup — catches the pair minhash-Jaccard
+    structurally misses: a short document fully CONTAINED in a much longer
+    one (quote pages, aggregators, doc+appendix reposts) has high
+    containment |S(A)∩S(B)|/|S(A)| but low Jaccard, so it never crosses an
+    LSH band threshold.  Candidate pairs come from shared RARE shingles
+    (2 ≤ df ≤ CONTAIN_DF_CAP — hot boilerplate shingles identify nothing
+    and are excluded by construction), then EXACT distinct-3-shingle
+    containment is computed in both directions for candidates only; pairs
+    with max(containment) ≥ CONTAIN_MIN are reported.
+
+    Scale shape: the df filter bounds the per-shingle self-join group at
+    CONTAIN_DF_CAP (≤ CAP² pairs per shingle — never the hot-key quadratic
+    blowup of the raw shingle join); exact verification touches only
+    candidate pairs via two postings equi-joins keyed on (doc, shingle);
+    sizes are a per-doc aggregate with map-side combine.  The df cap is
+    also the recall rule: a containing pair sharing ONLY ubiquitous
+    shingles is (deliberately) not a candidate."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df").between(2, CONTAIN_DF_CAP))
+        .select("shingle")
+    )
+    rp = sh.join(rare, "shingle")
+    a = rp.alias("a")
+    b = rp.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        common.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_common",
+            F.round(F.col("n_common") / F.col("sz_a"), 6).alias("contain_a"),
+            F.round(F.col("n_common") / F.col("sz_b"), 6).alias("contain_b"),
+        )
+        .withColumn(
+            "max_containment", F.greatest("contain_a", "contain_b")
+        )
+        .filter(F.col("max_containment") >= CONTAIN_MIN)
+    )
+
+
+SQL_DEDUP_CONTAINMENT = (
+    _SHINGLES_SQL
+    + f"""
+  , sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+  rare AS (
+    SELECT shingle FROM shingles GROUP BY shingle
+    HAVING count(*) BETWEEN 2 AND {CONTAIN_DF_CAP}
+  ),
+  rp AS (SELECT s.doc_id, s.shingle FROM shingles s JOIN rare USING (shingle)),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM rp a JOIN rp b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  ),
+  common AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_common
+    FROM cand c
+    JOIN shingles sa ON sa.doc_id = c.doc_a
+    JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY c.doc_a, c.doc_b
+  ),
+  scored AS (
+    SELECT doc_a, doc_b, n_common,
+           round(n_common / za.sz, 6) AS contain_a,
+           round(n_common / zb.sz, 6) AS contain_b
+    FROM common
+    JOIN sizes za ON za.doc_id = doc_a
+    JOIN sizes zb ON zb.doc_id = doc_b
+  )
+SELECT doc_a, doc_b, n_common, contain_a, contain_b,
+       greatest(contain_a, contain_b) AS max_containment
+FROM scored
+WHERE greatest(contain_a, contain_b) >= {CONTAIN_MIN}
+"""
+)
+
+
 def _minhash_pairs(docs: DataFrame) -> DataFrame:
     """MinHash + LSH banding near-dup candidate pairs over a (doc_id, text)
     DataFrame: shingle → 16 md5-seeded min-hashes → 4 bands of 4 → bucket
@@ -5253,7 +5361,6 @@ QUERIES: dict[str, tuple] = {
     "value_band_range_join": (q_value_band_range_join, SQL_VALUE_BAND_RANGE_JOIN),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
     "revenue_cube": (q_revenue_cube, SQL_REVENUE_CUBE),
-    "events_set_ops": (q_events_set_ops, SQL_EVENTS_SET_OPS),
     # new this session: exact-substring dedup, quality-aware cluster
     # canonicalization, inverted index — in-window so the external driver
     # attests them in their first round; they displace the last three
@@ -5271,9 +5378,13 @@ QUERIES: dict[str, tuple] = {
     # entries (big_spender_exists, events_resample_hourly).
     "gopher_quality_filters": (q_gopher_quality_filters, SQL_GOPHER_QUALITY_FILTERS),
     "dsir_importance_weights": (q_dsir_importance_weights, SQL_DSIR_IMPORTANCE_WEIGHTS),
+    # asymmetric containment dedup (the pair Jaccard-LSH structurally
+    # misses) — in-window, displacing events_set_ops (r03-attested).
+    "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
     # ---- past the driver's ~50-entry window from here (rotated OUT this
     # round; all driver-attested green in r03 AND r04, re-attested every
     # round by the committed CORRECTNESS_LOCAL.json full-registry run) ----
+    "events_set_ops": (q_events_set_ops, SQL_EVENTS_SET_OPS),
     "big_spender_exists": (q_big_spender_exists, SQL_BIG_SPENDER_EXISTS),
     "events_resample_hourly": (q_events_resample_hourly, SQL_EVENTS_RESAMPLE_HOURLY),
     "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),

@@ -632,3 +632,40 @@ def test_dsir_weights_favor_target_lang(spark, tmp_path):
     en_w = [out[d].logratio_per_feat for d in (1, 2, 3)]
     de_w = [out[d].logratio_per_feat for d in (4, 5)]
     assert min(en_w) > max(de_w)
+
+
+def test_containment_dedup_finds_subset_pair(spark, tmp_path):
+    """A short doc fully contained in a longer one is reported with
+    contain_a = 1.0 even though its Jaccard is low; an unrelated doc pairs
+    with nothing; a pair sharing ONLY a hot shingle (df > CONTAIN_DF_CAP)
+    is deliberately not a candidate."""
+    from readability_1_spark import queries
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo")
+    filler = " ".join(f"pad{i} fill{i} extra{i}" for i in range(40))
+    hot = "common shared phrase here"
+    rows = [
+        (1, base, "en", "s", len(base)),                  # the contained doc
+        (2, base + " " + filler, "en", "s", 1),           # superset of doc 1
+        (3, "totally different content stream words", "en", "s", 1),
+    ]
+    # 10 docs sharing ONLY the hot shingle -> df(hot shingles) > cap
+    for d in range(10, 20):
+        t = f"{hot} unique{d}a unique{d}b unique{d}c"
+        rows.append((d, t, "en", "s", len(t)))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = queries.q_dedup_containment(spark, str(tmp_path)).collect()
+    pairs = {(r.doc_a, r.doc_b): r for r in out}
+    assert (1, 2) in pairs
+    r = pairs[(1, 2)]
+    assert r.contain_a == 1.0                    # doc 1 fully inside doc 2
+    assert r.contain_b < 0.2                     # far from symmetric-dup
+    sz_a = len(base.split()) - 2                 # 3-shingle count of doc 1
+    assert r.n_common == sz_a
+    # Jaccard for this pair is small: minhash at J>=0.5 would miss it
+    assert r.n_common / (sz_a + (r.n_common / r.contain_b) - r.n_common) < 0.2
+    assert all(a == 1 and b == 2 for (a, b) in pairs)   # nothing else pairs

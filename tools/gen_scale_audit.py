@@ -98,6 +98,7 @@ SCALE_CLASS = {
     "dedup_bloom_membership": ("bucketed", "set-bit table bounded by BLOOM_BITS rows regardless of prior-corpus size -> broadcast equi-join on bit position + per-doc rollup; prior corpus never shuffled against the new slice; exact actual_dup twin is a linear digest join kept for FP attestation"),
     "gopher_quality_filters": ("linear", "single projection over the scan - every Gopher stat is a JVM-side array/regexp expression on the doc's own text; no explode, no join, no shuffle; whole-stage codegen"),
     "dsir_importance_weights": ("broadcast", "feature explode collapses to (doc_id, bucket, k) with map-side combine; both count tables bounded by DSIR_BUCKETS rows regardless of corpus size -> broadcast equi-joins + 1-row totals broadcast; corpus shuffled once on (doc_id, bucket)"),
+    "dedup_containment": ("bucketed", "candidates only from RARE shingles (df <= CONTAIN_DF_CAP) so per-shingle self-join groups are cap-bounded, never the hot-key quadratic blowup; exact two-direction containment via postings equi-joins restricted to candidate pairs; sizes = per-doc agg with map-side combine"),
 }
 
 
