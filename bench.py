@@ -180,6 +180,7 @@ def main() -> None:
         "gopher_quality_filters",
         "dsir_importance_weights",
         "dedup_containment",
+        "pmi_collocations",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -197,6 +198,7 @@ def main() -> None:
         "gopher_quality_filters",
         "dsir_importance_weights",
         "dedup_containment",
+        "pmi_collocations",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

@@ -4575,6 +4575,124 @@ FROM documents d LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
 
 
+PMI_MIN_COUNT = 5   # bigram must occur this often corpus-wide
+PMI_TOPK = 50
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining — the phrase-discovery primitive behind
+    multi-word vocab entries and phrase-aware tokenizers: rank adjacent
+    word pairs by pointwise mutual information
+    pmi = ln((c_ab/M) / ((c_a/N)(c_b/N))) (N = total tokens, M = total
+    bigram positions), keeping pairs seen ≥ PMI_MIN_COUNT times (PMI is
+    noise for rare pairs) and returning the PMI_TOPK strongest.  PMI is
+    round-6 BEFORE ranking and ties break lexicographically on (w1, w2),
+    so the top-K set is deterministic cross-engine.
+
+    Scale shape: unigram and bigram counts are groupBy aggregates with
+    map-side combine over one corpus scan each; the two totals are a 1-row
+    broadcast; scoring joins the (already MIN_COUNT-filtered) bigram table
+    to the unigram counts on the word keys — hash joins between count
+    tables, far smaller than the corpus; the final top-K is
+    orderBy().limit() = TakeOrdered (per-partition heap + K-row driver
+    merge), never a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    toked = docs.select(ws.alias("ws"))
+
+    def bigram_at(arr):
+        return lambda i: F.concat_ws(
+            " ", F.element_at(arr, i), F.element_at(arr, i + 1)
+        )
+
+    # sequence(1, 0) DESCENDS in Spark — guard docs with < 2 tokens.
+    bigrams = F.when(
+        F.size("ws") >= 2,
+        F.transform(F.sequence(F.lit(1), F.size("ws") - 1), bigram_at(F.col("ws"))),
+    ).otherwise(F.array().cast("array<string>"))
+    uni = (
+        toked.select(F.explode("ws").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg = (
+        toked.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_COUNT)
+    )
+    totals = uni.agg(F.sum("c").alias("n_tok")).crossJoin(
+        toked.select(
+            F.greatest(F.size("ws") - 1, F.lit(0)).alias("m")
+        ).agg(F.sum("m").alias("m_bg"))
+    )
+    ua = uni.select(F.col("tok").alias("w1"), F.col("c").alias("n_w1"))
+    ub = uni.select(F.col("tok").alias("w2"), F.col("c").alias("n_w2"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab").cast("double") / F.col("m_bg"))
+            / (
+                (F.col("n_w1").cast("double") / F.col("n_tok"))
+                * (F.col("n_w2").cast("double") / F.col("n_tok"))
+            )
+        ),
+        6,
+    )
+    return (
+        bg.withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+        .join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "w1", "w2",
+            F.col("c_ab").alias("n_pair"),
+            "n_w1", "n_w2",
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(PMI_TOPK)
+    )
+
+
+SQL_PMI_COLLOCATIONS = f"""
+WITH toked AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                     x -> x <> '') AS ws
+  FROM documents
+), uni AS (
+  SELECT tok, count(*) AS c
+  FROM (SELECT unnest(ws) AS tok FROM toked) GROUP BY tok
+), bg AS (
+  SELECT bigram, count(*) AS c_ab
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+    FROM toked
+  ) GROUP BY bigram
+  HAVING count(*) >= {PMI_MIN_COUNT}
+), totals AS (
+  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS n_tok,
+         (SELECT CAST(sum(greatest(len(ws) - 1, 0)) AS BIGINT) FROM toked)
+           AS m_bg
+)
+SELECT split_part(bigram, ' ', 1) AS w1,
+       split_part(bigram, ' ', 2) AS w2,
+       CAST(c_ab AS BIGINT) AS n_pair,
+       CAST(ua.c AS BIGINT) AS n_w1,
+       CAST(ub.c AS BIGINT) AS n_w2,
+       round(ln((CAST(c_ab AS DOUBLE) / t.m_bg)
+                / ((CAST(ua.c AS DOUBLE) / t.n_tok)
+                   * (CAST(ub.c AS DOUBLE) / t.n_tok))), 6) AS pmi
+FROM bg
+JOIN uni ua ON ua.tok = split_part(bigram, ' ', 1)
+JOIN uni ub ON ub.tok = split_part(bigram, ' ', 2)
+CROSS JOIN totals t
+ORDER BY pmi DESC, w1, w2
+LIMIT {PMI_TOPK}
+"""
+
+
 # --------------------------------------------------------------------------
 # Corpus assembly: deterministic splits, domain mixing, sequence packing
 # --------------------------------------------------------------------------
@@ -5360,7 +5478,6 @@ QUERIES: dict[str, tuple] = {
     "events_asof_orders": (q_events_asof_orders, SQL_EVENTS_ASOF_ORDERS),
     "value_band_range_join": (q_value_band_range_join, SQL_VALUE_BAND_RANGE_JOIN),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
-    "revenue_cube": (q_revenue_cube, SQL_REVENUE_CUBE),
     # new this session: exact-substring dedup, quality-aware cluster
     # canonicalization, inverted index — in-window so the external driver
     # attests them in their first round; they displace the last three
@@ -5381,9 +5498,13 @@ QUERIES: dict[str, tuple] = {
     # asymmetric containment dedup (the pair Jaccard-LSH structurally
     # misses) — in-window, displacing events_set_ops (r03-attested).
     "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
+    # PMI collocation mining — in-window, displacing revenue_cube
+    # (r03-attested).
+    "pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
     # ---- past the driver's ~50-entry window from here (rotated OUT this
     # round; all driver-attested green in r03 AND r04, re-attested every
     # round by the committed CORRECTNESS_LOCAL.json full-registry run) ----
+    "revenue_cube": (q_revenue_cube, SQL_REVENUE_CUBE),
     "events_set_ops": (q_events_set_ops, SQL_EVENTS_SET_OPS),
     "big_spender_exists": (q_big_spender_exists, SQL_BIG_SPENDER_EXISTS),
     "events_resample_hourly": (q_events_resample_hourly, SQL_EVENTS_RESAMPLE_HOURLY),

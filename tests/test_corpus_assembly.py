@@ -669,3 +669,40 @@ def test_containment_dedup_finds_subset_pair(spark, tmp_path):
     # Jaccard for this pair is small: minhash at J>=0.5 would miss it
     assert r.n_common / (sz_a + (r.n_common / r.contain_b) - r.n_common) < 0.2
     assert all(a == 1 and b == 2 for (a, b) in pairs)   # nothing else pairs
+
+
+def test_pmi_collocations_rank_and_thresholds(spark, tmp_path, monkeypatch):
+    """A pair whose words appear ONLY together outranks a pair of
+    promiscuous words; bigrams under PMI_MIN_COUNT are excluded; PMI_TOPK
+    caps the result; the PMI value matches a hand computation."""
+    import math
+
+    from readability_1_spark import queries
+
+    # "zig zag" 5x: zig/zag never appear apart.  "the end" 5x: the/end
+    # also appear in many other contexts.  "rare pair" 4x: under MIN_COUNT.
+    text = " ".join(
+        ["zig zag"] * 5
+        + ["the end"] * 5
+        + ["the start", "the middle", "end game", "end zone"] * 3
+        + ["rare pair"] * 4
+    )
+    docs = spark.createDataFrame(
+        [(1, text, "en", "s", len(text))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = queries.q_pmi_collocations(spark, str(tmp_path)).collect()
+    by_pair = {(r.w1, r.w2): r for r in out}
+    assert ("rare", "pair") not in by_pair          # 4 < PMI_MIN_COUNT
+    assert ("zig", "zag") in by_pair and ("the", "end") in by_pair
+    zz, te = by_pair[("zig", "zag")], by_pair[("the", "end")]
+    assert zz.pmi > te.pmi
+    assert zz.n_pair == 5 and zz.n_w1 == 5 and zz.n_w2 == 5
+    # hand-check: all tokens N, bigram positions M (one doc: N-1)
+    toks = text.split()
+    N, M = len(toks), len(toks) - 1
+    expect = round(math.log((5 / M) / ((5 / N) * (5 / N))), 6)
+    assert zz.pmi == expect
+    monkeypatch.setattr(queries, "PMI_TOPK", 2)
+    assert len(queries.q_pmi_collocations(spark, str(tmp_path)).collect()) == 2

@@ -59,10 +59,10 @@ DRIVER_WINDOW_50 = [
     "q1_pricing_summary", "events_sessionize", "top_revenue_orders",
     "nation_revenue", "order_priority_rank", "events_user_stats",
     "events_asof_orders", "value_band_range_join", "revenue_rollup",
-    "revenue_cube",
     "dedup_exact_substring", "dedup_minhash_keep_best",
     "inverted_index_postings", "bm25_search_topk", "dedup_bloom_membership",
     "gopher_quality_filters", "dsir_importance_weights", "dedup_containment",
+    "pmi_collocations",
 ]
 
 

@@ -99,6 +99,7 @@ SCALE_CLASS = {
     "gopher_quality_filters": ("linear", "single projection over the scan - every Gopher stat is a JVM-side array/regexp expression on the doc's own text; no explode, no join, no shuffle; whole-stage codegen"),
     "dsir_importance_weights": ("broadcast", "feature explode collapses to (doc_id, bucket, k) with map-side combine; both count tables bounded by DSIR_BUCKETS rows regardless of corpus size -> broadcast equi-joins + 1-row totals broadcast; corpus shuffled once on (doc_id, bucket)"),
     "dedup_containment": ("bucketed", "candidates only from RARE shingles (df <= CONTAIN_DF_CAP) so per-shingle self-join groups are cap-bounded, never the hot-key quadratic blowup; exact two-direction containment via postings equi-joins restricted to candidate pairs; sizes = per-doc agg with map-side combine"),
+    "pmi_collocations": ("shuffle", "unigram/bigram counts = groupBy aggs with map-side combine over one scan each; MIN_COUNT filter shrinks the bigram table before the unigram hash joins; totals are a 1-row broadcast; top-K is TakeOrdered (per-partition heap + K-row driver merge), no global sort"),
 }
 
 
