@@ -48,7 +48,10 @@ def main() -> None:
     for name in ("q1_pricing_summary", "top_revenue_orders", "dedup_minhash_lsh",
                  "events_asof_orders", "ann_cosine_topk", "dedup_embedding_lsh",
                  "ann_ivf_probe", "ann_lsh_topk", "dedup_minhash_clusters",
-                 "data_split_assign", "domain_mix_resample", "sequence_packing"):
+                 "data_split_assign", "domain_mix_resample", "sequence_packing",
+                 "bm25_search_topk", "dedup_bloom_membership",
+                 "gopher_quality_filters", "dsir_importance_weights",
+                 "dedup_containment", "pmi_collocations"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -91,6 +94,25 @@ def main() -> None:
                    "pandas pass",
                    full["sequence_packing"].count("hashpartitioning(") == 1
                    and "FlatMapGroupsInPandas" in full["sequence_packing"]))
+    checks.append(("BM25 candidates come from a broadcast query-term join, "
+                   "no cartesian corpus product",
+                   "BroadcastHashJoin" in full["bm25_search_topk"]
+                   and "CartesianProduct" not in full["bm25_search_topk"]))
+    checks.append(("bloom set-bit table broadcasts (prior corpus never "
+                   "shuffled against the new slice)",
+                   "BroadcastHashJoin" in full["dedup_bloom_membership"]))
+    checks.append(("gopher rule battery is a pure scan projection "
+                   "(zero exchanges)",
+                   "Exchange" not in full["gopher_quality_filters"]))
+    checks.append(("DSIR bucket count tables broadcast",
+                   "BroadcastHashJoin" in full["dsir_importance_weights"]
+                   and "CartesianProduct" not in full["dsir_importance_weights"]))
+    checks.append(("containment candidates via shingle equi-join, no "
+                   "cartesian / nested-loop",
+                   "CartesianProduct" not in full["dedup_containment"]
+                   and "BroadcastNestedLoop" not in full["dedup_containment"]))
+    checks.append(("PMI top-K is TakeOrdered, not a global sort",
+                   "TakeOrderedAndProject" in full["pmi_collocations"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")
