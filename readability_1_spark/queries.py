@@ -5412,6 +5412,88 @@ FROM both_stats
 """
 
 
+N_SRC_MINHASH = 64  # per-source signature length; stderr ≈ sqrt(J(1−J)/64)
+
+
+def q_source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-level overlap estimation — the crawl-snapshot triage pass a
+    multi-snapshot corpus runs BEFORE document dedup: estimate the 3-word-
+    shingle Jaccard between every pair of SOURCES from per-source MinHash
+    signatures (N_SRC_MINHASH md5-seeded min-hashes over each source's
+    distinct shingle set), answering "how much of snapshot B is already in
+    snapshot A" without ever joining the two corpora.  est_jaccard =
+    n_match / N_SRC_MINHASH is an exact rational, identical cross-engine
+    after round-6; every source pair appears (n_match may be 0).
+
+    Scale shape: one corpus scan explodes shingles; all 64 min-hashes are
+    aggregate expressions in a single groupBy(source) with map-side
+    partial min (the shuffle carries |sources|×64 partials per mapper,
+    never the shingle stream ×64 a seed cross-join would); the signature
+    table is |sources| rows — snapshots number in the dozens at 100 TB,
+    not millions — so the pairing is a broadcast nested-loop over a
+    bounded table.  Same md5-seed recipe as _minhash_pairs
+    (queries.py) so the estimator is already cross-engine-proven."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.filter(
+            F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != ""
+        ).alias("ws"),
+    )
+    sh = toks.select(
+        "source", F.explode(_shingle_array_expr()).alias("shingle")
+    ).distinct()
+    signed = sh.groupBy("source").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws(":", F.lit(seed), F.col("shingle")))
+            ).alias(f"mh{seed}")
+            for seed in range(N_SRC_MINHASH)
+        ]
+    )
+    a, b = signed.alias("a"), signed.alias("b")
+    n_match = sum(
+        (F.col(f"a.mh{s}") == F.col(f"b.mh{s}")).cast("long")
+        for s in range(N_SRC_MINHASH)
+    )
+    return a.join(F.broadcast(b), F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("source_a"),
+        F.col("b.source").alias("source_b"),
+        n_match.alias("n_match"),
+        F.round(
+            n_match.cast("double") / F.lit(float(N_SRC_MINHASH)), 6
+        ).alias("est_jaccard"),
+    )
+
+
+SQL_SOURCE_OVERLAP_MINHASH = f"""
+WITH toks AS (
+  SELECT source,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+shingles AS (
+  SELECT DISTINCT source,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+  FROM toks, UNNEST(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+),
+minhashes AS (
+  SELECT source, seed, min(md5(seed || ':' || shingle)) AS minh
+  FROM shingles, UNNEST(generate_series(0, {N_SRC_MINHASH - 1})) AS s(seed)
+  GROUP BY source, seed
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(sum(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_match,
+       round(CAST(sum(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) AS DOUBLE)
+             / {N_SRC_MINHASH}, 6) AS est_jaccard
+FROM minhashes a JOIN minhashes b
+  ON a.seed = b.seed AND a.source < b.source
+GROUP BY a.source, b.source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5535,5 +5617,8 @@ QUERIES: dict[str, tuple] = {
     "token_cms_heavy_hitters": (q_token_cms_heavy_hitters, SQL_TOKEN_CMS),
     "distinct_hll_estimate": (q_distinct_hll_estimate, SQL_DISTINCT_HLL_ESTIMATE),
     "hll_merge_by_source": (q_hll_merge_by_source, SQL_HLL_MERGE_BY_SOURCE),
+    # dataset-level overlap (source-pair minhash) — appended PAST the
+    # driver window (position 79); attested by CORRECTNESS_LOCAL.json.
+    "source_overlap_minhash": (q_source_overlap_minhash, SQL_SOURCE_OVERLAP_MINHASH),
 }
 

@@ -706,3 +706,37 @@ def test_pmi_collocations_rank_and_thresholds(spark, tmp_path, monkeypatch):
     assert zz.pmi == expect
     monkeypatch.setattr(queries, "PMI_TOPK", 2)
     assert len(queries.q_pmi_collocations(spark, str(tmp_path)).collect()) == 2
+
+
+def test_source_overlap_minhash_tracks_exact_jaccard(spark, tmp_path):
+    """Controlled shingle sets: srcA = shingles 0..99, srcB = 50..149
+    (exact Jaccard 1/3), srcC disjoint.  Each doc is exactly 3 tokens, so
+    it contributes exactly one shingle and the source shingle sets are
+    known by construction.  The 64-hash estimate must land within
+    binomial noise of the truth, be exactly n_match/64, report disjoint
+    pairs as 0, and emit every source pair."""
+    from readability_1_spark import queries
+
+    rows, did = [], 0
+    for i in range(100):                                     # srcA: s0..s99
+        did += 1
+        rows.append((did, f"w{i}a w{i}b w{i}c", "en", "srcA", 1))
+    for i in range(50, 150):                                 # srcB: s50..s149
+        did += 1
+        rows.append((did, f"w{i}a w{i}b w{i}c", "en", "srcB", 1))
+    for i in range(50):                                      # srcC: disjoint
+        did += 1
+        rows.append((did, f"c{i}a c{i}b c{i}c", "en", "srcC", 1))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = queries.q_source_overlap_minhash(spark, str(tmp_path)).collect()
+    pairs = {(r.source_a, r.source_b): r for r in out}
+    assert set(pairs) == {("srcA", "srcB"), ("srcA", "srcC"), ("srcB", "srcC")}
+    ab = pairs[("srcA", "srcB")]
+    # truth 1/3; stderr = sqrt(J(1-J)/64) ~ 0.059 -> +/-3.5 sigma band
+    assert 0.13 <= ab.est_jaccard <= 0.54
+    assert ab.est_jaccard == round(ab.n_match / queries.N_SRC_MINHASH, 6)
+    assert pairs[("srcA", "srcC")].n_match == 0
+    assert pairs[("srcB", "srcC")].n_match == 0
