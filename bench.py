@@ -181,6 +181,7 @@ def main() -> None:
         "dsir_importance_weights",
         "dedup_containment",
         "pmi_collocations",
+        "source_overlap_minhash",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -199,6 +200,7 @@ def main() -> None:
         "dsir_importance_weights",
         "dedup_containment",
         "pmi_collocations",
+        "source_overlap_minhash",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

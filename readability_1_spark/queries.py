@@ -5413,6 +5413,13 @@ FROM both_stats
 
 
 N_SRC_MINHASH = 64  # per-source signature length; stderr ≈ sqrt(J(1−J)/64)
+# Affine permutation family over ONE 32-bit base hash per shingle —
+# 64 md5 calls per shingle would dominate the scan (measured 11.5 s warm
+# at sf0.1 local[32] vs 3.4 s with this family).  Overflow-safe in 64-bit SIGNED
+# arithmetic on BOTH engines: h < 2^32, A < 2^27 -> A*h + B < 2^59.
+SRC_MH_P = 2_147_483_647           # 2^31 − 1 (prime)
+SRC_MH_A0, SRC_MH_DA = 74_747, 100_003     # A_k = A0 + DA·k  (nonzero, odd)
+SRC_MH_B0, SRC_MH_DB = 12_345, 999_979     # B_k = B0 + DB·k
 
 
 def q_source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5425,14 +5432,15 @@ def q_source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_match / N_SRC_MINHASH is an exact rational, identical cross-engine
     after round-6; every source pair appears (n_match may be 0).
 
-    Scale shape: one corpus scan explodes shingles; all 64 min-hashes are
-    aggregate expressions in a single groupBy(source) with map-side
-    partial min (the shuffle carries |sources|×64 partials per mapper,
-    never the shingle stream ×64 a seed cross-join would); the signature
-    table is |sources| rows — snapshots number in the dozens at 100 TB,
-    not millions — so the pairing is a broadcast nested-loop over a
-    bounded table.  Same md5-seed recipe as _minhash_pairs
-    (queries.py) so the estimator is already cross-engine-proven."""
+    Scale shape: one corpus scan explodes shingles; each shingle is
+    hashed ONCE (first 8 md5 hex chars → 32-bit int) and all 64
+    min-hashes are cheap affine permutations (A_k·h + B_k mod 2^31−1, a
+    bijection on the hash domain) as aggregate expressions in a single
+    groupBy(source) with map-side partial min — the shuffle carries
+    |sources|×64 partials per mapper, never the shingle stream ×64 a
+    seed cross-join would; the signature table is |sources| rows —
+    snapshots number in the dozens at 100 TB, not millions — so the
+    pairing is a broadcast nested-loop over a bounded table."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select(
         "source",
@@ -5443,10 +5451,16 @@ def q_source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = toks.select(
         "source", F.explode(_shingle_array_expr()).alias("shingle")
     ).distinct()
-    signed = sh.groupBy("source").agg(
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10).cast("long")
+    hashed = sh.select("source", h.alias("h"))
+    signed = hashed.groupBy("source").agg(
         *[
             F.min(
-                F.md5(F.concat_ws(":", F.lit(seed), F.col("shingle")))
+                (
+                    F.lit(SRC_MH_A0 + SRC_MH_DA * seed) * F.col("h")
+                    + F.lit(SRC_MH_B0 + SRC_MH_DB * seed)
+                )
+                % F.lit(SRC_MH_P)
             ).alias(f"mh{seed}")
             for seed in range(N_SRC_MINHASH)
         ]
@@ -5478,9 +5492,15 @@ shingles AS (
          ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
   FROM toks, UNNEST(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
 ),
+hashed AS (
+  SELECT source, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h
+  FROM shingles
+),
 minhashes AS (
-  SELECT source, seed, min(md5(seed || ':' || shingle)) AS minh
-  FROM shingles, UNNEST(generate_series(0, {N_SRC_MINHASH - 1})) AS s(seed)
+  SELECT source, seed,
+         min((({SRC_MH_A0} + {SRC_MH_DA} * seed) * h
+              + ({SRC_MH_B0} + {SRC_MH_DB} * seed)) % {SRC_MH_P}) AS minh
+  FROM hashed, UNNEST(generate_series(0, {N_SRC_MINHASH - 1})) AS s(seed)
   GROUP BY source, seed
 )
 SELECT a.source AS source_a, b.source AS source_b,

@@ -100,7 +100,7 @@ SCALE_CLASS = {
     "dsir_importance_weights": ("broadcast", "feature explode collapses to (doc_id, bucket, k) with map-side combine; both count tables bounded by DSIR_BUCKETS rows regardless of corpus size -> broadcast equi-joins + 1-row totals broadcast; corpus shuffled once on (doc_id, bucket)"),
     "dedup_containment": ("bucketed", "candidates only from RARE shingles (df <= CONTAIN_DF_CAP) so per-shingle self-join groups are cap-bounded, never the hot-key quadratic blowup; exact two-direction containment via postings equi-joins restricted to candidate pairs; sizes = per-doc agg with map-side combine"),
     "pmi_collocations": ("shuffle", "unigram/bigram counts = groupBy aggs with map-side combine over one scan each; MIN_COUNT filter shrinks the bigram table before the unigram hash joins; totals are a 1-row broadcast; top-K is TakeOrdered (per-partition heap + K-row driver merge), no global sort"),
-    "source_overlap_minhash": ("broadcast", "all 64 min-hashes are aggregate expressions in ONE groupBy(source) with map-side partial min (shuffle carries #sources x 64 partials per mapper, never shingles x 64); signature table is #sources rows (snapshots = dozens at 100 TB) so pairing is a broadcast nested-loop over a bounded table"),
+    "source_overlap_minhash": ("broadcast", "each shingle md5-hashed ONCE (32-bit base), all 64 min-hashes are cheap affine permutations as aggregate expressions in ONE groupBy(source) with map-side partial min (shuffle carries #sources x 64 partials per mapper, never shingles x 64); signature table is #sources rows (snapshots = dozens at 100 TB) so pairing is a broadcast nested-loop over a bounded table"),
 }
 
 
