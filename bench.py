@@ -182,6 +182,9 @@ def main() -> None:
         "dedup_containment",
         "pmi_collocations",
         "source_overlap_minhash",
+        "ccnet_perplexity_buckets",
+        "source_token_kl",
+        "domain_cap_sample",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -201,6 +204,9 @@ def main() -> None:
         "dedup_containment",
         "pmi_collocations",
         "source_overlap_minhash",
+        "ccnet_perplexity_buckets",
+        "source_token_kl",
+        "domain_cap_sample",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

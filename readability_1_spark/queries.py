@@ -5514,6 +5514,189 @@ GROUP BY a.source, b.source
 """
 
 
+PPL_BUCKETS = 3  # CCNet's head / middle / tail split
+
+
+def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: within each SOURCE, rank docs by
+    the self-trained bigram-LM score (q_doc_lm_score) and split into
+    head / middle / tail terciles — the published CCNet recipe keeps the
+    head, samples the middle, drops the tail, PER SLICE, because raw LM
+    scores are not comparable across domains.  ntile over a total order
+    (round-6 score DESC, doc_id ASC tiebreak) makes the assignment
+    deterministic cross-engine; docs too short to score (< 2 tokens, null
+    avg_logprob) are excluded, same as q_doc_quality_rank.
+
+    Scale shape: the LM scoring subplan is q_doc_lm_score's (count-table
+    equi-joins, map-side combine); bucketing adds ONE window partitioned
+    by source — at 100 TB sources are crawl snapshots (dozens), so this
+    is the same per-slice sort every CCNet shard runs, parallel across
+    slices; the skewed-source case is AQE territory, not a plan change."""
+    scores = q_doc_lm_score(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id").asc()
+    )
+    tile = F.ntile(PPL_BUCKETS).over(w)
+    bucket = (
+        F.when(tile == 1, F.lit("head"))
+        .when(tile == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scores.join(docs, "doc_id")
+        .filter(F.col("avg_logprob").isNotNull())
+        .select("doc_id", "source", "avg_logprob", bucket.alias("ppl_bucket"))
+    )
+
+
+SQL_CCNET_PERPLEXITY_BUCKETS = f"""
+WITH scores AS ({SQL_DOC_LM_SCORE}),
+tiled AS (
+  SELECT s.doc_id, d.source, s.avg_logprob,
+         ntile({PPL_BUCKETS}) OVER (PARTITION BY d.source
+                                    ORDER BY s.avg_logprob DESC,
+                                             s.doc_id ASC) AS tile
+  FROM scores s JOIN documents d ON s.doc_id = d.doc_id
+  WHERE s.avg_logprob IS NOT NULL
+)
+SELECT doc_id, source, avg_logprob,
+       CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                 ELSE 'tail' END AS ppl_bucket
+FROM tiled
+"""
+
+
+def q_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift per source: KL(source ‖ corpus) over unigram
+    token distributions — the corpus-mixing diagnostic that flags a crawl
+    snapshot or domain slice whose vocabulary usage diverges from the
+    blend (boilerplate floods, spam injections, template domination show
+    up here before any per-doc filter fires).  The source side is the MLE
+    distribution k_w / n_src (absent words contribute 0 exactly, so only
+    source-present rows are ever touched); the corpus side is Laplace-
+    smoothed p_c(w) = (C(w)+1)/(N+V) so the log is always finite.
+    Determinism: per-word log-ratio is ROUND-6 before the weighted sum
+    (terms are exact multiples of 1e-6 times integer counts — summation
+    order cannot flip the final round-6; same recipe as
+    q_dsir_importance_weights / CLAUDE.md).
+
+    Scale shape: one scan collapses to (source, word, k) with map-side
+    combine; the corpus count table is vocab-sized (≪ corpus — one row
+    per distinct word) and joins per-word by equi-join, never broadcast-
+    assumed; totals are a 1-row broadcast; output is |sources| rows."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    per = (
+        docs.select("source", F.explode(toks).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    cw = per.groupBy("w").agg(F.sum("k").alias("c_all"))
+    totals = per.agg(
+        F.sum("k").alias("tot_all"), F.countDistinct("w").alias("vsz")
+    )
+    ns = per.groupBy("source").agg(F.sum("k").alias("n_src"))
+    term = F.round(
+        F.log(
+            F.col("k").cast("double")
+            / F.col("n_src").cast("double")
+            / (
+                (F.col("c_all") + 1).cast("double")
+                / (F.col("tot_all") + F.col("vsz")).cast("double")
+            )
+        ),
+        6,
+    )
+    return (
+        per.join(cw, "w")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(totals))
+        .groupBy("source")
+        .agg(
+            F.sum("k").alias("n_tokens"),
+            F.round(F.sum(F.col("k") * term) / F.first("n_src"), 6).alias(
+                "kl_nats"
+            ),
+        )
+    )
+
+
+SQL_SOURCE_TOKEN_KL = f"""
+WITH per AS (
+  SELECT source, w, count(*) AS k
+  FROM (
+    SELECT source,
+           unnest(list_filter(
+             regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+             x -> x <> '')) AS w
+    FROM documents
+  )
+  GROUP BY source, w
+), cw AS (
+  SELECT w, CAST(sum(k) AS BIGINT) AS c_all FROM per GROUP BY w
+), totals AS (
+  SELECT CAST(sum(k) AS BIGINT) AS tot_all, count(DISTINCT w) AS vsz FROM per
+), ns AS (
+  SELECT source, CAST(sum(k) AS BIGINT) AS n_src FROM per GROUP BY source
+)
+SELECT per.source, CAST(sum(per.k) AS BIGINT) AS n_tokens,
+       round(sum(per.k * round(
+           ln(CAST(per.k AS DOUBLE) / CAST(ns.n_src AS DOUBLE)
+              / (CAST(cw.c_all + 1 AS DOUBLE)
+                 / CAST(t.tot_all + t.vsz AS DOUBLE))), 6))
+             / any_value(ns.n_src), 6) AS kl_nats
+FROM per
+JOIN cw USING (w)
+JOIN ns USING (source)
+CROSS JOIN totals t
+GROUP BY per.source
+"""
+
+
+DOMAIN_CAP = 10  # max docs kept per source
+
+
+def q_domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap — the anti-domination guard RefinedWeb-class
+    pipelines apply so one crawl host cannot flood the blend: keep at most
+    DOMAIN_CAP docs per source, preferring the longest (n_chars DESC,
+    doc_id ASC tiebreak — a deterministic total order, so the kept set is
+    stable across runs, engines, and partitionings; a rand() cap is
+    neither).  Composes with q_domain_mix_resample: cap first, then weight.
+
+    Scale shape: one row_number window partitioned by source — a single
+    shuffle on the domain key, then a per-partition streaming rank that
+    emits at most CAP rows per group; at web scale the source key is the
+    registrable domain (millions of groups, so the window parallelizes),
+    and a pathological megadomain is bounded by the same cap the operator
+    exists to enforce."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.row_number().over(w).alias("src_rank"),
+        )
+        .filter(F.col("src_rank") <= DOMAIN_CAP)
+    )
+
+
+SQL_DOMAIN_CAP_SAMPLE = f"""
+SELECT doc_id, source, n_chars, src_rank FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id ASC) AS src_rank
+  FROM documents
+)
+WHERE src_rank <= {DOMAIN_CAP}
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5640,5 +5823,11 @@ QUERIES: dict[str, tuple] = {
     # dataset-level overlap (source-pair minhash) — appended PAST the
     # driver window (position 79); attested by CORRECTNESS_LOCAL.json.
     "source_overlap_minhash": (q_source_overlap_minhash, SQL_SOURCE_OVERLAP_MINHASH),
+    "ccnet_perplexity_buckets": (
+        q_ccnet_perplexity_buckets,
+        SQL_CCNET_PERPLEXITY_BUCKETS,
+    ),
+    "source_token_kl": (q_source_token_kl, SQL_SOURCE_TOKEN_KL),
+    "domain_cap_sample": (q_domain_cap_sample, SQL_DOMAIN_CAP_SAMPLE),
 }
 

@@ -740,3 +740,102 @@ def test_source_overlap_minhash_tracks_exact_jaccard(spark, tmp_path):
     assert ab.est_jaccard == round(ab.n_match / queries.N_SRC_MINHASH, 6)
     assert pairs[("srcA", "srcC")].n_match == 0
     assert pairs[("srcB", "srcC")].n_match == 0
+
+
+def test_ccnet_perplexity_buckets_orders_by_lm_score(spark, tmp_path):
+    """Three docs of a corpus-dominant repeated bigram (high LM score) and
+    three of corpus-unique gibberish (low score), one source: ntile(3)
+    must put repeated-bigram docs in the head, gibberish in the tail,
+    2/2/2 sizes, and exclude the unscorable 1-token doc entirely."""
+    from readability_1_spark import queries
+
+    rows = [(i, "x y " * 20, "en", "s", 80) for i in (1, 2, 3)]
+    rows += [
+        (4, "q1 q2 q3 q4 q5", "en", "s", 14),
+        (5, "r1 r2 r3 r4 r5", "en", "s", 14),
+        (6, "t1 t2 t3 t4 t5", "en", "s", 14),
+        (7, "solo", "en", "s", 4),  # < 2 tokens -> null score -> excluded
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = queries.q_ccnet_perplexity_buckets(spark, str(tmp_path)).collect()
+    assert {r.doc_id for r in out} == {1, 2, 3, 4, 5, 6}
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.ppl_bucket, set()).add(r.doc_id)
+    assert {len(v) for v in by_bucket.values()} == {2}
+    assert by_bucket["head"] <= {1, 2, 3}          # repeated-bigram docs
+    assert by_bucket["tail"] <= {4, 5, 6}          # gibberish docs
+    # identical scores tie-break by doc_id: head must be the two LOWEST ids
+    assert by_bucket["head"] == {1, 2}
+
+
+def test_source_token_kl_exact_and_flags_divergence(spark, tmp_path):
+    """srcSame1/srcSame2 share one token distribution; srcWeird uses
+    disjoint vocabulary.  KL(weird||corpus) must dominate both, and the
+    reported value must equal a from-first-principles replication of the
+    round-6 recipe (MLE source dist vs Laplace-smoothed corpus dist)."""
+    import math
+    from collections import Counter
+
+    from readability_1_spark import queries
+
+    texts = {
+        "srcSame1": "a b c d " * 10,
+        "srcSame2": "a b c d " * 10,
+        "srcWeird": "zz yy xx " * 10,
+    }
+    rows = [
+        (i, txt, "en", src, len(txt))
+        for i, (src, txt) in enumerate(sorted(texts.items()))
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.source: r for r in
+           queries.q_source_token_kl(spark, str(tmp_path)).collect()}
+    assert set(out) == set(texts)
+    assert out["srcWeird"].kl_nats > out["srcSame1"].kl_nats
+    assert out["srcSame1"].kl_nats == out["srcSame2"].kl_nats
+
+    # from-first-principles replication for every source
+    corpus = Counter()
+    per_src = {s: Counter(t.split()) for s, t in texts.items()}
+    for c in per_src.values():
+        corpus.update(c)
+    tot, vsz = sum(corpus.values()), len(corpus)
+    for src, cnt in per_src.items():
+        n_src = sum(cnt.values())
+        acc = sum(
+            k * round(math.log((k / n_src) / ((corpus[w] + 1) / (tot + vsz))), 6)
+            for w, k in cnt.items()
+        )
+        assert out[src].n_tokens == n_src
+        assert out[src].kl_nats == round(acc / n_src, 6)
+
+
+def test_domain_cap_sample_keeps_longest_per_source(spark, tmp_path):
+    """15-doc source must truncate to DOMAIN_CAP longest docs (n_chars
+    DESC, doc_id ASC on ties); a 3-doc source survives whole; ranks are
+    1..kept within each source."""
+    from readability_1_spark import queries
+
+    rows = [(i, "t", "en", "big", 1000 - i) for i in range(15)]
+    rows += [(100, "t", "en", "tiny", 5), (101, "t", "en", "tiny", 5),
+             (102, "t", "en", "tiny", 7)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = queries.q_domain_cap_sample(spark, str(tmp_path)).collect()
+    big = sorted([r for r in out if r.source == "big"], key=lambda r: r.src_rank)
+    tiny = sorted([r for r in out if r.source == "tiny"], key=lambda r: r.src_rank)
+    assert len(big) == queries.DOMAIN_CAP
+    # n_chars = 1000 - doc_id, so longest-first == doc_id 0..9
+    assert [r.doc_id for r in big] == list(range(queries.DOMAIN_CAP))
+    assert [r.src_rank for r in big] == list(range(1, queries.DOMAIN_CAP + 1))
+    # tie on n_chars=5: doc 100 outranks 101; 102 (7 chars) is rank 1
+    assert [r.doc_id for r in tiny] == [102, 100, 101]

@@ -100,6 +100,9 @@ SCALE_CLASS = {
     "dsir_importance_weights": ("broadcast", "feature explode collapses to (doc_id, bucket, k) with map-side combine; both count tables bounded by DSIR_BUCKETS rows regardless of corpus size -> broadcast equi-joins + 1-row totals broadcast; corpus shuffled once on (doc_id, bucket)"),
     "dedup_containment": ("bucketed", "candidates only from RARE shingles (df <= CONTAIN_DF_CAP) so per-shingle self-join groups are cap-bounded, never the hot-key quadratic blowup; exact two-direction containment via postings equi-joins restricted to candidate pairs; sizes = per-doc agg with map-side combine"),
     "pmi_collocations": ("shuffle", "unigram/bigram counts = groupBy aggs with map-side combine over one scan each; MIN_COUNT filter shrinks the bigram table before the unigram hash joins; totals are a 1-row broadcast; top-K is TakeOrdered (per-partition heap + K-row driver merge), no global sort"),
+    "ccnet_perplexity_buckets": ("shuffle", "doc_lm_score subplan (count-table equi-joins, map-side combine) + ONE ntile window partitioned by source; sources = crawl snapshots (dozens at 100 TB), each slice ranked in parallel like every CCNet shard"),
+    "source_token_kl": ("shuffle", "scan collapses to (source, word, k) with map-side combine; corpus count table is vocab-sized and equi-joins per word (never broadcast-assumed); totals 1-row broadcast; per-word log-ratios round-6 BEFORE the weighted sum; output |sources| rows"),
+    "domain_cap_sample": ("shuffle", "one row_number window partitioned by source (single shuffle on the domain key, streaming rank, <= CAP rows emitted per group); megadomain skew is bounded by the cap itself"),
     "source_overlap_minhash": ("broadcast", "each shingle md5-hashed ONCE (32-bit base), all 64 min-hashes are cheap affine permutations as aggregate expressions in ONE groupBy(source) with map-side partial min (shuffle carries #sources x 64 partials per mapper, never shingles x 64); signature table is #sources rows (snapshots = dozens at 100 TB) so pairing is a broadcast nested-loop over a bounded table"),
 }
 
