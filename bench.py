@@ -185,6 +185,7 @@ def main() -> None:
         "ccnet_perplexity_buckets",
         "source_token_kl",
         "domain_cap_sample",
+        "doclen_quantile_sketch",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -207,6 +208,7 @@ def main() -> None:
         "ccnet_perplexity_buckets",
         "source_token_kl",
         "domain_cap_sample",
+        "doclen_quantile_sketch",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

@@ -5697,6 +5697,96 @@ WHERE src_rank <= {DOMAIN_CAP}
 """
 
 
+QSK_QUANTILES = (("p50", 50), ("p90", 90), ("p99", 99))
+
+
+def q_doclen_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch over per-source doc-length distributions —
+    the percentile_approx pattern (fixed-size histogram, map-side combine,
+    associative merge) with an ALL-INTEGER bucket contract so both engines
+    agree exactly: bucket = (bitlen(n), top-2-bits-below-the-msb), i.e.
+    quarter-octave log buckets with ≤12.5% relative width, computed as
+    length(bin(n)) and integer shifts — no log2() whose last ulp could
+    flip a boundary doc cross-engine.  Per source it reports n_docs and
+    the p50/p90/p99 lower bucket bounds (first bucket where the running
+    count reaches ceil(q·n/100) — the classic histogram-quantile read-out,
+    so the estimate is exact-to-bucket, deterministic, and merge order
+    never matters).  Point-mass distributions read back their own bucket.
+
+    Scale shape: one scan collapses to (source, bucket, cnt) with map-side
+    combine — at most 4·64 buckets per source regardless of corpus size,
+    so the shuffle carries #sources×256 partials per mapper; the quantile
+    read-out is a window over that bounded table.  This is how you watch
+    100 TB length drift without percentile_approx's opaque internals."""
+    docs = _t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    # pyspark's F.shiftleft/shiftright take a python-int bit count; the
+    # SQL functions accept column amounts, so the bucket math is F.expr.
+    blen = F.length(F.bin(F.col("n_chars")))
+    high2 = F.expr(
+        "shiftright(n_chars, greatest(length(bin(n_chars)) - 3, 0)) & 3"
+    )
+    bucket = (blen * 4 + high2).alias("bucket")
+    lower = F.when(
+        blen >= 3,
+        F.expr(
+            "shiftleft((shiftright(n_chars, length(bin(n_chars)) - 3) & 3)"
+            " + 4, length(bin(n_chars)) - 3)"
+        ),
+    ).otherwise(high2)
+    hist = (
+        docs.select("source", bucket, lower.cast("long").alias("lo"))
+        .groupBy("source", "bucket", "lo")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "source", "lo", F.sum("cnt").over(w).alias("cum")
+    ).join(
+        hist.groupBy("source").agg(F.sum("cnt").alias("n_docs")), "source"
+    )
+    qcols = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.ceil(F.col("n_docs") * q / 100), F.col("lo")
+            )
+        ).alias(f"{name}_lo")
+        for name, q in QSK_QUANTILES
+    ]
+    return cum.groupBy("source").agg(F.first("n_docs").alias("n_docs"), *qcols)
+
+
+_QSK_SELECTS = ",\n       ".join(
+    f"CAST(min(CASE WHEN cum >= ceil(n_docs * {q} / 100.0) THEN lo END) "
+    f"AS BIGINT) AS {name}_lo"
+    for name, q in QSK_QUANTILES
+)
+SQL_DOCLEN_QUANTILE_SKETCH = f"""
+WITH b AS (
+  SELECT source, length(bin(n_chars)) AS blen,
+         (n_chars >> greatest(length(bin(n_chars)) - 3, 0)) & 3 AS high2
+  FROM documents WHERE n_chars > 0
+), hist AS (
+  SELECT source, blen * 4 + high2 AS bucket,
+         CASE WHEN blen >= 3 THEN (high2 + 4) << (blen - 3)
+              ELSE high2 END AS lo,
+         count(*) AS cnt
+  FROM b GROUP BY 1, 2, 3
+), cum AS (
+  SELECT source, lo,
+         sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum,
+         sum(cnt) OVER (PARTITION BY source) AS n_docs
+  FROM hist
+)
+SELECT source, CAST(any_value(n_docs) AS BIGINT) AS n_docs,
+       {_QSK_SELECTS}
+FROM cum GROUP BY source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -5829,5 +5919,9 @@ QUERIES: dict[str, tuple] = {
     ),
     "source_token_kl": (q_source_token_kl, SQL_SOURCE_TOKEN_KL),
     "domain_cap_sample": (q_domain_cap_sample, SQL_DOMAIN_CAP_SAMPLE),
+    "doclen_quantile_sketch": (
+        q_doclen_quantile_sketch,
+        SQL_DOCLEN_QUANTILE_SKETCH,
+    ),
 }
 

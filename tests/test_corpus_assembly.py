@@ -839,3 +839,30 @@ def test_domain_cap_sample_keeps_longest_per_source(spark, tmp_path):
     assert [r.src_rank for r in big] == list(range(1, queries.DOMAIN_CAP + 1))
     # tie on n_chars=5: doc 100 outranks 101; 102 (7 chars) is rank 1
     assert [r.doc_id for r in tiny] == [102, 100, 101]
+
+
+def test_doclen_quantile_sketch_bucket_exact(spark, tmp_path):
+    """Point mass reads back its own bucket lower bound; a 1..100 ramp
+    reads the hand-computed quarter-octave bucket bounds (50 -> 48,
+    90 -> 80, 99 -> 96); zero-length docs are excluded entirely."""
+    from readability_1_spark import queries
+
+    rows = [(i, "t", "en", "pm", 100) for i in range(10)]
+    rows += [(100 + n, "t", "en", "ramp", n) for n in range(1, 101)]
+    rows += [(999, "", "en", "zero", 0)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.source: r for r in
+           queries.q_doclen_quantile_sketch(spark, str(tmp_path)).collect()}
+    assert set(out) == {"pm", "ramp"}
+    pm = out["pm"]
+    # 100 = 0b1100100: blen 7, high2 2 -> lower (4+2)<<4 = 96 for all three
+    assert (pm.n_docs, pm.p50_lo, pm.p90_lo, pm.p99_lo) == (10, 96, 96, 96)
+    rp = out["ramp"]
+    assert rp.n_docs == 100
+    assert (rp.p50_lo, rp.p90_lo, rp.p99_lo) == (48, 80, 96)
+    # bucket relative width bound: lower <= true < 1.25 * lower
+    for lo, true in ((48, 50), (80, 90), (96, 99)):
+        assert lo <= true < lo * 1.25

@@ -103,6 +103,7 @@ SCALE_CLASS = {
     "ccnet_perplexity_buckets": ("shuffle", "doc_lm_score subplan (count-table equi-joins, map-side combine) + ONE ntile window partitioned by source; sources = crawl snapshots (dozens at 100 TB), each slice ranked in parallel like every CCNet shard"),
     "source_token_kl": ("shuffle", "scan collapses to (source, word, k) with map-side combine; corpus count table is vocab-sized and equi-joins per word (never broadcast-assumed); totals 1-row broadcast; per-word log-ratios round-6 BEFORE the weighted sum; output |sources| rows"),
     "domain_cap_sample": ("shuffle", "one row_number window partitioned by source (single shuffle on the domain key, streaming rank, <= CAP rows emitted per group); megadomain skew is bounded by the cap itself"),
+    "doclen_quantile_sketch": ("shuffle", "scan collapses to (source, bucket, cnt) with map-side combine - at most 4x64 integer log-buckets per source regardless of corpus size; quantile read-out is one window over that bounded table; all-integer bucket math (no log2 ulp risk)"),
     "source_overlap_minhash": ("broadcast", "each shingle md5-hashed ONCE (32-bit base), all 64 min-hashes are cheap affine permutations as aggregate expressions in ONE groupBy(source) with map-side partial min (shuffle carries #sources x 64 partials per mapper, never shingles x 64); signature table is #sources rows (snapshots = dozens at 100 TB) so pairing is a broadcast nested-loop over a bounded table"),
 }
 
