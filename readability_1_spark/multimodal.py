@@ -18,6 +18,11 @@ library exists in this container):
     approximation with DC/AC first and refinement passes and EOB runs;
     dequantize + dezigzag + IDCT, chroma upsampling for 4:4:4/4:2:2/4:2:0,
     YCbCr→RGB); hierarchical/lossless/arithmetic SOFs degrade explicitly.
+`decode_audio` REALLY decodes RIFF/WAVE integer PCM (8-bit unsigned /
+16-bit signed LE, any channel count): sample rate, channels, duration,
+per-channel RMS, peak; `sample_clip` cuts frame-accurate WAV segments (the
+audio analog of video frame sampling).  Compressed codecs degrade.
+
 Unsupported formats raise NotImplementedError → decode_status
 "decoder_unavailable"; `fake=True` retains the deterministic fake decoder
 for plumbing tests with arbitrary payload bytes.
@@ -1254,4 +1259,191 @@ def media_frames(media_df, n_frames: int = 4, fake_decode: bool = True):
     ensure_worker_imports(media_df.sparkSession)
     return media_df.mapInPandas(
         make_frame_sample_kernel(n_frames, fake_decode), FRAMES_SCHEMA_DDL
+    )
+
+# ---------------------------------------------------------------------------
+# Audio: RIFF/WAVE PCM decode, feature extraction, clip sampling
+# ---------------------------------------------------------------------------
+
+AUDIO_FEATURES_SCHEMA_DDL = (
+    "media_id BIGINT, kind STRING, n_bytes INT, sha256 STRING, "
+    "sample_rate INT, channels INT, duration_ms INT, "
+    "channel_rms ARRAY<DOUBLE>, peak DOUBLE, decode_status STRING"
+)
+
+
+def _parse_wav(payload: bytes) -> tuple[int, int, int, bytes]:
+    """RIFF/WAVE chunk walk → (sample_rate, channels, bits, pcm_bytes).
+    Integer PCM 8-bit unsigned / 16-bit signed LE only (format code 1);
+    compressed codecs (MP3-in-WAV, IEEE float, A-law…) and non-RIFF
+    containers degrade via NotImplementedError — same honest-degrade
+    contract as the image decoders."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "unsupported audio container (stdlib decoder covers RIFF/WAVE PCM)"
+        )
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        sz = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
+    if fmt is None or len(fmt) < 16:
+        raise ValueError("WAV missing fmt chunk")
+    # Classify the declared format BEFORE requiring sample data, so an
+    # unsupported codec degrades (decoder_unavailable) rather than erroring.
+    code, channels, rate = struct.unpack_from("<HHI", fmt, 0)
+    bits = struct.unpack_from("<H", fmt, 14)[0]
+    if code != 1 or bits not in (8, 16) or channels < 1 or rate < 1:
+        raise NotImplementedError(f"WAV format={code} bits={bits}")
+    if data is None:
+        raise ValueError("WAV missing data chunk")
+    return rate, channels, bits, data
+
+
+def decode_audio(payload: bytes, fake: bool = False) -> dict:
+    """Real stdlib decode for RIFF/WAVE integer PCM: sample_rate, channels,
+    duration_ms, per-channel RMS (full-scale-normalized) and absolute peak.
+    Sums of squares are exact integers; only the final sqrt is float, so
+    the features are deterministic across hosts.  fake=True derives a
+    result from the payload hash for plumbing tests, mirroring
+    decode_image(fake=True)."""
+    import math
+    from array import array
+
+    if fake:
+        digest = hashlib.sha256(payload).digest()
+        ch = 1 + digest[0] % 2
+        return {
+            "sample_rate": 8000 + 100 * digest[1],
+            "channels": ch,
+            "duration_ms": 10 * digest[2],
+            "channel_rms": [round(digest[3 + i] / 255.0, 6) for i in range(ch)],
+            "peak": round(digest[5] / 255.0, 6),
+        }
+    rate, channels, bits, data = _parse_wav(payload)
+    frame = (bits // 8) * channels
+    n_frames = len(data) // frame
+    if n_frames == 0:
+        raise ValueError("WAV without any complete sample frame")
+    if bits == 16:
+        samples = array("h")
+        samples.frombytes(data[: n_frames * frame])
+        full_scale = 32768
+        centered = samples
+    else:  # 8-bit unsigned, centered at 128
+        raw = array("B")
+        raw.frombytes(data[: n_frames * frame])
+        full_scale = 128
+        centered = [s - 128 for s in raw]
+    ssq = [0] * channels
+    peak = 0
+    for i, s in enumerate(centered):
+        c = i % channels
+        ssq[c] += s * s
+        if s > peak or -s > peak:
+            peak = abs(s)
+    return {
+        "sample_rate": rate,
+        "channels": channels,
+        "duration_ms": n_frames * 1000 // rate,
+        "channel_rms": [
+            round(math.sqrt(q / n_frames) / full_scale, 6) for q in ssq
+        ],
+        "peak": round(peak / full_scale, 6),
+    }
+
+
+def encode_wav_pcm16(sample_rate: int, channels: int, frames) -> bytes:
+    """Minimal RIFF/WAVE writer (16-bit signed LE PCM) for tests and
+    sample_clip: `frames` is an iterable of per-frame tuples (or ints for
+    mono)."""
+    from array import array
+
+    flat = array("h")
+    for fr in frames:
+        if isinstance(fr, int):
+            flat.append(fr)
+        else:
+            flat.extend(fr)
+    pcm = flat.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, channels, sample_rate,
+        sample_rate * channels * 2, channels * 2, 16,
+    )
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+
+
+def sample_clip(payload: bytes, offset_ms: int, duration_ms: int) -> bytes:
+    """Extract [offset_ms, offset_ms+duration_ms) as a standalone WAV —
+    the audio analog of video frame sampling (ASR-style segment cuts).
+    16-bit PCM only (8-bit inputs degrade explicitly); frame-accurate
+    integer arithmetic, clamped to the payload's end."""
+    from array import array
+
+    rate, channels, bits, data = _parse_wav(payload)
+    if bits != 16:
+        raise NotImplementedError("sample_clip supports 16-bit PCM")
+    frame = 2 * channels
+    n_frames = len(data) // frame
+    lo = min(offset_ms * rate // 1000, n_frames)
+    hi = min((offset_ms + duration_ms) * rate // 1000, n_frames)
+    clip = array("h")
+    clip.frombytes(data[lo * frame:hi * frame])
+    return encode_wav_pcm16(rate, channels, clip)
+
+
+def make_audio_feature_kernel(fake_decode: bool = True):
+    """mapInPandas kernel: MEDIA_SCHEMA_DDL batches → AUDIO_FEATURES_SCHEMA_DDL
+    (kind != 'audio' rows pass through as decode_status='skipped', same
+    contract as the image feature kernel)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for media_id, kind, payload in zip(
+                batch["media_id"], batch["kind"], batch["payload"]
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                row = {
+                    "media_id": media_id,
+                    "kind": kind,
+                    "n_bytes": len(payload),
+                    "sha256": hashlib.sha256(payload).hexdigest(),
+                    "sample_rate": None,
+                    "channels": None,
+                    "duration_ms": None,
+                    "channel_rms": None,
+                    "peak": None,
+                    "decode_status": "skipped",
+                }
+                if kind == "audio":
+                    try:
+                        dec = decode_audio(payload, fake=fake_decode)
+                        row.update(decode_status="ok", **dec)
+                    except NotImplementedError:
+                        row["decode_status"] = "decoder_unavailable"
+                    except (ValueError, struct.error, IndexError):
+                        row["decode_status"] = "decode_error"
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return kernel
+
+
+def audio_features(media_df, fake_decode: bool = True):
+    from .pipeline import ensure_worker_imports
+
+    ensure_worker_imports(media_df.sparkSession)
+    return media_df.mapInPandas(
+        make_audio_feature_kernel(fake_decode), AUDIO_FEATURES_SCHEMA_DDL
     )

@@ -1276,3 +1276,113 @@ def test_progressive_jpeg_decode_image_means():
     out = decode_image(payload)
     assert (out["width"], out["height"]) == (16, 16)
     assert all(0.0 <= m <= 1.0 for m in out["channel_means"])
+
+
+def test_wav_decode_exact_rms_mono_and_stereo():
+    """Square wave at half full scale: RMS is EXACTLY 0.5 (integer sums of
+    squares, single final sqrt).  Stereo channels deinterleave: left
+    half-scale square, right silence."""
+    from readability_1_spark.multimodal import decode_audio, encode_wav_pcm16
+
+    mono = encode_wav_pcm16(
+        8000, 1, [16384 if i % 2 else -16384 for i in range(8000)]
+    )
+    d = decode_audio(mono)
+    assert d == {
+        "sample_rate": 8000, "channels": 1, "duration_ms": 1000,
+        "channel_rms": [0.5], "peak": 0.5,
+    }
+    stereo = encode_wav_pcm16(
+        16000, 2, [(16384 if i % 2 else -16384, 0) for i in range(4000)]
+    )
+    d = decode_audio(stereo)
+    assert d["channels"] == 2 and d["duration_ms"] == 250
+    assert d["channel_rms"] == [0.5, 0.0] and d["peak"] == 0.5
+
+
+def test_wav_decode_8bit_and_degrades():
+    """8-bit unsigned PCM decodes (centered at 128, /128 scale); float PCM
+    (format 3), MP3 magic, and a fmt-less RIFF take the documented
+    degrade/error paths."""
+    import struct
+
+    import pytest
+
+    from readability_1_spark.multimodal import decode_audio
+
+    pcm8 = bytes([128 + 64, 128 - 64] * 500)  # half-scale square, 1kHz@1k rate
+    fmt = struct.pack("<HHIIHH", 1, 1, 1000, 1000, 1, 8)
+    wav8 = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(pcm8))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm8)) + pcm8)
+    d = decode_audio(wav8)
+    assert d == {
+        "sample_rate": 1000, "channels": 1, "duration_ms": 1000,
+        "channel_rms": [0.5], "peak": 0.5,
+    }
+    floatfmt = struct.pack("<HHIIHH", 3, 1, 1000, 4000, 4, 32)
+    wavf = (b"RIFF" + struct.pack("<I", 4 + 8 + len(floatfmt))
+            + b"WAVE" + b"fmt " + struct.pack("<I", len(floatfmt)) + floatfmt)
+    with pytest.raises(NotImplementedError):
+        decode_audio(wavf)
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x04mp3 payload")
+    with pytest.raises(ValueError):
+        decode_audio(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt/data chunks
+
+
+def test_wav_sample_clip_frame_accurate():
+    """Clip [250ms, 750ms) of a 1s ramp: exactly the middle 4000 frames,
+    re-decodable, clamped at the end of the payload."""
+    from array import array
+
+    from readability_1_spark.multimodal import (
+        _parse_wav,
+        decode_audio,
+        encode_wav_pcm16,
+        sample_clip,
+    )
+
+    src = encode_wav_pcm16(8000, 1, [i % 4096 for i in range(8000)])
+    clip = sample_clip(src, 250, 500)
+    rate, ch, bits, data = _parse_wav(clip)
+    got = array("h")
+    got.frombytes(data)
+    assert list(got) == [i % 4096 for i in range(2000, 6000)]
+    assert decode_audio(clip)["duration_ms"] == 500
+    tail = sample_clip(src, 900, 500)  # clamps at 1s
+    assert decode_audio(tail)["duration_ms"] == 100
+
+
+def test_audio_features_distributed(spark):
+    """Real WAV payloads through audio_features over the distributed
+    plumbing: audio rows decode ok with exact features, image/video rows
+    skipped, non-WAV audio rows degrade as decoder_unavailable."""
+    from readability_1_spark.multimodal import (
+        MEDIA_SCHEMA_DDL,
+        audio_features,
+        encode_wav_pcm16,
+        synthetic_media,
+    )
+
+    wav = encode_wav_pcm16(8000, 1, [16384 if i % 2 else -16384
+                                     for i in range(800)])
+    rows = [
+        (1, "audio", bytearray(wav), ("audio/wav", None, None, None)),
+        (2, "audio", bytearray(b"ID3\x04not-a-wav"),
+         ("audio/mpeg", None, None, None)),
+        (3, "image", bytearray(b"BMnope"), ("image/bmp", None, None, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA_DDL)
+    feats = {r.media_id: r for r in
+             audio_features(media, fake_decode=False).collect()}
+    ok = feats[1]
+    assert ok.decode_status == "ok"
+    assert (ok.sample_rate, ok.channels, ok.duration_ms) == (8000, 1, 100)
+    assert list(ok.channel_rms) == [0.5] and ok.peak == 0.5
+    assert feats[2].decode_status == "decoder_unavailable"
+    assert feats[3].decode_status == "skipped"
+    # fake-decode path exercises arbitrary payloads at scale
+    fake = audio_features(synthetic_media(spark, 60), fake_decode=True)
+    got = fake.filter("kind = 'audio'").collect()
+    assert got and all(r.decode_status == "ok" for r in got)
