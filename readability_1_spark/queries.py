@@ -5848,11 +5848,20 @@ QUERIES: dict[str, tuple] = {
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
     "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
-    "order_priority_rank": (q_order_priority_rank, SQL_ORDER_PRIORITY_RANK),
-    "events_user_stats": (q_events_user_stats, SQL_EVENTS_USER_STATS),
-    "events_asof_orders": (q_events_asof_orders, SQL_EVENTS_ASOF_ORDERS),
-    "value_band_range_join": (q_value_band_range_join, SQL_VALUE_BAND_RANGE_JOIN),
-    "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
+    # fourth/fifth-wave operators rotated IN for first-round driver
+    # attestation (displacing 5 r03-attested relational entries, which move
+    # past the window; CORRECTNESS_LOCAL.json re-attests the full registry)
+    "source_overlap_minhash": (q_source_overlap_minhash, SQL_SOURCE_OVERLAP_MINHASH),
+    "ccnet_perplexity_buckets": (
+        q_ccnet_perplexity_buckets,
+        SQL_CCNET_PERPLEXITY_BUCKETS,
+    ),
+    "source_token_kl": (q_source_token_kl, SQL_SOURCE_TOKEN_KL),
+    "domain_cap_sample": (q_domain_cap_sample, SQL_DOMAIN_CAP_SAMPLE),
+    "doclen_quantile_sketch": (
+        q_doclen_quantile_sketch,
+        SQL_DOCLEN_QUANTILE_SKETCH,
+    ),
     # new this session: exact-substring dedup, quality-aware cluster
     # canonicalization, inverted index — in-window so the external driver
     # attests them in their first round; they displace the last three
@@ -5910,18 +5919,12 @@ QUERIES: dict[str, tuple] = {
     "token_cms_heavy_hitters": (q_token_cms_heavy_hitters, SQL_TOKEN_CMS),
     "distinct_hll_estimate": (q_distinct_hll_estimate, SQL_DISTINCT_HLL_ESTIMATE),
     "hll_merge_by_source": (q_hll_merge_by_source, SQL_HLL_MERGE_BY_SOURCE),
-    # dataset-level overlap (source-pair minhash) — appended PAST the
-    # driver window (position 79); attested by CORRECTNESS_LOCAL.json.
-    "source_overlap_minhash": (q_source_overlap_minhash, SQL_SOURCE_OVERLAP_MINHASH),
-    "ccnet_perplexity_buckets": (
-        q_ccnet_perplexity_buckets,
-        SQL_CCNET_PERPLEXITY_BUCKETS,
-    ),
-    "source_token_kl": (q_source_token_kl, SQL_SOURCE_TOKEN_KL),
-    "domain_cap_sample": (q_domain_cap_sample, SQL_DOMAIN_CAP_SAMPLE),
-    "doclen_quantile_sketch": (
-        q_doclen_quantile_sketch,
-        SQL_DOCLEN_QUANTILE_SKETCH,
-    ),
+    # relational entries displaced past the window by the fourth/fifth-wave
+    # rotation (driver-attested r03; re-attested by CORRECTNESS_LOCAL.json)
+    "order_priority_rank": (q_order_priority_rank, SQL_ORDER_PRIORITY_RANK),
+    "events_user_stats": (q_events_user_stats, SQL_EVENTS_USER_STATS),
+    "events_asof_orders": (q_events_asof_orders, SQL_EVENTS_ASOF_ORDERS),
+    "value_band_range_join": (q_value_band_range_join, SQL_VALUE_BAND_RANGE_JOIN),
+    "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
 }
 

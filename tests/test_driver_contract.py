@@ -57,8 +57,9 @@ DRIVER_WINDOW_50 = [
     "doc_lm_score", "doc_quality_rank", "text_redact_pii", "doc_repetition",
     "benchmark_contamination",
     "q1_pricing_summary", "events_sessionize", "top_revenue_orders",
-    "nation_revenue", "order_priority_rank", "events_user_stats",
-    "events_asof_orders", "value_band_range_join", "revenue_rollup",
+    "nation_revenue",
+    "source_overlap_minhash", "ccnet_perplexity_buckets", "source_token_kl",
+    "domain_cap_sample", "doclen_quantile_sketch",
     "dedup_exact_substring", "dedup_minhash_keep_best",
     "inverted_index_postings", "bm25_search_topk", "dedup_bloom_membership",
     "gopher_quality_filters", "dsir_importance_weights", "dedup_containment",
