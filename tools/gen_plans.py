@@ -51,7 +51,10 @@ def main() -> None:
                  "data_split_assign", "domain_mix_resample", "sequence_packing",
                  "bm25_search_topk", "dedup_bloom_membership",
                  "gopher_quality_filters", "dsir_importance_weights",
-                 "dedup_containment", "pmi_collocations"):
+                 "dedup_containment", "pmi_collocations",
+                 "source_overlap_minhash", "ccnet_perplexity_buckets",
+                 "source_token_kl", "domain_cap_sample",
+                 "doclen_quantile_sketch"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -113,6 +116,28 @@ def main() -> None:
                    and "BroadcastNestedLoop" not in full["dedup_containment"]))
     checks.append(("PMI top-K is TakeOrdered, not a global sort",
                    "TakeOrderedAndProject" in full["pmi_collocations"]))
+    checks.append(("source-overlap minhashes fold via map-side partial min; "
+                   "pairing is the intended bounded broadcast nested-loop",
+                   "partial_min" in full["source_overlap_minhash"]
+                   and "BroadcastNestedLoopJoin" in full["source_overlap_minhash"]
+                   and "CartesianProduct" not in full["source_overlap_minhash"]))
+    checks.append(("CCNet buckets = LM count-table equi-joins + one "
+                   "per-source window, no cartesian",
+                   "Window" in full["ccnet_perplexity_buckets"]
+                   and "CartesianProduct" not in full["ccnet_perplexity_buckets"]))
+    checks.append(("source KL count tables combine map-side and join "
+                   "per-word by hash join",
+                   "partial_sum" in full["source_token_kl"]
+                   and "BroadcastHashJoin" in full["source_token_kl"]
+                   and "CartesianProduct" not in full["source_token_kl"]))
+    checks.append(("domain cap = ONE exchange on the domain key then a "
+                   "streaming rank window",
+                   full["domain_cap_sample"].count("hashpartitioning(") == 1
+                   and "Window" in full["domain_cap_sample"]))
+    checks.append(("doclen sketch histogram combines map-side "
+                   "(bounded buckets per source)",
+                   "partial_count" in full["doclen_quantile_sketch"]
+                   and "CartesianProduct" not in full["doclen_quantile_sketch"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")
