@@ -29,6 +29,8 @@ def main() -> None:
     ap.add_argument("--cc-max-iter", type=int, default=25)
     ap.add_argument("--gopher-gate", action="store_true")
     ap.add_argument("--model-score", action="store_true")
+    ap.add_argument("--conversation-cap", type=int, default=None)
+    ap.add_argument("--ppl-tail-drop", action="store_true")
     args = ap.parse_args()
 
     from readability_1_spark.pretrain import run_pretrain_job
@@ -42,6 +44,8 @@ def main() -> None:
         min_chars=args.min_chars, min_tokens=args.min_tokens,
         paragraph_dedup=args.paragraph_dedup, cc_max_iter=args.cc_max_iter,
         gopher_gate=args.gopher_gate, model_score=args.model_score,
+        conversation_cap=args.conversation_cap,
+        ppl_tail_drop=args.ppl_tail_drop,
     )
     print(
         f"curated={stats['n_docs']} tokens={stats['total_tokens']} "

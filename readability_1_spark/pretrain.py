@@ -10,6 +10,11 @@ training-data team would actually run over an agent-transcript corpus.
         crawl corpora, so a real pretraining run always has this stage)
       → decontamination (optional): docs whose 3-gram overlap with a
         broadcast benchmark shingle set exceeds a threshold are dropped
+      → conversation cap (optional): keep at most N turns per conversation,
+        longest first — the per-domain anti-domination cap
+      → perplexity tail drop (optional): CCNet-style — score every doc with
+        the corpus-self-trained bigram LM, drop the worst third (threshold
+        via one percentile aggregation, no global sort)
       → PII redaction: email/URL/phone → typed sentinels, count kept
       → JVM-side quality gates (length / token count / sentence-ness /
         stopword ratio / link density proxy)
@@ -87,6 +92,9 @@ def curate_pretraining_data(
     split_by: str = "content",
     model_score: bool = False,
     gopher_gate: bool = False,
+    conversation_cap: int | None = None,
+    ppl_tail_drop: bool = False,
+    ppl_drop_frac: float = 1 / 3,
 ) -> DataFrame:
     """transcripts → curated documents DataFrame (no sink).
 
@@ -234,6 +242,61 @@ def curate_pretraining_data(
             > max_contamination
         ).select("conv_id", "turn_idx")
         deduped = deduped.join(contaminated, ["conv_id", "turn_idx"], "left_anti")
+
+    if conversation_cap is not None:
+        # Anti-domination cap (the per-domain cap of q_domain_cap_sample,
+        # keyed on the transcript corpus's natural domain: the
+        # conversation): keep at most `conversation_cap` turns per conv_id,
+        # longest first (turn_idx ASC tiebreak — deterministic total
+        # order), so one mega-conversation cannot flood the blend.  One
+        # row_number window on the conv key; skew is bounded by the cap.
+        w_cap = Window.partitionBy("conv_id").orderBy(
+            F.length("text_content").desc(), F.col("turn_idx").asc()
+        )
+        deduped = (
+            deduped.withColumn("_cap_rn", F.row_number().over(w_cap))
+            .filter(F.col("_cap_rn") <= conversation_cap)
+            .drop("_cap_rn")
+        )
+
+    if ppl_tail_drop:
+        # CCNet-style perplexity tail drop: score every doc with the
+        # corpus-self-trained bigram LM (queries.lm_score_frame) and drop
+        # the worst `ppl_drop_frac` of SCORED docs.  The threshold is ONE
+        # approximate-percentile aggregation broadcast back — no global
+        # sort/window, so the stage scales like any other aggregate.
+        # Unscorable docs (< 2 tokens) pass through: the token-count gate
+        # downstream owns them.  Runs BEFORE PII redaction so the LM sees
+        # the text dedup saw.
+        from .queries import lm_score_frame
+
+        scores = lm_score_frame(
+            deduped, text_col="text_content", id_cols=("conv_id", "turn_idx")
+        )
+        # percentile_approx returns an actual data value, so the drop is
+        # STRICT (> threshold): docs value-tied with the boundary are
+        # "equally bad" and drop together (the bucket semantic), except
+        # when the threshold IS the corpus maximum (all scores tied) —
+        # then nothing is dropped rather than everything.
+        thresh = (
+            scores.filter(F.col("avg_logprob").isNotNull())
+            .agg(
+                F.percentile_approx(
+                    "avg_logprob", float(ppl_drop_frac)
+                ).alias("_ppl_thresh"),
+                F.max("avg_logprob").alias("_ppl_max"),
+            )
+        )
+        deduped = (
+            deduped.join(scores, ["conv_id", "turn_idx"], "left")
+            .crossJoin(F.broadcast(thresh))
+            .filter(
+                F.col("avg_logprob").isNull()
+                | (F.col("avg_logprob") > F.col("_ppl_thresh"))
+                | (F.col("_ppl_thresh") == F.col("_ppl_max"))
+            )
+            .drop("n_bigrams", "avg_logprob", "_ppl_thresh", "_ppl_max")
+        )
 
     if redact_pii:
         # PII scrub AFTER dedup (hashes/pairs see the raw extraction) and

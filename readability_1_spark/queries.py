@@ -4160,9 +4160,20 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring is two equi-joins with a multiplicity-weighted mean (identical
     result to the per-occurrence average), and the vocab size is a 1-row
     broadcast.  No Python anywhere."""
-    docs = _t(spark, sf_dir, "documents")
-    ws = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
-    toked = docs.select("doc_id", ws.alias("ws"))
+    return lm_score_frame(_t(spark, sf_dir, "documents"))
+
+
+def lm_score_frame(
+    df: DataFrame, text_col: str = "text", id_cols: tuple = ("doc_id",)
+) -> DataFrame:
+    """Generic self-trained bigram-LM scorer over any (*id_cols, text_col)
+    frame — the body of q_doc_lm_score, reusable by the curation composite
+    (pretrain.curate_pretraining_data's CCNet-style tail drop).  Returns
+    (*id_cols, n_bigrams, avg_logprob); see q_doc_lm_score for semantics
+    and scale shape."""
+    docs = df
+    ws = F.filter(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT), lambda x: x != "")
+    toked = docs.select(*id_cols, ws.alias("ws"))
 
     def bigram_at(arr):
         return lambda i: F.concat_ws(
@@ -4174,9 +4185,9 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ws") >= 2,
         F.transform(F.sequence(F.lit(1), F.size("ws") - 1), bigram_at(F.col("ws"))),
     ).otherwise(F.array().cast("array<string>"))
-    bg = toked.select("doc_id", F.explode(bigrams).alias("bigram"))
+    bg = toked.select(*id_cols, F.explode(bigrams).alias("bigram"))
 
-    bgk = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("k"))
+    bgk = bg.groupBy(*id_cols, "bigram").agg(F.count(F.lit(1)).alias("k"))
     c2 = bgk.groupBy("bigram").agg(F.sum("k").alias("cnt2"))
     c1 = (
         bgk.select(
@@ -4198,7 +4209,7 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
         .join(c1, "w1")
         .crossJoin(F.broadcast(vocab))
-        .groupBy("doc_id")
+        .groupBy(*id_cols)
         .agg(
             F.sum("k").alias("n_bigrams"),
             F.round(
@@ -4207,10 +4218,10 @@ def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        docs.select("doc_id")
-        .join(scored, "doc_id", "left")
+        docs.select(*id_cols)
+        .join(scored, list(id_cols), "left")
         .select(
-            "doc_id",
+            *id_cols,
             F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
             "avg_logprob",
         )

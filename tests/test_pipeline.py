@@ -704,3 +704,71 @@ def test_curate_gopher_gate(spark):
         "_p", F.coalesce(gopher_passes_cond(), F.lit(False))
     )
     assert recheck.filter(~F.col("_p")).count() == 0
+
+
+def test_pretrain_conversation_cap_keeps_longest_turns(spark):
+    """conversation_cap=2: a 5-turn conversation keeps only its 2 longest
+    extracted turns (length DESC, turn_idx ASC), the 1-turn conversation
+    is untouched; uncapped keeps all 6."""
+    from readability_1_spark.pretrain import curate_pretraining_data
+
+    filler = (
+        "Many people consider the morning train ride to be the best part "
+        "of a working day in the city because it is quiet and calm. "
+    )
+    rows = [
+        ("conv-a", i, "tool",
+         _page(f"Distinct topic number {i} opens this page. " + filler * (5 + i)),
+         "browser", None)
+        for i in range(5)
+    ] + [("conv-b", 0, "tool", _page("Harbor report. " + filler * 5),
+          "browser", None)]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    kept = curate_pretraining_data(
+        t, num_parts=4, near_dedup=False, conversation_cap=2
+    ).collect()
+    # longest = highest filler multiplier = turn_idx 4 then 3
+    assert {(r.conv_id, r.turn_idx) for r in kept} == {
+        ("conv-a", 4), ("conv-a", 3), ("conv-b", 0)
+    }
+    uncapped = curate_pretraining_data(t, num_parts=4, near_dedup=False).collect()
+    assert len(uncapped) == 6
+
+
+def test_pretrain_ppl_tail_drop_removes_gibberish(spark):
+    """ppl_tail_drop: with the quality gates opened wide, the self-trained
+    bigram LM's percentile threshold keeps the fluent repeated-phrase docs
+    and drops gibberish-vocabulary tail docs; the curated schema gains no
+    scoring columns."""
+    from readability_1_spark.pretrain import curate_pretraining_data
+
+    fluent = (
+        "the committee reviewed the report and the committee approved "
+        "the report because the report was ready "
+    )
+    rows = [
+        ("good", i, "tool", _page(f"marker{i} " + fluent * 6), "browser", None)
+        for i in range(3)
+    ] + [
+        ("bad", i, "tool",
+         _page(" ".join(f"z{i}w{j}" for j in range(60)) + "."),
+         "browser", None)
+        for i in range(3)
+    ]
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    kwargs = dict(
+        num_parts=4, near_dedup=False, min_chars=1, min_tokens=1,
+        min_periods=0, max_stopword_ratio=1.0,
+    )
+    kept = curate_pretraining_data(t, ppl_tail_drop=True,
+                                   ppl_drop_frac=0.5, **kwargs).collect()
+    ids = {(r.conv_id, r.turn_idx) for r in kept}
+    # gibberish docs are value-tied at the threshold -> drop together
+    assert ids == {("good", 0), ("good", 1), ("good", 2)}
+    assert "avg_logprob" not in kept[0].asDict()
+    baseline = curate_pretraining_data(t, **kwargs).collect()
+    assert len(baseline) == 6                 # stage off -> nothing dropped
