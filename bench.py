@@ -186,6 +186,11 @@ def main() -> None:
         "source_token_kl",
         "domain_cap_sample",
         "doclen_quantile_sketch",
+        # round 5, sixth wave: SemDeDup, n-gram novelty, split leakage.
+        # Also excluded from the r04-comparable subtotal.
+        "semdedup",
+        "doc_ngram_novelty",
+        "split_leakage_check",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -209,6 +214,9 @@ def main() -> None:
         "source_token_kl",
         "domain_cap_sample",
         "doclen_quantile_sketch",
+        "semdedup",
+        "doc_ngram_novelty",
+        "split_leakage_check",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

@@ -5799,6 +5799,244 @@ FROM cum GROUP BY source
 
 
 # --------------------------------------------------------------------------
+# SemDeDup, n-gram novelty, split-leakage audit
+# --------------------------------------------------------------------------
+
+# Within-cluster round-6 cosine above which two members are semantic
+# duplicates.  Production SemDeDup on real encoder embeddings uses ~0.95+;
+# the synthetic corpus's embeddings are near-orthogonal random vectors
+# (pairwise-cosine max ~0.51 at sf0.01), so 0.35 is the setting that
+# exercises BOTH the drop and keep paths here — the threshold is the
+# operator's tuning knob, not part of its semantics.
+SEMDEDUP_TAU = 0.35
+
+
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup by clustering
+    embeddings with k-means, then comparing pairs ONLY within a cluster —
+    the clustering exists precisely to avoid the corpus-wide quadratic.
+    Within a cluster, a member is dropped when a τ-cosine duplicate exists
+    that is FARTHER from the centroid (the paper keeps the duplicate-group
+    member with the lowest similarity to the centroid, preserving the
+    outlier and discarding the redundant near-centroid copies); ties on the
+    round-6 distance break on vec_id so the keep choice is deterministic.
+
+    Scale shape: reuses q_ann_ivf_kmeans's assignment (broadcast centroids,
+    no corpus shuffle), then ONE equi-join on centroid_id whose join
+    products are bounded by cluster size — k grows with the corpus so
+    clusters stay bounded, which is the published algorithm's own contract.
+    Determinism for the DuckDB twin: cosine and centroid distance are both
+    round-6 (the kmeans recipe), so the drop predicate compares identical
+    values in both engines.  Returns every vector with its cluster, round-6
+    centroid distance, and the keep verdict."""
+    assign = q_ann_ivf_kmeans(spark, sf_dir)  # vec_id, centroid_id, dist
+    emb = _t(spark, sf_dir, "embeddings")
+    normed = emb.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    )
+    m = assign.join(normed, "vec_id").select(
+        "vec_id", "centroid_id", "dist", "embedding", "norm"
+    )
+    a, b = m.alias("a"), m.alias("b")
+    cosine = F.round(
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.norm") * F.col("b.norm")),
+        6,
+    )
+    dropped = (
+        a.join(
+            b,
+            (F.col("a.centroid_id") == F.col("b.centroid_id"))
+            & (F.col("a.vec_id") != F.col("b.vec_id"))
+            & (
+                (F.col("b.dist") > F.col("a.dist"))
+                | (
+                    (F.col("b.dist") == F.col("a.dist"))
+                    & (F.col("b.vec_id") < F.col("a.vec_id"))
+                )
+            ),
+        )
+        .filter(cosine >= SEMDEDUP_TAU)
+        .select(F.col("a.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("_drop", F.lit(1))
+    )
+    return (
+        assign.join(dropped, "vec_id", "left")
+        .select(
+            "vec_id",
+            "centroid_id",
+            "dist",
+            F.col("_drop").isNull().alias("is_kept"),
+        )
+    )
+
+
+_SQL_NORMED_EMB = """
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+  FROM embeddings
+"""
+
+SQL_SEMDEDUP = f"""
+WITH m AS (
+  SELECT a.vec_id, a.centroid_id, a.dist, n.embedding, n.norm
+  FROM ({SQL_ANN_IVF_KMEANS}) a
+  JOIN ({_SQL_NORMED_EMB}) n USING (vec_id)
+), dropped AS (
+  SELECT DISTINCT a.vec_id
+  FROM m a JOIN m b
+    ON a.centroid_id = b.centroid_id AND a.vec_id <> b.vec_id
+   AND (b.dist > a.dist OR (b.dist = a.dist AND b.vec_id < a.vec_id))
+  WHERE round(
+          list_sum(list_transform(generate_series(1, len(a.embedding)),
+            i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (a.norm * b.norm), 6) >= {SEMDEDUP_TAU}
+)
+SELECT m.vec_id, m.centroid_id, m.dist, (d.vec_id IS NULL) AS is_kept
+FROM m LEFT JOIN dropped d ON m.vec_id = d.vec_id
+"""
+
+
+def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty — the diversity-audit counterpart of
+    dedup: for each doc, the fraction of its distinct 3-word shingles whose
+    globally-FIRST occurrence (min doc_id over the whole corpus) is this
+    doc.  Low novelty = the doc is assembled from text the corpus already
+    has (boilerplate, templated spam, near-dups that slipped the pair
+    passes); corpus-level mean novelty is the dataset-diversity metric
+    dataset cards report.
+
+    Scale shape: one shingle explode (already distinct per doc), ONE
+    groupBy(shingle) min-aggregate with map-side combine, one equi-join
+    back on shingle, one groupBy(doc).  Linear, two shuffles, no windows.
+    Docs with <3 tokens have no shingles: counts coalesce to 0 and novelty
+    is NULL (not 1.0 — nothing was claimed)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_shingles"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+SQL_DOC_NGRAM_NOVELTY = f"""
+{_SHINGLES_SQL},
+first AS (
+  SELECT shingle, min(doc_id) AS first_doc FROM shingles GROUP BY shingle
+), per AS (
+  SELECT s.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM shingles s JOIN first f USING (shingle)
+  GROUP BY s.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(p.n_novel, 0) AS BIGINT) AS n_novel,
+       round(CAST(p.n_novel AS DOUBLE) / p.n_shingles, 6) AS novelty
+FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id
+"""
+
+
+def q_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval split-leakage audit: for every val/test doc (as assigned
+    by q_data_split_assign's content-stable hash split), the fraction of
+    its distinct 3-word shingles that also occur in ANY train doc.  This is
+    the audit a pipeline runs AFTER splitting — benchmark_contamination
+    guards against external benchmarks, this guards the pipeline's own
+    held-out sets against through-the-split near-duplicates that make eval
+    loss lie.
+
+    Scale shape: the train shingle set is too large to broadcast at 100 TB,
+    so membership is ONE shuffle equi-join on shingle (the Bloom-filter
+    variant of dedup_bloom_membership is the constant-memory alternative
+    when an approximate answer is acceptable); everything else is linear
+    with map-side combine.  Eval docs with no shingles keep a row (counts
+    0, leak_frac NULL) so the audit provably covered every eval doc."""
+    docs = _t(spark, sf_dir, "documents")
+    split = q_data_split_assign(spark, sf_dir).select("doc_id", "split")
+    sh = _shingles(docs).join(split, "doc_id")
+    train_sh = (
+        sh.filter(F.col("split") == "train")
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    eval_sh = sh.filter(F.col("split") != "train")
+    per = (
+        eval_sh.join(train_sh, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("_hit").isNotNull(), 1).otherwise(0)
+            ).alias("n_leaked"),
+        )
+    )
+    return (
+        split.filter(F.col("split") != "train")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            "split",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_leaked", F.lit(0)).cast("long").alias("n_leaked"),
+            F.round(
+                F.col("n_leaked").cast("double") / F.col("n_shingles"), 6
+            ).alias("leak_frac"),
+        )
+    )
+
+
+SQL_SPLIT_LEAKAGE_CHECK = f"""
+{_SHINGLES_SQL},
+split AS (SELECT doc_id, split FROM ({SQL_DATA_SPLIT_ASSIGN})),
+sh AS (SELECT s.doc_id, s.shingle, p.split
+       FROM shingles s JOIN split p USING (doc_id)),
+train_sh AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train'),
+per AS (
+  SELECT e.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_leaked
+  FROM sh e LEFT JOIN train_sh t ON e.shingle = t.shingle
+  WHERE e.split <> 'train'
+  GROUP BY e.doc_id
+)
+SELECT p.doc_id, p.split,
+       CAST(coalesce(x.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(x.n_leaked, 0) AS BIGINT) AS n_leaked,
+       round(CAST(x.n_leaked AS DOUBLE) / x.n_shingles, 6) AS leak_frac
+FROM split p LEFT JOIN per x ON p.doc_id = x.doc_id
+WHERE p.split <> 'train'
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -5937,5 +6175,11 @@ QUERIES: dict[str, tuple] = {
     "events_asof_orders": (q_events_asof_orders, SQL_EVENTS_ASOF_ORDERS),
     "value_band_range_join": (q_value_band_range_join, SQL_VALUE_BAND_RANGE_JOIN),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
+    # sixth-wave operators, appended PAST the pinned driver window (the
+    # first-50 attestation set is untouched; CORRECTNESS_LOCAL.json
+    # re-attests the full registry)
+    "semdedup": (q_semdedup, SQL_SEMDEDUP),
+    "doc_ngram_novelty": (q_doc_ngram_novelty, SQL_DOC_NGRAM_NOVELTY),
+    "split_leakage_check": (q_split_leakage_check, SQL_SPLIT_LEAKAGE_CHECK),
 }
 

@@ -866,3 +866,105 @@ def test_doclen_quantile_sketch_bucket_exact(spark, tmp_path):
     # bucket relative width bound: lower <= true < 1.25 * lower
     for lo, true in ((48, 50), (80, 90), (96, 99)):
         assert lo <= true < lo * 1.25
+
+
+def test_semdedup_keeps_farthest_duplicate_per_cluster(spark, tmp_path):
+    """SemDeDup keep rule: within a kmeans cluster, a τ-cosine duplicate
+    group keeps ONLY the member farthest from the centroid (the paper's
+    lowest-centroid-similarity rule); singleton clusters keep themselves.
+    Vectors 0..7 sit on ±axis corners (kmeans init = first 8 vec_ids, so
+    each founds its own cluster); 8 and 9 are colinear with vector 0
+    (pairwise cosine 1.0), so cluster 0 = {0, 8, 9} with centroid 10.33·u
+    and distances 0.33 / 2.67 / 2.33 — only vec 8 (farthest) survives."""
+    from readability_1_spark.queries import q_semdedup
+
+    corners = []
+    for axis in range(4):
+        for sign in (10.0, -10.0):
+            v = [0.0] * 4
+            v[axis] = sign
+            corners.append(v)
+    rows = [(i, corners[i], 0) for i in range(8)]
+    rows += [(8, [13.0, 0.0, 0.0, 0.0], 0), (9, [8.0, 0.0, 0.0, 0.0], 0)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    emb.write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = {r.vec_id: r for r in q_semdedup(spark, str(tmp_path)).collect()}
+    assert len(out) == 10
+    assert out[0].centroid_id == out[8].centroid_id == out[9].centroid_id
+    assert out[8].is_kept
+    assert not out[0].is_kept and not out[9].is_kept
+    for i in range(1, 8):  # singleton clusters all keep themselves
+        assert out[i].is_kept
+    # the keep choice is the max-distance member, deterministically
+    assert out[8].dist > out[9].dist > out[0].dist
+
+
+def test_doc_ngram_novelty_first_occurrence_owns_shingle(spark, tmp_path):
+    """A shingle is novel only in the min-doc_id doc that first used it;
+    repeated shingles inside one doc count once (distinct); docs with <3
+    tokens have no shingles (counts 0, novelty NULL)."""
+    from readability_1_spark.queries import q_doc_ngram_novelty
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e", "s", 9),     # abc bcd cde -> all novel
+            (2, "a b c d x", "s", 9),     # abc bcd seen; cdx novel
+            (3, "a b", "s", 3),           # too short: no shingles
+        ],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in
+           q_doc_ngram_novelty(spark, str(tmp_path)).collect()}
+    assert (out[1].n_shingles, out[1].n_novel, out[1].novelty) == (3, 3, 1.0)
+    assert (out[2].n_shingles, out[2].n_novel, out[2].novelty) == (3, 1, 0.333333)
+    assert (out[3].n_shingles, out[3].n_novel, out[3].novelty) == (0, 0, None)
+
+
+def test_split_leakage_check_fractions(spark, tmp_path):
+    """Every eval (val/test) doc gets a row; leak_frac is the fraction of
+    its distinct shingles present in ANY train doc: 1.0 for text copied
+    from train, 0.0 for disjoint vocabulary, 0.5 for half-overlap, NULL
+    for shingle-less docs.  Split membership is replicated in pure Python
+    from the same md5 polynomial the engines share."""
+    import hashlib
+
+    from readability_1_spark.queries import (
+        SPLIT_BUCKETS,
+        SPLIT_TRAIN_LT,
+        q_split_leakage_check,
+    )
+
+    def bucket(doc_id: int) -> int:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        v = 0
+        for c in h[:8]:
+            v = v * 31 + ord(c)
+        return v % SPLIT_BUCKETS
+
+    train_ids = [i for i in range(3000) if bucket(i) < SPLIT_TRAIN_LT][:2]
+    eval_ids = [i for i in range(3000) if bucket(i) >= SPLIT_TRAIN_LT][:4]
+    assert len(train_ids) == 2 and len(eval_ids) == 4
+    shared = "alpha beta gamma delta"
+    e1, e2, e3, e4 = eval_ids
+    rows = [(t, shared, "s", len(shared)) for t in train_ids]
+    rows += [
+        (e1, shared, "s", len(shared)),              # fully leaked
+        (e2, "uniq1 uniq2 uniq3 uniq4", "s", 23),    # disjoint vocab
+        (e3, "alpha beta gamma uniqx", "s", 22),     # half leaked
+        (e4, "a b", "s", 3),                         # no shingles
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in
+           q_split_leakage_check(spark, str(tmp_path)).collect()}
+    assert set(out) == set(eval_ids)      # every eval doc audited
+    assert all(out[t] is not None for t in eval_ids)
+    assert (out[e1].n_shingles, out[e1].n_leaked, out[e1].leak_frac) == (2, 2, 1.0)
+    assert (out[e2].n_shingles, out[e2].n_leaked, out[e2].leak_frac) == (2, 0, 0.0)
+    assert (out[e3].n_shingles, out[e3].n_leaked, out[e3].leak_frac) == (2, 1, 0.5)
+    assert (out[e4].n_shingles, out[e4].n_leaked, out[e4].leak_frac) == (0, 0, None)

@@ -54,7 +54,8 @@ def main() -> None:
                  "dedup_containment", "pmi_collocations",
                  "source_overlap_minhash", "ccnet_perplexity_buckets",
                  "source_token_kl", "domain_cap_sample",
-                 "doclen_quantile_sketch"):
+                 "doclen_quantile_sketch", "semdedup", "doc_ngram_novelty",
+                 "split_leakage_check"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -138,6 +139,20 @@ def main() -> None:
                    "(bounded buckets per source)",
                    "partial_count" in full["doclen_quantile_sketch"]
                    and "CartesianProduct" not in full["doclen_quantile_sketch"]))
+    checks.append(("semdedup pair stage is an equi-join on centroid_id "
+                   "(cluster-bounded products, no corpus cartesian)",
+                   "CartesianProduct" not in full["semdedup"]
+                   and ("SortMergeJoin" in full["semdedup"]
+                        or "ShuffledHashJoin" in full["semdedup"]
+                        or "BroadcastHashJoin" in full["semdedup"])))
+    checks.append(("ngram novelty: shingle min-agg combines map-side, "
+                   "no cartesian",
+                   "partial_min" in full["doc_ngram_novelty"]
+                   and "CartesianProduct" not in full["doc_ngram_novelty"]))
+    checks.append(("split leakage membership is a shingle equi-join "
+                   "(no broadcast of the train shingle set, no cartesian)",
+                   "CartesianProduct" not in full["split_leakage_check"]
+                   and "BroadcastNestedLoop" not in full["split_leakage_check"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -105,6 +105,9 @@ SCALE_CLASS = {
     "domain_cap_sample": ("shuffle", "one row_number window partitioned by source (single shuffle on the domain key, streaming rank, <= CAP rows emitted per group); megadomain skew is bounded by the cap itself"),
     "doclen_quantile_sketch": ("shuffle", "scan collapses to (source, bucket, cnt) with map-side combine - at most 4x64 integer log-buckets per source regardless of corpus size; quantile read-out is one window over that bounded table; all-integer bucket math (no log2 ulp risk)"),
     "source_overlap_minhash": ("broadcast", "each shingle md5-hashed ONCE (32-bit base), all 64 min-hashes are cheap affine permutations as aggregate expressions in ONE groupBy(source) with map-side partial min (shuffle carries #sources x 64 partials per mapper, never shingles x 64); signature table is #sources rows (snapshots = dozens at 100 TB) so pairing is a broadcast nested-loop over a bounded table"),
+    "semdedup": ("bucketed", "kmeans assignment = broadcast centroids (no corpus shuffle); the pair stage is ONE equi-join on centroid_id whose products are bounded by cluster size - k grows with the corpus so clusters stay bounded, the published algorithm's own contract (clustering exists to avoid the corpus-wide quadratic)"),
+    "doc_ngram_novelty": ("shuffle", "distinct shingle explode, ONE groupBy(shingle) min-aggregate with map-side combine, one equi-join back on shingle, one groupBy(doc) - linear, two shuffles, no windows"),
+    "split_leakage_check": ("shuffle", "train shingle set too large to broadcast at 100 TB -> membership is ONE shuffle equi-join on shingle (dedup_bloom_membership is the constant-memory approximate alternative); per-doc rollup with map-side combine; eval side is 2% of the corpus by the split itself"),
 }
 
 
