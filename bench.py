@@ -191,6 +191,7 @@ def main() -> None:
         "semdedup",
         "doc_ngram_novelty",
         "split_leakage_check",
+        "ann_pq_adc_topk",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -217,6 +218,7 @@ def main() -> None:
         "semdedup",
         "doc_ngram_novelty",
         "split_leakage_check",
+        "ann_pq_adc_topk",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

@@ -6037,6 +6037,280 @@ WHERE p.split <> 'train'
 
 
 # --------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-vector half of IVF-PQ
+# --------------------------------------------------------------------------
+
+PQ_M = 4                        # subspaces
+PQ_SUBDIM = EMB_DIM // PQ_M     # dims per subspace
+PQ_K = 8                        # codewords per subspace codebook
+PQ_ITERS = 2                    # Lloyd iterations per codebook
+PQ_NQ = 5                       # ADC query vectors (vec_id < PQ_NQ)
+PQ_TOPK = 10
+
+
+def _pq_sq_dist(e_col, c_col):
+    """Squared L2 between two double arrays (no sqrt — ADC sums these)."""
+    return F.aggregate(
+        F.zip_with(e_col, c_col, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_train_encode(spark: SparkSession, sf_dir: str):
+    """Train PQ_M independent PQ_K-codeword codebooks (Lloyd, PQ_ITERS
+    iterations, deterministic init = sub-vectors of the first PQ_K vec_ids)
+    and encode the corpus.  Returns (codes_df, {s: centroids_df}) where
+    codes_df carries per-subspace code_{s} and round-6 squared quantization
+    distance d2_{s}.  Same determinism recipe as q_ann_ivf_kmeans: round-6
+    at every step, centroid_id tiebreaks, per-iteration localCheckpoint."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codes = None
+    cents: dict[int, DataFrame] = {}
+    for s in range(PQ_M):
+        sub = emb.select(
+            "vec_id",
+            F.transform(
+                F.slice("embedding", s * PQ_SUBDIM + 1, PQ_SUBDIM),
+                lambda x: x.cast("double"),
+            ).alias("sub"),
+        )
+
+        def assign(c, sub=sub):
+            pairs = sub.crossJoin(F.broadcast(c))
+            d2 = F.round(_pq_sq_dist(F.col("sub"), F.col("c_emb")), 6)
+            w = Window.partitionBy("vec_id").orderBy(
+                F.col("d2").asc(), F.col("centroid_id").asc()
+            )
+            return (
+                pairs.withColumn("d2", d2)
+                .withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select("vec_id", "sub", "centroid_id", "d2")
+            )
+
+        cent = sub.filter(F.col("vec_id") < PQ_K).select(
+            F.col("vec_id").alias("centroid_id"),
+            F.transform("sub", lambda x: F.round(x, 6)).alias("c_emb"),
+        )
+        for _ in range(PQ_ITERS):
+            a = assign(cent)
+            dims = a.select("centroid_id", F.posexplode("sub").alias("pos", "val"))
+            u = dims.groupBy("centroid_id", "pos").agg(
+                F.round(F.avg("val"), 6).alias("v")
+            )
+            cent = (
+                u.groupBy("centroid_id")
+                .agg(
+                    F.transform(
+                        F.sort_array(F.collect_list(F.struct("pos", "v"))),
+                        lambda t: t["v"],
+                    ).alias("c_emb")
+                )
+                .localCheckpoint()
+            )
+        cents[s] = cent
+        a = assign(cent).select(
+            "vec_id",
+            F.col("centroid_id").cast("int").alias(f"code_{s}"),
+            F.col("d2").alias(f"d2_{s}"),
+        )
+        codes = a if codes is None else codes.join(a, "vec_id")
+    return codes, cents
+
+
+def q_ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (Jégou et al. 2011) — the compressed
+    half of IVF-PQ, the billion-scale ANN index layout: each vector is
+    split into PQ_M subspaces, each subspace gets its own PQ_K-codeword
+    k-means codebook, and the vector is stored as PQ_M small codes (here
+    4×3 bits) plus nothing else — a 64×float32 vector compresses ~170×.
+    qerr is the total round-6 squared quantization distance (the
+    reconstruction error the code pays).
+
+    Scale shape: per-subspace training is the q_ann_ivf_kmeans pattern
+    (broadcast centroids, map-side-combine updates, bounded lineage via
+    localCheckpoint) on a PQ_SUBDIM-wide slice; encoding is a broadcast of
+    PQ_M×PQ_K tiny codewords against one corpus scan — no corpus shuffle
+    anywhere.  Composes with ann_ivf_assign (coarse lists) for full
+    IVF-PQ."""
+    codes, _ = _pq_train_encode(spark, sf_dir)
+    qerr = F.round(
+        sum(F.col(f"d2_{s}") for s in range(PQ_M)), 6
+    ).alias("qerr")
+    return codes.select(
+        "vec_id", *[f"code_{s}" for s in range(PQ_M)], qerr
+    )
+
+
+def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: the query stays EXACT, the
+    corpus is its PQ codes — per query, a PQ_M×PQ_K table of round-6
+    squared distances from the query's sub-vectors to every codeword is
+    built once, and each corpus vector's approximate distance is just the
+    sum of PQ_M table lookups (the reason PQ scans billions of codes
+    cheaply).  Ranking: round-6 ADC distance ASC, vec_id tiebreak, top
+    PQ_TOPK per query, self excluded.
+
+    Scale shape: the distance table is PQ_NQ×PQ_M×PQ_K rows (tiny,
+    broadcast); codes join it by (subspace, code) equi-join, then one
+    groupBy(query, vec) sums exactly PQ_M terms with map-side combine; the
+    window ranks per query.  The corpus never shuffles on anything wider
+    than (query_id, vec_id); with an IVF restriction (ann_ivf_probe) the
+    scan side shrinks to the probed lists."""
+    codes, cents = _pq_train_encode(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    dts = []
+    for s in range(PQ_M):
+        qsub = queries.select(
+            "query_id",
+            F.transform(
+                F.slice("q_emb", s * PQ_SUBDIM + 1, PQ_SUBDIM),
+                lambda x: x.cast("double"),
+            ).alias("qs"),
+        )
+        dts.append(
+            qsub.crossJoin(F.broadcast(cents[s])).select(
+                "query_id",
+                F.lit(s).alias("s"),
+                F.col("centroid_id").cast("int").alias("code"),
+                F.round(_pq_sq_dist(F.col("qs"), F.col("c_emb")), 6).alias("d2"),
+            )
+        )
+    dt = dts[0]
+    for extra in dts[1:]:
+        dt = dt.unionByName(extra)
+    codes_long = codes.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(s).alias("s"), F.col(f"code_{s}").alias("code")
+                )
+                for s in range(PQ_M)
+            ])
+        ).alias("x"),
+    ).select("vec_id", "x.s", "x.code")
+    adc = (
+        codes_long.join(F.broadcast(dt), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("d2"), 6).alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOPK)
+        .select("query_id", "rank", "vec_id", "adc_d2")
+    )
+
+
+def _sql_pq_d2(t: str, c: str) -> str:
+    return (
+        f"round(list_sum(list_transform(generate_series(1, {PQ_SUBDIM}), "
+        f"i -> ({t}.sub[i] - {c}.c_emb[i]) * ({t}.sub[i] - {c}.c_emb[i]))), 6)"
+    )
+
+
+def _sql_pq_subspace(s: int) -> str:
+    """CTE chain training subspace s's codebook and encoding the corpus:
+    s{s}_sub → s{s}_c0 → (a,u,c)×PQ_ITERS → s{s}_code(vec_id, code, d2)."""
+    lo = s * PQ_SUBDIM + 1
+    hi = (s + 1) * PQ_SUBDIM
+    parts = [
+        f"""s{s}_sub AS (
+  SELECT vec_id,
+         list_transform(embedding[{lo}:{hi}], x -> CAST(x AS DOUBLE)) AS sub
+  FROM embeddings
+), s{s}_c0 AS (
+  SELECT vec_id AS centroid_id, list_transform(sub, x -> round(x, 6)) AS c_emb
+  FROM s{s}_sub WHERE vec_id < {PQ_K}
+)"""
+    ]
+    for n in range(1, PQ_ITERS + 1):
+        parts.append(f"""s{s}_a{n} AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT t.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY t.vec_id ORDER BY
+             {_sql_pq_d2('t', 'c')} ASC, c.centroid_id ASC) AS rn
+    FROM s{s}_sub t, s{s}_c{n - 1} c
+  ) WHERE rn = 1
+), s{s}_u{n} AS (
+  SELECT a.centroid_id, d.i AS dim, round(avg(t.sub[d.i]), 6) AS v
+  FROM s{s}_a{n} a JOIN s{s}_sub t USING (vec_id),
+       UNNEST(generate_series(1, {PQ_SUBDIM})) AS d(i)
+  GROUP BY a.centroid_id, d.i
+), s{s}_c{n} AS (
+  SELECT centroid_id, list(v ORDER BY dim) AS c_emb
+  FROM s{s}_u{n} GROUP BY centroid_id
+)""")
+    parts.append(f"""s{s}_code AS (
+  SELECT vec_id, centroid_id, d2 FROM (
+    SELECT t.vec_id, c.centroid_id, {_sql_pq_d2('t', 'c')} AS d2,
+           row_number() OVER (PARTITION BY t.vec_id ORDER BY
+             {_sql_pq_d2('t', 'c')} ASC, c.centroid_id ASC) AS rn
+    FROM s{s}_sub t, s{s}_c{PQ_ITERS} c
+  ) WHERE rn = 1
+)""")
+    return ", ".join(parts)
+
+
+_SQL_PQ_CTES = ", ".join(_sql_pq_subspace(s) for s in range(PQ_M))
+
+SQL_ANN_PQ_CODES = f"""
+WITH {_SQL_PQ_CTES}
+SELECT s0.vec_id,
+       {", ".join(f"CAST(s{s}.centroid_id AS INT) AS code_{s}" for s in range(PQ_M))},
+       round({" + ".join(f"s{s}.d2" for s in range(PQ_M))}, 6) AS qerr
+FROM s0_code s0
+{" ".join(f"JOIN s{s}_code s{s} USING (vec_id)" for s in range(1, PQ_M))}
+"""
+
+_SQL_PQ_DT = " UNION ALL ".join(
+    f"""SELECT query_id, {s} AS s, CAST(c.centroid_id AS INT) AS code,
+       round(list_sum(list_transform(generate_series(1, {PQ_SUBDIM}),
+         i -> (q.qe[{s * PQ_SUBDIM} + i] - c.c_emb[i])
+            * (q.qe[{s * PQ_SUBDIM} + i] - c.c_emb[i]))), 6) AS d2
+FROM q, s{s}_c{PQ_ITERS} c"""
+    for s in range(PQ_M)
+)
+
+_SQL_PQ_CODES_LONG = " UNION ALL ".join(
+    f"SELECT vec_id, {s} AS s, CAST(centroid_id AS INT) AS code FROM s{s}_code"
+    for s in range(PQ_M)
+)
+
+SQL_ANN_PQ_ADC_TOPK = f"""
+WITH {_SQL_PQ_CTES},
+q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+  FROM embeddings WHERE vec_id < {PQ_NQ}
+), dt AS (
+  {_SQL_PQ_DT}
+), codes_long AS (
+  {_SQL_PQ_CODES_LONG}
+), adc AS (
+  SELECT d.query_id, cl.vec_id, round(sum(d.d2), 6) AS adc_d2
+  FROM codes_long cl JOIN dt d ON d.s = cl.s AND d.code = cl.code
+  WHERE cl.vec_id <> d.query_id
+  GROUP BY d.query_id, cl.vec_id
+)
+SELECT query_id, rank, vec_id, adc_d2 FROM (
+  SELECT query_id, vec_id, adc_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_d2 ASC, vec_id ASC) AS rank
+  FROM adc
+) WHERE rank <= {PQ_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -6181,5 +6455,7 @@ QUERIES: dict[str, tuple] = {
     "semdedup": (q_semdedup, SQL_SEMDEDUP),
     "doc_ngram_novelty": (q_doc_ngram_novelty, SQL_DOC_NGRAM_NOVELTY),
     "split_leakage_check": (q_split_leakage_check, SQL_SPLIT_LEAKAGE_CHECK),
+    "ann_pq_codes": (q_ann_pq_codes, SQL_ANN_PQ_CODES),
+    "ann_pq_adc_topk": (q_ann_pq_adc_topk, SQL_ANN_PQ_ADC_TOPK),
 }
 

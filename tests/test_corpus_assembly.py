@@ -968,3 +968,43 @@ def test_split_leakage_check_fractions(spark, tmp_path):
     assert (out[e2].n_shingles, out[e2].n_leaked, out[e2].leak_frac) == (2, 0, 0.0)
     assert (out[e3].n_shingles, out[e3].n_leaked, out[e3].leak_frac) == (2, 1, 0.5)
     assert (out[e4].n_shingles, out[e4].n_leaked, out[e4].leak_frac) == (0, 0, None)
+
+
+def test_ann_pq_copy_has_same_codes_and_tops_adc(spark, tmp_path):
+    """PQ invariants on a crafted 64-dim corpus: an exact copy of vector 0
+    (vec 8) gets identical per-subspace codes and identical round-6
+    quantization error, and for query 0 the copy is the rank-1 ADC
+    neighbor with adc_d2 exactly equal to vector 0's own qerr (the
+    query's distance to its own codewords — the defining ADC identity)."""
+    from readability_1_spark.queries import (
+        PQ_M,
+        q_ann_pq_adc_topk,
+        q_ann_pq_codes,
+    )
+
+    rows = []
+    for i in range(8):
+        rows.append((i, [float(i + 1) if j % 8 == i else 0.0
+                         for j in range(64)], 0))
+    rows.append((8, [1.0 if j % 8 == 0 else 0.0 for j in range(64)], 0))
+    rows.append((9, [1.0] * 64, 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    emb.write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    codes = {r.vec_id: r for r in q_ann_pq_codes(spark, str(tmp_path)).collect()}
+    assert len(codes) == 10
+    for s in range(PQ_M):
+        assert codes[8][f"code_{s}"] == codes[0][f"code_{s}"]
+    assert codes[8].qerr == codes[0].qerr
+    assert all(r.qerr >= 0 for r in codes.values())
+
+    per_q = {}
+    for r in q_ann_pq_adc_topk(spark, str(tmp_path)).collect():
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) == set(range(5))
+    assert all(len(v) == 9 for v in per_q.values())  # 10 vecs minus self
+    q0 = sorted(per_q[0], key=lambda r: r.rank)
+    assert q0[0].vec_id == 8
+    assert q0[0].adc_d2 == codes[0].qerr

@@ -55,7 +55,7 @@ def main() -> None:
                  "source_overlap_minhash", "ccnet_perplexity_buckets",
                  "source_token_kl", "domain_cap_sample",
                  "doclen_quantile_sketch", "semdedup", "doc_ngram_novelty",
-                 "split_leakage_check"):
+                 "split_leakage_check", "ann_pq_adc_topk"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -153,6 +153,10 @@ def main() -> None:
                    "(no broadcast of the train shingle set, no cartesian)",
                    "CartesianProduct" not in full["split_leakage_check"]
                    and "BroadcastNestedLoop" not in full["split_leakage_check"]))
+    checks.append(("PQ ADC: distance table broadcasts and codes join it by "
+                   "hash equi-join (corpus never cartesians with queries)",
+                   "BroadcastHashJoin" in full["ann_pq_adc_topk"]
+                   and "CartesianProduct" not in full["ann_pq_adc_topk"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")
