@@ -192,6 +192,7 @@ def main() -> None:
         "doc_ngram_novelty",
         "split_leakage_check",
         "ann_pq_adc_topk",
+        "ann_ivf_pq_topk",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -219,6 +220,7 @@ def main() -> None:
         "doc_ngram_novelty",
         "split_leakage_check",
         "ann_pq_adc_topk",
+        "ann_ivf_pq_topk",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

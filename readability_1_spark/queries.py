@@ -6143,26 +6143,10 @@ def q_ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ asymmetric-distance (ADC) top-k: the query stays EXACT, the
-    corpus is its PQ codes — per query, a PQ_M×PQ_K table of round-6
-    squared distances from the query's sub-vectors to every codeword is
-    built once, and each corpus vector's approximate distance is just the
-    sum of PQ_M table lookups (the reason PQ scans billions of codes
-    cheaply).  Ranking: round-6 ADC distance ASC, vec_id tiebreak, top
-    PQ_TOPK per query, self excluded.
-
-    Scale shape: the distance table is PQ_NQ×PQ_M×PQ_K rows (tiny,
-    broadcast); codes join it by (subspace, code) equi-join, then one
-    groupBy(query, vec) sums exactly PQ_M terms with map-side combine; the
-    window ranks per query.  The corpus never shuffles on anything wider
-    than (query_id, vec_id); with an IVF restriction (ann_ivf_probe) the
-    scan side shrinks to the probed lists."""
-    codes, cents = _pq_train_encode(spark, sf_dir)
-    emb = _t(spark, sf_dir, "embeddings")
-    queries = emb.filter(F.col("vec_id") < PQ_NQ).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
-    )
+def _pq_query_dt(queries: DataFrame, cents: dict) -> DataFrame:
+    """Per-query ADC distance table: (query_id, s, code, round-6 squared
+    distance from the query's subspace-s sub-vector to that codeword).
+    PQ_NQ×PQ_M×PQ_K rows — always broadcastable."""
     dts = []
     for s in range(PQ_M):
         qsub = queries.select(
@@ -6183,7 +6167,12 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     dt = dts[0]
     for extra in dts[1:]:
         dt = dt.unionByName(extra)
-    codes_long = codes.select(
+    return dt
+
+
+def _pq_codes_long(codes: DataFrame) -> DataFrame:
+    """(vec_id, s, code) long form of the per-vector PQ codes."""
+    return codes.select(
         "vec_id",
         F.explode(
             F.array(*[
@@ -6194,6 +6183,30 @@ def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("x"),
     ).select("vec_id", "x.s", "x.code")
+
+
+def q_ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k: the query stays EXACT, the
+    corpus is its PQ codes — per query, a PQ_M×PQ_K table of round-6
+    squared distances from the query's sub-vectors to every codeword is
+    built once, and each corpus vector's approximate distance is just the
+    sum of PQ_M table lookups (the reason PQ scans billions of codes
+    cheaply).  Ranking: round-6 ADC distance ASC, vec_id tiebreak, top
+    PQ_TOPK per query, self excluded.
+
+    Scale shape: the distance table is PQ_NQ×PQ_M×PQ_K rows (tiny,
+    broadcast); codes join it by (subspace, code) equi-join, then one
+    groupBy(query, vec) sums exactly PQ_M terms with map-side combine; the
+    window ranks per query.  The corpus never shuffles on anything wider
+    than (query_id, vec_id); with an IVF restriction (ann_ivf_probe) the
+    scan side shrinks to the probed lists."""
+    codes, cents = _pq_train_encode(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    dt = _pq_query_dt(queries, cents)
+    codes_long = _pq_codes_long(codes)
     adc = (
         codes_long.join(F.broadcast(dt), ["s", "code"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -6307,6 +6320,149 @@ SELECT query_id, rank, vec_id, adc_d2 FROM (
                             ORDER BY adc_d2 ASC, vec_id ASC) AS rank
   FROM adc
 ) WHERE rank <= {PQ_TOPK}
+"""
+
+
+IVFPQ_K = 8        # coarse centroids (inverted lists)
+IVFPQ_NPROBE = 2   # lists probed per query
+IVFPQ_TOPK = 5
+
+
+def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ search — the billion-scale ANN layout end-to-end: the
+    coarse quantizer (ann_ivf_assign's convention: first-IVFPQ_K-vector
+    centroids, round-6 L2, centroid_id tiebreak) prunes the corpus to the
+    query's IVFPQ_NPROBE nearest inverted lists, and ONLY those candidates
+    are ranked — by PQ asymmetric distance over their 4-code
+    representations, never their raw vectors.  This is exactly the FAISS
+    IVFPQ search shape: partition pruning from the coarse index, constant-
+    memory scan of the survivors.
+
+    Scale shape: coarse assignment and query probing are broadcasts of the
+    tiny centroid set (no corpus shuffle); candidates come from ONE
+    equi-join on centroid_id (list-bounded products); ADC is the broadcast
+    distance-table join of ann_pq_adc_topk restricted to candidates.  At
+    100 TB the inverted lists are the partition layout, so the candidate
+    join IS partition pruning."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < IVFPQ_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+
+    def l2(x_col, y_col):
+        return F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        x_col, y_col,
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+            6,
+        )
+
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("cdist").asc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(centroids))
+        .withColumn("cdist", l2(F.col("embedding"), F.col("c_emb")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "centroid_id")
+    )
+    queries = emb.filter(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("cdist").asc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(centroids))
+        .withColumn("cdist", l2(F.col("q_emb"), F.col("c_emb")))
+        .withColumn("prn", F.row_number().over(w_probe))
+        .filter(F.col("prn") <= IVFPQ_NPROBE)
+        .select("query_id", "centroid_id")
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id")
+    )
+    codes, cents = _pq_train_encode(spark, sf_dir)
+    dt = _pq_query_dt(queries, cents)
+    adc = (
+        _pq_codes_long(codes)
+        .join(cand, "vec_id")
+        .join(F.broadcast(dt), ["query_id", "s", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("d2"), 6).alias("adc_d2"))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("vec_id").asc()
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= IVFPQ_TOPK)
+        .select("query_id", "rank", "vec_id", "adc_d2")
+    )
+
+
+_SQL_IVFPQ_CDIST = (
+    "round(sqrt(list_sum(list_transform(generate_series(1, len({a}.embedding)), "
+    "i -> (CAST({a}.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE)) "
+    "* (CAST({a}.embedding[i] AS DOUBLE) - CAST(c.c_emb[i] AS DOUBLE))))), 6)"
+)
+
+SQL_ANN_IVF_PQ_TOPK = f"""
+WITH {_SQL_PQ_CTES},
+centroids AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb
+  FROM embeddings WHERE vec_id < {IVFPQ_K}
+), assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_SQL_IVFPQ_CDIST.format(a='e')} ASC, c.centroid_id ASC) AS rn
+    FROM embeddings e, centroids c
+  ) WHERE rn = 1
+), probes AS (
+  SELECT query_id, centroid_id FROM (
+    SELECT q.vec_id AS query_id, c.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id ORDER BY
+             {_SQL_IVFPQ_CDIST.format(a='q')} ASC, c.centroid_id ASC) AS prn
+    FROM embeddings q, centroids c
+    WHERE q.vec_id < {PQ_NQ}
+  ) WHERE prn <= {IVFPQ_NPROBE}
+), cand AS (
+  SELECT p.query_id, a.vec_id
+  FROM assigned a JOIN probes p ON a.centroid_id = p.centroid_id
+  WHERE a.vec_id <> p.query_id
+), q AS (
+  SELECT vec_id AS query_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+  FROM embeddings WHERE vec_id < {PQ_NQ}
+), dt AS (
+  {_SQL_PQ_DT}
+), codes_long AS (
+  {_SQL_PQ_CODES_LONG}
+), adc AS (
+  SELECT d.query_id, cl.vec_id, round(sum(d.d2), 6) AS adc_d2
+  FROM codes_long cl
+  JOIN cand ca ON ca.vec_id = cl.vec_id
+  JOIN dt d ON d.query_id = ca.query_id AND d.s = cl.s AND d.code = cl.code
+  GROUP BY d.query_id, cl.vec_id
+)
+SELECT query_id, rank, vec_id, adc_d2 FROM (
+  SELECT query_id, vec_id, adc_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_d2 ASC, vec_id ASC) AS rank
+  FROM adc
+) WHERE rank <= {IVFPQ_TOPK}
 """
 
 
@@ -6457,5 +6613,6 @@ QUERIES: dict[str, tuple] = {
     "split_leakage_check": (q_split_leakage_check, SQL_SPLIT_LEAKAGE_CHECK),
     "ann_pq_codes": (q_ann_pq_codes, SQL_ANN_PQ_CODES),
     "ann_pq_adc_topk": (q_ann_pq_adc_topk, SQL_ANN_PQ_ADC_TOPK),
+    "ann_ivf_pq_topk": (q_ann_ivf_pq_topk, SQL_ANN_IVF_PQ_TOPK),
 }
 

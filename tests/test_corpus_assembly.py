@@ -1008,3 +1008,34 @@ def test_ann_pq_copy_has_same_codes_and_tops_adc(spark, tmp_path):
     q0 = sorted(per_q[0], key=lambda r: r.rank)
     assert q0[0].vec_id == 8
     assert q0[0].adc_d2 == codes[0].qerr
+
+
+def test_ann_ivf_pq_probes_prune_candidates(spark, tmp_path):
+    """IVF-PQ on the crafted PQ corpus: query 0's two probed coarse lists
+    are centroid 0 (exact match) and centroid 1 (next nearest by the
+    hand-computed L2), so its candidates are exactly {8, 9} (list 0 minus
+    self) ∪ {1} (list 1) — vectors in unprobed lists can never appear —
+    and the exact copy (vec 8) ranks 1 by ADC."""
+    from readability_1_spark.queries import IVFPQ_TOPK, q_ann_ivf_pq_topk
+
+    rows = []
+    for i in range(8):
+        rows.append((i, [float(i + 1) if j % 8 == i else 0.0
+                         for j in range(64)], 0))
+    rows.append((8, [1.0 if j % 8 == 0 else 0.0 for j in range(64)], 0))
+    rows.append((9, [1.0] * 64, 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    emb.write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    per_q = {}
+    for r in q_ann_ivf_pq_topk(spark, str(tmp_path)).collect():
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) == set(range(5))
+    assert all(len(v) <= IVFPQ_TOPK for v in per_q.values())
+    q0 = sorted(per_q[0], key=lambda r: r.rank)
+    # v9 (all-ones) lands in list 0 (d² = 8i²+56 minimized at i=0); list 1
+    # holds only its founder; every other list is unprobed for query 0.
+    assert {r.vec_id for r in q0} == {8, 9, 1}
+    assert q0[0].vec_id == 8

@@ -55,7 +55,8 @@ def main() -> None:
                  "source_overlap_minhash", "ccnet_perplexity_buckets",
                  "source_token_kl", "domain_cap_sample",
                  "doclen_quantile_sketch", "semdedup", "doc_ngram_novelty",
-                 "split_leakage_check", "ann_pq_adc_topk"):
+                 "split_leakage_check", "ann_pq_adc_topk",
+                 "ann_ivf_pq_topk"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -157,6 +158,10 @@ def main() -> None:
                    "hash equi-join (corpus never cartesians with queries)",
                    "BroadcastHashJoin" in full["ann_pq_adc_topk"]
                    and "CartesianProduct" not in full["ann_pq_adc_topk"]))
+    checks.append(("IVF-PQ candidates come from a centroid_id equi-join "
+                   "(partition pruning), never a corpus cartesian",
+                   "BroadcastHashJoin" in full["ann_ivf_pq_topk"]
+                   and "CartesianProduct" not in full["ann_ivf_pq_topk"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")
