@@ -193,6 +193,7 @@ def main() -> None:
         "split_leakage_check",
         "ann_pq_adc_topk",
         "ann_ivf_pq_topk",
+        "unimax_allocation",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -221,6 +222,7 @@ def main() -> None:
         "split_leakage_check",
         "ann_pq_adc_topk",
         "ann_ivf_pq_topk",
+        "unimax_allocation",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

@@ -6323,6 +6323,100 @@ SELECT query_id, rank, vec_id, adc_d2 FROM (
 """
 
 
+UNIMAX_EPOCH_CAP = 2            # max passes over any one language
+UNIMAX_BUDGET_NUM = 3           # token budget = 3/2 of the corpus —
+UNIMAX_BUDGET_DEN = 2           # the train-past-one-epoch regime UniMax targets
+
+
+def q_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language sampling (Chung et al. 2023): allocate a total
+    token budget across languages by waterfilling ASCENDING by size — each
+    language receives min(cap × its tokens, an equal share of what remains)
+    — so no language repeats more than UNIMAX_EPOCH_CAP epochs and the
+    budget tail flows to the high-resource head instead of oversampling the
+    low-resource tail (the failure mode of temperature sampling).  All
+    arithmetic is INTEGER (floor-divide shares) so both engines agree
+    exactly; only the final epochs column is a round-6 double.
+
+    Scale shape: the expensive part — per-language token totals — is one
+    linear groupBy with map-side combine.  The waterfill itself is O(#langs)
+    sequential by construction (each share depends on every smaller
+    language's allocation), so it runs driver-side over the collected
+    language table — bounded by the number of LANGUAGES (dozens at 100 TB,
+    same bounded-collect discipline as the BPE trainer's 1-row winners);
+    the DuckDB twin replays it as a recursive CTE over the same ordering
+    (n_tokens ASC, lang ASC)."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    counts = (
+        docs.select("lang", F.size(ws).cast("long").alias("nt"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("n_tokens"))
+    )
+    rows = sorted(counts.collect(), key=lambda r: (r.n_tokens, r.lang))
+    total = sum(r.n_tokens for r in rows)
+    remaining = total * UNIMAX_BUDGET_NUM // UNIMAX_BUDGET_DEN
+    m = len(rows)
+    alloc = []
+    for r in rows:
+        a = min(UNIMAX_EPOCH_CAP * r.n_tokens, remaining // m)
+        alloc.append((r.lang, int(a)))
+        remaining -= a
+        m -= 1
+    amap = spark.createDataFrame(alloc, "lang string, alloc_tokens long")
+    return counts.join(F.broadcast(amap), "lang").select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        "alloc_tokens",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("alloc_tokens").cast("double") / F.col("n_tokens"), 6),
+        ).alias("epochs"),
+    )
+
+
+SQL_UNIMAX_ALLOCATION = f"""
+WITH RECURSIVE counts AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(list_filter(
+           regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+           x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+), ordered AS (
+  SELECT lang, n_docs, n_tokens,
+         row_number() OVER (ORDER BY n_tokens ASC, lang ASC) AS rn
+  FROM counts
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_langs,
+         CAST(sum(n_tokens) AS BIGINT) * {UNIMAX_BUDGET_NUM}
+           // {UNIMAX_BUDGET_DEN} AS budget
+  FROM counts
+), alloc AS (
+  SELECT o.rn, o.lang, o.n_docs, o.n_tokens,
+         least({UNIMAX_EPOCH_CAP} * o.n_tokens, t.budget // t.n_langs)
+           AS alloc_tokens,
+         t.budget
+           - least({UNIMAX_EPOCH_CAP} * o.n_tokens, t.budget // t.n_langs)
+           AS remaining
+  FROM ordered o, tot t WHERE o.rn = 1
+  UNION ALL
+  SELECT o.rn, o.lang, o.n_docs, o.n_tokens,
+         least({UNIMAX_EPOCH_CAP} * o.n_tokens,
+               a.remaining // (t.n_langs - a.rn)) AS alloc_tokens,
+         a.remaining
+           - least({UNIMAX_EPOCH_CAP} * o.n_tokens,
+                   a.remaining // (t.n_langs - a.rn)) AS remaining
+  FROM alloc a JOIN ordered o ON o.rn = a.rn + 1, tot t
+)
+SELECT lang, n_docs, n_tokens, alloc_tokens,
+       CASE WHEN n_tokens > 0
+            THEN round(CAST(alloc_tokens AS DOUBLE) / n_tokens, 6) END
+         AS epochs
+FROM alloc
+"""
+
+
 IVFPQ_K = 8        # coarse centroids (inverted lists)
 IVFPQ_NPROBE = 2   # lists probed per query
 IVFPQ_TOPK = 5
@@ -6614,5 +6708,6 @@ QUERIES: dict[str, tuple] = {
     "ann_pq_codes": (q_ann_pq_codes, SQL_ANN_PQ_CODES),
     "ann_pq_adc_topk": (q_ann_pq_adc_topk, SQL_ANN_PQ_ADC_TOPK),
     "ann_ivf_pq_topk": (q_ann_ivf_pq_topk, SQL_ANN_IVF_PQ_TOPK),
+    "unimax_allocation": (q_unimax_allocation, SQL_UNIMAX_ALLOCATION),
 }
 

@@ -1039,3 +1039,27 @@ def test_ann_ivf_pq_probes_prune_candidates(spark, tmp_path):
     # holds only its founder; every other list is unprobed for query 0.
     assert {r.vec_id for r in q0} == {8, 9, 1}
     assert q0[0].vec_id == 8
+
+
+def test_unimax_caps_tail_and_waterfills_head(spark, tmp_path):
+    """UniMax waterfill on a crafted 3-language corpus (fr=10, de=20,
+    en=300 tokens; budget = 3/2 x 330 = 495): both tail languages hit the
+    2-epoch cap exactly (alloc 20 / 40), the head takes the entire
+    remainder (435 -> epochs 1.45), and the full budget is spent."""
+    from readability_1_spark.queries import q_unimax_allocation
+
+    def words(n, tag):
+        return " ".join(f"{tag}{i}" for i in range(n))
+
+    rows = [(i, words(100, "e"), "en", "s", 1) for i in range(3)]
+    rows += [(10, words(10, "f"), "fr", "s", 1), (11, words(20, "d"), "de", "s", 1)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.lang: r for r in q_unimax_allocation(spark, str(tmp_path)).collect()}
+    assert set(out) == {"en", "fr", "de"}
+    assert (out["fr"].n_tokens, out["fr"].alloc_tokens, out["fr"].epochs) == (10, 20, 2.0)
+    assert (out["de"].n_tokens, out["de"].alloc_tokens, out["de"].epochs) == (20, 40, 2.0)
+    assert (out["en"].n_tokens, out["en"].alloc_tokens, out["en"].epochs) == (300, 435, 1.45)
+    assert sum(r.alloc_tokens for r in out.values()) == 495  # budget spent

@@ -111,6 +111,7 @@ SCALE_CLASS = {
     "ann_pq_codes": ("broadcast", "per-subspace Lloyd training = broadcast centroids + map-side-combine updates on a PQ_SUBDIM-wide slice (ann_ivf_kmeans pattern, bounded lineage via localCheckpoint); encoding broadcasts PQ_M x PQ_K tiny codewords against one corpus scan - no corpus shuffle anywhere"),
     "ann_pq_adc_topk": ("broadcast", "distance table is PQ_NQ x PQ_M x PQ_K rows (broadcast); codes join it by (subspace, code) equi-join; one groupBy(query, vec) sums exactly PQ_M terms with map-side combine; per-query ranking window over candidates only; IVF restriction shrinks the scan side to probed lists"),
     "ann_ivf_pq_topk": ("bucketed", "FAISS IVFPQ search shape: coarse assignment + query probing are broadcasts of the tiny centroid set; candidates from ONE equi-join on centroid_id (list-bounded products = partition pruning at scale); ADC is the broadcast distance-table join restricted to candidates"),
+    "unimax_allocation": ("linear", "per-language token totals = one linear groupBy with map-side combine; the waterfill is O(#languages) sequential by construction and runs driver-side over the collected language table (dozens of rows at 100 TB - same bounded-collect discipline as the BPE trainer); result re-joined as a broadcast"),
 }
 
 
