@@ -6323,6 +6323,73 @@ SELECT query_id, rank, vec_id, adc_d2 FROM (
 """
 
 
+RP_OUT_DIMS = 16   # JL target dimensionality (scale = 1/sqrt(16) = exact 1/4)
+
+
+def _rp_weight_row(j: int) -> list:
+    """±1 sign row j of the JL projection matrix — same md5-parity
+    convention as the LSH hyperplanes (prefix 'rp:' keeps the families
+    independent), so Spark, DuckDB and any numpy replica derive the
+    identical matrix from nothing but the hash."""
+    return [_lsh_weight("rp:", j, i) for i in range(EMB_DIM)]
+
+
+def q_embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss random projection (Achlioptas 2003 sign
+    matrix): project every embedding 64 → RP_OUT_DIMS dims with a
+    deterministic ±1 matrix scaled by 1/sqrt(RP_OUT_DIMS) — the standard
+    cheap preprocessing before clustering / ANN when the source dimension
+    is wide (JL: pairwise distances survive within ~1/sqrt(k) distortion
+    with no training, no data pass, no state).  Output is long-format
+    (vec_id, dim, val) with round-6 values; both engines fold the dot
+    product in array-index order so the rounding is identical.
+
+    Scale shape: a pure zero-shuffle linear projection — one scan, every
+    output value a codegen'd fold over the row's own array; the 16×64 sign
+    matrix is a compile-time literal on both engines.  This is the op that
+    makes the downstream quadratic-ish stages (kmeans, within-cluster
+    semdedup cosines) 4× cheaper per distance."""
+    emb = _t(spark, sf_dir, "embeddings")
+
+    def proj(j):
+        w = F.array(*[F.lit(v) for v in _rp_weight_row(j)])
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), w, lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.round(dot / RP_OUT_DIMS ** 0.5, 6)
+
+    vals = F.array(*[
+        F.struct(F.lit(j).alias("dim"), proj(j).alias("val"))
+        for j in range(RP_OUT_DIMS)
+    ])
+    return (
+        emb.select("vec_id", F.explode(vals).alias("x"))
+        .select("vec_id", "x.dim", "x.val")
+    )
+
+
+def _sql_rp_values() -> str:
+    rows = []
+    for j in range(RP_OUT_DIMS):
+        lst = ", ".join(str(v) for v in _rp_weight_row(j))
+        rows.append(f"({j}, [{lst}])")
+    return ", ".join(rows)
+
+
+SQL_EMBEDDING_RANDOM_PROJECTION = f"""
+WITH w(dim, wv) AS (VALUES {_sql_rp_values()})
+SELECT e.vec_id, w.dim,
+       round(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+         i -> CAST(e.embedding[i] AS DOUBLE) * wv[i]))
+         / sqrt({RP_OUT_DIMS}), 6) AS val
+FROM embeddings e, w
+"""
+
+
 UNIMAX_EPOCH_CAP = 2            # max passes over any one language
 UNIMAX_BUDGET_NUM = 3           # token budget = 3/2 of the corpus —
 UNIMAX_BUDGET_DEN = 2           # the train-past-one-epoch regime UniMax targets
@@ -6709,5 +6776,9 @@ QUERIES: dict[str, tuple] = {
     "ann_pq_adc_topk": (q_ann_pq_adc_topk, SQL_ANN_PQ_ADC_TOPK),
     "ann_ivf_pq_topk": (q_ann_ivf_pq_topk, SQL_ANN_IVF_PQ_TOPK),
     "unimax_allocation": (q_unimax_allocation, SQL_UNIMAX_ALLOCATION),
+    "embedding_random_projection": (
+        q_embedding_random_projection,
+        SQL_EMBEDDING_RANDOM_PROJECTION,
+    ),
 }
 

@@ -1063,3 +1063,48 @@ def test_unimax_caps_tail_and_waterfills_head(spark, tmp_path):
     assert (out["de"].n_tokens, out["de"].alloc_tokens, out["de"].epochs) == (20, 40, 2.0)
     assert (out["en"].n_tokens, out["en"].alloc_tokens, out["en"].epochs) == (300, 435, 1.45)
     assert sum(r.alloc_tokens for r in out.values()) == 495  # budget spent
+
+
+def test_random_projection_matches_numpy_and_preserves_distances(spark):
+    """The projection equals an independent numpy replica (same md5-parity
+    sign matrix, same round-6) exactly, and JL holds on the real sf0.001
+    embeddings: the median pairwise squared-distance ratio (projected vs
+    original) stays near 1 with ~1/sqrt(16) spread."""
+    import hashlib
+
+    import numpy as np
+
+    from readability_1_spark.queries import (
+        EMB_DIM,
+        RP_OUT_DIMS,
+        q_embedding_random_projection,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = q_embedding_random_projection(spark, sf).collect()
+    proj = {}
+    for r in out:
+        proj.setdefault(r.vec_id, {})[r.dim] = r.val
+    P = np.array([[proj[v][d] for d in range(RP_OUT_DIMS)]
+                  for v in sorted(proj)])
+
+    import duckdb
+    X = np.array(duckdb.connect().execute(
+        f"SELECT embedding FROM read_parquet('{sf}/embeddings.parquet') "
+        "ORDER BY vec_id").df()["embedding"].tolist(), dtype=np.float64)
+    W = np.empty((RP_OUT_DIMS, EMB_DIM))
+    for j in range(RP_OUT_DIMS):
+        for i in range(EMB_DIM):
+            h = hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[0]
+            W[j, i] = 1.0 if h in "89abcdef" else -1.0
+    expected = np.round(X @ W.T / np.sqrt(RP_OUT_DIMS), 6)
+    assert np.array_equal(P, expected)
+
+    rng = np.random.default_rng(3)
+    idx = rng.choice(len(X), size=(200, 2))
+    idx = idx[idx[:, 0] != idx[:, 1]]
+    d_orig = ((X[idx[:, 0]] - X[idx[:, 1]]) ** 2).sum(1)
+    d_proj = ((P[idx[:, 0]] - P[idx[:, 1]]) ** 2).sum(1)
+    ratio = d_proj / d_orig
+    assert 0.8 < np.median(ratio) < 1.2
+    assert (np.abs(ratio - 1) < 0.9).mean() > 0.95
