@@ -219,3 +219,143 @@ def streaming_conversation_sessions(transcripts: DataFrame,
             else GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming near-duplicate suppression (MinHash + LSH banding, stateful)
+# ---------------------------------------------------------------------------
+
+NEARDUP_OUT_DDL = (
+    "conv_id STRING, turn_idx INT, band INT, first_seen BOOLEAN, "
+    "owner_conv_id STRING, owner_turn_idx INT"
+)
+NEARDUP_STATE_DDL = "owner_conv_id STRING, owner_turn_idx INT"
+
+
+def minhash_band_sigs(col_text):
+    """Per-ROW MinHash band signatures over a text column — the same
+    16-hash / 4-band family as the batch `_minhash_pairs`
+    (queries.py:1049), but computed entirely inside the row (array_min
+    over the row's own shingle array instead of a groupBy-min over the
+    exploded shingle set; min over the multiset equals min over the set),
+    so a streaming query needs NO pre-aggregation before its one stateful
+    op.  Returns an array of 4 (band, sig) structs."""
+    from .queries import N_BANDS, N_MINHASH, TOKEN_SPLIT, _shingle_array_expr
+
+    ws = F.filter(F.split(F.lower(col_text), TOKEN_SPLIT), lambda x: x != "")
+    # _shingle_array_expr reads a column literally named `ws`
+    shingles = _shingle_array_expr()
+    per_band = N_MINHASH // N_BANDS
+
+    def mh(seed):
+        return F.array_min(
+            F.transform(
+                F.col("_sh"),
+                lambda s: F.md5(F.concat_ws(":", F.lit(seed), s)),
+            )
+        )
+
+    sig = [
+        F.md5(F.concat_ws(",", *[mh(band * per_band + j) for j in range(per_band)]))
+        for band in range(N_BANDS)
+    ]
+    bands = F.array(*[
+        F.struct(F.lit(b).alias("band"), sig[b].alias("sig"))
+        for b in range(N_BANDS)
+    ])
+    return ws.alias("ws"), shingles, bands
+
+
+def make_neardup_fn():
+    """applyInPandasWithState function keyed by (band, sig): the FIRST doc
+    to claim a bucket owns it (within a micro-batch, rows are processed in
+    (conv_id, turn_idx) order for determinism); every later arrival in the
+    same bucket — across micro-batches and restarts — emits
+    first_seen=false with the owner's key.  State is ONE fixed-width row
+    per distinct (band, sig) bucket, the LSH bucket universe."""
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        band = int(key[0])
+        if state.exists:
+            oc, ot = state.get
+        else:
+            oc, ot = None, None
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["conv_id", "turn_idx"])
+            for c, t in zip(pdf["conv_id"], pdf["turn_idx"]):
+                t = int(t)
+                if oc is None:
+                    oc, ot = str(c), t
+                    rows.append((c, t, band, True, oc, ot))
+                else:
+                    rows.append((c, t, band, False, oc, ot))
+        state.update((oc, ot))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=["conv_id", "turn_idx", "band", "first_seen",
+                         "owner_conv_id", "owner_turn_idx"],
+            )
+
+    return fn
+
+
+def streaming_neardup_flags(transcripts: DataFrame) -> DataFrame:
+    """Streaming MinHash near-duplicate suppression: each HTML-bearing turn
+    computes its 4 LSH band signatures IN-ROW (no pre-shuffle), explodes to
+    (band, sig) and passes through ONE stateful operator whose state store
+    holds the first owner of every bucket.  A turn is a near-dup CANDIDATE
+    when any of its bands lands in a bucket owned by a different turn —
+    collapse per turn with `neardup_collapse` (batch-side, e.g. in
+    foreachBatch or over the flags sink).
+
+    At 10^12 turns the state is one fixed-width row per DISTINCT bucket
+    (the same universe the batch LSH shuffles on), and the stream shuffles
+    4 rows per turn — the streaming analogue of `dedup_minhash_lsh` with
+    first-wins semantics instead of pair emission."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from .pipeline import ensure_worker_imports
+
+    ensure_worker_imports(transcripts.sparkSession)
+    ws, shingles, bands = minhash_band_sigs(F.col("text"))
+    gated = transcripts.filter(
+        F.col("text").isNotNull() & F.col("text").rlike(HTML_GATE)
+    )
+    banded = (
+        gated.select("conv_id", "turn_idx", ws)
+        .withColumn("_sh", shingles)
+        .select("conv_id", "turn_idx", F.explode(bands).alias("b"))
+        .select("conv_id", "turn_idx", F.col("b.band").alias("band"),
+                F.col("b.sig").alias("sig"))
+    )
+    return banded.groupBy("band", "sig").applyInPandasWithState(
+        make_neardup_fn(),
+        NEARDUP_OUT_DDL,
+        NEARDUP_STATE_DDL,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def neardup_collapse(flags: DataFrame) -> DataFrame:
+    """Batch-side per-turn verdict over the flags sink: a turn is a
+    near-dup candidate iff ANY band bucket is owned by a DIFFERENT turn;
+    the reported owner is the lexicographically smallest such owner (a
+    deterministic representative)."""
+    hit = (~F.col("first_seen")) & (
+        (F.col("owner_conv_id") != F.col("conv_id"))
+        | (F.col("owner_turn_idx") != F.col("turn_idx"))
+    )
+    return flags.groupBy("conv_id", "turn_idx").agg(
+        F.max(hit).alias("is_neardup"),
+        F.min(
+            F.when(hit, F.struct("owner_conv_id", "owner_turn_idx"))
+        ).alias("matched"),
+    ).select(
+        "conv_id", "turn_idx", "is_neardup",
+        F.col("matched.owner_conv_id").alias("matched_conv_id"),
+        F.col("matched.owner_turn_idx").alias("matched_turn_idx"),
+    )

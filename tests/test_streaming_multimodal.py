@@ -1386,3 +1386,112 @@ def test_audio_features_distributed(spark):
     fake = audio_features(synthetic_media(spark, 60), fake_decode=True)
     got = fake.filter("kind = 'audio'").collect()
     assert got and all(r.decode_status == "ok" for r in got)
+
+
+def test_streaming_neardup_flags(spark, tmp_path):
+    """Stateful streaming near-dup suppression: bucket ownership is
+    first-wins within a micro-batch, persists across micro-batches AND
+    across query restarts (checkpointed state); an exact re-send flags
+    against the original, a one-word-append near-dup flags iff it shares a
+    band with the original (asserted against a batch recomputation of the
+    same band signatures), and vocabulary-disjoint docs stay clean."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from readability_1_spark.streaming import (
+        minhash_band_sigs,
+        neardup_collapse,
+        stream_transcripts_from_dir,
+        streaming_neardup_flags,
+    )
+    from readability_1_spark.transcripts import TRANSCRIPT_SCHEMA
+
+    t0 = datetime.datetime(2026, 1, 1, 12, 0, 0)
+
+    def page(body):
+        return f"<html><body><p>{body}</p></body></html>"
+
+    base = ("the committee reviewed the quarterly report and approved the "
+            "budget for the harbor expansion project without any objection")
+    a_text = page(base)
+    b_text = page(base + " today")            # near-dup of A
+    c_text = page("völlig anderes vokabular über gärten und vögel im park "
+                  "mit bäumen und blumen überall entlang des weges")
+    d_text = page("numbers one two three four five six seven eight nine ten "
+                  "eleven twelve thirteen fourteen fifteen sixteen")
+
+    def turn(conv, idx, text):
+        return (conv, idx, "tool", text, None, t0)
+
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    spark.createDataFrame(
+        [turn("c0", 0, a_text), turn("c1", 0, c_text)], TRANSCRIPT_SCHEMA
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    spark.createDataFrame(
+        [turn("c2", 0, b_text), turn("c0", 5, a_text), turn("c3", 0, d_text)],
+        TRANSCRIPT_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        def run():
+            flags = streaming_neardup_flags(
+                stream_transcripts_from_dir(spark, in_dir, max_files_per_trigger=1)
+            )
+            q = (
+                flags.writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        run()
+        verdicts = {
+            (r.conv_id, r.turn_idx): r
+            for r in neardup_collapse(spark.read.parquet(out_dir)).collect()
+        }
+        assert not verdicts[("c0", 0)].is_neardup      # first owner
+        assert not verdicts[("c1", 0)].is_neardup      # disjoint vocab
+        assert not verdicts[("c3", 0)].is_neardup
+        resend = verdicts[("c0", 5)]                   # exact re-send
+        assert resend.is_neardup
+        assert (resend.matched_conv_id, resend.matched_turn_idx) == ("c0", 0)
+
+        # B's verdict must equal the batch recomputation: near-dup iff it
+        # shares >= 1 band signature with A.
+        ws, shingles, bands = minhash_band_sigs(F.col("text"))
+        batch = (
+            spark.createDataFrame([("a", a_text), ("b", b_text)], "k string, text string")
+            .select("k", ws).withColumn("_sh", shingles)
+            .select("k", F.explode(bands).alias("x"))
+            .select("k", "x.band", "x.sig")
+            .collect()
+        )
+        sigs = {}
+        for r in batch:
+            sigs.setdefault(r.k, {})[r.band] = r.sig
+        expected_b = any(sigs["a"][b] == sigs["b"][b] for b in sigs["a"])
+        assert verdicts[("c2", 0)].is_neardup == expected_b
+
+        # Restart persistence: a third batch re-sends C exactly; the
+        # restarted query must flag it against the round-one owner.
+        spark.createDataFrame(
+            [turn("c9", 0, c_text)], TRANSCRIPT_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+        run()
+        verdicts = {
+            (r.conv_id, r.turn_idx): r
+            for r in neardup_collapse(spark.read.parquet(out_dir)).collect()
+        }
+        late = verdicts[("c9", 0)]
+        assert late.is_neardup
+        assert (late.matched_conv_id, late.matched_turn_idx) == ("c1", 0)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
