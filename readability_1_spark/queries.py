@@ -6669,10 +6669,21 @@ QUERIES: dict[str, tuple] = {
     "data_split_assign": (q_data_split_assign, SQL_DATA_SPLIT_ASSIGN),
     "domain_mix_resample": (q_domain_mix_resample, SQL_DOMAIN_MIX_RESAMPLE),
     "corpus_sample_stratified": (q_corpus_sample_stratified, SQL_CORPUS_SAMPLE_STRATIFIED),
-    "corpus_sample_topn": (q_corpus_sample_topn, SQL_CORPUS_SAMPLE_TOPN),
-    "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
-    "sequence_packing_ffd": (q_sequence_packing_ffd, SQL_SEQUENCE_PACKING_FFD),
-    "sequence_packing_stats": (q_sequence_packing_stats, SQL_SEQUENCE_PACKING_STATS),
+    # sixth/seventh/ninth/tenth-wave operators rotated IN for first-round
+    # driver attestation (displacing corpus_sample_topn, the 3 packing
+    # queries, q1, sessionize, top_revenue_orders, nation_revenue — all
+    # driver-attested in r03/r04 and re-attested by CORRECTNESS_LOCAL.json)
+    "semdedup": (q_semdedup, SQL_SEMDEDUP),
+    "doc_ngram_novelty": (q_doc_ngram_novelty, SQL_DOC_NGRAM_NOVELTY),
+    "split_leakage_check": (q_split_leakage_check, SQL_SPLIT_LEAKAGE_CHECK),
+    "ann_pq_codes": (q_ann_pq_codes, SQL_ANN_PQ_CODES),
+    "ann_pq_adc_topk": (q_ann_pq_adc_topk, SQL_ANN_PQ_ADC_TOPK),
+    "ann_ivf_pq_topk": (q_ann_ivf_pq_topk, SQL_ANN_IVF_PQ_TOPK),
+    "unimax_allocation": (q_unimax_allocation, SQL_UNIMAX_ALLOCATION),
+    "embedding_random_projection": (
+        q_embedding_random_projection,
+        SQL_EMBEDDING_RANDOM_PROJECTION,
+    ),
     # text analysis (window slice)
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
@@ -6684,10 +6695,6 @@ QUERIES: dict[str, tuple] = {
     "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
     "benchmark_contamination": (q_benchmark_contamination, SQL_BENCHMARK_CONTAMINATION),
     # relational core (rotated back into the window this round)
-    "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
-    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
-    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
-    "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
     # fourth/fifth-wave operators rotated IN for first-round driver
     # attestation (displacing 5 r03-attested relational entries, which move
     # past the window; CORRECTNESS_LOCAL.json re-attests the full registry)
@@ -6766,19 +6773,16 @@ QUERIES: dict[str, tuple] = {
     "events_asof_orders": (q_events_asof_orders, SQL_EVENTS_ASOF_ORDERS),
     "value_band_range_join": (q_value_band_range_join, SQL_VALUE_BAND_RANGE_JOIN),
     "revenue_rollup": (q_revenue_rollup, SQL_REVENUE_ROLLUP),
-    # sixth-wave operators, appended PAST the pinned driver window (the
-    # first-50 attestation set is untouched; CORRECTNESS_LOCAL.json
-    # re-attests the full registry)
-    "semdedup": (q_semdedup, SQL_SEMDEDUP),
-    "doc_ngram_novelty": (q_doc_ngram_novelty, SQL_DOC_NGRAM_NOVELTY),
-    "split_leakage_check": (q_split_leakage_check, SQL_SPLIT_LEAKAGE_CHECK),
-    "ann_pq_codes": (q_ann_pq_codes, SQL_ANN_PQ_CODES),
-    "ann_pq_adc_topk": (q_ann_pq_adc_topk, SQL_ANN_PQ_ADC_TOPK),
-    "ann_ivf_pq_topk": (q_ann_ivf_pq_topk, SQL_ANN_IVF_PQ_TOPK),
-    "unimax_allocation": (q_unimax_allocation, SQL_UNIMAX_ALLOCATION),
-    "embedding_random_projection": (
-        q_embedding_random_projection,
-        SQL_EMBEDDING_RANDOM_PROJECTION,
-    ),
+    # displaced from the window by the sixth/seventh/ninth/tenth-wave
+    # rotation (driver-attested r03/r04; re-attested every round by the
+    # committed CORRECTNESS_LOCAL.json full-registry run)
+    "corpus_sample_topn": (q_corpus_sample_topn, SQL_CORPUS_SAMPLE_TOPN),
+    "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
+    "sequence_packing_ffd": (q_sequence_packing_ffd, SQL_SEQUENCE_PACKING_FFD),
+    "sequence_packing_stats": (q_sequence_packing_stats, SQL_SEQUENCE_PACKING_STATS),
+    "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1),
+    "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
+    "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
+    "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
 }
 

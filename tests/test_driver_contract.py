@@ -51,13 +51,12 @@ DRIVER_WINDOW_50 = [
     "dedup_minhash_lsh", "dedup_minhash_clusters", "dedup_embedding_clusters",
     "multimodal_binary_stats",
     "data_split_assign", "domain_mix_resample", "corpus_sample_stratified",
-    "corpus_sample_topn", "sequence_packing", "sequence_packing_ffd",
-    "sequence_packing_stats",
+    "semdedup", "doc_ngram_novelty", "split_leakage_check",
+    "ann_pq_codes", "ann_pq_adc_topk", "ann_ivf_pq_topk",
+    "unimax_allocation", "embedding_random_projection",
     "text_quality", "token_counts", "lang_id", "extract_quality_filter",
     "doc_lm_score", "doc_quality_rank", "text_redact_pii", "doc_repetition",
     "benchmark_contamination",
-    "q1_pricing_summary", "events_sessionize", "top_revenue_orders",
-    "nation_revenue",
     "source_overlap_minhash", "ccnet_perplexity_buckets", "source_token_kl",
     "domain_cap_sample", "doclen_quantile_sketch",
     "dedup_exact_substring", "dedup_minhash_keep_best",
