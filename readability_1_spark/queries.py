@@ -6060,63 +6060,82 @@ def _pq_sq_dist(e_col, c_col):
 def _pq_train_encode(spark: SparkSession, sf_dir: str):
     """Train PQ_M independent PQ_K-codeword codebooks (Lloyd, PQ_ITERS
     iterations, deterministic init = sub-vectors of the first PQ_K vec_ids)
-    and encode the corpus.  Returns (codes_df, {s: centroids_df}) where
-    codes_df carries per-subspace code_{s} and round-6 squared quantization
-    distance d2_{s}.  Same determinism recipe as q_ann_ivf_kmeans: round-6
-    at every step, centroid_id tiebreaks, per-iteration localCheckpoint."""
+    and encode the corpus.  Returns (codes_df, cents_df) where codes_df
+    carries per-subspace code_{s} and round-6 squared quantization distance
+    d2_{s}, and cents_df is the LONG-format codebook (s, centroid_id,
+    c_emb).  Same determinism recipe as q_ann_ivf_kmeans: round-6 at every
+    step, centroid_id tiebreaks, per-iteration localCheckpoint.
+
+    All PQ_M codebooks train TOGETHER in one long-format frame keyed by
+    subspace — the per-iteration work is one equi-join on s (broadcast
+    PQ_M×PQ_K codewords) plus one grouped average, so the whole training is
+    PQ_ITERS Spark jobs instead of PQ_M×PQ_ITERS (the subspaces are
+    mathematically independent; batching them changes nothing about the
+    values, only the job count)."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    codes = None
-    cents: dict[int, DataFrame] = {}
-    for s in range(PQ_M):
-        sub = emb.select(
-            "vec_id",
+    sub_structs = F.array(*[
+        F.struct(
+            F.lit(s).alias("s"),
             F.transform(
                 F.slice("embedding", s * PQ_SUBDIM + 1, PQ_SUBDIM),
                 lambda x: x.cast("double"),
             ).alias("sub"),
         )
+        for s in range(PQ_M)
+    ])
+    subs = (
+        emb.select("vec_id", F.explode(sub_structs).alias("x"))
+        .select("vec_id", "x.s", "x.sub")
+    )
 
-        def assign(c, sub=sub):
-            pairs = sub.crossJoin(F.broadcast(c))
-            d2 = F.round(_pq_sq_dist(F.col("sub"), F.col("c_emb")), 6)
-            w = Window.partitionBy("vec_id").orderBy(
-                F.col("d2").asc(), F.col("centroid_id").asc()
-            )
-            return (
-                pairs.withColumn("d2", d2)
-                .withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select("vec_id", "sub", "centroid_id", "d2")
-            )
+    def assign(c):
+        pairs = subs.join(F.broadcast(c), "s")
+        d2 = F.round(_pq_sq_dist(F.col("sub"), F.col("c_emb")), 6)
+        w = Window.partitionBy("s", "vec_id").orderBy(
+            F.col("d2").asc(), F.col("centroid_id").asc()
+        )
+        return (
+            pairs.withColumn("d2", d2)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("s", "vec_id", "sub", "centroid_id", "d2")
+        )
 
-        cent = sub.filter(F.col("vec_id") < PQ_K).select(
-            F.col("vec_id").alias("centroid_id"),
-            F.transform("sub", lambda x: F.round(x, 6)).alias("c_emb"),
+    cent = subs.filter(F.col("vec_id") < PQ_K).select(
+        "s",
+        F.col("vec_id").alias("centroid_id"),
+        F.transform("sub", lambda x: F.round(x, 6)).alias("c_emb"),
+    )
+    for _ in range(PQ_ITERS):
+        a = assign(cent)
+        dims = a.select("s", "centroid_id", F.posexplode("sub").alias("pos", "val"))
+        u = dims.groupBy("s", "centroid_id", "pos").agg(
+            F.round(F.avg("val"), 6).alias("v")
         )
-        for _ in range(PQ_ITERS):
-            a = assign(cent)
-            dims = a.select("centroid_id", F.posexplode("sub").alias("pos", "val"))
-            u = dims.groupBy("centroid_id", "pos").agg(
-                F.round(F.avg("val"), 6).alias("v")
+        cent = (
+            u.groupBy("s", "centroid_id")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "v"))),
+                    lambda t: t["v"],
+                ).alias("c_emb")
             )
-            cent = (
-                u.groupBy("centroid_id")
-                .agg(
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("pos", "v"))),
-                        lambda t: t["v"],
-                    ).alias("c_emb")
-                )
-                .localCheckpoint()
-            )
-        cents[s] = cent
-        a = assign(cent).select(
-            "vec_id",
-            F.col("centroid_id").cast("int").alias(f"code_{s}"),
-            F.col("d2").alias(f"d2_{s}"),
+            .localCheckpoint()
         )
-        codes = a if codes is None else codes.join(a, "vec_id")
-    return codes, cents
+    final = assign(cent)
+    codes = final.groupBy("vec_id").agg(
+        *[
+            F.max(
+                F.when(F.col("s") == s, F.col("centroid_id"))
+            ).cast("int").alias(f"code_{s}")
+            for s in range(PQ_M)
+        ],
+        *[
+            F.max(F.when(F.col("s") == s, F.col("d2"))).alias(f"d2_{s}")
+            for s in range(PQ_M)
+        ],
+    )
+    return codes, cent
 
 
 def q_ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6143,31 +6162,31 @@ def q_ann_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _pq_query_dt(queries: DataFrame, cents: dict) -> DataFrame:
+def _pq_query_dt(queries: DataFrame, cents: DataFrame) -> DataFrame:
     """Per-query ADC distance table: (query_id, s, code, round-6 squared
     distance from the query's subspace-s sub-vector to that codeword).
-    PQ_NQ×PQ_M×PQ_K rows — always broadcastable."""
-    dts = []
-    for s in range(PQ_M):
-        qsub = queries.select(
-            "query_id",
+    PQ_NQ×PQ_M×PQ_K rows — always broadcastable.  `cents` is the
+    long-format codebook (s, centroid_id, c_emb) from _pq_train_encode."""
+    qsub_structs = F.array(*[
+        F.struct(
+            F.lit(s).alias("s"),
             F.transform(
                 F.slice("q_emb", s * PQ_SUBDIM + 1, PQ_SUBDIM),
                 lambda x: x.cast("double"),
             ).alias("qs"),
         )
-        dts.append(
-            qsub.crossJoin(F.broadcast(cents[s])).select(
-                "query_id",
-                F.lit(s).alias("s"),
-                F.col("centroid_id").cast("int").alias("code"),
-                F.round(_pq_sq_dist(F.col("qs"), F.col("c_emb")), 6).alias("d2"),
-            )
-        )
-    dt = dts[0]
-    for extra in dts[1:]:
-        dt = dt.unionByName(extra)
-    return dt
+        for s in range(PQ_M)
+    ])
+    qsubs = (
+        queries.select("query_id", F.explode(qsub_structs).alias("x"))
+        .select("query_id", "x.s", "x.qs")
+    )
+    return qsubs.join(F.broadcast(cents), "s").select(
+        "query_id",
+        "s",
+        F.col("centroid_id").cast("int").alias("code"),
+        F.round(_pq_sq_dist(F.col("qs"), F.col("c_emb")), 6).alias("d2"),
+    )
 
 
 def _pq_codes_long(codes: DataFrame) -> DataFrame:

@@ -108,7 +108,7 @@ SCALE_CLASS = {
     "semdedup": ("bucketed", "kmeans assignment = broadcast centroids (no corpus shuffle); the pair stage is ONE equi-join on centroid_id whose products are bounded by cluster size - k grows with the corpus so clusters stay bounded, the published algorithm's own contract (clustering exists to avoid the corpus-wide quadratic)"),
     "doc_ngram_novelty": ("shuffle", "distinct shingle explode, ONE groupBy(shingle) min-aggregate with map-side combine, one equi-join back on shingle, one groupBy(doc) - linear, two shuffles, no windows"),
     "split_leakage_check": ("shuffle", "train shingle set too large to broadcast at 100 TB -> membership is ONE shuffle equi-join on shingle (dedup_bloom_membership is the constant-memory approximate alternative); per-doc rollup with map-side combine; eval side is 2% of the corpus by the split itself"),
-    "ann_pq_codes": ("broadcast", "per-subspace Lloyd training = broadcast centroids + map-side-combine updates on a PQ_SUBDIM-wide slice (ann_ivf_kmeans pattern, bounded lineage via localCheckpoint); encoding broadcasts PQ_M x PQ_K tiny codewords against one corpus scan - no corpus shuffle anywhere"),
+    "ann_pq_codes": ("broadcast", "all PQ_M codebooks train TOGETHER in one long-format frame keyed by subspace - PQ_ITERS Spark jobs total, not PQ_M x PQ_ITERS; per iteration one broadcast equi-join on s (PQ_M x PQ_K codewords) + one grouped average with map-side combine, bounded lineage via localCheckpoint; no corpus shuffle anywhere"),
     "ann_pq_adc_topk": ("broadcast", "distance table is PQ_NQ x PQ_M x PQ_K rows (broadcast); codes join it by (subspace, code) equi-join; one groupBy(query, vec) sums exactly PQ_M terms with map-side combine; per-query ranking window over candidates only; IVF restriction shrinks the scan side to probed lists"),
     "ann_ivf_pq_topk": ("bucketed", "FAISS IVFPQ search shape: coarse assignment + query probing are broadcasts of the tiny centroid set; candidates from ONE equi-join on centroid_id (list-bounded products = partition pruning at scale); ADC is the broadcast distance-table join restricted to candidates"),
     "unimax_allocation": ("linear", "per-language token totals = one linear groupBy with map-side combine; the waterfill is O(#languages) sequential by construction and runs driver-side over the collected language table (dozens of rows at 100 TB - same bounded-collect discipline as the BPE trainer); result re-joined as a broadcast"),
