@@ -6342,7 +6342,58 @@ SELECT query_id, rank, vec_id, adc_d2 FROM (
 """
 
 
+CCNET_MIDDLE_KEEP_PCT = 50  # of 100 salted-hash buckets
+
+
+def q_ccnet_keep_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet KEEP action over the perplexity terciles
+    (q_ccnet_perplexity_buckets): head kept, tail dropped, middle kept for
+    a deterministic content-hash sample (CCNET_MIDDLE_KEEP_PCT of 100
+    buckets) — the published recipe's per-slice retention, made
+    reproducible the same way the train/val/test split is.  The sampling
+    hash is SALTED ('ccnet:' prefix) so the middle-keep set is independent
+    of q_data_split_assign's buckets — otherwise the kept middle would be
+    correlated with the train split.
+
+    Scale shape: the bucket subplan's (doc_lm_score + one per-source
+    window); the policy itself is a pure row expression, zero additional
+    shuffles."""
+    buckets = q_ccnet_perplexity_buckets(spark, sf_dir)
+    sample = _md5_bucket(
+        F.concat(F.lit("ccnet:"), F.col("doc_id").cast("string")), 100
+    )
+    keep = (
+        F.when(F.col("ppl_bucket") == "head", F.lit(True))
+        .when(
+            (F.col("ppl_bucket") == "middle")
+            & (sample < CCNET_MIDDLE_KEEP_PCT),
+            F.lit(True),
+        )
+        .otherwise(F.lit(False))
+    )
+    return buckets.select(
+        "doc_id", "source", "ppl_bucket", keep.alias("is_kept")
+    )
+
+
 RP_OUT_DIMS = 16   # JL target dimensionality (scale = 1/sqrt(16) = exact 1/4)
+
+
+SQL_CCNET_KEEP_POLICY = f"""
+WITH buckets AS ({SQL_CCNET_PERPLEXITY_BUCKETS}),
+hx AS (
+  SELECT doc_id, source, ppl_bucket,
+         md5('ccnet:' || CAST(doc_id AS VARCHAR)) AS h
+  FROM buckets
+)
+SELECT doc_id, source, ppl_bucket,
+       CASE WHEN ppl_bucket = 'head' THEN TRUE
+            WHEN ppl_bucket = 'middle'
+                 AND {_sql_md5_poly('h')} % 100 < {CCNET_MIDDLE_KEEP_PCT}
+                 THEN TRUE
+            ELSE FALSE END AS is_kept
+FROM hx
+"""
 
 
 def _rp_weight_row(j: int) -> list:
@@ -6803,5 +6854,7 @@ QUERIES: dict[str, tuple] = {
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
     "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
+    # twelfth-wave operator, appended PAST the pinned driver window
+    "ccnet_keep_policy": (q_ccnet_keep_policy, SQL_CCNET_KEEP_POLICY),
 }
 

@@ -1108,3 +1108,36 @@ def test_random_projection_matches_numpy_and_preserves_distances(spark):
     ratio = d_proj / d_orig
     assert 0.8 < np.median(ratio) < 1.2
     assert (np.abs(ratio - 1) < 0.9).mean() > 0.95
+
+
+def test_ccnet_keep_policy_head_middle_tail(spark):
+    """Policy semantics over the real sf0.001 buckets: head always kept,
+    tail never, middle kept iff the SALTED ('ccnet:' prefix) md5 bucket —
+    replicated here in pure Python — is below the keep percentage; the
+    salt makes middle-keep independent of the train/val/test split hash."""
+    import hashlib
+
+    from readability_1_spark.queries import (
+        CCNET_MIDDLE_KEEP_PCT,
+        q_ccnet_keep_policy,
+    )
+
+    def salted_bucket(doc_id):
+        h = hashlib.md5(f"ccnet:{doc_id}".encode()).hexdigest()
+        v = 0
+        for c in h[:8]:
+            v = v * 31 + ord(c)
+        return v % 100
+
+    rows = q_ccnet_keep_policy(spark, "/root/testdata/sf0.001").collect()
+    assert {r.ppl_bucket for r in rows} == {"head", "middle", "tail"}
+    for r in rows:
+        if r.ppl_bucket == "head":
+            assert r.is_kept
+        elif r.ppl_bucket == "tail":
+            assert not r.is_kept
+        else:
+            assert r.is_kept == (salted_bucket(r.doc_id) < CCNET_MIDDLE_KEEP_PCT)
+    mids = [r for r in rows if r.ppl_bucket == "middle"]
+    kept = sum(r.is_kept for r in mids)
+    assert 0 < kept < len(mids)  # the sample actually splits the middle

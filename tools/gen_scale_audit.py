@@ -112,6 +112,7 @@ SCALE_CLASS = {
     "ann_pq_adc_topk": ("broadcast", "distance table is PQ_NQ x PQ_M x PQ_K rows (broadcast); codes join it by (subspace, code) equi-join; one groupBy(query, vec) sums exactly PQ_M terms with map-side combine; per-query ranking window over candidates only; IVF restriction shrinks the scan side to probed lists"),
     "ann_ivf_pq_topk": ("bucketed", "FAISS IVFPQ search shape: coarse assignment + query probing are broadcasts of the tiny centroid set; candidates from ONE equi-join on centroid_id (list-bounded products = partition pruning at scale); ADC is the broadcast distance-table join restricted to candidates"),
     "unimax_allocation": ("linear", "per-language token totals = one linear groupBy with map-side combine; the waterfill is O(#languages) sequential by construction and runs driver-side over the collected language table (dozens of rows at 100 TB - same bounded-collect discipline as the BPE trainer); result re-joined as a broadcast"),
+    "ccnet_keep_policy": ("shuffle", "the bucket subplan's cost (doc_lm_score count-table joins + one per-source window); the keep policy itself is a pure salted-hash row expression, zero additional shuffles"),
     "embedding_random_projection": ("linear", "pure zero-shuffle projection: one scan, each output value a codegen'd fold over the row's own array; the 16x64 sign matrix is a compile-time literal on both engines (md5-parity, no trained state)"),
 }
 
