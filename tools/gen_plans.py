@@ -56,7 +56,8 @@ def main() -> None:
                  "source_token_kl", "domain_cap_sample",
                  "doclen_quantile_sketch", "semdedup", "doc_ngram_novelty",
                  "split_leakage_check", "ann_pq_adc_topk",
-                 "ann_ivf_pq_topk"):
+                 "ann_ivf_pq_topk", "embedding_random_projection",
+                 "unimax_allocation", "ccnet_keep_policy"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -162,6 +163,18 @@ def main() -> None:
                    "(partition pruning), never a corpus cartesian",
                    "BroadcastHashJoin" in full["ann_ivf_pq_topk"]
                    and "CartesianProduct" not in full["ann_ivf_pq_topk"]))
+    checks.append(("random projection is a pure scan projection "
+                   "(ZERO exchanges)",
+                   "Exchange" not in full["embedding_random_projection"]))
+    checks.append(("unimax: language totals combine map-side; allocation "
+                   "map re-joins as a broadcast",
+                   "partial_count" in full["unimax_allocation"]
+                   and "BroadcastHashJoin" in full["unimax_allocation"]))
+    checks.append(("ccnet keep policy adds NO exchange beyond the bucket "
+                   "subplan (policy is a row expression)",
+                   full["ccnet_keep_policy"].count("Exchange")
+                   <= full["ccnet_perplexity_buckets"].count("Exchange")
+                   and "CartesianProduct" not in full["ccnet_keep_policy"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")
