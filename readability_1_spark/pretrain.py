@@ -270,9 +270,12 @@ def curate_pretraining_data(
         # the text dedup saw.
         from .queries import lm_score_frame
 
+        # localCheckpoint: the LM subplan (two count-table shuffles) feeds
+        # BOTH the threshold aggregate and the keep join — without
+        # materialization Spark would compute it twice.
         scores = lm_score_frame(
             deduped, text_col="text_content", id_cols=("conv_id", "turn_idx")
-        )
+        ).localCheckpoint()
         # percentile_approx returns an actual data value, so the drop is
         # STRICT (> threshold): docs value-tied with the boundary are
         # "equally bad" and drop together (the bucket semantic), except
