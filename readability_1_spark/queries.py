@@ -5829,7 +5829,10 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-6 (the kmeans recipe), so the drop predicate compares identical
     values in both engines.  Returns every vector with its cluster, round-6
     centroid distance, and the keep verdict."""
-    assign = q_ann_ivf_kmeans(spark, sf_dir)  # vec_id, centroid_id, dist
+    # localCheckpoint: the assignment subplan feeds BOTH sides of the
+    # within-cluster self-join AND the final keep join — unmaterialized,
+    # Catalyst would evaluate the kmeans assignment three times.
+    assign = q_ann_ivf_kmeans(spark, sf_dir).localCheckpoint()
     emb = _t(spark, sf_dir, "embeddings")
     normed = emb.select(
         "vec_id",
@@ -5916,7 +5919,9 @@ def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     Docs with <3 tokens have no shingles: counts coalesce to 0 and novelty
     is NULL (not 1.0 — nothing was claimed)."""
     docs = _t(spark, sf_dir, "documents")
-    sh = _shingles(docs)
+    # localCheckpoint: the distinct-shingle set (one explode + one distinct
+    # shuffle) feeds both the min-aggregate and the join-back.
+    sh = _shingles(docs).localCheckpoint()
     first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
     per = (
         sh.join(first, "shingle")
@@ -5979,7 +5984,9 @@ def q_split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     0, leak_frac NULL) so the audit provably covered every eval doc."""
     docs = _t(spark, sf_dir, "documents")
     split = q_data_split_assign(spark, sf_dir).select("doc_id", "split")
-    sh = _shingles(docs).join(split, "doc_id")
+    # localCheckpoint: the split-tagged shingle set feeds both the train
+    # side and the eval side of the membership join.
+    sh = _shingles(docs).join(split, "doc_id").localCheckpoint()
     train_sh = (
         sh.filter(F.col("split") == "train")
         .select("shingle")
