@@ -961,7 +961,10 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     also the recall rule: a containing pair sharing ONLY ubiquitous
     shingles is (deliberately) not a candidate."""
     docs = _t(spark, sf_dir, "documents")
-    sh = _shingles(docs)
+    # localCheckpoint: the distinct shingle set feeds sizes, the df filter,
+    # both candidate sides and both verification postings — six re-runs of
+    # the explode + distinct shuffle without materialization.
+    sh = _shingles(docs).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     rare = (
         sh.groupBy("shingle")
@@ -4187,7 +4190,12 @@ def lm_score_frame(
     ).otherwise(F.array().cast("array<string>"))
     bg = toked.select(*id_cols, F.explode(bigrams).alias("bigram"))
 
-    bgk = bg.groupBy(*id_cols, "bigram").agg(F.count(F.lit(1)).alias("k"))
+    # localCheckpoint: the collapsed (doc, bigram, k) table feeds THREE
+    # derivations (history counts, bigram counts, per-doc scoring) —
+    # unmaterialized, each would re-run the corpus explode + count shuffle.
+    bgk = bg.groupBy(*id_cols, "bigram").agg(
+        F.count(F.lit(1)).alias("k")
+    ).localCheckpoint()
     c2 = bgk.groupBy("bigram").agg(F.sum("k").alias("cnt2"))
     c1 = (
         bgk.select(
@@ -4488,7 +4496,11 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             % DSIR_BUCKETS
         ).alias("b"),
     )
-    per = feats.groupBy("doc_id", "lang", "b").agg(F.count(F.lit(1)).alias("k"))
+    # localCheckpoint: the collapsed (doc, lang, bucket, k) table feeds the
+    # raw model, the target model, the totals AND the scoring join.
+    per = feats.groupBy("doc_id", "lang", "b").agg(
+        F.count(F.lit(1)).alias("k")
+    ).localCheckpoint()
     raw = per.groupBy("b").agg(F.sum("k").alias("c_raw"))
     tgt = (
         per.filter(F.col("lang") == DSIR_TARGET_LANG)
