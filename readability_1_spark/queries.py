@@ -1500,7 +1500,12 @@ def q_bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scores are round-6 BEFORE ranking with doc_id tiebreaks, so rank order
     is deterministic cross-engine."""
     docs = _t(spark, sf_dir, "documents")
-    per = _tokens(docs).groupBy("tok", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    # localCheckpoint: the collapsed (tok, doc, tf) table feeds doc
+    # lengths, df stats AND candidate scoring — three corpus explodes
+    # without materialization.
+    per = _tokens(docs).groupBy("tok", "doc_id").agg(
+        F.count(F.lit(1)).alias("tf")
+    ).localCheckpoint()
     dl = per.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     stats = per.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     corpus = dl.agg(
