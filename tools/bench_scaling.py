@@ -237,7 +237,7 @@ def report() -> None:
         # added to the protocol; fall back to all annotated windows if the
         # preferred subset has none.
         ceil_416 = sorted(r["eff_4_16"] for r in use if "eff_4_16" in r)
-        if not ceil_416:
+        if len(ceil_416) < 3:
             ceil_416 = sorted(
                 r["eff_4_16"] for r in ceiling_runs if "eff_4_16" in r
             )
