@@ -6081,6 +6081,9 @@ def _pq_sq_dist(e_col, c_col):
     )
 
 
+_PQ_CACHE: dict = {}  # (applicationId, sf_dir, corpus_fp) -> (codes, cents)
+
+
 def _pq_train_encode(spark: SparkSession, sf_dir: str):
     """Train PQ_M independent PQ_K-codeword codebooks (Lloyd, PQ_ITERS
     iterations, deterministic init = sub-vectors of the first PQ_K vec_ids)
@@ -6095,7 +6098,23 @@ def _pq_train_encode(spark: SparkSession, sf_dir: str):
     PQ_M×PQ_K codewords) plus one grouped average, so the whole training is
     PQ_ITERS Spark jobs instead of PQ_M×PQ_ITERS (the subspaces are
     mathematically independent; batching them changes nothing about the
-    values, only the job count)."""
+    values, only the job count).
+
+    Memoized per (session, corpus) with the same mtime+size fingerprint
+    discipline as _BPE_CACHE — three registered queries (codes, ADC top-k,
+    IVF-PQ) all need the same trained codebooks."""
+    app_id = spark.sparkContext.applicationId
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(emb_path)
+        corpus_fp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        corpus_fp = None
+    key = (app_id, sf_dir, corpus_fp)
+    if key in _PQ_CACHE:
+        return _PQ_CACHE[key]
+    for k in [k for k in _PQ_CACHE if k[0] != app_id]:
+        del _PQ_CACHE[k]
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     sub_structs = F.array(*[
         F.struct(
@@ -6158,7 +6177,8 @@ def _pq_train_encode(spark: SparkSession, sf_dir: str):
             F.max(F.when(F.col("s") == s, F.col("d2"))).alias(f"d2_{s}")
             for s in range(PQ_M)
         ],
-    )
+    ).localCheckpoint()
+    _PQ_CACHE[key] = (codes, cent)
     return codes, cent
 
 
