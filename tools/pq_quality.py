@@ -146,7 +146,73 @@ def clustered_mate_recall(n_clusters: int = 50, per: int = 10,
     print(f"clustered control: cluster-mate recall@{k}: {np.mean(hits):.3f}")
 
 
+SEMDEDUP_TAU_CTRL = 0.95  # production-style threshold for the control
+
+
+def semdedup_quality(n_clusters: int = 50, per: int = 10,
+                     noise: float = 0.02, seed: int = 11) -> None:
+    """SemDeDup keep-rule quality on a clustered control, numpy replica of
+    the exact operator recipe (k=8 kmeans, first-8 init, round-6, farthest-
+    from-centroid keep, vec_id ties): with tight clusters every true
+    duplicate group should end with EXACTLY ONE kept member (dedup
+    invariant: no two kept members are tau-similar), and nothing outside a
+    tau-clique should be dropped."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(n_clusters, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    X = np.repeat(centers, per, axis=0) + noise * rng.normal(
+        size=(n_clusters * per, 64)
+    )
+    n = len(X)
+    # coarse kmeans (full-dim, k=8, 2 iters, round-6, lowest-id ties)
+    cent = np.round(X[:8].copy(), 6)
+    for _ in range(2):
+        d = np.round(np.sqrt(((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1)), 6)
+        a = d.argmin(1)
+        for c in range(8):
+            m = a == c
+            if m.any():
+                cent[c] = np.round(X[m].mean(0), 6)
+    d = np.round(np.sqrt(((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1)), 6)
+    assign = d.argmin(1)
+    dist = d[np.arange(n), assign]
+    norm = np.linalg.norm(X, axis=1)
+    cos = np.round(X @ X.T / np.outer(norm, norm), 6)
+    dropped = np.zeros(n, dtype=bool)
+    for i in range(n):
+        for j in range(n):
+            if i == j or assign[i] != assign[j]:
+                continue
+            if cos[i, j] >= SEMDEDUP_TAU_CTRL and (
+                dist[j] > dist[i] or (dist[j] == dist[i] and j < i)
+            ):
+                dropped[i] = True
+                break
+    kept = ~dropped
+    # invariant 1: no two KEPT members of one kmeans cluster are tau-similar
+    viol = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            if (kept[i] and kept[j] and assign[i] == assign[j]
+                    and cos[i, j] >= SEMDEDUP_TAU_CTRL):
+                viol += 1
+    # invariant 2 (per true group, within one kmeans cluster): exactly one
+    # survivor per (true-group x assigned-cluster) cell
+    label = np.repeat(np.arange(n_clusters), per)
+    cells = {}
+    for i in range(n):
+        cells.setdefault((label[i], assign[i]), []).append(i)
+    multi = sum(1 for v in cells.values()
+                if sum(kept[i] for i in v) != 1
+                and all(cos[a_, b_] >= SEMDEDUP_TAU_CTRL
+                        for a_ in v for b_ in v if a_ != b_))
+    print(f"semdedup control (C={n_clusters}x{per}, tau={SEMDEDUP_TAU_CTRL}): "
+          f"kept {kept.sum()}/{n}; tau-similar kept pairs: {viol}; "
+          f"tau-clique cells with != 1 survivor: {multi}")
+
+
 if __name__ == "__main__":
     main()
     clustered_control()
     clustered_mate_recall()
+    semdedup_quality()
