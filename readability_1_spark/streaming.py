@@ -266,17 +266,24 @@ def minhash_band_sigs(col_text):
     return ws.alias("ws"), shingles, bands
 
 
-def make_neardup_fn():
+def make_neardup_fn(state_ttl_seconds: int | None = None):
     """applyInPandasWithState function keyed by (band, sig): the FIRST doc
     to claim a bucket owns it (within a micro-batch, rows are processed in
     (conv_id, turn_idx) order for determinism); every later arrival in the
     same bucket — across micro-batches and restarts — emits
     first_seen=false with the owner's key.  State is ONE fixed-width row
-    per distinct (band, sig) bucket, the LSH bucket universe."""
+    per distinct (band, sig) bucket, the LSH bucket universe.  With
+    state_ttl_seconds set, an idle bucket's ownership expires (state
+    removed on processing-time timeout) — content reseen after the horizon
+    becomes first again, the same bounded-state trade
+    streaming_dedup_exact makes with dropDuplicatesWithinWatermark."""
     import pandas as pd
 
     def fn(key, pdfs, state):
         band = int(key[0])
+        if state.hasTimedOut:
+            state.remove()
+            return
         if state.exists:
             oc, ot = state.get
         else:
@@ -292,6 +299,8 @@ def make_neardup_fn():
                 else:
                     rows.append((c, t, band, False, oc, ot))
         state.update((oc, ot))
+        if state_ttl_seconds is not None:
+            state.setTimeoutDuration(state_ttl_seconds * 1000)
         if rows:
             yield pd.DataFrame(
                 rows,
@@ -302,7 +311,8 @@ def make_neardup_fn():
     return fn
 
 
-def streaming_neardup_flags(transcripts: DataFrame) -> DataFrame:
+def streaming_neardup_flags(transcripts: DataFrame,
+                            state_ttl_seconds: int | None = None) -> DataFrame:
     """Streaming MinHash near-duplicate suppression: each HTML-bearing turn
     computes its 4 LSH band signatures IN-ROW (no pre-shuffle), explodes to
     (band, sig) and passes through ONE stateful operator whose state store
@@ -314,7 +324,14 @@ def streaming_neardup_flags(transcripts: DataFrame) -> DataFrame:
     At 10^12 turns the state is one fixed-width row per DISTINCT bucket
     (the same universe the batch LSH shuffles on), and the stream shuffles
     4 rows per turn — the streaming analogue of `dedup_minhash_lsh` with
-    first-wins semantics instead of pair emission."""
+    first-wins semantics instead of pair emission.
+
+    On an endless crawl the bucket universe is unbounded: pass
+    state_ttl_seconds (e.g. 7 days, the crawl revisit period) to expire
+    idle bucket ownership via processing-time timeouts.  Off by default
+    for the same reason streaming_conversation_sessions' idle_timeout is:
+    under availableNow backfills a pending timeout forces extra
+    micro-batches just to fire it."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from .pipeline import ensure_worker_imports
@@ -332,11 +349,13 @@ def streaming_neardup_flags(transcripts: DataFrame) -> DataFrame:
                 F.col("b.sig").alias("sig"))
     )
     return banded.groupBy("band", "sig").applyInPandasWithState(
-        make_neardup_fn(),
+        make_neardup_fn(state_ttl_seconds),
         NEARDUP_OUT_DDL,
         NEARDUP_STATE_DDL,
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_seconds is not None
+        else GroupStateTimeout.NoTimeout,
     )
 
 
