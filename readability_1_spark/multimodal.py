@@ -1447,3 +1447,124 @@ def audio_features(media_df, fake_decode: bool = True):
     return media_df.mapInPandas(
         make_audio_feature_kernel(fake_decode), AUDIO_FEATURES_SCHEMA_DDL
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image dedup: difference hash (dHash) + banded near-dup pairs
+# ---------------------------------------------------------------------------
+
+def image_dhash(payload: bytes) -> int:
+    """64-bit difference hash of a decodable image: decode → integer luma →
+    9×8 nearest-neighbor downsample (same sampling rule as resize_image) →
+    one bit per horizontal luma gradient.  dHash is scale- and
+    format-invariant by construction (the downsample normalizes size, the
+    gradient sign survives palette/roundtrip requantization), which is what
+    makes it the standard cheap near-dup key for crawl image corpora.
+    Returned as a SIGNED 64-bit value so it fits a Spark/parquet BIGINT."""
+    w, h, rows = decode_pixels(payload)
+    grid = []
+    for y in range(8):
+        sy = min(h - 1, (y * h) // 8)
+        src = rows[sy]
+        line = []
+        for x in range(9):
+            sx = min(w - 1, (x * w) // 9)
+            r, g, b = src[sx * 3 : sx * 3 + 3]
+            line.append((299 * r + 587 * g + 114 * b) // 1000)
+        grid.append(line)
+    bits = 0
+    for y in range(8):
+        for x in range(8):
+            bits = (bits << 1) | (1 if grid[y][x] > grid[y][x + 1] else 0)
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+DHASH_SCHEMA_DDL = "media_id BIGINT, kind STRING, dhash_status STRING, dhash BIGINT"
+
+
+def make_media_dhash_kernel(fake_decode: bool = False):
+    """mapInPandas kernel: MEDIA_SCHEMA_DDL batches → one row per media
+    item with its 64-bit dHash; non-images are 'skipped', unsupported
+    formats degrade to 'decoder_unavailable', corrupt payloads to
+    'decode_error' — the same status contract as the feature kernels."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for mid, kind, payload in zip(
+                batch["media_id"], batch["kind"], batch["payload"]
+            ):
+                payload = bytes(payload) if payload is not None else b""
+                row = {"media_id": int(mid), "kind": kind,
+                       "dhash_status": "skipped", "dhash": None}
+                if kind == "image":
+                    try:
+                        row.update(dhash_status="ok",
+                                   dhash=image_dhash(payload))
+                    except NotImplementedError:
+                        row["dhash_status"] = "decoder_unavailable"
+                    except (ValueError, struct.error, IndexError):
+                        row["dhash_status"] = "decode_error"
+                rows.append(row)
+            yield pd.DataFrame(rows)
+
+    return kernel
+
+
+def media_dhashes(media_df, fake_decode: bool = False):
+    from .pipeline import ensure_worker_imports
+
+    ensure_worker_imports(media_df.sparkSession)
+    return media_df.mapInPandas(make_media_dhash_kernel(fake_decode),
+                                DHASH_SCHEMA_DDL)
+
+
+DHASH_BANDS = 8  # 8 bytes: any pair within Hamming 7 shares >= 1 whole byte
+
+
+def media_neardup_pairs(hash_df, max_hamming: int = 6):
+    """Near-duplicate image pairs from a (media_id, dhash) frame, the
+    dedup_simhash_pairs shape scaled to 64 bits: band the hash into 8
+    bytes — by pigeonhole any pair within Hamming distance 7 agrees on at
+    least one whole byte — equi-join on (band, byte value), then an exact
+    bit_count(XOR) re-check keeps pairs with hamming <= max_hamming.  One
+    explode (8x rows), one shuffle on the band key, bucket-bounded join
+    products; no quadratic stage anywhere."""
+    from pyspark.sql import functions as F
+
+    if not 0 <= max_hamming < DHASH_BANDS:
+        raise ValueError("max_hamming must be in [0, 7] for 8-byte banding")
+    hashes = hash_df.filter(F.col("dhash").isNotNull()).select(
+        "media_id", "dhash"
+    )
+    bands = hashes.select(
+        "media_id",
+        "dhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("dhash", 8 * b)
+                    .bitwiseAND(F.lit(255)).alias("bv"),
+                )
+                for b in range(DHASH_BANDS)
+            ])
+        ).alias("x"),
+    ).select("media_id", "dhash", "x.band", "x.bv")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.dhash").bitwiseXOR(F.col("b.dhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

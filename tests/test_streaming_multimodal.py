@@ -1495,3 +1495,92 @@ def test_streaming_neardup_flags(spark, tmp_path):
         assert (late.matched_conv_id, late.matched_turn_idx) == ("c1", 0)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _gray_bmp(w, h, luma):
+    """BMP whose pixel (x, y) is gray level luma(x, y) — built with the
+    module's encode_bmp_rgb (top-down row order preserved through decode;
+    the local _make_bmp helper stores rows bottom-up, which would flip the
+    image vertically relative to the PNG twin)."""
+    from readability_1_spark.multimodal import encode_bmp_rgb
+
+    rows = []
+    for y in range(h):
+        line = bytearray(w * 3)
+        for x in range(w):
+            v = luma(x, y)
+            line[x * 3 : x * 3 + 3] = bytes((v, v, v))
+        rows.append(line)
+    return encode_bmp_rgb(w, h, rows)
+
+
+def test_image_dhash_invariances():
+    """dHash is invariant to scale (nearest resize), format (same pixels
+    as PNG), and uniform brightness shift (gradient signs unchanged), and
+    far from a structurally different image."""
+    from readability_1_spark.multimodal import (
+        image_dhash,
+        resize_image,
+    )
+
+    # blockwise-smooth pattern: 8x8 constant blocks, so nearest-neighbor
+    # sampling from the 32px and the half-resized 16px image provably
+    # lands in the SAME block (dHash scale invariance is a smooth-image
+    # property; pixel-noise patterns alias under resampling)
+    luma = lambda x, y: ((x // 8) * 137 + (y // 8) * 61) % 200
+    base = _gray_bmp(32, 32, luma)
+    h0 = image_dhash(base)
+    assert h0 != 0
+    # scale invariance: nearest-resize to half then hash
+    assert image_dhash(resize_image(base, 16, 16)) == h0
+    # format invariance: identical pixels through the PNG encoder
+    png = _make_png(
+        32, 32, [[(luma(x, y),) * 3 for x in range(32)] for y in range(32)]
+    )
+    assert image_dhash(png) == h0
+    # brightness invariance: +3 on every sample leaves every gradient sign
+    assert image_dhash(_gray_bmp(32, 32, lambda x, y: luma(x, y) + 3)) == h0
+    # a structurally different block pattern is far away
+    other = _gray_bmp(
+        32, 32, lambda x, y: ((x // 8) * 151 + (y // 8) * 83 + 7) % 200
+    )
+    d = bin((h0 ^ image_dhash(other)) & ((1 << 64) - 1)).count("1")
+    assert d > 6
+
+
+def test_media_neardup_pairs_distributed(spark):
+    """media_dhashes + media_neardup_pairs end-to-end: a resized copy and
+    a PNG re-encode pair with the original at hamming 0, a different
+    pattern pairs with nothing, undecodable/non-image rows drop out."""
+    from readability_1_spark.multimodal import (
+        media_dhashes,
+        media_neardup_pairs,
+        resize_image,
+    )
+
+    luma = lambda x, y: ((x // 8) * 137 + (y // 8) * 61) % 200
+    base = _gray_bmp(32, 32, luma)
+    rows = [
+        (0, "image", bytearray(base), None),
+        (1, "image", bytearray(resize_image(base, 16, 16)), None),
+        (2, "image", bytearray(_make_png(
+            32, 32, [[(luma(x, y),) * 3 for x in range(32)]
+                     for y in range(32)])), None),
+        (3, "image", bytearray(_gray_bmp(
+            32, 32, lambda x, y: ((x // 8) * 151 + (y // 8) * 83 + 7) % 200)),
+         None),
+        (4, "image", bytearray(b"II*\x00 tiff"), None),
+        (5, "audio", bytearray(b"riff"), None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id LONG, kind STRING, payload BINARY, "
+        "meta STRUCT<mime: STRING, width: INT, height: INT, duration_ms: INT>",
+    )
+    hashes = media_dhashes(media)
+    st = {r.media_id: r.dhash_status for r in hashes.collect()}
+    assert st[0] == st[1] == st[2] == st[3] == "ok"
+    assert st[4] == "decoder_unavailable" and st[5] == "skipped"
+    pairs = {(r.media_a, r.media_b): r.hamming
+             for r in media_neardup_pairs(hashes).collect()}
+    assert pairs == {(0, 1): 0, (0, 2): 0, (1, 2): 0}
