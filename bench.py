@@ -194,6 +194,13 @@ def main() -> None:
         "ann_pq_adc_topk",
         "ann_ivf_pq_topk",
         "unimax_allocation",
+        # round 5, fourteenth wave: C4 battery over extracted text, tf-idf
+        # keywords, Zipf fit, unigram entropy.  Also excluded from the
+        # r04-comparable subtotal.
+        "extract_c4_filters",
+        "tfidf_top_terms",
+        "token_zipf_fit",
+        "doc_unigram_entropy",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -223,6 +230,10 @@ def main() -> None:
         "ann_pq_adc_topk",
         "ann_ivf_pq_topk",
         "unimax_allocation",
+        "extract_c4_filters",
+        "tfidf_top_terms",
+        "token_zipf_fit",
+        "doc_unigram_entropy",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

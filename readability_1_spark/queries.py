@@ -6742,6 +6742,417 @@ SELECT query_id, rank, vec_id, adc_d2 FROM (
 
 
 # --------------------------------------------------------------------------
+# C4 rule battery over EXTRACTED article text (Raffel et al. 2020)
+# --------------------------------------------------------------------------
+
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_SENTENCES = 3
+C4_BAD_WORDS = ("porn", "viagra", "xxx", "casino")  # LDNOOBW-style stand-in
+_C4_TRIM = "^[ \t\r\f]+|[ \t\r\f]+$"  # engine-identical trim class
+
+
+def c4_stat_columns(text_col: str = "text_content") -> list:
+    """Aliased Column expressions for the C4 cleaning stats over
+    `text_col` — the published C4 line rules (keep lines that end in a
+    terminal punctuation mark, have >= C4_MIN_WORDS_PER_LINE words, and do
+    not mention 'javascript') plus the page-level signals (sentence count
+    over the KEPT lines, 'lorem ipsum', '{{', bad-word token hits).
+    Factored out so tests can drive the exact rule battery over crafted
+    frames (the registry query runs it over extracted fixture text)."""
+    c = F.col(text_col)
+    trimmed = F.transform(
+        F.split(c, "\n"), lambda x: F.regexp_replace(x, _C4_TRIM, "")
+    )
+    nonempty = F.filter(trimmed, lambda x: x != "")
+
+    def line_keep(ln):
+        words = F.filter(F.split(ln, r"\s+"), lambda w: w != "")
+        return (
+            ln.rlike('[.!?"]$')
+            & (F.size(words) >= C4_MIN_WORDS_PER_LINE)
+            & ~F.lower(ln).contains("javascript")
+        )
+
+    kept = F.filter(nonempty, line_keep)
+    toks = F.filter(F.split(F.lower(c), TOKEN_SPLIT), lambda x: x != "")
+    bad_arr = F.array(*[F.lit(w) for w in C4_BAD_WORDS])
+    return [
+        F.size(nonempty).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        F.aggregate(kept, F.lit(0), lambda a, x: a + F.length(x)).alias(
+            "kept_chars"
+        ),
+        F.aggregate(
+            kept, F.lit(0), lambda a, x: a + F.regexp_count(x, F.lit(r"[.!?]"))
+        ).alias("n_sentences"),
+        F.lower(c).contains("lorem ipsum").alias("has_lorem_ipsum"),
+        c.contains("{").alias("has_brace"),
+        F.size(F.filter(toks, lambda t: F.array_contains(bad_arr, t))).alias(
+            "bad_word_hits"
+        ),
+    ]
+
+
+def c4_passes_cond():
+    """Page-level C4 verdict over the named c4_stat_columns (all-integer /
+    boolean comparisons — deterministic cross-engine by construction)."""
+    return (
+        (F.col("n_sentences") >= C4_MIN_SENTENCES)
+        & ~F.col("has_lorem_ipsum")
+        & ~F.col("has_brace")
+        & (F.col("bad_word_hits") == 0)
+    )
+
+
+def q_extract_c4_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style cleaning battery (Raffel et al. 2020) over EXTRACTED
+    article text: per ok-turn, apply the published line rules (terminal
+    punctuation, >= 5 words, no 'javascript') and page rules (>= 3
+    sentences in the kept text, no 'lorem ipsum', no '{', no bad-word
+    tokens), emitting every stat so downstream gates can re-threshold
+    without recompute.  Runs over the extraction kernel's own output —
+    real article text with real punctuation/newlines — so the rules do
+    real work on their test bed (the documents table is single-line word
+    soup; gopher covers that shape).
+
+    Scale shape: the extraction kernel dominates; the battery itself is a
+    single projection of JVM-side array/regexp expressions per row — no
+    explode, no join, no added shuffle."""
+    from .pipeline import extract_transcripts
+
+    df = spark.read.parquet(TRANSCRIPTS_PQ)
+    ex = extract_transcripts(df, num_parts=16).filter(F.col("status") == "ok")
+    stats = ex.select("conv_id", "turn_idx", *c4_stat_columns("text_content"))
+    return stats.withColumn("passes_c4", c4_passes_cond())
+
+
+SQL_EXTRACT_C4_FILTERS = f"""
+WITH g AS (
+  SELECT conv_id, turn_idx, text_content
+  FROM read_parquet('{GOLDENS_PQ}') WHERE status = 'ok'
+), base AS (
+  SELECT conv_id, turn_idx, text_content,
+         list_filter(list_transform(string_split(text_content, chr(10)),
+                     x -> regexp_replace(x, '{_C4_TRIM}', '', 'g')),
+                     x -> x <> '') AS lines,
+         list_filter(regexp_split_to_array(lower(text_content),
+                     '{TOKEN_SPLIT}'), x -> x <> '') AS toks
+  FROM g
+), k AS (
+  SELECT conv_id, turn_idx, text_content, lines, toks,
+         list_filter(lines, x -> regexp_matches(x, '[.!?"]$')
+             AND len(list_filter(regexp_split_to_array(x, '\\s+'),
+                                 w -> w <> '')) >= {C4_MIN_WORDS_PER_LINE}
+             AND NOT contains(lower(x), 'javascript')) AS kept
+  FROM base
+), stats AS (
+  SELECT conv_id, turn_idx,
+         len(lines) AS n_lines,
+         len(kept) AS n_kept_lines,
+         CAST(coalesce(list_sum(list_transform(kept, x -> length(x))), 0)
+              AS BIGINT) AS kept_chars,
+         CAST(coalesce(list_sum(list_transform(kept,
+              x -> len(regexp_extract_all(x, '[.!?]')))), 0)
+              AS BIGINT) AS n_sentences,
+         contains(lower(text_content), 'lorem ipsum') AS has_lorem_ipsum,
+         contains(text_content, '{{') AS has_brace,
+         len(list_filter(toks, t -> t IN {C4_BAD_WORDS})) AS bad_word_hits
+  FROM k
+)
+SELECT conv_id, turn_idx, n_lines, n_kept_lines, kept_chars, n_sentences,
+       has_lorem_ipsum, has_brace, bad_word_hits,
+       (n_sentences >= {C4_MIN_SENTENCES} AND NOT has_lorem_ipsum
+        AND NOT has_brace AND bad_word_hits = 0) AS passes_c4
+FROM stats
+"""
+
+
+# --------------------------------------------------------------------------
+# tf-idf top terms per document
+# --------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-K tf-idf terms — the classic retrieval / keyword-
+    extraction primitive (tf normalized by document length, idf =
+    ln(N/df)).  Determinism: idf is ROUND-6 before the product (ln recipe
+    shared with BM25/LM/DSIR), the score is one division+multiplication on
+    identical doubles (no cross-row float summation), and ranking breaks
+    score ties on term ASC.
+
+    Scale shape: token explode collapses immediately to the (doc, tok)
+    count table (map-side combine); df is a vocab-sized rollup of that
+    table; the N scalar is a 1-row broadcast; doc_len and the top-K rank
+    share ONE doc_id window partitioning.  Linear with two key shuffles
+    (doc+tok counts, tok join) at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), TOKEN_SPLIT), lambda x: x != "")
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = df_t.crossJoin(F.broadcast(total)).select(
+        "tok",
+        "df",
+        F.round(
+            F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+        ).alias("idf"),
+    )
+    wd = Window.partitionBy("doc_id")
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    scored = (
+        tf.join(idf, "tok")
+        .withColumn("doc_len", F.sum("tf").over(wd))
+        .select(
+            "doc_id",
+            F.col("tok").alias("term"),
+            "tf",
+            "df",
+            F.round(
+                F.col("tf").cast("double") / F.col("doc_len") * F.col("idf"), 6
+            ).alias("tfidf"),
+        )
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+    )
+
+
+SQL_TFIDF_TOP_TERMS = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),
+         '{TOKEN_SPLIT}'), x -> x <> '')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+), dft AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), idf AS (
+  SELECT tok, df, round(ln(CAST(n_docs AS DOUBLE) / df), 6) AS idf
+  FROM dft, n
+), scored AS (
+  SELECT tf.doc_id, tf.tok AS term, tf.tf AS tf, idf.df AS df,
+         round(CAST(tf.tf AS DOUBLE)
+               / sum(tf.tf) OVER (PARTITION BY tf.doc_id) * idf.idf,
+               6) AS tfidf
+  FROM tf JOIN idf ON tf.tok = idf.tok
+)
+SELECT doc_id, term, tf, df, tfidf, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+) WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# Corpus Zipf fit + per-document unigram entropy
+# --------------------------------------------------------------------------
+
+ZIPF_MAX_RANK = 10_000  # fit the distribution head; bounds the BIGINT sums
+
+
+def q_token_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares Zipf fit over the corpus token frequency spectrum:
+    regress ln(freq) on ln(rank) for the top-ZIPF_MAX_RANK token types
+    (rank = freq DESC, token ASC) and report the slope (a healthy natural-
+    language corpus sits near -1; word-soup/templated corpora flatten) —
+    the distribution-shape diagnostic dataset cards report next to type/
+    token counts.  Determinism: each (ln rank, ln freq) point is quantized
+    to INTEGER micro-units (round(x*1e6) -> BIGINT), so every regression
+    sum is EXACT integer arithmetic — summation order cannot matter; the
+    closed-form slope/intercept are then scalar double ops on identical
+    exact inputs, round-6.
+
+    Scale shape: one vocab rollup (map-side combine) + one rank window
+    over the vocab-sized frequency table (bounded by ZIPF_MAX_RANK for
+    the fit), then a single 1-row aggregation.  The corpus-sized side is
+    the token count scan only."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(
+            F.filter(F.split(F.lower("text"), TOKEN_SPLIT), lambda x: x != "")
+        ).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("tok"))  # vocab-bounded
+    xy = (
+        freq.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= ZIPF_MAX_RANK)
+        .select(
+            "freq",
+            F.round(F.log(F.col("rnk").cast("double")) * 1e6, 0)
+            .cast("bigint")
+            .alias("xi"),
+            F.round(F.log(F.col("freq").cast("double")) * 1e6, 0)
+            .cast("bigint")
+            .alias("yi"),
+        )
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("freq").alias("n_tokens"),
+        F.sum("xi").alias("sx"),
+        F.sum("yi").alias("sy"),
+        F.sum(F.col("xi") * F.col("yi")).alias("sxy"),
+        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
+    )
+    n = F.col("n_types").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    slope = F.round(
+        (n * F.col("sxy").cast("double") - sx * sy)
+        / (n * F.col("sxx").cast("double") - sx * sx),
+        6,
+    )
+    out = s.select(
+        "n_types", "n_tokens", slope.alias("zipf_slope"), "sx", "sy"
+    ).withColumn(
+        "zipf_intercept",
+        F.round(
+            (F.col("sy").cast("double") / 1e6
+             - F.col("zipf_slope") * F.col("sx").cast("double") / 1e6)
+            / F.col("n_types"),
+            6,
+        ),
+    )
+    return out.select(
+        "n_types", "n_tokens", "zipf_slope", "zipf_intercept"
+    )
+
+
+SQL_TOKEN_ZIPF_FIT = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+         '{TOKEN_SPLIT}'), x -> x <> '')) AS tok
+  FROM documents
+), freq AS (
+  SELECT tok, count(*) AS freq FROM toks GROUP BY tok
+), xy AS (
+  SELECT freq,
+         CAST(round(ln(CAST(rnk AS DOUBLE)) * 1e6, 0) AS BIGINT) AS xi,
+         CAST(round(ln(CAST(freq AS DOUBLE)) * 1e6, 0) AS BIGINT) AS yi
+  FROM (
+    SELECT freq, row_number() OVER (ORDER BY freq DESC, tok ASC) AS rnk
+    FROM freq
+  ) WHERE rnk <= {ZIPF_MAX_RANK}
+), s AS (
+  SELECT count(*) AS n_types,
+         CAST(sum(freq) AS BIGINT) AS n_tokens,
+         CAST(sum(xi) AS BIGINT) AS sx,
+         CAST(sum(yi) AS BIGINT) AS sy,
+         CAST(sum(xi * yi) AS BIGINT) AS sxy,
+         CAST(sum(xi * xi) AS BIGINT) AS sxx
+  FROM xy
+)
+SELECT n_types, n_tokens,
+       round((CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope,
+       round((CAST(sy AS DOUBLE) / 1e6
+              - round((CAST(n_types AS DOUBLE) * CAST(sxy AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                      / (CAST(n_types AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+                * CAST(sx AS DOUBLE) / 1e6)
+             / n_types, 6) AS zipf_intercept
+FROM s
+"""
+
+
+def q_doc_unigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy (nats) of the unigram distribution plus
+    the ln(n_types)-normalized variant — the lexical-diversity quality
+    signal (templated/repetitive docs score low even at healthy length).
+    Determinism: each distinct token's -p*ln(p) term is quantized to
+    INTEGER micro-nats (round(x*1e6) -> BIGINT), so the per-doc sum is
+    exact integer arithmetic; entropy = round(sum/1e6, 6), normalized by
+    the ROUND-6 ln(n_types).  Every document keeps a row (zero-token docs:
+    counts 0, entropies NULL; single-type docs: entropy 0, normalized
+    NULL) so coverage is provable.
+
+    Scale shape: token explode collapses to the (doc, tok) count table
+    (map-side combine); ONE doc_id window partitioning serves the length
+    and the rollup; the left join back to documents is on the doc key.
+    Linear at any corpus size."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), TOKEN_SPLIT), lambda x: x != "")
+        ).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    wd = Window.partitionBy("doc_id")
+    p = F.col("c").cast("double") / F.col("n")
+    terms = tf.withColumn("n", F.sum("c").over(wd)).withColumn(
+        "ti", F.round(-p * F.log(p) * 1e6, 0).cast("bigint")
+    )
+    agg = terms.groupBy("doc_id").agg(
+        F.max("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("ti").alias("sti"),
+    )
+    out = docs.select("doc_id").join(agg, "doc_id", "left")
+    entropy = F.round(F.col("sti").cast("double") / 1e6, 6)
+    return out.select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("n_types", F.lit(0)).alias("n_types"),
+        entropy.alias("entropy_nats"),
+        F.when(
+            F.col("n_types") > 1,
+            F.round(
+                entropy / F.round(F.log(F.col("n_types").cast("double")), 6), 6
+            ),
+        ).alias("norm_entropy"),
+    )
+
+
+SQL_DOC_UNIGRAM_ENTROPY = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text),
+         '{TOKEN_SPLIT}'), x -> x <> '')) AS tok
+  FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+), terms AS (
+  SELECT doc_id, c, sum(c) OVER (PARTITION BY doc_id) AS n
+  FROM tf
+), agg AS (
+  SELECT doc_id,
+         CAST(max(n) AS BIGINT) AS n_tokens,
+         count(*) AS n_types,
+         CAST(sum(CAST(round(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                             * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                             * 1e6, 0) AS BIGINT)) AS BIGINT) AS sti
+  FROM terms GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_types, 0) AS n_types,
+       round(CAST(a.sti AS DOUBLE) / 1e6, 6) AS entropy_nats,
+       CASE WHEN a.n_types > 1 THEN
+         round(round(CAST(a.sti AS DOUBLE) / 1e6, 6)
+               / round(ln(CAST(a.n_types AS DOUBLE)), 6), 6)
+       END AS norm_entropy
+FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -6900,5 +7311,11 @@ QUERIES: dict[str, tuple] = {
     "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
     # twelfth-wave operator, appended PAST the pinned driver window
     "ccnet_keep_policy": (q_ccnet_keep_policy, SQL_CCNET_KEEP_POLICY),
+    # fourteenth wave, appended PAST the pinned driver window: C4 battery
+    # over extracted text, tf-idf keywords, Zipf fit, unigram entropy
+    "extract_c4_filters": (q_extract_c4_filters, SQL_EXTRACT_C4_FILTERS),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "token_zipf_fit": (q_token_zipf_fit, SQL_TOKEN_ZIPF_FIT),
+    "doc_unigram_entropy": (q_doc_unigram_entropy, SQL_DOC_UNIGRAM_ENTROPY),
 }
 

@@ -1141,3 +1141,152 @@ def test_ccnet_keep_policy_head_middle_tail(spark):
     mids = [r for r in rows if r.ppl_bucket == "middle"]
     kept = sum(r.is_kept for r in mids)
     assert 0 < kept < len(mids)  # the sample actually splits the middle
+
+
+def test_c4_stat_columns_line_and_page_rules(spark):
+    """Each published C4 rule exercised on crafted multi-line text: lines
+    survive only with terminal punctuation AND >= 5 words AND no
+    'javascript'; the page verdict needs >= 3 sentences in the KEPT text
+    and no lorem-ipsum / brace / bad-word-token signals."""
+    from readability_1_spark.queries import c4_passes_cond, c4_stat_columns
+
+    good = "This line has plenty of words and ends properly."
+    docs = spark.createDataFrame(
+        [
+            # 3 good sentences -> passes
+            (1, "\n".join([good, "  Another fine sentence is here! ",
+                           "Does this one also qualify as kept?"])),
+            # line rules: too short / no terminal punct / javascript
+            (2, "\n".join([good, "Too short.",
+                           "this line has no terminal punctuation at all",
+                           "Please enable javascript to view this page."])),
+            # page rules: enough sentences but lorem ipsum
+            (3, "\n".join([good, good.replace("plenty", "lots"),
+                           "Lorem Ipsum dolor sit amet filler text here."])),
+            # page rules: brace
+            (4, "\n".join([good, "Another fine sentence is here!",
+                           "A config value { appears } in this sentence."])),
+            # page rules: bad-word token
+            (5, "\n".join([good, "Another fine sentence is here!",
+                           "This casino advertisement sentence still parses."])),
+            # only 2 kept sentences -> fails the >=3 gate
+            (6, "\n".join([good, "Another fine sentence is here!"])),
+        ],
+        "doc_id long, text_content string",
+    )
+    out = {
+        r.doc_id: r
+        for r in docs.select(
+            "doc_id", *c4_stat_columns("text_content")
+        ).withColumn("passes_c4", c4_passes_cond()).collect()
+    }
+    assert (out[1].n_lines, out[1].n_kept_lines, out[1].n_sentences) == (3, 3, 3)
+    assert out[1].passes_c4
+    # doc 2: only the good line survives its three broken siblings
+    assert (out[2].n_lines, out[2].n_kept_lines) == (4, 1)
+    assert not out[2].passes_c4
+    assert out[3].n_kept_lines == 3 and out[3].has_lorem_ipsum and not out[3].passes_c4
+    assert out[4].has_brace and not out[4].passes_c4
+    assert out[5].bad_word_hits == 1 and not out[5].passes_c4
+    assert (out[6].n_sentences, out[6].passes_c4) == (2, False)
+    # kept_chars counts only surviving lines (trimmed)
+    assert out[2].kept_chars == len(good)
+
+
+def test_tfidf_top_terms_hand_computed(spark, tmp_path):
+    """tf-idf on a 3-doc corpus, checked against the by-hand values:
+    corpus-wide terms get idf 0 (never top-ranked over distinctive ones),
+    and ranking breaks score ties on term ASC."""
+    import math
+
+    from readability_1_spark.queries import q_tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana common", "s", 25),
+            (2, "banana cherry common", "s", 20),
+            (3, "common common common", "s", 20),
+        ],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = q_tfidf_top_terms(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    idf = lambda df: round(math.log(3 / df), 6)
+    # doc 1: apple tf=2/4, df=1 -> top term
+    d1 = sorted(by_doc[1], key=lambda r: r.rank)
+    assert d1[0].term == "apple"
+    assert d1[0].tfidf == round(2 / 4 * idf(1), 6)
+    assert d1[1].term == "banana"
+    assert d1[1].tfidf == round(1 / 4 * idf(2), 6)
+    # 'common' appears in all docs -> idf 0 -> tfidf 0, ranked last
+    assert d1[2].term == "common" and d1[2].tfidf == 0.0
+    # doc 3 has only one term; tie-free single row
+    assert [r.term for r in by_doc[3]] == ["common"]
+    assert by_doc[3][0].tfidf == 0.0
+
+
+def test_token_zipf_fit_exact_replica(spark, tmp_path):
+    """The slope/intercept equal a pure-Python replica of the integer
+    micro-unit least-squares recipe on a crafted frequency spectrum."""
+    import math
+
+    from readability_1_spark.queries import q_token_zipf_fit
+
+    # frequencies: a 8x, b 4x, c 2x, d 1x -> clean geometric spectrum
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    docs = spark.createDataFrame(
+        [(1, text, "s", len(text))],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    row = q_token_zipf_fit(spark, str(tmp_path)).collect()[0]
+    freqs = [8, 4, 2, 1]  # rank order (freq DESC, tok ASC)
+    pts = [
+        (round(math.log(i + 1) * 1e6), round(math.log(f) * 1e6))
+        for i, f in enumerate(freqs)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    slope = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    intercept = round((sy / 1e6 - slope * sx / 1e6) / n, 6)
+    assert (row.n_types, row.n_tokens) == (4, 15)
+    assert row.zipf_slope == slope
+    assert row.zipf_intercept == intercept
+    # geometric halving over ranks 1..4 is steeper than true Zipf (-1)
+    assert row.zipf_slope < -1.0
+
+
+def test_doc_unigram_entropy_edge_cases(spark, tmp_path):
+    """Uniform 4-type doc hits ln(4) with norm 1.0; single-type doc has
+    entropy 0 and NULL normalization; zero-token docs keep a NULL row."""
+    import math
+
+    from readability_1_spark.queries import q_doc_unigram_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "s", 7),
+            (2, "x x x x", "s", 7),
+            (3, "!!! ???", "s", 7),  # tokenizer drops everything
+            (4, "a a b", "s", 5),
+        ],
+        "doc_id long, text string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r for r in
+           q_doc_unigram_entropy(spark, str(tmp_path)).collect()}
+    assert out[1].entropy_nats == round(round(math.log(4) * 1e6 / 4) * 4 / 1e6, 6)
+    assert out[1].norm_entropy == pytest.approx(1.0, abs=1e-5)
+    assert (out[2].n_tokens, out[2].n_types, out[2].entropy_nats,
+            out[2].norm_entropy) == (4, 1, 0.0, None)
+    assert (out[3].n_tokens, out[3].n_types, out[3].entropy_nats) == (0, 0, None)
+    # 2/3-1/3 doc: exact integer-micro replica
+    t1 = round(-(2 / 3) * math.log(2 / 3) * 1e6)
+    t2 = round(-(1 / 3) * math.log(1 / 3) * 1e6)
+    assert out[4].entropy_nats == round((t1 + t2) / 1e6, 6)

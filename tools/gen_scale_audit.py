@@ -114,6 +114,10 @@ SCALE_CLASS = {
     "unimax_allocation": ("linear", "per-language token totals = one linear groupBy with map-side combine; the waterfill is O(#languages) sequential by construction and runs driver-side over the collected language table (dozens of rows at 100 TB - same bounded-collect discipline as the BPE trainer); result re-joined as a broadcast"),
     "ccnet_keep_policy": ("shuffle", "the bucket subplan's cost (doc_lm_score count-table joins + one per-source window); the keep policy itself is a pure salted-hash row expression, zero additional shuffles"),
     "embedding_random_projection": ("linear", "pure zero-shuffle projection: one scan, each output value a codegen'd fold over the row's own array; the 16x64 sign matrix is a compile-time literal on both engines (md5-parity, no trained state)"),
+    "extract_c4_filters": ("shuffle", "the extraction kernel dominates (salt scatter -> Arrow kernel); the C4 battery itself is one projection of JVM-side array/regexp expressions per row - no explode, no join, no added shuffle"),
+    "tfidf_top_terms": ("shuffle", "token explode collapses to the (doc, tok) count table with map-side combine; df is a vocab rollup of that table; N is a 1-row broadcast; doc_len and top-K share ONE doc_id window partitioning - linear, two key shuffles"),
+    "token_zipf_fit": ("shuffle", "corpus side is one token-count rollup with map-side combine; the rank window runs over the VOCAB-sized frequency table (single partition, bounded further by ZIPF_MAX_RANK for the fit); regression sums are exact integers so the 1-row reduce is order-free"),
+    "doc_unigram_entropy": ("shuffle", "token explode collapses to the (doc, tok) count table with map-side combine; ONE doc_id window partitioning serves length + rollup; integer micro-nat terms make per-doc sums order-free; left join back on the doc key - linear"),
 }
 
 
