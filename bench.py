@@ -201,6 +201,10 @@ def main() -> None:
         "tfidf_top_terms",
         "token_zipf_fit",
         "doc_unigram_entropy",
+        # round 5, fifteenth wave: clustering-quality audit + held-out LM
+        # evaluation.  Also excluded from the r04-comparable subtotal.
+        "kmeans_silhouette",
+        "lm_perplexity_heldout",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -234,6 +238,8 @@ def main() -> None:
         "tfidf_top_terms",
         "token_zipf_fit",
         "doc_unigram_entropy",
+        "kmeans_silhouette",
+        "lm_perplexity_heldout",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

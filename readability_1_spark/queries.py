@@ -3978,45 +3978,41 @@ KMEANS_ITERS = 2
 EMB_DIM = 64
 
 
-def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF quantizer TRAINING: Lloyd's k-means (k=8, 2 iterations,
-    deterministic init = first k vectors) entirely as DataFrame ops — the
-    iterative-algorithm pattern at scale.  Per iteration: assignment is a
-    broadcast of the tiny centroid set with a codegen'd distance expression
-    (no shuffle on the corpus), the update is one groupBy(centroid, dim)
-    average (map-side combine) re-assembled into centroid arrays, and the
-    new centroids are localCheckpoint'ed so lineage stays bounded across
-    iterations (same discipline as connected_components).  Determinism for
-    the exact DuckDB oracle: distances and centroid dims are rounded to 6
-    decimals at every step, ties break on centroid_id — the oracle unrolls
-    both iterations as CTEs and matches by value hash.  Returns the final
-    assignment (vec_id, centroid_id, dist)."""
+def _kmeans_sq_dist(e_col, c_col):
+    return F.aggregate(
+        F.zip_with(
+            e_col, c_col,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _kmeans_assign(emb: DataFrame, cent: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment (round-6 L2, centroid_id tiebreak) —
+    broadcast of the tiny centroid set, no corpus shuffle."""
+    pairs = emb.crossJoin(F.broadcast(cent))
+    dist = F.round(
+        F.sqrt(_kmeans_sq_dist(F.col("embedding"), F.col("c_emb"))), 6
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist").asc(), F.col("centroid_id").asc()
+    )
+    return (
+        pairs.withColumn("dist", dist)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "embedding", "centroid_id", "dist")
+    )
+
+
+def _kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Lloyd training loop of q_ann_ivf_kmeans, factored so silhouette
+    scoring can reuse the FINAL centroid table (same recipe: round-6 at
+    every step, first-K init, per-iteration localCheckpoint)."""
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-
-    def sq_dist(e_col, c_col):
-        return F.aggregate(
-            F.zip_with(
-                e_col, c_col,
-                lambda x, y: (x.cast("double") - y.cast("double"))
-                * (x.cast("double") - y.cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    def assign(cent):
-        pairs = emb.crossJoin(F.broadcast(cent))
-        dist = F.round(F.sqrt(sq_dist(F.col("embedding"), F.col("c_emb"))), 6)
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("dist").asc(), F.col("centroid_id").asc()
-        )
-        return (
-            pairs.withColumn("dist", dist)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "embedding", "centroid_id", "dist")
-        )
-
     cent = emb.filter(F.col("vec_id") < KMEANS_K).select(
         F.col("vec_id").alias("centroid_id"),
         F.transform("embedding", lambda x: F.round(x.cast("double"), 6)).alias(
@@ -4024,7 +4020,7 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     for _ in range(KMEANS_ITERS):
-        a = assign(cent)
+        a = _kmeans_assign(emb, cent)
         dims = a.select(
             "centroid_id", F.posexplode("embedding").alias("pos", "val")
         )
@@ -4041,7 +4037,25 @@ def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-    return assign(cent).select("vec_id", "centroid_id", "dist")
+    return cent
+
+
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF quantizer TRAINING: Lloyd's k-means (k=8, 2 iterations,
+    deterministic init = first k vectors) entirely as DataFrame ops — the
+    iterative-algorithm pattern at scale.  Per iteration: assignment is a
+    broadcast of the tiny centroid set with a codegen'd distance expression
+    (no shuffle on the corpus), the update is one groupBy(centroid, dim)
+    average (map-side combine) re-assembled into centroid arrays, and the
+    new centroids are localCheckpoint'ed so lineage stays bounded across
+    iterations (same discipline as connected_components).  Determinism for
+    the exact DuckDB oracle: distances and centroid dims are rounded to 6
+    decimals at every step, ties break on centroid_id — the oracle unrolls
+    both iterations as CTEs and matches by value hash.  Returns the final
+    assignment (vec_id, centroid_id, dist)."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = _kmeans_centroids(spark, sf_dir)
+    return _kmeans_assign(emb, cent).select("vec_id", "centroid_id", "dist")
 
 
 def _sql_kmeans_dist(cent: str) -> str:
@@ -7153,6 +7167,232 @@ FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
 
 
 # --------------------------------------------------------------------------
+# Clustering quality (silhouette) + held-out LM perplexity
+# --------------------------------------------------------------------------
+
+
+def q_kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector simplified silhouette over the trained kmeans clustering
+    (a = distance to OWN centroid, b = distance to the nearest OTHER
+    centroid, s = (b-a)/max(a,b)) — the cluster-quality audit that tells a
+    SemDeDup/IVF pipeline whether its k is carving real structure (tight
+    clusters → s near 1; points straddling a boundary → s near 0).  The
+    centroid-based simplification is the scale-correct variant: classic
+    silhouette needs all intra/inter pair distances (quadratic), this
+    needs one distance row per (vector, centroid).
+
+    Determinism: distances are the kmeans recipe's own round-6 L2 with
+    centroid_id tiebreaks; a and b come from ONE rank window (b =
+    lead(dist) at rank 1), so both engines rank identically; s is a single
+    round-6 scalar expression.
+
+    Scale shape: training is q_ann_ivf_kmeans's loop (broadcast
+    assignment, map-side-combine updates, checkpointed); scoring is one
+    broadcast crossJoin (K rows) + ONE vec_id window — no corpus-vs-corpus
+    join anywhere."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = _kmeans_centroids(spark, sf_dir)
+    pairs = emb.crossJoin(F.broadcast(cent)).withColumn(
+        "dist",
+        F.round(F.sqrt(_kmeans_sq_dist(F.col("embedding"), F.col("c_emb"))), 6),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("dist").asc(), F.col("centroid_id").asc()
+    )
+    ranked = (
+        pairs.select("vec_id", "centroid_id", "dist")
+        .withColumn("b_dist", F.lead("dist").over(w))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    mx = F.greatest(F.col("dist"), F.col("b_dist"))
+    sil = F.when(
+        mx > 0, F.round((F.col("b_dist") - F.col("dist")) / mx, 6)
+    ).otherwise(F.lit(0.0))
+    return ranked.select(
+        "vec_id",
+        "centroid_id",
+        F.col("dist").alias("a_dist"),
+        "b_dist",
+        sil.alias("silhouette"),
+    )
+
+
+SQL_KMEANS_SILHOUETTE = f"""
+WITH c0 AS (
+  SELECT vec_id AS centroid_id,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS c_emb
+  FROM embeddings WHERE vec_id < {KMEANS_K}
+),
+{", ".join(_sql_kmeans_iter(n) for n in range(1, KMEANS_ITERS + 1))},
+d AS (
+  SELECT e.vec_id, c.centroid_id, {_sql_kmeans_dist('c')} AS dist
+  FROM embeddings e, c{KMEANS_ITERS} c
+), r AS (
+  SELECT vec_id, centroid_id, dist,
+         lead(dist) OVER (PARTITION BY vec_id
+                          ORDER BY dist ASC, centroid_id ASC) AS b_dist,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY dist ASC, centroid_id ASC) AS rn
+  FROM d
+)
+SELECT vec_id, centroid_id, dist AS a_dist, b_dist,
+       CASE WHEN greatest(dist, b_dist) > 0
+            THEN round((b_dist - dist) / greatest(dist, b_dist), 6)
+            ELSE 0.0 END AS silhouette
+FROM r WHERE rn = 1
+"""
+
+
+def q_lm_perplexity_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out LM evaluation — the eval loop the self-scoring doc_lm_score
+    deliberately lacks: the Laplace bigram LM is trained on the TRAIN
+    split ONLY (same content-stable hash split as data_split_assign) and
+    every split is scored against those frozen counts, reporting per-split
+    mean log-prob, perplexity = exp(-avg), and the k-weighted fraction of
+    bigram occurrences unseen in train (OOV rate — the train row is 0 by
+    construction; val/test quantify the generalization gap and would flag
+    train/eval drift or leakage).  Unseen bigrams/histories survive via
+    LEFT joins + coalesce(0) — Laplace smoothing keeps every log-prob
+    finite.
+
+    Determinism: the weighted mean sum(k*ln)/sum(k) recipe shared with
+    doc_lm_score, round-6; the OOV fraction is a single division of exact
+    integers; perplexity = exp of the ROUND-6 mean, round-6.
+
+    Scale shape: identical to doc_lm_score (collapsed (split, doc, bigram,
+    k) table materialized once and feeding train counts AND scoring;
+    count-table equi-joins with map-side combine; 1-row vocab broadcast)
+    plus one 3-group rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = _md5_bucket(F.col("doc_id").cast("string"))
+    split = (
+        F.when(bucket < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    ws = F.filter(F.split(F.lower("text"), TOKEN_SPLIT), lambda x: x != "")
+    toked = docs.select("doc_id", split.alias("split"), ws.alias("ws"))
+
+    def bigram_at(arr):
+        return lambda i: F.concat_ws(
+            " ", F.element_at(arr, i), F.element_at(arr, i + 1)
+        )
+
+    bigrams = F.when(
+        F.size("ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 1), bigram_at(F.col("ws"))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = toked.select("doc_id", "split", F.explode(bigrams).alias("bigram"))
+    # materialized once: feeds the train count tables AND the scoring join
+    bgk = (
+        bg.groupBy("split", "doc_id", "bigram")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint()
+    )
+    tr = bgk.filter(F.col("split") == "train")
+    c2 = tr.groupBy("bigram").agg(F.sum("k").alias("cnt2"))
+    c1 = (
+        tr.select(
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+            "k",
+        )
+        .groupBy("w1")
+        .agg(F.sum("k").alias("cnt1"))
+    )
+    vocab = (
+        toked.filter(F.col("split") == "train")
+        .select(F.explode("ws").alias("w"))
+        .agg(F.countDistinct("w").alias("vsz"))
+    )
+    logp = F.log(
+        (F.coalesce("cnt2", F.lit(0)) + F.lit(1)).cast("double")
+        / (F.coalesce("cnt1", F.lit(0)) + F.col("vsz")).cast("double")
+    )
+    agg = (
+        bgk.join(c2, "bigram", "left")
+        .withColumn(
+            "w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1))
+        )
+        .join(c1, "w1", "left")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("split")
+        .agg(
+            F.countDistinct("doc_id").alias("n_scored_docs"),
+            F.sum("k").alias("n_bigrams"),
+            F.round(F.sum(F.col("k") * logp) / F.sum("k"), 6).alias(
+                "avg_logprob"
+            ),
+            F.round(
+                F.sum(
+                    F.when(F.col("cnt2").isNull(), F.col("k")).otherwise(0)
+                ).cast("double")
+                / F.sum("k"),
+                6,
+            ).alias("oov_bigram_frac"),
+        )
+    )
+    return agg.withColumn(
+        "perplexity", F.round(F.exp(-F.col("avg_logprob")), 6)
+    )
+
+
+SQL_LM_PERPLEXITY_HELDOUT = f"""
+WITH hx AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+), sp AS (
+  SELECT doc_id,
+         CASE WHEN {_sql_md5_poly('h')} % {SPLIT_BUCKETS} < {SPLIT_TRAIN_LT}
+              THEN 'train'
+              WHEN {_sql_md5_poly('h')} % {SPLIT_BUCKETS} < {SPLIT_VAL_LT}
+              THEN 'val' ELSE 'test' END AS split
+  FROM hx
+), toked AS (
+  SELECT d.doc_id, sp.split,
+         list_filter(regexp_split_to_array(lower(d.text), '{TOKEN_SPLIT}'),
+                     x -> x <> '') AS ws
+  FROM documents d JOIN sp ON d.doc_id = sp.doc_id
+), bg AS (
+  SELECT doc_id, split,
+         unnest(list_transform(generate_series(1, len(ws) - 1),
+                               i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+  FROM toked
+), bgk AS (
+  SELECT split, doc_id, bigram, count(*) AS k
+  FROM bg GROUP BY split, doc_id, bigram
+), c2 AS (
+  SELECT bigram, CAST(sum(k) AS BIGINT) AS cnt2
+  FROM bgk WHERE split = 'train' GROUP BY bigram
+), c1 AS (
+  SELECT split_part(bigram, ' ', 1) AS w1, CAST(sum(k) AS BIGINT) AS cnt1
+  FROM bgk WHERE split = 'train' GROUP BY 1
+), v AS (
+  SELECT count(DISTINCT w) AS vsz
+  FROM (SELECT unnest(ws) AS w FROM toked WHERE split = 'train')
+), agg AS (
+  SELECT bgk.split,
+         count(DISTINCT bgk.doc_id) AS n_scored_docs,
+         CAST(sum(bgk.k) AS BIGINT) AS n_bigrams,
+         round(sum(bgk.k * ln(CAST(coalesce(c2.cnt2, 0) + 1 AS DOUBLE)
+                              / CAST(coalesce(c1.cnt1, 0) + v.vsz AS DOUBLE)))
+               / sum(bgk.k), 6) AS avg_logprob,
+         round(CAST(sum(CASE WHEN c2.cnt2 IS NULL THEN bgk.k ELSE 0 END)
+                    AS DOUBLE) / sum(bgk.k), 6) AS oov_bigram_frac
+  FROM bgk
+  LEFT JOIN c2 ON bgk.bigram = c2.bigram
+  LEFT JOIN c1 ON split_part(bgk.bigram, ' ', 1) = c1.w1
+  CROSS JOIN v
+  GROUP BY bgk.split
+)
+SELECT split, n_scored_docs, n_bigrams, avg_logprob, oov_bigram_frac,
+       round(exp(-avg_logprob), 6) AS perplexity
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -7317,5 +7557,9 @@ QUERIES: dict[str, tuple] = {
     "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "token_zipf_fit": (q_token_zipf_fit, SQL_TOKEN_ZIPF_FIT),
     "doc_unigram_entropy": (q_doc_unigram_entropy, SQL_DOC_UNIGRAM_ENTROPY),
+    # fifteenth wave, appended PAST the pinned driver window: clustering
+    # quality audit + held-out LM evaluation
+    "kmeans_silhouette": (q_kmeans_silhouette, SQL_KMEANS_SILHOUETTE),
+    "lm_perplexity_heldout": (q_lm_perplexity_heldout, SQL_LM_PERPLEXITY_HELDOUT),
 }
 

@@ -1290,3 +1290,91 @@ def test_doc_unigram_entropy_edge_cases(spark, tmp_path):
     t1 = round(-(2 / 3) * math.log(2 / 3) * 1e6)
     t2 = round(-(1 / 3) * math.log(1 / 3) * 1e6)
     assert out[4].entropy_nats == round((t1 + t2) / 1e6, 6)
+
+
+def test_kmeans_silhouette_tight_clusters(spark, tmp_path):
+    """Eight well-separated two-point clusters: every vector's silhouette
+    is near 1, b_dist >= a_dist by ranking, companions share their
+    center's cluster, and s always equals round((b-a)/max(a,b), 6)."""
+    from readability_1_spark.queries import q_kmeans_silhouette
+
+    rows = []
+    for i in range(8):
+        center = [0.0] * 4
+        center[i % 4] = 30.0 * (1 + i // 4)
+        rows.append((i, [float(x) for x in center], 0))
+        comp = list(center)
+        comp[(i + 1) % 4] += 0.5
+        rows.append((8 + i, [float(x) for x in comp], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    emb.write.parquet(str(tmp_path / "embeddings.parquet"))
+    out = {r.vec_id: r for r in
+           q_kmeans_silhouette(spark, str(tmp_path)).collect()}
+    assert len(out) == 16
+    for r in out.values():
+        assert r.b_dist >= r.a_dist
+        mx = max(r.a_dist, r.b_dist)
+        expect = round((r.b_dist - r.a_dist) / mx, 6) if mx > 0 else 0.0
+        assert r.silhouette == expect
+        assert r.silhouette > 0.9
+    for i in range(8):  # companion lands in its center's cluster
+        assert out[i].centroid_id == out[8 + i].centroid_id
+
+
+def test_lm_perplexity_heldout_exact_replica(spark, tmp_path):
+    """Train on the train split only; a val-split copy of the train text
+    scores the train distribution (OOV 0), a test-split doc with disjoint
+    vocabulary is all-OOV and strictly higher perplexity; every emitted
+    number matches a pure-Python replica of the Laplace bigram model."""
+    import hashlib
+    import math
+
+    from readability_1_spark.queries import (
+        SPLIT_BUCKETS,
+        SPLIT_TRAIN_LT,
+        SPLIT_VAL_LT,
+        q_lm_perplexity_heldout,
+    )
+
+    def bucket(doc_id: int) -> int:
+        h = hashlib.md5(str(doc_id).encode()).hexdigest()
+        v = 0
+        for c in h[:8]:
+            v = v * 31 + ord(c)
+        return v % SPLIT_BUCKETS
+
+    train_ids = [i for i in range(5000) if bucket(i) < SPLIT_TRAIN_LT][:3]
+    val_ids = [i for i in range(5000)
+               if SPLIT_TRAIN_LT <= bucket(i) < SPLIT_VAL_LT][:1]
+    test_ids = [i for i in range(5000) if bucket(i) >= SPLIT_VAL_LT][:1]
+    assert len(train_ids) == 3 and len(val_ids) == 1 and len(test_ids) == 1
+    t = "a b c a b"  # bigrams: ab x2, bc, ca
+    rows = [(d, t, "s", len(t)) for d in train_ids + val_ids]
+    rows.append((test_ids[0], "x y x y", "s", 7))  # fully unseen
+    spark.createDataFrame(
+        rows, "doc_id long, text string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.split: r for r in
+           q_lm_perplexity_heldout(spark, str(tmp_path)).collect()}
+
+    # python replica: c2 over 3 train docs, V = 3
+    c2 = {"a b": 6, "b c": 3, "c a": 3}
+    c1 = {"a": 6, "b": 3, "c": 3}
+    V = 3
+
+    def logp(bg):
+        w1 = bg.split(" ")[0]
+        return math.log((c2.get(bg, 0) + 1) / (c1.get(w1, 0) + V))
+
+    avg_t = round((2 * logp("a b") + logp("b c") + logp("c a")) / 4, 6)
+    assert out["train"].n_scored_docs == 3
+    assert out["train"].avg_logprob == out["val"].avg_logprob == avg_t
+    assert out["train"].oov_bigram_frac == out["val"].oov_bigram_frac == 0.0
+    assert out["val"].perplexity == round(math.exp(-avg_t), 6)
+    avg_x = round((2 * logp("x y") + logp("y x")) / 3, 6)
+    assert out["test"].avg_logprob == avg_x
+    assert out["test"].oov_bigram_frac == 1.0
+    assert out["test"].perplexity == round(math.exp(-avg_x), 6)
+    assert out["test"].perplexity > out["val"].perplexity

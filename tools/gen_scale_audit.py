@@ -118,6 +118,8 @@ SCALE_CLASS = {
     "tfidf_top_terms": ("shuffle", "token explode collapses to the (doc, tok) count table with map-side combine; df is a vocab rollup of that table; N is a 1-row broadcast; doc_len and top-K share ONE doc_id window partitioning - linear, two key shuffles"),
     "token_zipf_fit": ("shuffle", "corpus side is one token-count rollup with map-side combine; the rank window runs over the VOCAB-sized frequency table (single partition, bounded further by ZIPF_MAX_RANK for the fit); regression sums are exact integers so the 1-row reduce is order-free"),
     "doc_unigram_entropy": ("shuffle", "token explode collapses to the (doc, tok) count table with map-side combine; ONE doc_id window partitioning serves length + rollup; integer micro-nat terms make per-doc sums order-free; left join back on the doc key - linear"),
+    "kmeans_silhouette": ("broadcast", "training is the kmeans loop (broadcast assignment + map-side-combine updates, checkpointed); scoring is ONE broadcast crossJoin of K centroid rows + ONE vec_id window (a and b from the same rank window via lead) - no corpus-vs-corpus join"),
+    "lm_perplexity_heldout": ("shuffle", "doc_lm_score's shape with the count tables restricted to the train split: collapsed (split, doc, bigram, k) table materialized once feeding train counts AND scoring; LEFT equi-joins keep OOV rows; 1-row vocab broadcast; final rollup is 3 groups"),
 }
 
 
