@@ -6908,7 +6908,15 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.filter(F.split(F.lower("text"), TOKEN_SPLIT), lambda x: x != "")
         ).alias("tok"),
     )
-    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    # materialized once: the corpus-sized (doc, tok) count table feeds BOTH
+    # the df rollup and the scoring join (unmaterialized, Catalyst re-runs
+    # the token explode + count shuffle for each — same audit pattern as
+    # lm_score_frame / DSIR / containment)
+    tf = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
     df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     total = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     idf = df_t.crossJoin(F.broadcast(total)).select(

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import io
 import os
+import re
 import sys
 from contextlib import redirect_stdout
 
@@ -57,7 +58,9 @@ def main() -> None:
                  "doclen_quantile_sketch", "semdedup", "doc_ngram_novelty",
                  "split_leakage_check", "ann_pq_adc_topk",
                  "ann_ivf_pq_topk", "embedding_random_projection",
-                 "unimax_allocation", "ccnet_keep_policy"):
+                 "unimax_allocation", "ccnet_keep_policy",
+                 "tfidf_top_terms", "token_zipf_fit", "doc_unigram_entropy",
+                 "kmeans_silhouette", "lm_perplexity_heldout"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -175,6 +178,34 @@ def main() -> None:
                    full["ccnet_keep_policy"].count("Exchange")
                    <= full["ccnet_perplexity_buckets"].count("Exchange")
                    and "CartesianProduct" not in full["ccnet_keep_policy"]))
+    checks.append(("tf-idf: (doc,tok) counts read from the checkpointed "
+                   "scan (token explode runs once); doc_len and top-K rank "
+                   "share ONE pure-doc_id window exchange; no cartesian",
+                   "Scan ExistingRDD" in full["tfidf_top_terms"]
+                   and len(re.findall(r"hashpartitioning\(doc_id#\d+L, 32",
+                                      full["tfidf_top_terms"])) == 1
+                   and "CartesianProduct" not in full["tfidf_top_terms"]))
+    checks.append(("zipf fit: partial token counts combine map-side before "
+                   "the vocab exchange; no cartesian",
+                   "partial_count" in full["token_zipf_fit"]
+                   and "CartesianProduct" not in full["token_zipf_fit"]))
+    checks.append(("unigram entropy: ONE doc_id window partitioning serves "
+                   "length + rollup (plus the doc-key join); no cartesian",
+                   full["doc_unigram_entropy"].count(
+                       "Exchange hashpartitioning(doc_id") <= 2
+                   and "CartesianProduct" not in full["doc_unigram_entropy"]))
+    checks.append(("silhouette: centroids broadcast (BroadcastNestedLoopJoin "
+                   "over K rows, never a corpus-vs-corpus product); ONE "
+                   "vec_id window serves a, b and the rank",
+                   "BroadcastExchange" in full["kmeans_silhouette"]
+                   and len(re.findall(r"hashpartitioning\(vec_id#\d+L, 32",
+                                      full["kmeans_silhouette"])) == 1
+                   and "CartesianProduct" not in full["kmeans_silhouette"]))
+    checks.append(("held-out LM: collapsed (split,doc,bigram,k) table read "
+                   "from checkpointed scans (no explode re-run); vocab "
+                   "broadcasts",
+                   "Scan ExistingRDD" in full["lm_perplexity_heldout"]
+                   and "BroadcastExchange" in full["lm_perplexity_heldout"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")
