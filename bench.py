@@ -205,6 +205,11 @@ def main() -> None:
         # evaluation.  Also excluded from the r04-comparable subtotal.
         "kmeans_silhouette",
         "lm_perplexity_heldout",
+        # round 5, sixteenth wave: Gopher repetition battery, two-stage PQ
+        # re-rank, conversation rollup.  Excluded from the r04 subtotal.
+        "extract_repetition_filters",
+        "ann_ivfpq_rerank_topk",
+        "transcript_conversation_stats",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -240,6 +245,9 @@ def main() -> None:
         "doc_unigram_entropy",
         "kmeans_silhouette",
         "lm_perplexity_heldout",
+        "extract_repetition_filters",
+        "ann_ivfpq_rerank_topk",
+        "transcript_conversation_stats",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

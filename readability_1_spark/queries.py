@@ -7401,6 +7401,339 @@ FROM agg
 
 
 # --------------------------------------------------------------------------
+# Gopher repetition battery + two-stage PQ re-rank + conversation rollup
+# --------------------------------------------------------------------------
+
+REP_DUP_LINE_FRAC_MAX = 0.30
+REP_DUP_LINE_CHAR_FRAC_MAX = 0.20
+REP_TOP_2GRAM_CHAR_FRAC_MAX = 0.20
+REP_DUP_5GRAM_CHAR_FRAC_MAX = 0.15
+
+
+def q_extract_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER half of the published Gopher battery — the repetition
+    rules (gopher_quality_filters covers the quality rules): per ok-turn
+    over EXTRACTED article text, the fraction of line occurrences that are
+    repeats of an earlier identical line, the character fraction of those
+    repeats (over total line chars), the character fraction of the single
+    most frequent word 2-gram, and the character fraction of duplicated
+    word 5-grams (counting every occurrence, the standard implementation)
+    — with the published-style thresholds folded into a pass verdict.
+    Repeats are 'occurrences beyond the first' throughout.
+
+    Determinism: all fractions are round-6 ratios of exact integers; the
+    top 2-gram breaks count ties on gram ASC.
+
+    Scale shape: the extraction kernel output is materialized ONCE
+    (localCheckpoint — it feeds the line and both n-gram paths; without it
+    Catalyst re-runs the kernel per path), then each path is explode →
+    groupBy(turn, key) with map-side combine → per-turn rollup; all joins
+    are on the turn key.  Linear."""
+    from .pipeline import extract_transcripts
+
+    df = spark.read.parquet(TRANSCRIPTS_PQ)
+    ex = extract_transcripts(df, num_parts=16).filter(F.col("status") == "ok")
+    return repetition_stats_frame(ex)
+
+
+def repetition_stats_frame(
+    df: DataFrame,
+    text_col: str = "text_content",
+    keys: tuple = ("conv_id", "turn_idx"),
+) -> DataFrame:
+    """The body of q_extract_repetition_filters over any (*keys, text_col)
+    frame — factored so tests can drive the exact rule battery over
+    crafted multi-line docs.  See the query docstring for semantics."""
+    trimmed = F.transform(
+        F.split(F.col(text_col), "\n"),
+        lambda x: F.regexp_replace(x, _C4_TRIM, ""),
+    )
+    ws = F.filter(
+        F.split(F.lower(text_col), TOKEN_SPLIT), lambda x: x != ""
+    )
+    base = df.select(
+        *keys,
+        F.filter(trimmed, lambda x: x != "").alias("lines"),
+        ws.alias("ws"),
+        F.length(text_col).alias("total_chars"),
+    ).localCheckpoint()
+    keys = list(keys)
+
+    def ngrams(n):
+        def gram_at(arr):
+            return lambda i: F.concat_ws(
+                " ", *[F.element_at(arr, i + j) for j in range(n)]
+            )
+
+        return F.when(
+            F.size("ws") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+                gram_at(F.col("ws")),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    lc = (
+        base.select(*keys, F.explode("lines").alias("line"))
+        .groupBy(*keys, "line")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    line_stats = lc.groupBy(*keys).agg(
+        F.sum("k").alias("n_lines"),
+        F.round(
+            (F.sum("k") - F.count(F.lit(1))).cast("double") / F.sum("k"), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.sum((F.col("k") - 1) * F.length("line")).cast("double")
+            / F.sum(F.col("k") * F.length("line")),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+    g2 = (
+        base.select(*keys, F.explode(ngrams(2)).alias("g"))
+        .groupBy(*keys, "g")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    w2 = Window.partitionBy(*keys).orderBy(F.desc("k"), F.asc("g"))
+    top2 = (
+        g2.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select(*keys, (F.col("k") * F.length("g")).alias("top2_chars"))
+    )
+    g5 = (
+        base.select(*keys, F.explode(ngrams(5)).alias("g"))
+        .groupBy(*keys, "g")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    dup5 = g5.groupBy(*keys).agg(
+        F.sum(
+            F.when(F.col("k") > 1, F.col("k") * F.length("g")).otherwise(0)
+        ).alias("dup5_chars")
+    )
+    out = (
+        base.select(*keys, "total_chars")
+        .join(line_stats, keys, "left")
+        .join(top2, keys, "left")
+        .join(dup5, keys, "left")
+        .select(
+            *keys,
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("dup_line_frac", F.lit(0.0)).alias("dup_line_frac"),
+            F.coalesce("dup_line_char_frac", F.lit(0.0)).alias(
+                "dup_line_char_frac"
+            ),
+            F.round(
+                F.coalesce("top2_chars", F.lit(0)).cast("double")
+                / F.col("total_chars"),
+                6,
+            ).alias("top_2gram_char_frac"),
+            F.round(
+                F.coalesce("dup5_chars", F.lit(0)).cast("double")
+                / F.col("total_chars"),
+                6,
+            ).alias("dup_5gram_char_frac"),
+        )
+    )
+    passes = (
+        (F.col("dup_line_frac") <= REP_DUP_LINE_FRAC_MAX)
+        & (F.col("dup_line_char_frac") <= REP_DUP_LINE_CHAR_FRAC_MAX)
+        & (F.col("top_2gram_char_frac") <= REP_TOP_2GRAM_CHAR_FRAC_MAX)
+        & (F.col("dup_5gram_char_frac") <= REP_DUP_5GRAM_CHAR_FRAC_MAX)
+    )
+    return out.withColumn(
+        "passes_repetition", F.coalesce(passes, F.lit(False))
+    )
+
+
+SQL_EXTRACT_REPETITION_FILTERS = f"""
+WITH g AS (
+  SELECT conv_id, turn_idx, text_content,
+         length(text_content) AS total_chars,
+         list_filter(list_transform(string_split(text_content, chr(10)),
+                     x -> regexp_replace(x, '{_C4_TRIM}', '', 'g')),
+                     x -> x <> '') AS lines,
+         list_filter(regexp_split_to_array(lower(text_content),
+                     '{TOKEN_SPLIT}'), x -> x <> '') AS ws
+  FROM read_parquet('{GOLDENS_PQ}') WHERE status = 'ok'
+), lc AS (
+  SELECT conv_id, turn_idx, line, count(*) AS k
+  FROM (SELECT conv_id, turn_idx, unnest(lines) AS line FROM g)
+  GROUP BY conv_id, turn_idx, line
+), line_stats AS (
+  SELECT conv_id, turn_idx,
+         CAST(sum(k) AS BIGINT) AS n_lines,
+         round(CAST(sum(k) - count(*) AS DOUBLE) / sum(k), 6)
+           AS dup_line_frac,
+         round(CAST(sum((k - 1) * length(line)) AS DOUBLE)
+               / sum(k * length(line)), 6) AS dup_line_char_frac
+  FROM lc GROUP BY conv_id, turn_idx
+), g2 AS (
+  SELECT conv_id, turn_idx, gr, count(*) AS k
+  FROM (SELECT conv_id, turn_idx,
+               unnest(list_transform(generate_series(1, len(ws) - 1),
+                                     i -> ws[i] || ' ' || ws[i + 1])) AS gr
+        FROM g)
+  GROUP BY conv_id, turn_idx, gr
+), top2 AS (
+  SELECT conv_id, turn_idx, k * length(gr) AS top2_chars
+  FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                                     ORDER BY k DESC, gr ASC) AS rn FROM g2)
+  WHERE rn = 1
+), g5 AS (
+  SELECT conv_id, turn_idx, gr, count(*) AS k
+  FROM (SELECT conv_id, turn_idx,
+               unnest(list_transform(generate_series(1, len(ws) - 4),
+                      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+                           || ' ' || ws[i + 3] || ' ' || ws[i + 4])) AS gr
+        FROM g)
+  GROUP BY conv_id, turn_idx, gr
+), dup5 AS (
+  SELECT conv_id, turn_idx,
+         CAST(sum(CASE WHEN k > 1 THEN k * length(gr) ELSE 0 END) AS BIGINT)
+           AS dup5_chars
+  FROM g5 GROUP BY conv_id, turn_idx
+), out AS (
+  SELECT g.conv_id, g.turn_idx,
+         coalesce(ls.n_lines, 0) AS n_lines,
+         coalesce(ls.dup_line_frac, 0.0) AS dup_line_frac,
+         coalesce(ls.dup_line_char_frac, 0.0) AS dup_line_char_frac,
+         round(CAST(coalesce(t2.top2_chars, 0) AS DOUBLE) / g.total_chars, 6)
+           AS top_2gram_char_frac,
+         round(CAST(coalesce(d5.dup5_chars, 0) AS DOUBLE) / g.total_chars, 6)
+           AS dup_5gram_char_frac
+  FROM g
+  LEFT JOIN line_stats ls ON g.conv_id = ls.conv_id AND g.turn_idx = ls.turn_idx
+  LEFT JOIN top2 t2 ON g.conv_id = t2.conv_id AND g.turn_idx = t2.turn_idx
+  LEFT JOIN dup5 d5 ON g.conv_id = d5.conv_id AND g.turn_idx = d5.turn_idx
+)
+SELECT conv_id, turn_idx, n_lines, dup_line_frac, dup_line_char_frac,
+       top_2gram_char_frac, dup_5gram_char_frac,
+       coalesce(dup_line_frac <= {REP_DUP_LINE_FRAC_MAX}
+                AND dup_line_char_frac <= {REP_DUP_LINE_CHAR_FRAC_MAX}
+                AND top_2gram_char_frac <= {REP_TOP_2GRAM_CHAR_FRAC_MAX}
+                AND dup_5gram_char_frac <= {REP_DUP_5GRAM_CHAR_FRAC_MAX},
+                false) AS passes_repetition
+FROM out
+"""
+
+
+IVFPQ_RERANK_K = 5
+
+
+def q_ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage billion-scale retrieval, completed: IVF-PQ produces the
+    candidate shortlist (coarse pruning + compressed-vector ADC ranking),
+    then ONLY those IVFPQ_TOPK survivors are re-ranked by EXACT distance
+    on their raw vectors — the production pattern (the PQ quality study in
+    tools/pq_quality.py shows why: same-cell vectors share codes, so ADC
+    cannot order them; the exact second stage can).  Emits both distances
+    so the re-rank's effect is auditable per row.
+
+    Scale shape: the first stage is q_ann_ivf_pq_topk unchanged; the
+    re-rank touches nq × IVFPQ_TOPK rows only — the candidate join pulls
+    raw vectors by vec_id equi-join and the tiny query set broadcasts; one
+    window over nq partitions."""
+    cand = q_ann_ivf_pq_topk(spark, sf_dir).select(
+        "query_id", F.col("rank").alias("adc_rank"), "vec_id", "adc_d2"
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < PQ_NQ).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    ex = (
+        cand.join(emb.select("vec_id", "embedding"), "vec_id")
+        .join(F.broadcast(queries), "query_id")
+        .withColumn(
+            "exact_dist",
+            F.round(
+                F.sqrt(_kmeans_sq_dist(F.col("embedding"), F.col("q_emb"))), 6
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("exact_dist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        ex.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVFPQ_RERANK_K)
+        .select("query_id", "rank", "vec_id", "exact_dist", "adc_d2")
+    )
+
+
+SQL_ANN_IVFPQ_RERANK_TOPK = f"""
+WITH ivfpq AS (
+{SQL_ANN_IVF_PQ_TOPK}
+), ex AS (
+  SELECT i.query_id, i.vec_id, i.adc_d2,
+         round(sqrt(list_sum(list_transform(generate_series(1, {EMB_DIM}),
+           j -> (CAST(e.embedding[j] AS DOUBLE) - CAST(q.embedding[j] AS DOUBLE))
+              * (CAST(e.embedding[j] AS DOUBLE) - CAST(q.embedding[j] AS DOUBLE))
+         ))), 6) AS exact_dist
+  FROM ivfpq i
+  JOIN embeddings e ON i.vec_id = e.vec_id
+  JOIN embeddings q ON i.query_id = q.vec_id
+)
+SELECT query_id, rank, vec_id, exact_dist, adc_d2 FROM (
+  SELECT query_id, vec_id, exact_dist, adc_d2,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY exact_dist ASC, vec_id ASC) AS rank
+  FROM ex
+) WHERE rank <= {IVFPQ_RERANK_K}
+"""
+
+
+def q_transcript_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation rollup over the north-rule input shape (conv_id,
+    turn_idx, role, text, tool, ts): turn count, distinct roles, tool-call
+    turns, HTML-bearing turns (the extraction pipeline's own gate
+    expression), total text characters, and wall-clock duration — the
+    triage table an agent-transcript corpus is sliced by before
+    extraction.  All-integer aggregates; duration is a timestamp-second
+    difference (identical naive arithmetic in both engines).
+
+    Scale shape: ONE groupBy(conv_id) with map-side combine over pure
+    JVM row expressions — a single key shuffle at any corpus size."""
+    from .pipeline import HTML_GATE
+
+    df = spark.read.parquet(TRANSCRIPTS_PQ)
+    return df.groupBy("conv_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.countDistinct("role").alias("n_roles"),
+        F.sum(F.when(F.col("tool").isNotNull(), 1).otherwise(0)).alias(
+            "n_tool_turns"
+        ),
+        F.sum(
+            F.when(
+                F.col("text").isNotNull() & F.col("text").rlike(HTML_GATE), 1
+            ).otherwise(0)
+        ).alias("n_html_turns"),
+        F.sum(
+            F.when(F.col("text").isNotNull(), F.length("text")).otherwise(0)
+        ).alias("total_chars"),
+        F.timestamp_diff("SECOND", F.min("ts"), F.max("ts")).alias(
+            "duration_sec"
+        ),
+    )
+
+
+SQL_TRANSCRIPT_CONVERSATION_STATS = f"""
+SELECT conv_id,
+       count(*) AS n_turns,
+       count(DISTINCT role) AS n_roles,
+       CAST(sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tool_turns,
+       CAST(sum(CASE WHEN text IS NOT NULL
+                AND regexp_matches(lower(text), '<html|<!doctype[ \t\n\r]+html')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_html_turns,
+       CAST(sum(CASE WHEN text IS NOT NULL THEN length(text) ELSE 0 END)
+            AS BIGINT) AS total_chars,
+       date_diff('second', min(ts), max(ts)) AS duration_sec
+FROM read_parquet('{TRANSCRIPTS_PQ}')
+GROUP BY conv_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -7569,5 +7902,16 @@ QUERIES: dict[str, tuple] = {
     # quality audit + held-out LM evaluation
     "kmeans_silhouette": (q_kmeans_silhouette, SQL_KMEANS_SILHOUETTE),
     "lm_perplexity_heldout": (q_lm_perplexity_heldout, SQL_LM_PERPLEXITY_HELDOUT),
+    # sixteenth wave, appended PAST the pinned driver window: Gopher
+    # repetition battery, two-stage PQ re-rank, conversation triage rollup
+    "extract_repetition_filters": (
+        q_extract_repetition_filters,
+        SQL_EXTRACT_REPETITION_FILTERS,
+    ),
+    "ann_ivfpq_rerank_topk": (q_ann_ivfpq_rerank_topk, SQL_ANN_IVFPQ_RERANK_TOPK),
+    "transcript_conversation_stats": (
+        q_transcript_conversation_stats,
+        SQL_TRANSCRIPT_CONVERSATION_STATS,
+    ),
 }
 

@@ -1378,3 +1378,82 @@ def test_lm_perplexity_heldout_exact_replica(spark, tmp_path):
     assert out["test"].oov_bigram_frac == 1.0
     assert out["test"].perplexity == round(math.exp(-avg_x), 6)
     assert out["test"].perplexity > out["val"].perplexity
+
+
+def test_repetition_stats_hand_computed(spark):
+    """Gopher repetition battery on crafted docs: repeated-line fractions,
+    the top-2-gram character fraction (count ties break on gram ASC), the
+    duplicated-5-gram character fraction, and the pass verdict."""
+    from readability_1_spark.queries import repetition_stats_frame
+
+    line = "alpha beta gamma"
+    docs = spark.createDataFrame(
+        [
+            # 3 identical lines: 2 of 3 occurrences are repeats
+            (1, "\n".join([line, line, line])),
+            # "x y" occurs 3x (chars 3*3=9 of 11 total)
+            (2, "x y x y x y"),
+            # unique text, no repeats anywhere -> passes (long enough that
+            # the inevitable count-1 top bigram stays under the threshold)
+            (3, "aaa bbb ccc ddd eee fff ggg hhh iii jjj kkk lll mmm nnn"),
+            # 5-gram "a b c d e" occurs twice (2*9=18 chars of 21)
+            (4, "a b c d e a b c d e f"),
+        ],
+        "doc_id long, text_content string",
+    )
+    out = {r.doc_id: r for r in
+           repetition_stats_frame(docs, keys=("doc_id",)).collect()}
+    assert out[1].n_lines == 3
+    assert out[1].dup_line_frac == round(2 / 3, 6)
+    assert out[1].dup_line_char_frac == round(2 / 3, 6)
+    assert not out[1].passes_repetition  # 0.667 > 0.30 line threshold
+    assert out[2].top_2gram_char_frac == round(9 / 11, 6)
+    assert not out[2].passes_repetition
+    assert out[3].dup_line_frac == 0.0
+    # all bigrams tie at count 1 -> gram-ASC tiebreak picks "aaa bbb" (7ch)
+    assert out[3].top_2gram_char_frac == round(7 / 55, 6)
+    assert out[3].dup_5gram_char_frac == 0.0
+    assert out[3].passes_repetition
+    assert out[4].dup_5gram_char_frac == round(18 / 21, 6)
+    assert not out[4].passes_repetition
+
+
+def test_ann_ivfpq_rerank_is_exact_order_of_candidates(spark):
+    """The re-rank stage keeps a subset of the IVF-PQ shortlist and orders
+    it by exact round-6 distance (vec_id tiebreak), never resurrecting a
+    non-candidate."""
+    from readability_1_spark.queries import (
+        IVFPQ_RERANK_K,
+        q_ann_ivf_pq_topk,
+        q_ann_ivfpq_rerank_topk,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    shortlist = {}
+    for r in q_ann_ivf_pq_topk(spark, sf).collect():
+        shortlist.setdefault(r.query_id, set()).add(r.vec_id)
+    rer = {}
+    for r in q_ann_ivfpq_rerank_topk(spark, sf).collect():
+        rer.setdefault(r.query_id, []).append(r)
+    assert set(rer) == set(shortlist)
+    for qid, rows in rer.items():
+        rows.sort(key=lambda r: r.rank)
+        assert len(rows) == min(IVFPQ_RERANK_K, len(shortlist[qid]))
+        assert all(r.vec_id in shortlist[qid] for r in rows)
+        keys = [(r.exact_dist, r.vec_id) for r in rows]
+        assert keys == sorted(keys)
+
+
+def test_transcript_conversation_stats_shape(spark):
+    from readability_1_spark.queries import q_transcript_conversation_stats
+
+    rows = q_transcript_conversation_stats(spark, "unused").collect()
+    assert len(rows) == 105
+    for r in rows:
+        assert r.n_turns == 3
+        assert r.n_roles == 3          # user / assistant / tool
+        assert r.n_tool_turns == 1
+        assert 0 <= r.n_html_turns <= r.n_turns
+        assert r.duration_sec >= 0
+        assert r.total_chars > 0
+    assert sum(r.n_html_turns for r in rows) > 0

@@ -120,6 +120,9 @@ SCALE_CLASS = {
     "doc_unigram_entropy": ("shuffle", "token explode collapses to the (doc, tok) count table with map-side combine; ONE doc_id window partitioning serves length + rollup; integer micro-nat terms make per-doc sums order-free; left join back on the doc key - linear"),
     "kmeans_silhouette": ("broadcast", "training is the kmeans loop (broadcast assignment + map-side-combine updates, checkpointed); scoring is ONE broadcast crossJoin of K centroid rows + ONE vec_id window (a and b from the same rank window via lead) - no corpus-vs-corpus join"),
     "lm_perplexity_heldout": ("shuffle", "doc_lm_score's shape with the count tables restricted to the train split: collapsed (split, doc, bigram, k) table materialized once feeding train counts AND scoring; LEFT equi-joins keep OOV rows; 1-row vocab broadcast; final rollup is 3 groups"),
+"extract_repetition_filters": ("shuffle", "kernel output materialized ONCE (localCheckpoint - feeds line and both n-gram paths); each path is explode -> groupBy(turn, key) with map-side combine -> per-turn rollup; joins on the turn key - linear"),
+    "ann_ivfpq_rerank_topk": ("bucketed", "stage 1 is ann_ivf_pq_topk unchanged (centroid_id partition pruning + broadcast ADC); the exact re-rank touches nq x IVFPQ_TOPK candidate rows only - vec_id equi-join for raw vectors, tiny query broadcast, one window over nq partitions"),
+    "transcript_conversation_stats": ("shuffle", "ONE groupBy(conv_id) with map-side combine over pure JVM row expressions - a single key shuffle at any corpus size"),
 }
 
 
