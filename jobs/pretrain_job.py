@@ -5,7 +5,7 @@
       [--num-parts 2048] [--min-chars 500] [--min-tokens 80] \
       [--pack-budget 2048] [--pack-shards 2048] \
       [--pack-strategy ffd|greedy] [--paragraph-dedup] [--cc-max-iter 25] \
-      [--gopher-gate] [--model-score]
+      [--gopher-gate] [--c4-gate] [--repetition-gate] [--model-score]
 """
 
 from __future__ import annotations
@@ -28,6 +28,8 @@ def main() -> None:
     ap.add_argument("--paragraph-dedup", action="store_true")
     ap.add_argument("--cc-max-iter", type=int, default=25)
     ap.add_argument("--gopher-gate", action="store_true")
+    ap.add_argument("--c4-gate", action="store_true")
+    ap.add_argument("--repetition-gate", action="store_true")
     ap.add_argument("--model-score", action="store_true")
     ap.add_argument("--conversation-cap", type=int, default=None)
     ap.add_argument("--ppl-tail-drop", action="store_true")
@@ -43,7 +45,8 @@ def main() -> None:
         pack_strategy=args.pack_strategy,
         min_chars=args.min_chars, min_tokens=args.min_tokens,
         paragraph_dedup=args.paragraph_dedup, cc_max_iter=args.cc_max_iter,
-        gopher_gate=args.gopher_gate, model_score=args.model_score,
+        gopher_gate=args.gopher_gate, c4_gate=args.c4_gate,
+        repetition_gate=args.repetition_gate, model_score=args.model_score,
         conversation_cap=args.conversation_cap,
         ppl_tail_drop=args.ppl_tail_drop,
     )

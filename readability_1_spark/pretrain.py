@@ -92,6 +92,8 @@ def curate_pretraining_data(
     split_by: str = "content",
     model_score: bool = False,
     gopher_gate: bool = False,
+    c4_gate: bool = False,
+    repetition_gate: bool = False,
     conversation_cap: int | None = None,
     ppl_tail_drop: bool = False,
     ppl_drop_frac: float = 1 / 3,
@@ -365,6 +367,32 @@ def curate_pretraining_data(
 
         scored = scored.select("*", *gopher_stat_columns("text_content"))
         gate_cond = gate_cond & F.coalesce(gopher_passes_cond(), F.lit(False))
+    if c4_gate:
+        # C4 cleaning battery (Raffel et al. 2020) over the SHIPPED text —
+        # line rules + page rules as published; like gopher_gate, pure
+        # linear column expressions with every stat kept for downstream
+        # re-thresholding.  No extra shuffle.
+        from .queries import c4_passes_cond, c4_stat_columns
+
+        scored = scored.select("*", *c4_stat_columns("text_content"))
+        gate_cond = gate_cond & F.coalesce(c4_passes_cond(), F.lit(False))
+    if repetition_gate:
+        # Gopher REPETITION battery over the shipped text (the other half
+        # of the published filter set): repeated-line fractions, top-2-gram
+        # and duplicated-5-gram character fractions.  Unlike the scan-only
+        # batteries this one counts n-grams per doc (explode + groupBy with
+        # map-side combine, joined back on the turn key — linear, keyed
+        # shuffles only).
+        from .queries import repetition_stats_frame
+
+        rep = repetition_stats_frame(
+            scored.select("conv_id", "turn_idx", "text_content"),
+            keys=("conv_id", "turn_idx"),
+        )
+        scored = scored.join(rep, ["conv_id", "turn_idx"], "left")
+        gate_cond = gate_cond & F.coalesce(
+            F.col("passes_repetition"), F.lit(False)
+        )
     gated = scored.filter(gate_cond)
     if model_score:
         # Model-based quality scoring (CCNet/RefinedWeb pattern): train the

@@ -7733,6 +7733,54 @@ GROUP BY conv_id
 """
 
 
+def q_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-shaped correlated-subquery decorrelation: average yearly
+    revenue lost if small orders stop — lineitems whose quantity is below
+    20% of THEIR part's average quantity (the classic `WHERE l_quantity <
+    (SELECT 0.2*avg(..) .. WHERE same part)` pattern, rewritten as the
+    pre-aggregated per-part average joined back, which is exactly how
+    Catalyst decorrelates it).  Scoped to one brand like the spec query.
+    Determinism: the threshold is round-6 BEFORE the comparison on both
+    engines (a raw 0.2*avg double compare could flip a boundary row);
+    revenue is a round-2 sum of exact 2-decimal inputs.
+
+    Scale shape: the per-part average is one groupBy(partkey) with
+    map-side combine over the brand-filtered fact slice; the join back is
+    a partkey equi-join; one 1-row final aggregate.  The brand filter
+    pushes to both scans."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    j = li.join(part, li.l_partkey == part.p_partkey).select(
+        "p_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_q = j.groupBy("p_partkey").agg(
+        F.round(0.2 * F.avg("l_quantity"), 6).alias("qty_thresh")
+    )
+    small = j.join(avg_q, "p_partkey").filter(
+        F.col("l_quantity") < F.col("qty_thresh")
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small_lineitems"),
+        F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+    )
+
+
+SQL_SMALL_QUANTITY_REVENUE = """
+WITH j AS (
+  SELECT p.p_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE p.p_brand = 'Brand#1'
+), a AS (
+  SELECT p_partkey, round(0.2 * avg(l_quantity), 6) AS qty_thresh
+  FROM j GROUP BY p_partkey
+)
+SELECT count(*) AS n_small_lineitems,
+       round(sum(j.l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM j JOIN a ON j.p_partkey = a.p_partkey
+WHERE j.l_quantity < a.qty_thresh
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7912,6 +7960,11 @@ QUERIES: dict[str, tuple] = {
     "transcript_conversation_stats": (
         q_transcript_conversation_stats,
         SQL_TRANSCRIPT_CONVERSATION_STATS,
+    ),
+    # seventeenth wave, appended PAST the pinned driver window
+    "small_quantity_revenue": (
+        q_small_quantity_revenue,
+        SQL_SMALL_QUANTITY_REVENUE,
     ),
 }
 

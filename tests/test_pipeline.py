@@ -772,3 +772,39 @@ def test_pretrain_ppl_tail_drop_removes_gibberish(spark):
     assert "avg_logprob" not in kept[0].asDict()
     baseline = curate_pretraining_data(t, **kwargs).collect()
     assert len(baseline) == 6                 # stage off -> nothing dropped
+
+
+def test_curate_c4_and_repetition_gates(spark):
+    """c4_gate / repetition_gate attach their published batteries' stats to
+    every kept doc and each gate's survivors are a subset of the default
+    gate's; every survivor passes its battery recomputed on the output."""
+    from pyspark.sql import functions as F
+
+    from readability_1_spark.pretrain import curate_pretraining_data
+    from readability_1_spark.queries import c4_passes_cond
+    from readability_1_spark.transcripts import smoke_transcripts
+
+    t = smoke_transcripts(spark)
+    plain = curate_pretraining_data(t, num_parts=8)
+    assert "n_kept_lines" not in plain.columns
+    assert "dup_line_frac" not in plain.columns
+    plain_keys = {(r.conv_id, r.turn_idx) for r in plain.collect()}
+
+    c4 = curate_pretraining_data(t, num_parts=8, c4_gate=True)
+    for col in ("n_lines", "n_kept_lines", "n_sentences", "bad_word_hits"):
+        assert col in c4.columns
+    c4_rows = c4.collect()
+    assert c4_rows, "C4 gate killed the whole corpus"
+    assert {(r.conv_id, r.turn_idx) for r in c4_rows} <= plain_keys
+    assert c4.withColumn(
+        "_p", F.coalesce(c4_passes_cond(), F.lit(False))
+    ).filter(~F.col("_p")).count() == 0
+
+    rep = curate_pretraining_data(t, num_parts=8, repetition_gate=True)
+    for col in ("dup_line_frac", "top_2gram_char_frac",
+                "dup_5gram_char_frac", "passes_repetition"):
+        assert col in rep.columns
+    rep_rows = rep.collect()
+    assert rep_rows, "repetition gate killed the whole corpus"
+    assert {(r.conv_id, r.turn_idx) for r in rep_rows} <= plain_keys
+    assert all(r.passes_repetition for r in rep_rows)
