@@ -7817,12 +7817,32 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_minhash_clusters": (q_dedup_minhash_clusters, SQL_DEDUP_MINHASH_CLUSTERS),
     "dedup_embedding_clusters": (q_dedup_embedding_clusters, SQL_DEDUP_EMBEDDING_CLUSTERS),
-    # multimodal
-    "multimodal_binary_stats": (q_multimodal_binary_stats, SQL_MULTIMODAL_BINARY_STATS),
-    # corpus assembly (packing layer touched this round)
-    "data_split_assign": (q_data_split_assign, SQL_DATA_SPLIT_ASSIGN),
-    "domain_mix_resample": (q_domain_mix_resample, SQL_DOMAIN_MIX_RESAMPLE),
-    "corpus_sample_stratified": (q_corpus_sample_stratified, SQL_CORPUS_SAMPLE_STRATIFIED),
+    # late-round-5 waves 14-17 rotated IN for first-round driver
+    # attestation, displacing 10 r03+r04-attested entries untouched this
+    # round (multimodal_binary_stats, data_split_assign,
+    # domain_mix_resample, corpus_sample_stratified, text_quality,
+    # token_counts, lang_id, text_redact_pii, doc_repetition,
+    # benchmark_contamination — all re-attested every round by the
+    # committed CORRECTNESS_LOCAL.json full-registry run)
+    "extract_c4_filters": (q_extract_c4_filters, SQL_EXTRACT_C4_FILTERS),
+    "extract_repetition_filters": (
+        q_extract_repetition_filters,
+        SQL_EXTRACT_REPETITION_FILTERS,
+    ),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "token_zipf_fit": (q_token_zipf_fit, SQL_TOKEN_ZIPF_FIT),
+    "doc_unigram_entropy": (q_doc_unigram_entropy, SQL_DOC_UNIGRAM_ENTROPY),
+    "kmeans_silhouette": (q_kmeans_silhouette, SQL_KMEANS_SILHOUETTE),
+    "lm_perplexity_heldout": (q_lm_perplexity_heldout, SQL_LM_PERPLEXITY_HELDOUT),
+    "ann_ivfpq_rerank_topk": (q_ann_ivfpq_rerank_topk, SQL_ANN_IVFPQ_RERANK_TOPK),
+    "transcript_conversation_stats": (
+        q_transcript_conversation_stats,
+        SQL_TRANSCRIPT_CONVERSATION_STATS,
+    ),
+    "small_quantity_revenue": (
+        q_small_quantity_revenue,
+        SQL_SMALL_QUANTITY_REVENUE,
+    ),
     # sixth/seventh/ninth/tenth-wave operators rotated IN for first-round
     # driver attestation (displacing corpus_sample_topn, the 3 packing
     # queries, q1, sessionize, top_revenue_orders, nation_revenue — all
@@ -7838,16 +7858,11 @@ QUERIES: dict[str, tuple] = {
         q_embedding_random_projection,
         SQL_EMBEDDING_RANDOM_PROJECTION,
     ),
-    # text analysis (window slice)
-    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
-    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
-    "lang_id": (q_lang_id, SQL_LANG_ID),
+    # text analysis (window slice: the three whose code paths changed this
+    # round — extract gate, LM scorer materialization — stay in-window)
     "extract_quality_filter": (q_extract_quality_filter, SQL_EXTRACT_QUALITY_FILTER),
     "doc_lm_score": (q_doc_lm_score, SQL_DOC_LM_SCORE),
     "doc_quality_rank": (q_doc_quality_rank, SQL_DOC_QUALITY_RANK),
-    "text_redact_pii": (q_text_redact_pii, SQL_TEXT_REDACT_PII),
-    "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
-    "benchmark_contamination": (q_benchmark_contamination, SQL_BENCHMARK_CONTAMINATION),
     # relational core (rotated back into the window this round)
     # fourth/fifth-wave operators rotated IN for first-round driver
     # attestation (displacing 5 r03-attested relational entries, which move
@@ -7889,6 +7904,17 @@ QUERIES: dict[str, tuple] = {
     # ---- past the driver's ~50-entry window from here (rotated OUT this
     # round; all driver-attested green in r03 AND r04, re-attested every
     # round by the committed CORRECTNESS_LOCAL.json full-registry run) ----
+    # displaced by the late-round waves-14-17 rotation:
+    "multimodal_binary_stats": (q_multimodal_binary_stats, SQL_MULTIMODAL_BINARY_STATS),
+    "data_split_assign": (q_data_split_assign, SQL_DATA_SPLIT_ASSIGN),
+    "domain_mix_resample": (q_domain_mix_resample, SQL_DOMAIN_MIX_RESAMPLE),
+    "corpus_sample_stratified": (q_corpus_sample_stratified, SQL_CORPUS_SAMPLE_STRATIFIED),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "token_counts": (q_token_counts, SQL_TOKEN_COUNTS),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "text_redact_pii": (q_text_redact_pii, SQL_TEXT_REDACT_PII),
+    "doc_repetition": (q_doc_repetition, SQL_DOC_REPETITION),
+    "benchmark_contamination": (q_benchmark_contamination, SQL_BENCHMARK_CONTAMINATION),
     "revenue_cube": (q_revenue_cube, SQL_REVENUE_CUBE),
     "events_set_ops": (q_events_set_ops, SQL_EVENTS_SET_OPS),
     "big_spender_exists": (q_big_spender_exists, SQL_BIG_SPENDER_EXISTS),
@@ -7940,31 +7966,5 @@ QUERIES: dict[str, tuple] = {
     "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
     # twelfth-wave operator, appended PAST the pinned driver window
     "ccnet_keep_policy": (q_ccnet_keep_policy, SQL_CCNET_KEEP_POLICY),
-    # fourteenth wave, appended PAST the pinned driver window: C4 battery
-    # over extracted text, tf-idf keywords, Zipf fit, unigram entropy
-    "extract_c4_filters": (q_extract_c4_filters, SQL_EXTRACT_C4_FILTERS),
-    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
-    "token_zipf_fit": (q_token_zipf_fit, SQL_TOKEN_ZIPF_FIT),
-    "doc_unigram_entropy": (q_doc_unigram_entropy, SQL_DOC_UNIGRAM_ENTROPY),
-    # fifteenth wave, appended PAST the pinned driver window: clustering
-    # quality audit + held-out LM evaluation
-    "kmeans_silhouette": (q_kmeans_silhouette, SQL_KMEANS_SILHOUETTE),
-    "lm_perplexity_heldout": (q_lm_perplexity_heldout, SQL_LM_PERPLEXITY_HELDOUT),
-    # sixteenth wave, appended PAST the pinned driver window: Gopher
-    # repetition battery, two-stage PQ re-rank, conversation triage rollup
-    "extract_repetition_filters": (
-        q_extract_repetition_filters,
-        SQL_EXTRACT_REPETITION_FILTERS,
-    ),
-    "ann_ivfpq_rerank_topk": (q_ann_ivfpq_rerank_topk, SQL_ANN_IVFPQ_RERANK_TOPK),
-    "transcript_conversation_stats": (
-        q_transcript_conversation_stats,
-        SQL_TRANSCRIPT_CONVERSATION_STATS,
-    ),
-    # seventeenth wave, appended PAST the pinned driver window
-    "small_quantity_revenue": (
-        q_small_quantity_revenue,
-        SQL_SMALL_QUANTITY_REVENUE,
-    ),
 }
 

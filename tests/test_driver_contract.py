@@ -49,14 +49,14 @@ DRIVER_WINDOW_50 = [
     "bpe_learn_merges", "bpe_tokenize_stats", "bpe_tokenize_ids",
     "pack_token_ids", "doc_quality_classifier",
     "dedup_minhash_lsh", "dedup_minhash_clusters", "dedup_embedding_clusters",
-    "multimodal_binary_stats",
-    "data_split_assign", "domain_mix_resample", "corpus_sample_stratified",
+    "extract_c4_filters", "extract_repetition_filters", "tfidf_top_terms",
+    "token_zipf_fit", "doc_unigram_entropy", "kmeans_silhouette",
+    "lm_perplexity_heldout", "ann_ivfpq_rerank_topk",
+    "transcript_conversation_stats", "small_quantity_revenue",
     "semdedup", "doc_ngram_novelty", "split_leakage_check",
     "ann_pq_codes", "ann_pq_adc_topk", "ann_ivf_pq_topk",
     "unimax_allocation", "embedding_random_projection",
-    "text_quality", "token_counts", "lang_id", "extract_quality_filter",
-    "doc_lm_score", "doc_quality_rank", "text_redact_pii", "doc_repetition",
-    "benchmark_contamination",
+    "extract_quality_filter", "doc_lm_score", "doc_quality_rank",
     "source_overlap_minhash", "ccnet_perplexity_buckets", "source_token_kl",
     "domain_cap_sample", "doclen_quantile_sketch",
     "dedup_exact_substring", "dedup_minhash_keep_best",
