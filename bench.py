@@ -210,6 +210,7 @@ def main() -> None:
         "extract_repetition_filters",
         "ann_ivfpq_rerank_topk",
         "transcript_conversation_stats",
+        "small_quantity_revenue",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -248,6 +249,7 @@ def main() -> None:
         "extract_repetition_filters",
         "ann_ivfpq_rerank_topk",
         "transcript_conversation_stats",
+        "small_quantity_revenue",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

@@ -7522,15 +7522,25 @@ def repetition_stats_frame(
             F.coalesce("dup_line_char_frac", F.lit(0.0)).alias(
                 "dup_line_char_frac"
             ),
-            F.round(
-                F.coalesce("top2_chars", F.lit(0)).cast("double")
-                / F.col("total_chars"),
-                6,
+            F.coalesce(
+                F.round(
+                    F.try_divide(
+                        F.coalesce("top2_chars", F.lit(0)).cast("double"),
+                        F.col("total_chars"),
+                    ),
+                    6,
+                ),
+                F.lit(0.0),
             ).alias("top_2gram_char_frac"),
-            F.round(
-                F.coalesce("dup5_chars", F.lit(0)).cast("double")
-                / F.col("total_chars"),
-                6,
+            F.coalesce(
+                F.round(
+                    F.try_divide(
+                        F.coalesce("dup5_chars", F.lit(0)).cast("double"),
+                        F.col("total_chars"),
+                    ),
+                    6,
+                ),
+                F.lit(0.0),
             ).alias("dup_5gram_char_frac"),
         )
     )
@@ -7597,10 +7607,12 @@ WITH g AS (
          coalesce(ls.n_lines, 0) AS n_lines,
          coalesce(ls.dup_line_frac, 0.0) AS dup_line_frac,
          coalesce(ls.dup_line_char_frac, 0.0) AS dup_line_char_frac,
-         round(CAST(coalesce(t2.top2_chars, 0) AS DOUBLE) / g.total_chars, 6)
-           AS top_2gram_char_frac,
-         round(CAST(coalesce(d5.dup5_chars, 0) AS DOUBLE) / g.total_chars, 6)
-           AS dup_5gram_char_frac
+         CASE WHEN g.total_chars > 0 THEN
+           round(CAST(coalesce(t2.top2_chars, 0) AS DOUBLE) / g.total_chars, 6)
+         ELSE 0.0 END AS top_2gram_char_frac,
+         CASE WHEN g.total_chars > 0 THEN
+           round(CAST(coalesce(d5.dup5_chars, 0) AS DOUBLE) / g.total_chars, 6)
+         ELSE 0.0 END AS dup_5gram_char_frac
   FROM g
   LEFT JOIN line_stats ls ON g.conv_id = ls.conv_id AND g.turn_idx = ls.turn_idx
   LEFT JOIN top2 t2 ON g.conv_id = t2.conv_id AND g.turn_idx = t2.turn_idx

@@ -1457,3 +1457,72 @@ def test_transcript_conversation_stats_shape(spark):
         assert r.duration_sec >= 0
         assert r.total_chars > 0
     assert sum(r.n_html_turns for r in rows) > 0
+
+
+def test_repetition_stats_random_replica(spark):
+    """repetition_stats_frame equals a from-scratch pure-Python replica on
+    30 seeded random multi-line docs (repeated lines and n-grams arise
+    naturally from the tiny vocabulary)."""
+    import random
+    import re as _re
+    from collections import Counter
+
+    from readability_1_spark.queries import (
+        REP_DUP_5GRAM_CHAR_FRAC_MAX,
+        REP_DUP_LINE_CHAR_FRAC_MAX,
+        REP_DUP_LINE_FRAC_MAX,
+        REP_TOP_2GRAM_CHAR_FRAC_MAX,
+        repetition_stats_frame,
+    )
+
+    rng = random.Random(260818)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = []
+    for i in range(30):
+        lines = []
+        for _ in range(rng.randint(1, 6)):
+            lines.append(" ".join(rng.choice(vocab)
+                                  for _ in range(rng.randint(0, 9))))
+        docs.append((i, "\n".join(lines)))
+
+    def replica(text):
+        lines = [_re.sub(r"^[ \t\r\f]+|[ \t\r\f]+$", "", x)
+                 for x in text.split("\n")]
+        lines = [x for x in lines if x != ""]
+        ws = [w for w in _re.split(r"[^a-z0-9]+", text.lower()) if w != ""]
+        total = len(text)
+        lk = Counter(lines)
+        n_lines = len(lines)
+        dup_line = round((n_lines - len(lk)) / n_lines, 6) if n_lines else 0.0
+        lchars = sum(k * len(l) for l, k in lk.items())
+        dup_lchar = (round(sum((k - 1) * len(l) for l, k in lk.items())
+                           / lchars, 6) if lchars else 0.0)
+        g2 = Counter(" ".join(ws[i:i + 2]) for i in range(len(ws) - 1))
+        top2 = 0
+        if g2:
+            g, k = sorted(g2.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            top2 = k * len(g)
+        g5 = Counter(" ".join(ws[i:i + 5]) for i in range(len(ws) - 4))
+        dup5 = sum(k * len(g) for g, k in g5.items() if k > 1)
+        t2f = round(top2 / total, 6) if total else 0.0
+        d5f = round(dup5 / total, 6) if total else 0.0
+        ok = (dup_line <= REP_DUP_LINE_FRAC_MAX
+              and dup_lchar <= REP_DUP_LINE_CHAR_FRAC_MAX
+              and t2f <= REP_TOP_2GRAM_CHAR_FRAC_MAX
+              and d5f <= REP_DUP_5GRAM_CHAR_FRAC_MAX)
+        return (n_lines, dup_line, dup_lchar, t2f, d5f, ok)
+
+    frame = spark.createDataFrame(docs, "doc_id long, text_content string")
+    got = {r.doc_id: r for r in
+           repetition_stats_frame(frame, keys=("doc_id",)).collect()}
+    assert len(got) == 30
+    mismatches = []
+    for i, text in docs:
+        r = got[i]
+        exp = replica(text)
+        val = (r.n_lines, r.dup_line_frac, r.dup_line_char_frac,
+               r.top_2gram_char_frac, r.dup_5gram_char_frac,
+               r.passes_repetition)
+        if val != exp:
+            mismatches.append((i, val, exp))
+    assert not mismatches, mismatches[:3]
