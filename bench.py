@@ -211,6 +211,9 @@ def main() -> None:
         "ann_ivfpq_rerank_topk",
         "transcript_conversation_stats",
         "small_quantity_revenue",
+        # round 5, eighteenth wave: dedup histogram + dataset card.
+        "dedup_cluster_stats",
+        "corpus_datacard",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -250,6 +253,8 @@ def main() -> None:
         "ann_ivfpq_rerank_topk",
         "transcript_conversation_stats",
         "small_quantity_revenue",
+        "dedup_cluster_stats",
+        "corpus_datacard",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

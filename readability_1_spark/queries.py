@@ -7793,6 +7793,141 @@ WHERE j.l_quantity < a.qty_thresh
 """
 
 
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-rate report over the minhash near-dup clusters — the
+    histogram a dedup run publishes (dataset cards report 'X% near-dup
+    removal' from exactly this table): one row per cluster size with the
+    number of clusters, documents covered, and documents a keep-one pass
+    removes.  All-integer; trivially deterministic.
+
+    Scale shape: the cluster subplan is q_dedup_minhash_clusters
+    unchanged (checkpointed pairs + star-rounds CC); the histogram is two
+    tiny groupBys (cluster_id, then cluster_size) with map-side
+    combine."""
+    cl = q_dedup_minhash_clusters(spark, sf_dir)
+    sizes = cl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    h = sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+    return h.select(
+        "cluster_size",
+        "n_clusters",
+        (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.col("n_clusters")).alias(
+            "docs_removed"
+        ),
+    )
+
+
+SQL_DEDUP_CLUSTER_STATS = (
+    _SQL_MINHASH_CC_CTES
+    + """
+, sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM cc GROUP BY cluster_id
+)
+SELECT cluster_size,
+       count(*) AS n_clusters,
+       CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+       CAST((cluster_size - 1) * count(*) AS BIGINT) AS docs_removed
+FROM sizes GROUP BY cluster_size
+"""
+)
+
+
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-card rollup — the summary table published next
+    to a corpus release: document and token counts, mean/median/p90
+    document length, exact distinct-token count, and the dominant
+    language with its share.  Exact distinct is the small-scale choice
+    here; hll_merge_by_source is the drop-in mergeable-sketch variant
+    when 100 TB makes exact distinct a luxury.  Determinism: integer
+    aggregates; interpolated percentiles (the lineitem_percentiles
+    recipe, round-4); top language breaks count ties on lang ASC.
+
+    Scale shape: one narrow per-doc pass (chars + token count, map-side
+    combine into the source rollup), one cheap (source, lang) count for
+    the language mix, and ONE token explode collapsing to distinct
+    (source, tok) — the only corpus-heavy stage; all joins are on the
+    O(#sources) key."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower("text"), TOKEN_SPLIT), lambda x: x != "")
+    per_doc = docs.select(
+        "source", "lang", "n_chars", F.size(ws).alias("n_toks")
+    )
+    basic = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("mean_chars"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 4).alias("p50_chars"),
+        F.round(F.expr("percentile(n_chars, 0.9)"), 4).alias("p90_chars"),
+    )
+    lc = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("k"))
+    wl = Window.partitionBy("source").orderBy(F.desc("k"), F.asc("lang"))
+    nsrc = Window.partitionBy("source")
+    langmix = (
+        lc.withColumn("n_src", F.sum("k").over(nsrc))
+        .withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("top_lang"),
+            F.round(F.col("k").cast("double") / F.col("n_src"), 6).alias(
+                "top_lang_frac"
+            ),
+        )
+    )
+    dist = (
+        docs.select("source", F.explode(ws).alias("tok"))
+        .groupBy("source")
+        .agg(F.countDistinct("tok").alias("distinct_tokens"))
+    )
+    return basic.join(langmix, "source").join(dist, "source")
+
+
+SQL_CORPUS_DATACARD = f"""
+WITH per_doc AS (
+  SELECT source, lang, n_chars,
+         len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                         x -> x <> '')) AS n_toks
+  FROM documents
+), basic AS (
+  SELECT source,
+         count(*) AS n_docs,
+         CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         round(avg(n_chars), 6) AS mean_chars,
+         round(quantile_cont(n_chars, 0.5), 4) AS p50_chars,
+         round(quantile_cont(n_chars, 0.9), 4) AS p90_chars
+  FROM per_doc GROUP BY source
+), lc AS (
+  SELECT source, lang, count(*) AS k FROM documents GROUP BY source, lang
+), langmix AS (
+  SELECT source, lang AS top_lang,
+         round(CAST(k AS DOUBLE) / n_src, 6) AS top_lang_frac
+  FROM (
+    SELECT *, sum(k) OVER (PARTITION BY source) AS n_src,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY k DESC, lang ASC) AS rn
+    FROM lc
+  ) WHERE rn = 1
+), dist AS (
+  SELECT source, count(DISTINCT tok) AS distinct_tokens
+  FROM (
+    SELECT source,
+           unnest(list_filter(regexp_split_to_array(lower(text),
+                  '{TOKEN_SPLIT}'), x -> x <> '')) AS tok
+    FROM documents
+  ) GROUP BY source
+)
+SELECT b.source, b.n_docs, b.total_tokens, b.mean_chars, b.p50_chars,
+       b.p90_chars, l.top_lang, l.top_lang_frac, d.distinct_tokens
+FROM basic b
+JOIN langmix l ON b.source = l.source
+JOIN dist d ON b.source = d.source
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -7978,5 +8113,8 @@ QUERIES: dict[str, tuple] = {
     "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
     # twelfth-wave operator, appended PAST the pinned driver window
     "ccnet_keep_policy": (q_ccnet_keep_policy, SQL_CCNET_KEEP_POLICY),
+    # eighteenth wave, appended PAST the pinned driver window
+    "dedup_cluster_stats": (q_dedup_cluster_stats, SQL_DEDUP_CLUSTER_STATS),
+    "corpus_datacard": (q_corpus_datacard, SQL_CORPUS_DATACARD),
 }
 

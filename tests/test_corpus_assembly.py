@@ -1526,3 +1526,57 @@ def test_repetition_stats_random_replica(spark):
         if val != exp:
             mismatches.append((i, val, exp))
     assert not mismatches, mismatches[:3]
+
+
+def test_dedup_cluster_stats_consistent_with_clusters(spark):
+    """The histogram reconciles exactly with the cluster table: docs sum
+    to the corpus, removal count equals non-keepers, size-1 row covers
+    all singletons."""
+    from readability_1_spark.queries import (
+        q_dedup_cluster_stats,
+        q_dedup_minhash_clusters,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cl = q_dedup_minhash_clusters(spark, sf).collect()
+    hist = {r.cluster_size: r for r in
+            q_dedup_cluster_stats(spark, sf).collect()}
+    n_docs = len(cl)
+    assert sum(r.n_docs for r in hist.values()) == n_docs
+    assert sum(r.docs_removed for r in hist.values()) == sum(
+        0 if r.is_keeper else 1 for r in cl
+    )
+    from collections import Counter
+
+    sizes = Counter(r.cluster_size for r in cl)  # doc-weighted sizes
+    for size, row in hist.items():
+        assert sizes[size] == row.n_docs
+        assert row.docs_removed == (size - 1) * row.n_clusters
+
+
+def test_corpus_datacard_replicates_from_raw(spark, tmp_path):
+    """Datacard values replicate from a crafted corpus: counts, token
+    totals, distinct tokens, dominant language with ties broken lang ASC,
+    and the interpolated median."""
+    from readability_1_spark.queries import q_corpus_datacard
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c", "en", "s1", 5),
+            (2, "a a d", "de", "s1", 5),
+            (3, "e f", "en", "s1", 21),
+            (4, "x", "fr", "s2", 1),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.source: r for r in
+           q_corpus_datacard(spark, str(tmp_path)).collect()}
+    s1 = out["s1"]
+    assert (s1.n_docs, s1.total_tokens, s1.distinct_tokens) == (3, 8, 6)
+    assert s1.p50_chars == 5.0  # interpolated median of (5, 5, 21)
+    # en (2 docs) beats de/fr (1); 2/3 share
+    assert (s1.top_lang, s1.top_lang_frac) == ("en", round(2 / 3, 6))
+    s2 = out["s2"]
+    assert (s2.n_docs, s2.total_tokens, s2.distinct_tokens) == (1, 1, 1)
+    assert (s2.top_lang, s2.top_lang_frac) == ("fr", 1.0)

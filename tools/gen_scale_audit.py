@@ -123,7 +123,9 @@ SCALE_CLASS = {
 "extract_repetition_filters": ("shuffle", "kernel output materialized ONCE (localCheckpoint - feeds line and both n-gram paths); each path is explode -> groupBy(turn, key) with map-side combine -> per-turn rollup; joins on the turn key - linear"),
     "ann_ivfpq_rerank_topk": ("bucketed", "stage 1 is ann_ivf_pq_topk unchanged (centroid_id partition pruning + broadcast ADC); the exact re-rank touches nq x IVFPQ_TOPK candidate rows only - vec_id equi-join for raw vectors, tiny query broadcast, one window over nq partitions"),
     "transcript_conversation_stats": ("shuffle", "ONE groupBy(conv_id) with map-side combine over pure JVM row expressions - a single key shuffle at any corpus size"),
-"small_quantity_revenue": ("shuffle", "TPC-H Q17 decorrelation: per-part average = one groupBy(partkey) with map-side combine over the brand-filtered slice; join back is a partkey equi-join; brand filter pushes to both scans; 1-row final aggregate"),
+    "small_quantity_revenue": ("shuffle", "TPC-H Q17 decorrelation: per-part average = one groupBy(partkey) with map-side combine over the brand-filtered slice; join back is a partkey equi-join; brand filter pushes to both scans; 1-row final aggregate"),
+    "dedup_cluster_stats": ("bucketed", "the cluster subplan is q_dedup_minhash_clusters unchanged (checkpointed pairs + star-round CC); the histogram adds two tiny groupBys (cluster_id, then cluster_size) with map-side combine"),
+    "corpus_datacard": ("shuffle", "one narrow per-doc pass into the source rollup (map-side combine), one (source, lang) count, ONE token explode collapsing to distinct (source, tok) - the only corpus-heavy stage (hll_merge_by_source is the sketch drop-in at 100 TB); joins on the O(#sources) key"),
 }
 
 
