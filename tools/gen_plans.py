@@ -60,7 +60,9 @@ def main() -> None:
                  "ann_ivf_pq_topk", "embedding_random_projection",
                  "unimax_allocation", "ccnet_keep_policy",
                  "tfidf_top_terms", "token_zipf_fit", "doc_unigram_entropy",
-                 "kmeans_silhouette", "lm_perplexity_heldout"):
+                 "kmeans_silhouette", "lm_perplexity_heldout",
+                 "extract_repetition_filters", "small_quantity_revenue",
+                 "dedup_cluster_stats", "corpus_datacard"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -206,6 +208,27 @@ def main() -> None:
                    "broadcasts",
                    "Scan ExistingRDD" in full["lm_perplexity_heldout"]
                    and "BroadcastExchange" in full["lm_perplexity_heldout"]))
+    checks.append(("repetition battery reads the kernel output from the "
+                   "checkpointed scan (kernel runs once for all three "
+                   "paths); no cartesian",
+                   "Scan ExistingRDD" in full["extract_repetition_filters"]
+                   and "InMemoryFileIndex" not in full["extract_repetition_filters"]
+                   and "CartesianProduct" not in full["extract_repetition_filters"]))
+    checks.append(("Q17 decorrelation: per-part average combines map-side "
+                   "(partial_avg/partial_sum) and the brand filter pushes "
+                   "to the part scan",
+                   ("partial_avg" in full["small_quantity_revenue"]
+                    or "partial_sum" in full["small_quantity_revenue"])
+                   and "PushedFilters: [IsNotNull(p_brand), EqualTo(p_brand,"
+                       in full["small_quantity_revenue"]))
+    checks.append(("cluster-stats histogram reads CC labels from "
+                   "checkpointed scans; no cartesian",
+                   "Scan ExistingRDD" in full["dedup_cluster_stats"]
+                   and "CartesianProduct" not in full["dedup_cluster_stats"]))
+    checks.append(("datacard: source rollups combine map-side and join on "
+                   "the bounded source key; no cartesian",
+                   "partial_count" in full["corpus_datacard"]
+                   and "CartesianProduct" not in full["corpus_datacard"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")
