@@ -214,6 +214,11 @@ def main() -> None:
         # round 5, eighteenth wave: dedup histogram + dataset card.
         "dedup_cluster_stats",
         "corpus_datacard",
+        # round 5, nineteenth wave: link graph over extracted HTML.
+        "extract_outlinks",
+        "outlink_host_indegree",
+        "outlink_host_pagerank",
+        "extract_url_normalize",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -255,6 +260,10 @@ def main() -> None:
         "small_quantity_revenue",
         "dedup_cluster_stats",
         "corpus_datacard",
+        "extract_outlinks",
+        "outlink_host_indegree",
+        "outlink_host_pagerank",
+        "extract_url_normalize",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

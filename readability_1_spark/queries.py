@@ -7929,6 +7929,480 @@ JOIN dist d ON b.source = d.source
 
 
 # --------------------------------------------------------------------------
+# Link-graph family (wave 19): outlink extraction over the kernel's own
+# serialized article HTML (the crawl-frontier step a web-scale extraction
+# pipeline feeds next), host-level indegree, integer-exact PageRank over the
+# host co-citation graph, and crawl-style URL canonicalization.
+# --------------------------------------------------------------------------
+
+# <a ...> with a double-quoted href — our serializer always double-quotes
+# attribute values (dom.py:17), so this regex is exact on kernel output.
+HREF_RE = '<a[ \\t][^>]*href="([^"]*)"'
+BASE_HOST = "fakehost"  # extraction kernel documentURI host (kernel.py:103)
+PAGERANK_SCALE = 1_000_000_000_000  # total PageRank mass, integer units
+PAGERANK_ITERS = 10
+HOST_TOPK = 50
+
+
+def _href_entities_decode(x):
+    """Exact inverse of the serializer's attribute escaping
+    (dom.py _REVERSE_ENTITY): named entities back to chars, &amp; LAST so
+    double-encoded values round-trip."""
+    y = F.replace(x, F.lit("&lt;"), F.lit("<"))
+    y = F.replace(y, F.lit("&gt;"), F.lit(">"))
+    y = F.replace(y, F.lit("&quot;"), F.lit('"'))
+    y = F.replace(y, F.lit("&apos;"), F.lit("'"))
+    return F.replace(y, F.lit("&amp;"), F.lit("&"))
+
+
+def _hrefs_expr(col):
+    """Array of non-empty, entity-decoded href values from serialized HTML."""
+    raw = F.regexp_extract_all(col, F.lit(HREF_RE), 1)
+    return F.filter(
+        F.transform(raw, _href_entities_decode), lambda x: x != F.lit("")
+    )
+
+
+def _url_scheme(x):
+    return F.lower(F.regexp_extract(x, "^([a-zA-Z][a-zA-Z0-9+.-]*):", 1))
+
+
+def _url_host(x):
+    """Lowercased host: authority with userinfo and :port stripped."""
+    hp = F.regexp_extract(x, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1)
+    return F.lower(
+        F.regexp_replace(F.regexp_replace(hp, "^[^@]*@", ""), ":[0-9]+$", "")
+    )
+
+
+# DuckDB twins of the three helpers above (same regexes, same order).
+_SQL_HREFS = (
+    "list_filter(list_transform("
+    "regexp_extract_all(content, '<a[ \\t][^>]*href=\"([^\"]*)\"', 1), "
+    "x -> replace(replace(replace(replace(replace(x, '&lt;', '<'), "
+    "'&gt;', '>'), '&quot;', '\"'), '&apos;', chr(39)), '&amp;', '&')), "
+    "x -> x <> '')"
+)
+
+
+def _sql_url_scheme(x: str) -> str:
+    return f"lower(regexp_extract({x}, '^([a-zA-Z][a-zA-Z0-9+.-]*):', 1))"
+
+
+def _sql_url_host(x: str) -> str:
+    return (
+        f"lower(regexp_replace(regexp_replace(regexp_extract({x}, "
+        "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1), "
+        "'^[^@]*@', ''), ':[0-9]+$', ''))"
+    )
+
+
+# Shared CTE prefix: ok-turn contents -> decoded hrefs -> web links -> hosts.
+_SQL_LINKS_PREFIX = f"""g AS (
+  SELECT conv_id, turn_idx, content
+  FROM read_parquet('{GOLDENS_PQ}') WHERE status = 'ok'
+), b AS (
+  SELECT conv_id, turn_idx, {_SQL_HREFS} AS hrefs FROM g
+), w AS (
+  SELECT conv_id, turn_idx, hrefs,
+         list_filter(hrefs,
+           x -> {_sql_url_scheme('x')} IN ('http', 'https')) AS webs
+  FROM b
+), h AS (
+  SELECT conv_id, turn_idx, hrefs, webs,
+         list_transform(webs, x -> {_sql_url_host('x')}) AS hosts
+  FROM w
+)"""
+
+
+def q_extract_outlinks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-turn OUTLINK extraction over the kernel's own serialized article
+    HTML — the step that turns an extraction pipeline into a crawl loop
+    (frontier discovery) and the link-stats block of a dataset card:
+    href values (entity-decoded with the exact inverse of the serializer's
+    attribute escaping), web vs non-web schemes, internal (the kernel's
+    documentURI host — _fixRelativeUris absolutized relative links to it,
+    Readability.js:1166) vs external, and distinct external hosts.
+
+    Scale shape: the extraction kernel dominates; the link stats are one
+    projection of JVM-side regexp/array expressions per row — no explode,
+    no join, no added shuffle (the same zero-exchange contract as the C4
+    battery, plan-gated)."""
+    from .pipeline import extract_transcripts
+
+    df = spark.read.parquet(TRANSCRIPTS_PQ)
+    ex = extract_transcripts(df, num_parts=16).filter(F.col("status") == "ok")
+    base = ex.select(
+        "conv_id", "turn_idx", _hrefs_expr(F.col("content")).alias("hrefs")
+    )
+    webbed = base.select(
+        "conv_id",
+        "turn_idx",
+        F.size("hrefs").alias("n_links"),
+        F.filter(
+            F.col("hrefs"), lambda x: _url_scheme(x).isin("http", "https")
+        ).alias("webs"),
+    )
+    hosts = F.transform(F.col("webs"), _url_host)
+    internal = F.size(F.filter(hosts, lambda h: h == F.lit(BASE_HOST)))
+    return webbed.select(
+        "conv_id",
+        "turn_idx",
+        "n_links",
+        F.size("webs").alias("n_web"),
+        internal.alias("n_internal"),
+        (F.size("webs") - internal).alias("n_external"),
+        F.size(
+            F.array_distinct(F.filter(hosts, lambda h: h != F.lit(BASE_HOST)))
+        ).alias("n_ext_hosts"),
+        (F.col("n_links") - F.size("webs")).alias("n_nonweb"),
+    )
+
+
+SQL_EXTRACT_OUTLINKS = f"""
+WITH {_SQL_LINKS_PREFIX}
+SELECT conv_id, turn_idx,
+       len(hrefs) AS n_links,
+       len(webs) AS n_web,
+       len(list_filter(hosts, x -> x = '{BASE_HOST}')) AS n_internal,
+       len(webs) - len(list_filter(hosts, x -> x = '{BASE_HOST}'))
+         AS n_external,
+       len(list_distinct(list_filter(hosts, x -> x <> '{BASE_HOST}')))
+         AS n_ext_hosts,
+       len(hrefs) - len(webs) AS n_nonweb
+FROM h
+"""
+
+
+def _ext_host_rows(spark: SparkSession, distinct_per_turn: bool) -> DataFrame:
+    """(conv_id, turn_idx, host) rows for external web hosts linked from
+    each ok-turn's extracted article; optionally distinct within a turn."""
+    from .pipeline import extract_transcripts
+
+    df = spark.read.parquet(TRANSCRIPTS_PQ)
+    ex = extract_transcripts(df, num_parts=16).filter(F.col("status") == "ok")
+    webs = F.filter(
+        _hrefs_expr(F.col("content")),
+        lambda x: _url_scheme(x).isin("http", "https"),
+    )
+    hosts = F.filter(
+        F.transform(webs, _url_host),
+        lambda h: (h != F.lit(BASE_HOST)) & (h != F.lit("")),
+    )
+    if distinct_per_turn:
+        hosts = F.array_distinct(hosts)
+    return ex.select(
+        "conv_id", "turn_idx", F.explode(hosts).alias("host")
+    )
+
+
+_SQL_EXT_HOSTS = (
+    "list_filter(list_transform(webs, x -> {host}), "
+    "x -> x <> '{base}' AND x <> '')"
+).format(host=_sql_url_host("x"), base=BASE_HOST)
+
+
+def q_outlink_host_indegree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{K} external hosts by citation — the domain-authority triage
+    table a crawl publishes (CommonCrawl's host-level rank lists have this
+    exact shape): per host, distinct linking pages and total link
+    occurrences, top-K by (pages DESC, links DESC, host ASC) — a total
+    order, so the cut is deterministic.
+
+    Scale shape: one explode (linear in links) into a host groupBy with
+    map-side combine; the top-K is TakeOrdered (no global sort), the same
+    plan contract as corpus_sample_topn."""
+    rows = _ext_host_rows(spark, distinct_per_turn=False)
+    agg = rows.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct(
+            F.concat_ws("\t", "conv_id", F.col("turn_idx").cast("string"))
+        ).alias("n_pages"),
+    )
+    return (
+        agg.select("host", "n_pages", "n_links")
+        .orderBy(F.desc("n_pages"), F.desc("n_links"), F.asc("host"))
+        .limit(HOST_TOPK)
+    )
+
+
+SQL_OUTLINK_HOST_INDEGREE = f"""
+WITH {_SQL_LINKS_PREFIX}, e AS (
+  SELECT conv_id, turn_idx, unnest({_SQL_EXT_HOSTS}) AS host FROM h
+)
+SELECT host,
+       count(DISTINCT conv_id || chr(9) || CAST(turn_idx AS VARCHAR))
+         AS n_pages,
+       count(*) AS n_links
+FROM e GROUP BY host
+ORDER BY n_pages DESC, n_links DESC, host ASC
+LIMIT {HOST_TOPK}
+"""
+
+
+def pagerank_frame(
+    nd: DataFrame,
+    edges: DataFrame,
+    n_nodes: int,
+    iters: int = PAGERANK_ITERS,
+    scale: int = PAGERANK_SCALE,
+) -> DataFrame:
+    """Integer-exact PageRank (damping 0.85) as DataFrame ops.
+
+    `nd` = (host, outdeg) for every node; `edges` = (src, dst), both
+    pre-checkpointed by the caller.  ALL arithmetic is BIGINT floor
+    division on non-negative values (`div` here, `//` in the DuckDB twin
+    — identical semantics for non-negative ints), so summation order can
+    never flip a value and the oracle matches exactly: rank mass starts
+    at scale//n per node, each round a node emits pr div outdeg along
+    each out-edge, dangling (outdeg 0) mass redistributes uniformly, and
+    pr' = (15*scale)//(100*n) + (85*(contrib + dangling_share)) div 100.
+
+    Scale shape: per iteration ONE equi-join on src + ONE dst groupBy
+    (map-side combine) + a 1-row dangling aggregate cross-joined in (a
+    bounded broadcast, like the BPE vocab scalars); per-iteration
+    localCheckpoint keeps lineage bounded like connected_components.
+    Floor losses make total mass drift slightly below `scale` — a
+    documented property of the integer contract, not an error."""
+    base = (15 * scale) // (100 * n_nodes)
+    pr = nd.withColumn("pr", F.lit(scale // n_nodes).cast("long"))
+    for _ in range(iters):
+        dang = pr.filter(F.col("outdeg") == 0).agg(
+            F.coalesce(F.sum("pr"), F.lit(0)).cast("long").alias("dang")
+        )
+        contrib = (
+            pr.filter(F.col("outdeg") > 0)
+            .join(edges, F.col("host") == F.col("src"))
+            .groupBy("dst")
+            .agg(F.sum(F.expr("pr div outdeg")).alias("c"))
+        )
+        pr = (
+            nd.join(contrib, nd.host == contrib.dst, "left")
+            .select("host", "outdeg", F.coalesce("c", F.lit(0)).alias("c"))
+            .crossJoin(dang)
+            .withColumn(
+                "pr",
+                F.expr(
+                    f"CAST({base} + (85 * (c + (dang div {n_nodes})))"
+                    " div 100 AS BIGINT)"
+                ),
+            )
+            .select("host", "outdeg", "pr")
+            .localCheckpoint(eager=True)
+        )
+    return pr
+
+
+def q_outlink_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the external-host CO-CITATION graph (hosts linked by
+    the same page are mutually endorsed — the symmetric host graph
+    CommonCrawl-style domain ranking starts from): nodes = external hosts,
+    edges = distinct ordered host pairs co-linked by one turn, 10 integer
+    micro-unit iterations (see pagerank_frame).
+
+    Scale shape: pair generation is a self-join on the TURN key (bounded
+    by per-page host-set size, never corpus-quadratic); the iteration is
+    equi-join + groupBy on the host table, which is orders of magnitude
+    smaller than the page table — the standard host-graph iteration."""
+    # materialize ONCE: ph feeds both self-join sides and the node set —
+    # without this the extraction kernel would re-run per branch (the
+    # shared-subplan audit discipline, ROUND5.md twelfth wave)
+    ph = _ext_host_rows(spark, distinct_per_turn=True).localCheckpoint(
+        eager=True
+    )
+    a, b2 = ph.alias("a"), ph.alias("b2")
+    edges = (
+        a.join(
+            b2,
+            (F.col("a.conv_id") == F.col("b2.conv_id"))
+            & (F.col("a.turn_idx") == F.col("b2.turn_idx"))
+            & (F.col("a.host") != F.col("b2.host")),
+        )
+        .select(F.col("a.host").alias("src"), F.col("b2.host").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = ph.select("host").distinct()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nd = (
+        nodes.join(outdeg, nodes.host == outdeg.src, "left")
+        .select("host", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nd.count()
+    pr = pagerank_frame(nd, edges, n_nodes)
+    return pr.select("host", "outdeg", F.col("pr").alias("pr_units"))
+
+
+def _sql_pagerank_iter(k: int) -> str:
+    # MATERIALIZED: each CTE is referenced more than once downstream —
+    # inlining would re-expand the whole chain exponentially
+    return f"""p{k} AS MATERIALIZED (
+  SELECT nd.host, nd.outdeg,
+         CAST((SELECT base FROM consts)
+           + ((85 * (coalesce(c.c, 0)
+                + ((SELECT dang FROM dang{k - 1}) // (SELECT n FROM consts))))
+              // 100) AS BIGINT) AS pr
+  FROM nd LEFT JOIN (
+    SELECT e.dst AS host, CAST(sum(p.pr // p.outdeg) AS BIGINT) AS c
+    FROM p{k - 1} p JOIN edges e ON e.src = p.host
+    WHERE p.outdeg > 0 GROUP BY e.dst
+  ) c USING (host)
+), dang{k} AS MATERIALIZED (
+  SELECT CAST(coalesce(sum(pr), 0) AS BIGINT) AS dang
+  FROM p{k} WHERE outdeg = 0
+)"""
+
+
+SQL_OUTLINK_HOST_PAGERANK = f"""
+WITH {_SQL_LINKS_PREFIX}, ph AS MATERIALIZED (
+  SELECT DISTINCT conv_id, turn_idx, host FROM (
+    SELECT conv_id, turn_idx, unnest({_SQL_EXT_HOSTS}) AS host FROM h
+  )
+), edges AS MATERIALIZED (
+  SELECT DISTINCT a.host AS src, b2.host AS dst
+  FROM ph a JOIN ph b2
+    ON a.conv_id = b2.conv_id AND a.turn_idx = b2.turn_idx
+   AND a.host <> b2.host
+), nodes AS (
+  SELECT DISTINCT host FROM ph
+), consts AS MATERIALIZED (
+  SELECT n, (15 * {PAGERANK_SCALE}) // (100 * n) AS base,
+         {PAGERANK_SCALE} // n AS init
+  FROM (SELECT count(*) AS n FROM nodes)
+), nd AS MATERIALIZED (
+  SELECT nodes.host, coalesce(o.outdeg, 0) AS outdeg
+  FROM nodes LEFT JOIN (
+    SELECT src AS host, count(*) AS outdeg FROM edges GROUP BY src
+  ) o USING (host)
+), p0 AS MATERIALIZED (
+  SELECT host, outdeg, CAST((SELECT init FROM consts) AS BIGINT) AS pr
+  FROM nd
+), dang0 AS (
+  SELECT CAST(coalesce(sum(pr), 0) AS BIGINT) AS dang FROM p0
+  WHERE outdeg = 0
+),
+{", ".join(_sql_pagerank_iter(k) for k in range(1, PAGERANK_ITERS + 1))}
+SELECT host, outdeg, pr AS pr_units FROM p{PAGERANK_ITERS}
+"""
+
+
+def _canon_url_expr(x):
+    """Crawl-dedup URL canonicalization (documented contract, identical in
+    the DuckDB twin): strip fragment; lowercase scheme and authority
+    wholesale (dedup canonicalization, not a fetch URL); strip the default
+    port for the scheme; drop utm_* query params and tidy separators;
+    empty path becomes '/'."""
+    nofrag = F.regexp_replace(x, r"#[\s\S]*", "")
+    scheme = F.lower(
+        F.regexp_extract(nofrag, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    )
+    hostport = F.lower(
+        F.regexp_extract(nofrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    )
+    rest = F.regexp_replace(
+        nofrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", ""
+    )
+    host_c = (
+        F.when(
+            scheme == "http", F.regexp_replace(hostport, ":80$", "")
+        )
+        .when(scheme == "https", F.regexp_replace(hostport, ":443$", ""))
+        .otherwise(hostport)
+    )
+    r = F.regexp_replace(rest, r"([?&])utm_[a-zA-Z0-9_]*=[^&]*", "$1")
+    r = F.regexp_replace(r, r"\?&+", "?")
+    r = F.regexp_replace(r, "&&+", "&")
+    r = F.regexp_replace(r, "[?&]+$", "")
+    r = F.when(r == "", F.lit("/")).when(
+        ~r.startswith("/"), F.concat(F.lit("/"), r)
+    ).otherwise(r)
+    return F.concat(scheme, F.lit("://"), host_c, r)
+
+
+def _sql_canon_url(x: str) -> str:
+    nofrag = f"regexp_replace({x}, '#[\\s\\S]*', '')"
+    scheme = (
+        f"lower(regexp_extract({nofrag}, "
+        "'^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+    )
+    hostport = (
+        f"lower(regexp_extract({nofrag}, "
+        "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1))"
+    )
+    rest = (
+        f"regexp_replace({nofrag}, "
+        "'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '')"
+    )
+    host_c = (
+        f"CASE WHEN {scheme} = 'http' "
+        f"THEN regexp_replace({hostport}, ':80$', '') "
+        f"WHEN {scheme} = 'https' "
+        f"THEN regexp_replace({hostport}, ':443$', '') "
+        f"ELSE {hostport} END"
+    )
+    r = (
+        f"regexp_replace({rest}, "
+        "'([?&])utm_[a-zA-Z0-9_]*=[^&]*', '\\1', 'g')"
+    )
+    r = f"regexp_replace({r}, '\\?&+', '?', 'g')"
+    r = f"regexp_replace({r}, '&&+', '&', 'g')"
+    r = f"regexp_replace({r}, '[?&]+$', '', 'g')"
+    r = (
+        f"CASE WHEN {r} = '' THEN '/' "
+        f"WHEN NOT starts_with({r}, '/') THEN '/' || {r} "
+        f"ELSE {r} END"
+    )
+    return f"{scheme} || '://' || {host_c} || {r}"
+
+
+def q_extract_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier URL canonicalization over each ok-turn's outlinks —
+    the dedup step between link extraction and the fetch queue (a frontier
+    that treats `...page#section` and `...page?utm_source=x` as new URLs
+    re-crawls the same documents): per turn, web links, distinct raw URLs,
+    distinct canonical URLs, and how many the canonicalizer collapsed.
+
+    Scale shape: like extract_outlinks, a zero-exchange scan projection —
+    every stat is an in-row array expression over the kernel output."""
+    from .pipeline import extract_transcripts
+
+    df = spark.read.parquet(TRANSCRIPTS_PQ)
+    ex = extract_transcripts(df, num_parts=16).filter(F.col("status") == "ok")
+    webs = F.filter(
+        _hrefs_expr(F.col("content")),
+        lambda x: _url_scheme(x).isin("http", "https"),
+    )
+    base = ex.select("conv_id", "turn_idx", webs.alias("webs"))
+    n_raw = F.size(F.array_distinct(F.col("webs")))
+    n_canon = F.size(
+        F.array_distinct(F.transform(F.col("webs"), _canon_url_expr))
+    )
+    return base.select(
+        "conv_id",
+        "turn_idx",
+        F.size("webs").alias("n_web"),
+        n_raw.alias("n_distinct_raw"),
+        n_canon.alias("n_distinct_canon"),
+        (n_raw - n_canon).alias("n_collapsed"),
+    )
+
+
+SQL_EXTRACT_URL_NORMALIZE = f"""
+WITH {_SQL_LINKS_PREFIX}
+SELECT conv_id, turn_idx,
+       len(webs) AS n_web,
+       len(list_distinct(webs)) AS n_distinct_raw,
+       len(list_distinct(list_transform(webs, x -> {_sql_canon_url('x')})))
+         AS n_distinct_canon,
+       len(list_distinct(webs))
+         - len(list_distinct(list_transform(webs, x -> {_sql_canon_url('x')})))
+         AS n_collapsed
+FROM h
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -8116,5 +8590,10 @@ QUERIES: dict[str, tuple] = {
     # eighteenth wave, appended PAST the pinned driver window
     "dedup_cluster_stats": (q_dedup_cluster_stats, SQL_DEDUP_CLUSTER_STATS),
     "corpus_datacard": (q_corpus_datacard, SQL_CORPUS_DATACARD),
+    # nineteenth wave (link graph), appended PAST the pinned driver window
+    "extract_outlinks": (q_extract_outlinks, SQL_EXTRACT_OUTLINKS),
+    "outlink_host_indegree": (q_outlink_host_indegree, SQL_OUTLINK_HOST_INDEGREE),
+    "outlink_host_pagerank": (q_outlink_host_pagerank, SQL_OUTLINK_HOST_PAGERANK),
+    "extract_url_normalize": (q_extract_url_normalize, SQL_EXTRACT_URL_NORMALIZE),
 }
 

@@ -62,7 +62,9 @@ def main() -> None:
                  "tfidf_top_terms", "token_zipf_fit", "doc_unigram_entropy",
                  "kmeans_silhouette", "lm_perplexity_heldout",
                  "extract_repetition_filters", "small_quantity_revenue",
-                 "dedup_cluster_stats", "corpus_datacard"):
+                 "dedup_cluster_stats", "corpus_datacard",
+                 "extract_outlinks", "outlink_host_indegree",
+                 "outlink_host_pagerank", "extract_url_normalize"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -229,6 +231,25 @@ def main() -> None:
                    "the bounded source key; no cartesian",
                    "partial_count" in full["corpus_datacard"]
                    and "CartesianProduct" not in full["corpus_datacard"]))
+    checks.append(("outlink stats add ZERO exchanges beyond the kernel's "
+                   "salt scatter (in-row regexp/array projection)",
+                   len(re.findall(r"\(\d+\) Exchange",
+                                  full["extract_outlinks"])) == 1
+                   and "CartesianProduct" not in full["extract_outlinks"]))
+    checks.append(("URL canonicalization likewise zero added exchanges",
+                   len(re.findall(r"\(\d+\) Exchange",
+                                  full["extract_url_normalize"])) == 1
+                   and "CartesianProduct"
+                   not in full["extract_url_normalize"]))
+    checks.append(("host indegree top-K is TakeOrdered with map-side "
+                   "partial counts, no global sort",
+                   "TakeOrdered" in full["outlink_host_indegree"]
+                   and "partial_count" in full["outlink_host_indegree"]))
+    checks.append(("pagerank result reads from checkpointed scans (bounded "
+                   "lineage across the 10 iterations, like CC)",
+                   "Scan ExistingRDD" in full["outlink_host_pagerank"]
+                   and "InMemoryFileIndex"
+                   not in full["outlink_host_pagerank"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

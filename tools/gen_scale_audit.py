@@ -126,6 +126,10 @@ SCALE_CLASS = {
     "small_quantity_revenue": ("shuffle", "TPC-H Q17 decorrelation: per-part average = one groupBy(partkey) with map-side combine over the brand-filtered slice; join back is a partkey equi-join; brand filter pushes to both scans; 1-row final aggregate"),
     "dedup_cluster_stats": ("bucketed", "the cluster subplan is q_dedup_minhash_clusters unchanged (checkpointed pairs + star-round CC); the histogram adds two tiny groupBys (cluster_id, then cluster_size) with map-side combine"),
     "corpus_datacard": ("shuffle", "one narrow per-doc pass into the source rollup (map-side combine), one (source, lang) count, ONE token explode collapsing to distinct (source, tok) - the only corpus-heavy stage (hll_merge_by_source is the sketch drop-in at 100 TB); joins on the O(#sources) key"),
+    "extract_outlinks": ("linear", "the extraction kernel dominates; the link stats are one projection of JVM-side regexp/array expressions per row - no explode, no join, no added shuffle (plan-gated zero-exchange after the kernel)"),
+    "outlink_host_indegree": ("shuffle", "one explode (linear in links) into a host groupBy with map-side combine; top-K is TakeOrdered (per-partition heap + K-row driver merge), no global sort"),
+    "outlink_host_pagerank": ("bucketed", "pair generation self-joins on the TURN key (bounded by per-page host-set size, never corpus-quadratic); each of the 10 iterations is ONE equi-join on src + ONE dst groupBy with map-side combine over the HOST table (orders of magnitude smaller than pages); dangling mass is a 1-row broadcast; per-iteration localCheckpoint bounds lineage; all-BIGINT floor-div arithmetic is summation-order-free"),
+    "extract_url_normalize": ("linear", "zero-exchange scan projection after the kernel: every stat is an in-row array expression (canonicalize + array_distinct within the row)"),
 }
 
 
