@@ -219,6 +219,9 @@ def main() -> None:
         "outlink_host_indegree",
         "outlink_host_pagerank",
         "extract_url_normalize",
+        # round 5, twentieth wave: anchor text + crawl frontier.
+        "anchor_text_terms",
+        "crawl_frontier_topk",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -264,6 +267,8 @@ def main() -> None:
         "outlink_host_indegree",
         "outlink_host_pagerank",
         "extract_url_normalize",
+        "anchor_text_terms",
+        "crawl_frontier_topk",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

@@ -8074,13 +8074,18 @@ FROM h
 """
 
 
-def _ext_host_rows(spark: SparkSession, distinct_per_turn: bool) -> DataFrame:
-    """(conv_id, turn_idx, host) rows for external web hosts linked from
-    each ok-turn's extracted article; optionally distinct within a turn."""
+def _ok_turns(spark: SparkSession) -> DataFrame:
     from .pipeline import extract_transcripts
 
     df = spark.read.parquet(TRANSCRIPTS_PQ)
-    ex = extract_transcripts(df, num_parts=16).filter(F.col("status") == "ok")
+    return extract_transcripts(df, num_parts=16).filter(
+        F.col("status") == "ok"
+    )
+
+
+def _ext_host_rows_from(ex: DataFrame, distinct_per_turn: bool) -> DataFrame:
+    """(conv_id, turn_idx, host) rows for external web hosts linked from
+    each ok-turn's extracted article; optionally distinct within a turn."""
     webs = F.filter(
         _hrefs_expr(F.col("content")),
         lambda x: _url_scheme(x).isin("http", "https"),
@@ -8094,6 +8099,10 @@ def _ext_host_rows(spark: SparkSession, distinct_per_turn: bool) -> DataFrame:
     return ex.select(
         "conv_id", "turn_idx", F.explode(hosts).alias("host")
     )
+
+
+def _ext_host_rows(spark: SparkSession, distinct_per_turn: bool) -> DataFrame:
+    return _ext_host_rows_from(_ok_turns(spark), distinct_per_turn)
 
 
 _SQL_EXT_HOSTS = (
@@ -8210,6 +8219,12 @@ def q_outlink_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ph = _ext_host_rows(spark, distinct_per_turn=True).localCheckpoint(
         eager=True
     )
+    return _host_pagerank_from(ph)
+
+
+def _host_pagerank_from(ph: DataFrame) -> DataFrame:
+    """(host, outdeg, pr_units) PageRank table from a pre-checkpointed
+    (conv_id, turn_idx, host) frame — see q_outlink_host_pagerank."""
     a, b2 = ph.alias("a"), ph.alias("b2")
     edges = (
         a.join(
@@ -8254,8 +8269,7 @@ def _sql_pagerank_iter(k: int) -> str:
 )"""
 
 
-SQL_OUTLINK_HOST_PAGERANK = f"""
-WITH {_SQL_LINKS_PREFIX}, ph AS MATERIALIZED (
+_SQL_PAGERANK_CTES = f"""ph AS MATERIALIZED (
   SELECT DISTINCT conv_id, turn_idx, host FROM (
     SELECT conv_id, turn_idx, unnest({_SQL_EXT_HOSTS}) AS host FROM h
   )
@@ -8282,7 +8296,11 @@ WITH {_SQL_LINKS_PREFIX}, ph AS MATERIALIZED (
   SELECT CAST(coalesce(sum(pr), 0) AS BIGINT) AS dang FROM p0
   WHERE outdeg = 0
 ),
-{", ".join(_sql_pagerank_iter(k) for k in range(1, PAGERANK_ITERS + 1))}
+{", ".join(_sql_pagerank_iter(k) for k in range(1, PAGERANK_ITERS + 1))}"""
+
+
+SQL_OUTLINK_HOST_PAGERANK = f"""
+WITH {_SQL_LINKS_PREFIX}, {_SQL_PAGERANK_CTES}
 SELECT host, outdeg, pr AS pr_units FROM p{PAGERANK_ITERS}
 """
 
@@ -8399,6 +8417,158 @@ SELECT conv_id, turn_idx,
          - len(list_distinct(list_transform(webs, x -> {_sql_canon_url('x')})))
          AS n_collapsed
 FROM h
+"""
+
+
+# --------------------------------------------------------------------------
+# Link-graph wave 20: anchor-text aggregation + crawl-frontier priority
+# --------------------------------------------------------------------------
+
+# text-only anchors (no nested markup inside <a>): the documented subset —
+# anchor text through nested tags would need the DOM, and the kernel
+# already exposes that path; this operator is the post-extraction
+# aggregation, so a shared regex contract on serialized HTML is the point.
+ANCHOR_RE = '<a[ \\t][^>]*href="([^"]*)"[^>]*>([^<]+)</a>'
+ANCHOR_TOPK = 3
+FRONTIER_TOPK = 100
+
+
+def q_anchor_text_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text term aggregation per external host — the classic IR
+    signal (anchor text describes the TARGET page better than the target
+    itself; every web-search stack aggregates it host-side): tokenize the
+    text of text-only anchors, drop stopwords, and keep the top-3 terms
+    per linked external host by (count DESC, term ASC).
+
+    Scale shape: in-row regexp pair extraction (href + anchor text zipped
+    positionally), one explode into a (host, term) groupBy with map-side
+    combine, and ONE host-partitioned rank window — the same two-exchange
+    budget as tfidf_top_terms."""
+    ex = _ok_turns(spark)
+    hrefs = F.regexp_extract_all(F.col("content"), F.lit(ANCHOR_RE), 1)
+    texts = F.regexp_extract_all(F.col("content"), F.lit(ANCHOR_RE), 2)
+    pairs = ex.select(
+        F.explode(F.arrays_zip(hrefs.alias("href"), texts.alias("atext")))
+        .alias("z")
+    ).select(
+        _href_entities_decode(F.col("z.href")).alias("href"),
+        _href_entities_decode(F.col("z.atext")).alias("atext"),
+    )
+    hosted = pairs.select(
+        _url_host(F.col("href")).alias("host"),
+        F.explode(
+            F.filter(
+                F.split(F.lower("atext"), TOKEN_SPLIT),
+                lambda t: (t != "") & ~t.isin(*STOPWORDS),
+            )
+        ).alias("term"),
+    ).filter(
+        _url_scheme(F.col("href")).isin("http", "https")
+        & (F.col("host") != BASE_HOST)
+        & (F.col("host") != "")
+    )
+    counted = hosted.groupBy("host", "term").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("host").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= ANCHOR_TOPK)
+        .select("host", "rk", "term", "n")
+    )
+
+
+SQL_ANCHOR_TEXT_TERMS = f"""
+WITH g AS (
+  SELECT conv_id, turn_idx, content
+  FROM read_parquet('{GOLDENS_PQ}') WHERE status = 'ok'
+), z AS (
+  SELECT regexp_extract_all(content, '{ANCHOR_RE}', 1) AS hrefs,
+         regexp_extract_all(content, '{ANCHOR_RE}', 2) AS texts
+  FROM g
+), pairs AS (
+  SELECT replace(replace(replace(replace(replace(hrefs[t.i], '&lt;', '<'),
+           '&gt;', '>'), '&quot;', '"'), '&apos;', chr(39)), '&amp;', '&')
+           AS href,
+         replace(replace(replace(replace(replace(texts[t.i], '&lt;', '<'),
+           '&gt;', '>'), '&quot;', '"'), '&apos;', chr(39)), '&amp;', '&')
+           AS atext
+  FROM z, UNNEST(generate_series(1, len(hrefs))) AS t(i)
+), hosted AS (
+  SELECT {_sql_url_host('href')} AS host,
+         unnest(list_filter(regexp_split_to_array(lower(atext),
+                '{TOKEN_SPLIT}'),
+                t -> t <> '' AND t NOT IN {STOPWORDS})) AS term
+  FROM pairs
+  WHERE {_sql_url_scheme('href')} IN ('http', 'https')
+    AND {_sql_url_host('href')} <> '{BASE_HOST}'
+    AND {_sql_url_host('href')} <> ''
+), counted AS (
+  SELECT host, term, count(*) AS n FROM hosted GROUP BY host, term
+)
+SELECT host, rk, term, n FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY host ORDER BY n DESC, term ASC) AS rk
+  FROM counted
+) WHERE rk <= {ANCHOR_TOPK}
+"""
+
+
+def q_crawl_frontier_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl loop CLOSED: frontier prioritization.  Distinct canonical
+    external URLs discovered by extraction, ranked by the PageRank of
+    their host (crawl schedulers fetch high-authority hosts first), top-K
+    by (pr_units DESC, url ASC) — a total order, deterministic cut.
+
+    Scale shape: the kernel output is checkpointed ONCE and feeds both the
+    URL explode and the PageRank subplan (shared-subplan discipline); the
+    priority join is on the HOST key against the host-sized rank table;
+    top-K is TakeOrdered."""
+    ex = _ok_turns(spark).select(
+        "conv_id", "turn_idx", "content"
+    ).localCheckpoint(eager=True)
+    webs = F.filter(
+        _hrefs_expr(F.col("content")),
+        lambda x: _url_scheme(x).isin("http", "https"),
+    )
+    urls = (
+        ex.select(
+            F.explode(
+                F.array_distinct(F.transform(webs, _canon_url_expr))
+            ).alias("url")
+        )
+        .select("url", _url_host(F.col("url")).alias("host"))
+        .filter((F.col("host") != BASE_HOST) & (F.col("host") != ""))
+        .distinct()
+    )
+    ph = _ext_host_rows_from(ex, distinct_per_turn=True).localCheckpoint(
+        eager=True
+    )
+    pr = _host_pagerank_from(ph).select(
+        F.col("host").alias("pr_host"), "pr_units"
+    )
+    return (
+        urls.join(pr, urls.host == pr.pr_host)
+        .select("url", "host", "pr_units")
+        .orderBy(F.desc("pr_units"), F.asc("url"))
+        .limit(FRONTIER_TOPK)
+    )
+
+
+SQL_CRAWL_FRONTIER_TOPK = f"""
+WITH {_SQL_LINKS_PREFIX}, {_SQL_PAGERANK_CTES}, urls AS (
+  SELECT DISTINCT url, {_sql_url_host('url')} AS host FROM (
+    SELECT unnest(list_distinct(
+      list_transform(webs, x -> {_sql_canon_url('x')}))) AS url
+    FROM h
+  )
+  WHERE {_sql_url_host('url')} <> '{BASE_HOST}'
+    AND {_sql_url_host('url')} <> ''
+)
+SELECT u.url, u.host, p.pr AS pr_units
+FROM urls u JOIN p{PAGERANK_ITERS} p ON u.host = p.host
+ORDER BY p.pr DESC, u.url ASC
+LIMIT {FRONTIER_TOPK}
 """
 
 
@@ -8595,5 +8765,8 @@ QUERIES: dict[str, tuple] = {
     "outlink_host_indegree": (q_outlink_host_indegree, SQL_OUTLINK_HOST_INDEGREE),
     "outlink_host_pagerank": (q_outlink_host_pagerank, SQL_OUTLINK_HOST_PAGERANK),
     "extract_url_normalize": (q_extract_url_normalize, SQL_EXTRACT_URL_NORMALIZE),
+    # twentieth wave (anchor text + crawl frontier), appended PAST the window
+    "anchor_text_terms": (q_anchor_text_terms, SQL_ANCHOR_TEXT_TERMS),
+    "crawl_frontier_topk": (q_crawl_frontier_topk, SQL_CRAWL_FRONTIER_TOPK),
 }
 

@@ -193,3 +193,70 @@ def test_canon_url_crafted_cases_both_engines(spark):
         ).fetchall()
     ]
     assert got_duck == [e for _, e in CANON_CASES]
+
+
+def test_anchor_text_terms_matches_pure_python_replica(spark):
+    """Top anchor terms per host == a re-module replica over the committed
+    goldens (independent of both engines)."""
+    import pyarrow.parquet as pq
+
+    from readability_1_spark.queries import (
+        ANCHOR_TOPK,
+        STOPWORDS,
+        q_anchor_text_terms,
+    )
+
+    tbl = pq.read_table(GOLDENS_PQ).to_pylist()
+    counts = {}
+    ent = (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+           ("&amp;", "&"))
+    for row in tbl:
+        if row["status"] != "ok":
+            continue
+        for href, atext in re.findall(
+            r'<a[ \t][^>]*href="([^"]*)"[^>]*>([^<]+)</a>', row["content"]
+        ):
+            for e, c in ent:
+                href = href.replace(e, c)
+                atext = atext.replace(e, c)
+            if _py_scheme(href) not in ("http", "https"):
+                continue
+            host = _py_host(href)
+            if host in (BASE_HOST, ""):
+                continue
+            for t in re.split(r"[^a-z0-9]+", atext.lower()):
+                if t and t not in STOPWORDS:
+                    counts[(host, t)] = counts.get((host, t), 0) + 1
+    expected = set()
+    by_host = {}
+    for (host, t), n in counts.items():
+        by_host.setdefault(host, []).append((t, n))
+    for host, terms in by_host.items():
+        terms.sort(key=lambda x: (-x[1], x[0]))
+        for rk, (t, n) in enumerate(terms[:ANCHOR_TOPK], start=1):
+            expected.add((host, rk, t, n))
+    got = {
+        (r["host"], r["rk"], r["term"], r["n"])
+        for r in q_anchor_text_terms(spark, SF).collect()
+    }
+    assert got == expected
+    assert len(got) > 100  # the corpus exercises the operator
+
+
+def test_crawl_frontier_is_canonical_and_rank_ordered(spark):
+    from readability_1_spark.queries import (
+        FRONTIER_TOPK,
+        q_crawl_frontier_topk,
+    )
+
+    rows = q_crawl_frontier_topk(spark, SF).collect()
+    assert len(rows) == FRONTIER_TOPK
+    prs = [r["pr_units"] for r in rows]
+    assert prs == sorted(prs, reverse=True)  # priority order held
+    for r in rows:
+        u = r["url"]
+        assert "#" not in u and "utm_" not in u  # canonicalized
+        assert _py_host(u) == r["host"] and r["host"] != BASE_HOST
+        assert not re.search(r"^[a-zA-Z]+://[^/?#]*[A-Z]", u)  # host lowered
+    # the frontier's floor pr is still a real rank value (> 0)
+    assert prs[-1] > 0

@@ -64,7 +64,8 @@ def main() -> None:
                  "extract_repetition_filters", "small_quantity_revenue",
                  "dedup_cluster_stats", "corpus_datacard",
                  "extract_outlinks", "outlink_host_indegree",
-                 "outlink_host_pagerank", "extract_url_normalize"):
+                 "outlink_host_pagerank", "extract_url_normalize",
+                 "anchor_text_terms", "crawl_frontier_topk"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -250,6 +251,17 @@ def main() -> None:
                    "Scan ExistingRDD" in full["outlink_host_pagerank"]
                    and "InMemoryFileIndex"
                    not in full["outlink_host_pagerank"]))
+    checks.append(("anchor terms: map-side partial counts + ONE host rank "
+                   "window, no cartesian",
+                   "partial_count" in full["anchor_text_terms"]
+                   and len(re.findall(r"hashpartitioning\(host",
+                                      full["anchor_text_terms"])) >= 1
+                   and "CartesianProduct" not in full["anchor_text_terms"]))
+    checks.append(("frontier: reads the checkpointed kernel output (no "
+                   "kernel re-run), top-K is TakeOrdered",
+                   "Scan ExistingRDD" in full["crawl_frontier_topk"]
+                   and "InMemoryFileIndex" not in full["crawl_frontier_topk"]
+                   and "TakeOrdered" in full["crawl_frontier_topk"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

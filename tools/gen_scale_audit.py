@@ -130,6 +130,8 @@ SCALE_CLASS = {
     "outlink_host_indegree": ("shuffle", "one explode (linear in links) into a host groupBy with map-side combine; top-K is TakeOrdered (per-partition heap + K-row driver merge), no global sort"),
     "outlink_host_pagerank": ("bucketed", "pair generation self-joins on the TURN key (bounded by per-page host-set size, never corpus-quadratic); each of the 10 iterations is ONE equi-join on src + ONE dst groupBy with map-side combine over the HOST table (orders of magnitude smaller than pages); dangling mass is a 1-row broadcast; per-iteration localCheckpoint bounds lineage; all-BIGINT floor-div arithmetic is summation-order-free"),
     "extract_url_normalize": ("linear", "zero-exchange scan projection after the kernel: every stat is an in-row array expression (canonicalize + array_distinct within the row)"),
+    "anchor_text_terms": ("shuffle", "in-row regexp pair extraction (href + anchor text zipped positionally), one explode into a (host, term) groupBy with map-side combine, ONE host-partitioned rank window - the tfidf_top_terms two-exchange budget"),
+    "crawl_frontier_topk": ("bucketed", "kernel output checkpointed ONCE feeds the URL explode AND the PageRank subplan (shared-subplan discipline); priority join is on the HOST key against the host-sized rank table; top-K is TakeOrdered, no global sort"),
 }
 
 
