@@ -8597,17 +8597,12 @@ QUERIES: dict[str, tuple] = {
     "extraction_lineage": (q_extraction_lineage, SQL_EXTRACTION_LINEAGE),
     "turn_ordering_check": (q_turn_ordering_check, SQL_TURN_ORDERING_CHECK),
     "html_gate_selectivity": (q_html_gate_selectivity, SQL_HTML_GATE_SELECTIVITY),
-    "extract_paragraph_dedup": (q_extract_paragraph_dedup, SQL_EXTRACT_PARAGRAPH_DEDUP),
     # tokenizer + trained classifier (new/changed this round)
-    "bpe_learn_merges": (q_bpe_learn_merges, SQL_BPE_LEARN_MERGES),
-    "bpe_tokenize_stats": (q_bpe_tokenize_stats, SQL_BPE_TOKENIZE_STATS),
     "bpe_tokenize_ids": (q_bpe_tokenize_ids, SQL_BPE_TOKENIZE_IDS),
     "pack_token_ids": (q_pack_token_ids, SQL_PACK_TOKEN_IDS),
     "doc_quality_classifier": (q_doc_quality_classifier, SQL_DOC_QUALITY_CLASSIFIER),
-    # cluster resolution (connected_components changed this round)
-    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    # cluster resolution (the CC fast-path representative stays in-window)
     "dedup_minhash_clusters": (q_dedup_minhash_clusters, SQL_DEDUP_MINHASH_CLUSTERS),
-    "dedup_embedding_clusters": (q_dedup_embedding_clusters, SQL_DEDUP_EMBEDDING_CLUSTERS),
     # late-round-5 waves 14-17 rotated IN for first-round driver
     # attestation, displacing 10 r03+r04-attested entries untouched this
     # round (multimodal_binary_stats, data_split_assign,
@@ -8649,11 +8644,6 @@ QUERIES: dict[str, tuple] = {
         q_embedding_random_projection,
         SQL_EMBEDDING_RANDOM_PROJECTION,
     ),
-    # text analysis (window slice: the three whose code paths changed this
-    # round — extract gate, LM scorer materialization — stay in-window)
-    "extract_quality_filter": (q_extract_quality_filter, SQL_EXTRACT_QUALITY_FILTER),
-    "doc_lm_score": (q_doc_lm_score, SQL_DOC_LM_SCORE),
-    "doc_quality_rank": (q_doc_quality_rank, SQL_DOC_QUALITY_RANK),
     # relational core (rotated back into the window this round)
     # fourth/fifth-wave operators rotated IN for first-round driver
     # attestation (displacing 5 r03-attested relational entries, which move
@@ -8692,9 +8682,32 @@ QUERIES: dict[str, tuple] = {
     # PMI collocation mining — in-window, displacing revenue_cube
     # (r03-attested).
     "pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
+    # waves 18-20 rotated IN for first-round driver attestation (fourth
+    # rotation this round), displacing 8 r03/r04-attested entries
+    # (bpe_learn_merges, bpe_tokenize_stats, dedup_minhash_lsh,
+    # dedup_embedding_clusters, extract_paragraph_dedup,
+    # extract_quality_filter, doc_lm_score, doc_quality_rank — all
+    # re-attested every round by the committed CORRECTNESS_LOCAL.json)
+    "dedup_cluster_stats": (q_dedup_cluster_stats, SQL_DEDUP_CLUSTER_STATS),
+    "corpus_datacard": (q_corpus_datacard, SQL_CORPUS_DATACARD),
+    "extract_outlinks": (q_extract_outlinks, SQL_EXTRACT_OUTLINKS),
+    "outlink_host_indegree": (q_outlink_host_indegree, SQL_OUTLINK_HOST_INDEGREE),
+    "outlink_host_pagerank": (q_outlink_host_pagerank, SQL_OUTLINK_HOST_PAGERANK),
+    "extract_url_normalize": (q_extract_url_normalize, SQL_EXTRACT_URL_NORMALIZE),
+    "anchor_text_terms": (q_anchor_text_terms, SQL_ANCHOR_TEXT_TERMS),
+    "crawl_frontier_topk": (q_crawl_frontier_topk, SQL_CRAWL_FRONTIER_TOPK),
     # ---- past the driver's ~50-entry window from here (rotated OUT this
     # round; all driver-attested green in r03 AND r04, re-attested every
     # round by the committed CORRECTNESS_LOCAL.json full-registry run) ----
+    # displaced by the waves-18-20 rotation:
+    "extract_paragraph_dedup": (q_extract_paragraph_dedup, SQL_EXTRACT_PARAGRAPH_DEDUP),
+    "bpe_learn_merges": (q_bpe_learn_merges, SQL_BPE_LEARN_MERGES),
+    "bpe_tokenize_stats": (q_bpe_tokenize_stats, SQL_BPE_TOKENIZE_STATS),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_embedding_clusters": (q_dedup_embedding_clusters, SQL_DEDUP_EMBEDDING_CLUSTERS),
+    "extract_quality_filter": (q_extract_quality_filter, SQL_EXTRACT_QUALITY_FILTER),
+    "doc_lm_score": (q_doc_lm_score, SQL_DOC_LM_SCORE),
+    "doc_quality_rank": (q_doc_quality_rank, SQL_DOC_QUALITY_RANK),
     # displaced by the late-round waves-14-17 rotation:
     "multimodal_binary_stats": (q_multimodal_binary_stats, SQL_MULTIMODAL_BINARY_STATS),
     "data_split_assign": (q_data_split_assign, SQL_DATA_SPLIT_ASSIGN),
@@ -8757,16 +8770,5 @@ QUERIES: dict[str, tuple] = {
     "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
     # twelfth-wave operator, appended PAST the pinned driver window
     "ccnet_keep_policy": (q_ccnet_keep_policy, SQL_CCNET_KEEP_POLICY),
-    # eighteenth wave, appended PAST the pinned driver window
-    "dedup_cluster_stats": (q_dedup_cluster_stats, SQL_DEDUP_CLUSTER_STATS),
-    "corpus_datacard": (q_corpus_datacard, SQL_CORPUS_DATACARD),
-    # nineteenth wave (link graph), appended PAST the pinned driver window
-    "extract_outlinks": (q_extract_outlinks, SQL_EXTRACT_OUTLINKS),
-    "outlink_host_indegree": (q_outlink_host_indegree, SQL_OUTLINK_HOST_INDEGREE),
-    "outlink_host_pagerank": (q_outlink_host_pagerank, SQL_OUTLINK_HOST_PAGERANK),
-    "extract_url_normalize": (q_extract_url_normalize, SQL_EXTRACT_URL_NORMALIZE),
-    # twentieth wave (anchor text + crawl frontier), appended PAST the window
-    "anchor_text_terms": (q_anchor_text_terms, SQL_ANCHOR_TEXT_TERMS),
-    "crawl_frontier_topk": (q_crawl_frontier_topk, SQL_CRAWL_FRONTIER_TOPK),
 }
 

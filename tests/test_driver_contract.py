@@ -45,10 +45,9 @@ def test_entry_from_foreign_cwd(tmp_path):
 DRIVER_WINDOW_50 = [
     "extract_fixture_turns", "extract_status_counts", "readerable_flags",
     "extraction_lineage", "turn_ordering_check", "html_gate_selectivity",
-    "extract_paragraph_dedup",
-    "bpe_learn_merges", "bpe_tokenize_stats", "bpe_tokenize_ids",
+    "bpe_tokenize_ids",
     "pack_token_ids", "doc_quality_classifier",
-    "dedup_minhash_lsh", "dedup_minhash_clusters", "dedup_embedding_clusters",
+    "dedup_minhash_clusters",
     "extract_c4_filters", "extract_repetition_filters", "tfidf_top_terms",
     "token_zipf_fit", "doc_unigram_entropy", "kmeans_silhouette",
     "lm_perplexity_heldout", "ann_ivfpq_rerank_topk",
@@ -56,13 +55,15 @@ DRIVER_WINDOW_50 = [
     "semdedup", "doc_ngram_novelty", "split_leakage_check",
     "ann_pq_codes", "ann_pq_adc_topk", "ann_ivf_pq_topk",
     "unimax_allocation", "embedding_random_projection",
-    "extract_quality_filter", "doc_lm_score", "doc_quality_rank",
     "source_overlap_minhash", "ccnet_perplexity_buckets", "source_token_kl",
     "domain_cap_sample", "doclen_quantile_sketch",
     "dedup_exact_substring", "dedup_minhash_keep_best",
     "inverted_index_postings", "bm25_search_topk", "dedup_bloom_membership",
     "gopher_quality_filters", "dsir_importance_weights", "dedup_containment",
     "pmi_collocations",
+    "dedup_cluster_stats", "corpus_datacard",
+    "extract_outlinks", "outlink_host_indegree", "outlink_host_pagerank",
+    "extract_url_normalize", "anchor_text_terms", "crawl_frontier_topk",
 ]
 
 
