@@ -222,6 +222,9 @@ def main() -> None:
         # round 5, twentieth wave: anchor text + crawl frontier.
         "anchor_text_terms",
         "crawl_frontier_topk",
+        # round 5, twenty-first wave: C4 span dedup + temperature mixing.
+        "dedup_sentence_spans",
+        "mix_temperature_weights",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -269,6 +272,8 @@ def main() -> None:
         "extract_url_normalize",
         "anchor_text_terms",
         "crawl_frontier_topk",
+        "dedup_sentence_spans",
+        "mix_temperature_weights",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

@@ -8573,6 +8573,204 @@ LIMIT {FRONTIER_TOPK}
 
 
 # --------------------------------------------------------------------------
+# Wave 21: C4 three-sentence-span dedup + temperature-sampled source mixing
+# --------------------------------------------------------------------------
+
+SPAN_SENTS = 3  # C4 deduplicates three-sentence spans (Raffel et al. 2020)
+# RE2 (DuckDB) has no lookbehind, so sentence splitting is an extract-all
+# of punctuation-terminated runs plus the trailing unterminated fragment —
+# the same pattern string compiles identically under Java regex.
+SENT_RE = "[^.!?]+[.!?]+|[^.!?]+$"
+TEMP_ALPHA_NOTE = "alpha = 0.5 (temperature sampling via sqrt)"
+
+
+def q_dedup_sentence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER half of the published C4 recipe (extract_c4_filters has
+    the heuristic battery): corpus-wide deduplication of THREE-SENTENCE
+    SPANS — 'we discard all but one of any three-sentence span occurring
+    more than once in the data set' (Raffel et al. 2020 §2.2) — over
+    extracted article text.  Sentences come from an RE2-compatible
+    extract-all (no lookbehind), whitespace-normalized before hashing so
+    line-wrap differences don't hide duplicates; spans are a sliding
+    window (overlapping, unlike paragraph dedup's disjoint units); the
+    globally-FIRST occurrence (stable (conv_id, turn_idx, span_idx)
+    order) owns each span.  Per turn: sentences, spans, first-owned
+    spans, duplicate spans to remove.
+
+    Scale shape: extract-all + sliding window are in-row; ONE corpus-wide
+    shuffle on the span digest (the first-occurrence window — exactly how
+    a production span dedup shards) + the turn-key rollup."""
+    ex = _ok_turns(spark)
+    sents = F.transform(
+        F.regexp_extract_all(F.col("text_content"), F.lit(SENT_RE), 0),
+        lambda s: F.regexp_replace(
+            F.regexp_replace(s, r"\s+", " "), r"^ +| +$", ""
+        ),
+    )
+    base = ex.select(
+        "conv_id",
+        "turn_idx",
+        F.filter(sents, lambda s: s != "").alias("sents"),
+    )
+    spans = F.when(
+        F.size("sents") >= SPAN_SENTS,
+        F.transform(
+            F.sequence(F.lit(1), F.size("sents") - (SPAN_SENTS - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("sents", i),
+                F.element_at("sents", i + 1),
+                F.element_at("sents", i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pieces = base.select(
+        "conv_id",
+        "turn_idx",
+        F.size("sents").alias("n_sentences"),
+        F.posexplode_outer(spans).alias("pos", "span"),
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "n_sentences",
+        (F.col("pos") + 1).alias("span_idx"),
+        F.md5(F.col("span")).alias("span_digest"),
+    )
+    w = Window.partitionBy("span_digest").orderBy(
+        "conv_id", "turn_idx", "span_idx"
+    )
+    ranked = pieces.withColumn(
+        "_rn",
+        F.when(
+            F.col("span_digest").isNotNull(), F.row_number().over(w)
+        ),
+    )
+    return ranked.groupBy("conv_id", "turn_idx").agg(
+        F.first("n_sentences").alias("n_sentences"),
+        F.count("span_digest").alias("n_spans"),
+        F.sum(F.when(F.col("_rn") == 1, 1).otherwise(0)).alias(
+            "n_owned_spans"
+        ),
+        F.sum(F.when(F.col("_rn") > 1, 1).otherwise(0)).alias(
+            "n_dup_spans"
+        ),
+    )
+
+
+SQL_DEDUP_SENTENCE_SPANS = f"""
+WITH g AS (
+  SELECT conv_id, turn_idx, text_content
+  FROM read_parquet('{GOLDENS_PQ}') WHERE status = 'ok'
+), base AS (
+  SELECT conv_id, turn_idx,
+         list_filter(list_transform(
+           regexp_extract_all(text_content, '{SENT_RE}', 0),
+           s -> regexp_replace(regexp_replace(s, '\\s+', ' ', 'g'),
+                               '^ +| +$', '', 'g')),
+           s -> s <> '') AS sents
+  FROM g
+), spanned AS (
+  SELECT conv_id, turn_idx, len(sents) AS n_sentences,
+         CASE WHEN len(sents) >= {SPAN_SENTS} THEN
+           list_transform(generate_series(1, len(sents) - {SPAN_SENTS - 1}),
+             i -> sents[i] || ' ' || sents[i + 1] || ' ' || sents[i + 2])
+         ELSE [] END AS spans
+  FROM base
+), pieces AS (
+  SELECT conv_id, turn_idx, n_sentences,
+         CAST(t.i AS INT) AS span_idx, md5(spans[t.i]) AS span_digest
+  FROM spanned LEFT JOIN UNNEST(generate_series(1, len(spans))) AS t(i)
+    ON TRUE
+), ranked AS (
+  SELECT *, CASE WHEN span_digest IS NOT NULL THEN
+    row_number() OVER (PARTITION BY span_digest
+                       ORDER BY conv_id, turn_idx, span_idx) END AS rn
+  FROM pieces
+)
+SELECT conv_id, turn_idx,
+       first(n_sentences) AS n_sentences,
+       count(span_digest) AS n_spans,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_owned_spans,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_spans
+FROM ranked GROUP BY conv_id, turn_idx
+"""
+
+
+def q_mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampled source mixing at alpha = 0.5 — the multilingual
+    /multi-source rebalancing rule (p_i proportional to n_i^alpha,
+    XLM-R-style) that upweights small sources without UniMax's hard epoch
+    cap (unimax_allocation is the capped alternative).  alpha = 0.5 makes
+    the power a SQRT, which IEEE 754 rounds correctly in both engines —
+    so the weights are bit-deterministic: integer micro-unit sqrt masses
+    (round-6 then x1e6 as BIGINT), exact BIGINT total, all shares derived
+    from exact integers.  Emits per source: token count, raw share,
+    temperature weight, and the boost factor the resampler applies.
+
+    Scale shape: one linear (source) groupBy with map-side combine; the
+    weight table is O(#sources) and the totals are a 1-row broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower("text"), TOKEN_SPLIT), lambda x: x != "")
+    per_src = docs.select("source", F.size(ws).alias("n_toks")).groupBy(
+        "source"
+    ).agg(F.sum("n_toks").alias("n_tokens"))
+    massed = per_src.withColumn(
+        "w_int",
+        F.round(F.sqrt(F.col("n_tokens").cast("double")) * 1_000_000, 0)
+        .cast("long"),
+    )
+    totals = massed.agg(
+        F.sum("n_tokens").alias("tot_toks"),
+        F.sum("w_int").alias("tot_w"),
+    )
+    return (
+        massed.crossJoin(totals)
+        .select(
+            "source",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("tot_toks"), 6
+            ).alias("raw_share"),
+            F.round(
+                F.col("w_int").cast("double") / F.col("tot_w"), 6
+            ).alias("temp_weight"),
+            F.round(
+                (F.col("w_int").cast("double") / F.col("tot_w"))
+                / (F.col("n_tokens").cast("double") / F.col("tot_toks")),
+                6,
+            ).alias("boost"),
+        )
+    )
+
+
+SQL_MIX_TEMPERATURE_WEIGHTS = f"""
+WITH per_src AS (
+  SELECT source,
+         CAST(sum(len(list_filter(regexp_split_to_array(lower(text),
+              '{TOKEN_SPLIT}'), x -> x <> ''))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+), massed AS (
+  SELECT source, n_tokens,
+         CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000, 0) AS BIGINT)
+           AS w_int
+  FROM per_src
+), totals AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_toks,
+         CAST(sum(w_int) AS BIGINT) AS tot_w
+  FROM massed
+)
+SELECT source, n_tokens,
+       round(CAST(n_tokens AS DOUBLE) / tot_toks, 6) AS raw_share,
+       round(CAST(w_int AS DOUBLE) / tot_w, 6) AS temp_weight,
+       round((CAST(w_int AS DOUBLE) / tot_w)
+             / (CAST(n_tokens AS DOUBLE) / tot_toks), 6) AS boost
+FROM massed, totals
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -8696,6 +8894,7 @@ QUERIES: dict[str, tuple] = {
     "extract_url_normalize": (q_extract_url_normalize, SQL_EXTRACT_URL_NORMALIZE),
     "anchor_text_terms": (q_anchor_text_terms, SQL_ANCHOR_TEXT_TERMS),
     "crawl_frontier_topk": (q_crawl_frontier_topk, SQL_CRAWL_FRONTIER_TOPK),
+    # ---- wave 21 entries are appended at the VERY END (past the window);
     # ---- past the driver's ~50-entry window from here (rotated OUT this
     # round; all driver-attested green in r03 AND r04, re-attested every
     # round by the committed CORRECTNESS_LOCAL.json full-registry run) ----
@@ -8770,5 +8969,7 @@ QUERIES: dict[str, tuple] = {
     "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
     # twelfth-wave operator, appended PAST the pinned driver window
     "ccnet_keep_policy": (q_ccnet_keep_policy, SQL_CCNET_KEEP_POLICY),
+    # twenty-first wave, appended PAST the pinned driver window
+    "dedup_sentence_spans": (q_dedup_sentence_spans, SQL_DEDUP_SENTENCE_SPANS),
+    "mix_temperature_weights": (q_mix_temperature_weights, SQL_MIX_TEMPERATURE_WEIGHTS),
 }
-

@@ -65,7 +65,8 @@ def main() -> None:
                  "dedup_cluster_stats", "corpus_datacard",
                  "extract_outlinks", "outlink_host_indegree",
                  "outlink_host_pagerank", "extract_url_normalize",
-                 "anchor_text_terms", "crawl_frontier_topk"):
+                 "anchor_text_terms", "crawl_frontier_topk",
+                 "dedup_sentence_spans", "mix_temperature_weights"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -262,6 +263,16 @@ def main() -> None:
                    "Scan ExistingRDD" in full["crawl_frontier_topk"]
                    and "InMemoryFileIndex" not in full["crawl_frontier_topk"]
                    and "TakeOrdered" in full["crawl_frontier_topk"]))
+    checks.append(("span dedup shuffles ONCE on the span digest (the "
+                   "first-occurrence window) before the turn rollup",
+                   len(re.findall(r"hashpartitioning\(span_digest",
+                                  full["dedup_sentence_spans"])) >= 1
+                   and "CartesianProduct" not in full["dedup_sentence_spans"]))
+    checks.append(("temperature weights: map-side partial sums, totals via "
+                   "the intended 1-row broadcast nested loop",
+                   "partial_sum" in full["mix_temperature_weights"]
+                   and "BroadcastNestedLoopJoin"
+                       in full["mix_temperature_weights"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -132,6 +132,8 @@ SCALE_CLASS = {
     "extract_url_normalize": ("linear", "zero-exchange scan projection after the kernel: every stat is an in-row array expression (canonicalize + array_distinct within the row)"),
     "anchor_text_terms": ("shuffle", "in-row regexp pair extraction (href + anchor text zipped positionally), one explode into a (host, term) groupBy with map-side combine, ONE host-partitioned rank window - the tfidf_top_terms two-exchange budget"),
     "crawl_frontier_topk": ("bucketed", "kernel output checkpointed ONCE feeds the URL explode AND the PageRank subplan (shared-subplan discipline); priority join is on the HOST key against the host-sized rank table; top-K is TakeOrdered, no global sort"),
+    "dedup_sentence_spans": ("shuffle", "sentence extract-all + sliding 3-span window are in-row; ONE corpus-wide shuffle on the span digest (first-occurrence window - how a production span dedup shards) + the turn-key rollup"),
+    "mix_temperature_weights": ("linear", "one (source) groupBy with map-side combine; weight table is O(#sources); totals are a 1-row broadcast; sqrt is IEEE-correctly-rounded so the integer micro-unit masses are bit-deterministic"),
 }
 
 
