@@ -225,6 +225,10 @@ def main() -> None:
         # round 5, twenty-first wave: C4 span dedup + temperature mixing.
         "dedup_sentence_spans",
         "mix_temperature_weights",
+        # round 5, twenty-second wave: URL blocklist + RAG chunks + SFT ctx.
+        "url_blocklist_filter",
+        "doc_chunk_windows",
+        "sft_context_windows",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -274,6 +278,9 @@ def main() -> None:
         "crawl_frontier_topk",
         "dedup_sentence_spans",
         "mix_temperature_weights",
+        "url_blocklist_filter",
+        "doc_chunk_windows",
+        "sft_context_windows",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

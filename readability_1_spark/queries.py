@@ -8771,6 +8771,301 @@ FROM massed, totals
 
 
 # --------------------------------------------------------------------------
+# Wave 22: URL blocklist filtering + RAG chunk windows + SFT context windows
+# --------------------------------------------------------------------------
+
+# UT1/RefinedWeb-style URL filtering over the crawl frontier.  The lists are
+# compile-time constants here (tiny); at UT1 scale (~4M domains) the host
+# blocklist becomes a broadcast join on the reversed-host prefix — the
+# verdict logic is unchanged.
+BLOCKED_HOST_SUFFIXES = ("redirectingat.com", "doubleclick.net", "exoclick.com")
+URL_BADWORDS = (
+    "redirect", "redirectingat", "casino", "sponsored", "click",
+    "clickthrough", "track", "tracking", "ads", "adserver", "offer",
+    "popunder",
+)
+CHUNK_SIZE = 64   # RAG chunk length in tokens
+CHUNK_STRIDE = 48  # chunk start stride (overlap = CHUNK_SIZE - CHUNK_STRIDE)
+SFT_BUDGET = 2048  # SFT context-window token budget per training example
+
+
+def q_url_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb's first pipeline stage (Penedo et al. 2023 §3.1 'URL
+    filtering'): adjudicate every distinct canonical external URL the crawl
+    frontier discovered against (a) a blocked-domain suffix list (the UT1
+    blocklist shape: `host == s` or `host LIKE '%.s'`) and (b) a bad-word
+    token list over the URL itself (tokenized on non-alphanumerics, so
+    'ads' cannot fire inside 'downloads').  Verdict precedence:
+    blocked_host > blocked_words > ok.
+
+    Scale shape: the URL set is the frontier's distinct-canonical-URL table
+    (one distinct shuffle it already pays); the suffix and word checks are
+    in-row scan projections.  At UT1 scale the suffix list broadcasts."""
+    ex = _ok_turns(spark)
+    webs = F.filter(
+        _hrefs_expr(F.col("content")),
+        lambda x: _url_scheme(x).isin("http", "https"),
+    )
+    urls = (
+        ex.select(
+            F.explode(
+                F.array_distinct(F.transform(webs, _canon_url_expr))
+            ).alias("url")
+        )
+        .select("url", _url_host(F.col("url")).alias("host"))
+        .filter((F.col("host") != BASE_HOST) & (F.col("host") != ""))
+        .distinct()
+    )
+    blocked_host = F.lit(False)
+    for s in BLOCKED_HOST_SUFFIXES:
+        blocked_host = blocked_host | (F.col("host") == s) | F.col(
+            "host"
+        ).endswith("." + s)
+    toks = F.filter(
+        F.split(F.lower("url"), "[^a-z0-9]+"), lambda t: t != ""
+    )
+    n_bad = F.size(F.filter(toks, lambda t: t.isin(*URL_BADWORDS)))
+    return urls.select(
+        "url",
+        "host",
+        blocked_host.alias("blocked_host"),
+        n_bad.alias("n_badwords"),
+        F.when(blocked_host, "blocked_host")
+        .when(n_bad >= 1, "blocked_words")
+        .otherwise("ok")
+        .alias("verdict"),
+    )
+
+
+def _sql_blocked_host(host: str) -> str:
+    parts = []
+    for s in BLOCKED_HOST_SUFFIXES:
+        parts.append(f"{host} = '{s}' OR {host} LIKE '%.{s}'")
+    return "(" + " OR ".join(parts) + ")"
+
+
+SQL_URL_BLOCKLIST_FILTER = f"""
+WITH {_SQL_LINKS_PREFIX}, urls AS (
+  SELECT DISTINCT url, {_sql_url_host('url')} AS host FROM (
+    SELECT unnest(list_distinct(
+      list_transform(webs, x -> {_sql_canon_url('x')}))) AS url
+    FROM h
+  )
+  WHERE {_sql_url_host('url')} <> '{BASE_HOST}'
+    AND {_sql_url_host('url')} <> ''
+), judged AS (
+  SELECT url, host,
+         {_sql_blocked_host('host')} AS blocked_host,
+         CAST(len(list_filter(
+           regexp_split_to_array(lower(url), '[^a-z0-9]+'),
+           t -> t <> '' AND t IN {URL_BADWORDS})) AS INT) AS n_badwords
+  FROM urls
+)
+SELECT url, host, blocked_host, n_badwords,
+       CASE WHEN blocked_host THEN 'blocked_host'
+            WHEN n_badwords >= 1 THEN 'blocked_words'
+            ELSE 'ok' END AS verdict
+FROM judged
+"""
+
+
+def q_doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-style overlapping chunking: every document becomes fixed-size
+    token windows of {CHUNK_SIZE} tokens starting every {CHUNK_STRIDE}
+    (overlap {CHUNK_SIZE - CHUNK_STRIDE}) — the retrieval-corpus
+    preparation step.  Chunk count is exact integer math
+    (ceil((n - size)/stride) + 1 for n > size, 1 for 0 < n <= size), the
+    last chunk clamps at the document end, and each chunk carries the md5
+    of its space-joined tokens so downstream chunk-level dedup/indexing
+    keys off the digest.  Zero-token documents keep a NULL-chunk coverage
+    row (posexplode_outer), like dedup_sentence_spans.
+
+    Scale shape: pure in-row array expressions (split, sequence, slice) —
+    a zero-exchange linear scan; output rows = ~n_tokens/stride per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), TOKEN_SPLIT), lambda x: x != "")
+    base = (
+        docs.select("doc_id", toks.alias("toks"))
+        .withColumn("n_toks", F.size("toks"))
+        .withColumn(
+            "n_chunks",
+            F.expr(
+                f"CASE WHEN n_toks <= 0 THEN 0 "
+                f"WHEN n_toks <= {CHUNK_SIZE} THEN 1 "
+                f"ELSE ((n_toks - {CHUNK_SIZE} + {CHUNK_STRIDE} - 1) "
+                f"div {CHUNK_STRIDE}) + 1 END"
+            ).cast("int"),
+        )
+    )
+    starts = F.when(
+        F.col("n_chunks") > 0, F.sequence(F.lit(0), F.col("n_chunks") - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pieces = base.select(
+        "doc_id",
+        "n_toks",
+        "n_chunks",
+        "toks",
+        F.posexplode_outer(starts).alias("_pos", "ci"),
+    )
+    start_tok = (F.col("ci") * CHUNK_STRIDE + 1).cast("int")
+    chunk = F.slice(F.col("toks"), start_tok, CHUNK_SIZE)
+    return pieces.select(
+        "doc_id",
+        "n_toks",
+        "n_chunks",
+        F.col("ci").alias("chunk_idx"),
+        F.when(F.col("ci").isNotNull(), start_tok).alias("start_tok"),
+        F.when(F.col("ci").isNotNull(), F.size(chunk)).alias("chunk_len"),
+        F.when(
+            F.col("ci").isNotNull(), F.md5(F.concat_ws(" ", chunk))
+        ).alias("chunk_digest"),
+    )
+
+
+SQL_DOC_CHUNK_WINDOWS = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                     x -> x <> '') AS toks
+  FROM documents
+), b2 AS (
+  SELECT doc_id, toks, CAST(len(toks) AS INT) AS n_toks,
+         CAST(CASE WHEN len(toks) <= 0 THEN 0
+              WHEN len(toks) <= {CHUNK_SIZE} THEN 1
+              ELSE ((len(toks) - {CHUNK_SIZE} + {CHUNK_STRIDE} - 1)
+                    // {CHUNK_STRIDE}) + 1 END AS INT) AS n_chunks
+  FROM base
+)
+SELECT doc_id, n_toks, n_chunks,
+       CAST(t.i - 1 AS INT) AS chunk_idx,
+       CAST((t.i - 1) * {CHUNK_STRIDE} + 1 AS INT) AS start_tok,
+       CAST(len(toks[CAST((t.i - 1) * {CHUNK_STRIDE} + 1 AS INT) :
+                     CAST((t.i - 1) * {CHUNK_STRIDE} + {CHUNK_SIZE} AS INT)])
+            AS INT) AS chunk_len,
+       md5(array_to_string(
+         toks[CAST((t.i - 1) * {CHUNK_STRIDE} + 1 AS INT) :
+              CAST((t.i - 1) * {CHUNK_STRIDE} + {CHUNK_SIZE} AS INT)], ' '))
+         AS chunk_digest
+FROM b2 LEFT JOIN UNNEST(generate_series(1, n_chunks)) AS t(i) ON TRUE
+"""
+
+
+def q_sft_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT training-example construction over the north-rule transcript
+    shape: for every ASSISTANT turn, the training context is the longest
+    SUFFIX of preceding turns whose total whitespace-token count fits the
+    {SFT_BUDGET}-token budget (the chat-template truncation every SFT
+    pipeline applies before packing).  Tokens are non-negative, so the
+    prefix sum is monotone and 'suffix within budget' is exactly
+    cum_excl[target] - cum_excl[ctx] <= budget.  Per target: preceding
+    turns available, context turns/tokens kept, the first kept turn, the
+    target's own tokens, and whether truncation dropped history.
+
+    Scale shape: one window over conv_id for the prefix sums, then a
+    conv_id equi-join of assistant targets against turns with in-row
+    inequality filters — per-target work is bounded by conversation
+    length, the same bounded-entity contract as the kernel itself."""
+    df = spark.read.parquet(TRANSCRIPTS_PQ)
+    tok = F.size(
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+            lambda x: x != "",
+        )
+    )
+    wp = Window.partitionBy("conv_id").orderBy("turn_idx")
+    cum = (
+        df.select("conv_id", "turn_idx", "role", tok.alias("n_tok"))
+        .withColumn(
+            "cum_excl",
+            F.coalesce(
+                F.sum("n_tok").over(
+                    wp.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .withColumn("n_prev", F.row_number().over(wp) - 1)
+    )
+    targets = cum.filter(F.col("role") == "assistant").select(
+        "conv_id",
+        F.col("turn_idx").alias("tgt_idx"),
+        F.col("n_tok").alias("target_tokens"),
+        F.col("cum_excl").alias("tgt_cum"),
+        F.col("n_prev").alias("n_prev_turns"),
+    )
+    ctx = cum.select(
+        F.col("conv_id").alias("c_conv"),
+        F.col("turn_idx").alias("ctx_idx"),
+        F.col("n_tok").alias("ctx_tok"),
+        F.col("cum_excl").alias("ctx_cum"),
+    )
+    joined = targets.join(
+        ctx,
+        (F.col("conv_id") == F.col("c_conv"))
+        & (F.col("ctx_idx") < F.col("tgt_idx"))
+        & ((F.col("tgt_cum") - F.col("ctx_cum")) <= SFT_BUDGET),
+        "left",
+    )
+    return (
+        joined.groupBy("conv_id", "tgt_idx")
+        .agg(
+            F.first("n_prev_turns").alias("n_prev_turns"),
+            F.count("ctx_idx").alias("ctx_turns"),
+            F.coalesce(F.sum("ctx_tok"), F.lit(0))
+            .cast("long")
+            .alias("ctx_tokens"),
+            F.min("ctx_idx").alias("ctx_start_turn"),
+            F.first("target_tokens").alias("target_tokens"),
+        )
+        .select(
+            "conv_id",
+            F.col("tgt_idx").alias("turn_idx"),
+            "n_prev_turns",
+            "ctx_turns",
+            "ctx_tokens",
+            "ctx_start_turn",
+            "target_tokens",
+            (F.col("n_prev_turns") > F.col("ctx_turns")).alias("truncated"),
+        )
+    )
+
+
+SQL_SFT_CONTEXT_WINDOWS = f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role,
+         CAST(len(list_filter(regexp_split_to_array(
+           trim(coalesce(text, '')), '\\s+'), x -> x <> '')) AS INT)
+           AS n_tok
+  FROM read_parquet('{TRANSCRIPTS_PQ}')
+), cum AS (
+  SELECT conv_id, turn_idx, role, n_tok,
+         CAST(coalesce(sum(n_tok) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+           AS cum_excl,
+         CAST(row_number() OVER (
+           PARTITION BY conv_id ORDER BY turn_idx) - 1 AS INT) AS n_prev
+  FROM t
+), targets AS (
+  SELECT conv_id, turn_idx AS tgt_idx, n_tok AS target_tokens,
+         cum_excl AS tgt_cum, n_prev AS n_prev_turns
+  FROM cum WHERE role = 'assistant'
+)
+SELECT g.conv_id, g.tgt_idx AS turn_idx,
+       first(g.n_prev_turns) AS n_prev_turns,
+       count(c.turn_idx) AS ctx_turns,
+       CAST(coalesce(sum(c.n_tok), 0) AS BIGINT) AS ctx_tokens,
+       min(c.turn_idx) AS ctx_start_turn,
+       first(g.target_tokens) AS target_tokens,
+       first(g.n_prev_turns) > count(c.turn_idx) AS truncated
+FROM targets g LEFT JOIN cum c
+  ON c.conv_id = g.conv_id AND c.turn_idx < g.tgt_idx
+ AND (g.tgt_cum - c.cum_excl) <= {SFT_BUDGET}
+GROUP BY g.conv_id, g.tgt_idx
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -8972,4 +9267,7 @@ QUERIES: dict[str, tuple] = {
     # twenty-first wave, appended PAST the pinned driver window
     "dedup_sentence_spans": (q_dedup_sentence_spans, SQL_DEDUP_SENTENCE_SPANS),
     "mix_temperature_weights": (q_mix_temperature_weights, SQL_MIX_TEMPERATURE_WEIGHTS),
+    "url_blocklist_filter": (q_url_blocklist_filter, SQL_URL_BLOCKLIST_FILTER),
+    "doc_chunk_windows": (q_doc_chunk_windows, SQL_DOC_CHUNK_WINDOWS),
+    "sft_context_windows": (q_sft_context_windows, SQL_SFT_CONTEXT_WINDOWS),
 }

@@ -66,7 +66,9 @@ def main() -> None:
                  "extract_outlinks", "outlink_host_indegree",
                  "outlink_host_pagerank", "extract_url_normalize",
                  "anchor_text_terms", "crawl_frontier_topk",
-                 "dedup_sentence_spans", "mix_temperature_weights"):
+                 "dedup_sentence_spans", "mix_temperature_weights",
+                 "url_blocklist_filter", "doc_chunk_windows",
+                 "sft_context_windows"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -273,6 +275,22 @@ def main() -> None:
                    "partial_sum" in full["mix_temperature_weights"]
                    and "BroadcastNestedLoopJoin"
                        in full["mix_temperature_weights"]))
+    checks.append(("URL blocklist verdicts are in-row over the frontier's "
+                   "distinct-URL exchange, no cartesian",
+                   len(re.findall(r"hashpartitioning\(url",
+                                  full["url_blocklist_filter"])) >= 1
+                   and "CartesianProduct"
+                   not in full["url_blocklist_filter"]))
+    checks.append(("RAG chunking is a zero-exchange linear scan",
+                   len(re.findall(r"\(\d+\) Exchange",
+                                  full["doc_chunk_windows"])) == 0))
+    checks.append(("SFT context windows: conv_id prefix-sum window + "
+                   "conv_id equi-join, no cartesian",
+                   ("SortMergeJoin" in full["sft_context_windows"]
+                    or "BroadcastHashJoin" in full["sft_context_windows"])
+                   and "CartesianProduct" not in full["sft_context_windows"]
+                   and "BroadcastNestedLoop"
+                   not in full["sft_context_windows"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

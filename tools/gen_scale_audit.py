@@ -134,6 +134,9 @@ SCALE_CLASS = {
     "crawl_frontier_topk": ("bucketed", "kernel output checkpointed ONCE feeds the URL explode AND the PageRank subplan (shared-subplan discipline); priority join is on the HOST key against the host-sized rank table; top-K is TakeOrdered, no global sort"),
     "dedup_sentence_spans": ("shuffle", "sentence extract-all + sliding 3-span window are in-row; ONE corpus-wide shuffle on the span digest (first-occurrence window - how a production span dedup shards) + the turn-key rollup"),
     "mix_temperature_weights": ("linear", "one (source) groupBy with map-side combine; weight table is O(#sources); totals are a 1-row broadcast; sqrt is IEEE-correctly-rounded so the integer micro-unit masses are bit-deterministic"),
+    "url_blocklist_filter": ("shuffle", "the frontier's distinct-canonical-URL shuffle (already paid to form the frontier); suffix + bad-word checks are in-row scan projections; at UT1 scale (~4M domains) the suffix list becomes a broadcast join on the reversed-host prefix, verdict logic unchanged"),
+    "doc_chunk_windows": ("linear", "pure in-row array expressions (split, sequence, slice, md5) - a zero-exchange linear scan; output rows ~ n_tokens/stride per doc"),
+    "sft_context_windows": ("shuffle", "one conv_id window for the prefix sums + one conv_id equi-join of assistant targets against turns with in-row inequality filters; per-target work bounded by conversation length (bounded entity, same contract as the kernel)"),
 }
 
 
