@@ -9066,6 +9066,219 @@ GROUP BY g.conv_id, g.tgt_idx
 
 
 # --------------------------------------------------------------------------
+# Wave 23 — exact set-similarity join (prefix filtering) + edit-distance
+# near-dup verification over LSH candidates
+# --------------------------------------------------------------------------
+
+PREFIX_JACC_NUM = 5  # Jaccard threshold t = NUM/DEN (0.5), integer form so
+PREFIX_JACC_DEN = 10  # ceil(t*sz) is exact floor-div math on both engines
+EDIT_MAX = 64  # report pairs within this Levenshtein distance
+
+
+def q_dedup_prefixfilter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AllPairs/PPJoin-style EXACT set-similarity self-join over distinct
+    3-word shingle sets (Bayardo, Ma, Srikant WWW'07; Xiao et al. WWW'08) —
+    the deterministic alternative to minhash-LSH: order every document's
+    shingles by GLOBAL rarity (df ASC, shingle ASC); a pair with Jaccard
+    >= t MUST share a shingle inside each side's first
+    sz - ceil(t*sz) + 1 shingles (if all prefix shingles differ, the
+    overlap is bounded below t), so ONLY prefixes feed the candidate
+    equi-join and recall is guaranteed 1.0 — no banding probability.
+    Exact intersection/union verification runs on candidates only.
+
+    Scale shape: prefix rows ~ (1-t) x corpus shingle rows, and the
+    rarest-first global order keeps per-shingle join groups near-singleton
+    (hot boilerplate shingles sort LAST and rarely enter prefixes);
+    verification is two postings equi-joins on candidate pairs, like
+    dedup_containment.  ceil is integer ((num*sz + den - 1) div den) on
+    both engines, so the prefix boundary can never drift."""
+    docs = _t(spark, sf_dir, "documents")
+    # the distinct shingle set feeds sizes, df, the ranked prefix and both
+    # verification postings — materialize it once
+    sh = _shingles(docs).localCheckpoint()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    plen = (
+        F.col("sz")
+        - F.expr(
+            f"({PREFIX_JACC_NUM} * sz + {PREFIX_JACC_DEN} - 1) "
+            f"div {PREFIX_JACC_DEN}"
+        )
+        + 1
+    )
+    prefix = (
+        sh.join(dfreq, "shingle")
+        .join(sizes, "doc_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "shingle")
+            ),
+        )
+        .filter(F.col("rk") <= plen)
+        .select("doc_id", "shingle")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= PREFIX_JACC_NUM / PREFIX_JACC_DEN)
+        .select("doc_a", "doc_b", "n_inter", "sz_a", "sz_b", "jaccard")
+    )
+
+
+SQL_DEDUP_PREFIXFILTER_PAIRS = (
+    _SHINGLES_SQL
+    + f"""
+  , sizes AS (SELECT doc_id, count(*) AS sz FROM shingles GROUP BY doc_id),
+  df AS (SELECT shingle, count(*) AS df FROM shingles GROUP BY shingle),
+  ranked AS (
+    SELECT s.doc_id, s.shingle, z.sz,
+           row_number() OVER (
+             PARTITION BY s.doc_id ORDER BY d.df, s.shingle) AS rk
+    FROM shingles s JOIN df d USING (shingle) JOIN sizes z USING (doc_id)
+  ),
+  prefix AS (
+    SELECT doc_id, shingle FROM ranked
+    WHERE rk <= sz - (({PREFIX_JACC_NUM} * sz + {PREFIX_JACC_DEN} - 1)
+                      // {PREFIX_JACC_DEN}) + 1
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM prefix a JOIN prefix b
+      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  ),
+  inter AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+    FROM cand c
+    JOIN shingles sa ON sa.doc_id = c.doc_a
+    JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+    GROUP BY c.doc_a, c.doc_b
+  )
+SELECT doc_a, doc_b, n_inter, za.sz AS sz_a, zb.sz AS sz_b,
+       round(n_inter / (za.sz + zb.sz - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes za ON za.doc_id = doc_a
+JOIN sizes zb ON zb.doc_id = doc_b
+WHERE round(n_inter / (za.sz + zb.sz - n_inter), 6)
+      >= {PREFIX_JACC_NUM} / {PREFIX_JACC_DEN}
+"""
+)
+
+
+def q_dedup_editdistance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level edit-distance verification of the minhash-LSH
+    near-dup candidates — the near-exact-duplicate layer (trailing
+    whitespace, one-word edits, boilerplate suffixes) that token-set
+    measures blur.  Candidates come from _minhash_pairs (never all-pairs);
+    a length-difference prefilter (|len_a - len_b| <= {EDIT_MAX}, the
+    Levenshtein lower bound) drops hopeless pairs before any DP; Spark's
+    banded levenshtein(l, r, threshold) then caps the DP at
+    O(len x {EDIT_MAX}) per pair and early-exits with -1 above the band,
+    which the filter removes — the oracle computes the full distance and
+    applies the same <= {EDIT_MAX} cut, so surviving rows agree exactly
+    (integer distances, no float).  edit_sim = 1 - lev/max(len) round-6.
+
+    Scale shape: LSH bounds the candidate count linearly in corpus size;
+    the per-pair DP is constant-bounded by the threshold band.  This is
+    the standard second-stage verifier production dedup runs between LSH
+    and cluster resolution."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = _minhash_pairs(docs)
+    ta = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("text_a"),
+        F.length("text").alias("len_a"),
+    )
+    tb = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("text_b"),
+        F.length("text").alias("len_b"),
+    )
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .filter(F.abs(F.col("len_a") - F.col("len_b")) <= EDIT_MAX)
+        .withColumn("lev", F.levenshtein("text_a", "text_b", EDIT_MAX))
+        .filter(F.col("lev") >= 0)
+        .select(
+            "doc_a",
+            "doc_b",
+            "len_a",
+            "len_b",
+            "lev",
+            F.round(
+                F.lit(1) - F.col("lev") / F.greatest("len_a", "len_b"), 6
+            ).alias("edit_sim"),
+        )
+    )
+
+
+SQL_DEDUP_EDITDISTANCE_PAIRS = (
+    _SHINGLES_SQL
+    + f"""
+  , minhashes AS (
+    SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minh
+    FROM shingles, UNNEST(generate_series(0, {N_MINHASH - 1})) AS s(seed)
+    GROUP BY doc_id, seed
+  ),
+  bands AS (
+    SELECT doc_id, CAST(seed // {N_MINHASH // N_BANDS} AS INT) AS band,
+           md5(string_agg(minh, ',' ORDER BY seed)) AS sig
+    FROM minhashes GROUP BY doc_id, CAST(seed // {N_MINHASH // N_BANDS} AS INT)
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  ),
+  lev AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(length(da.text) AS INT) AS len_a,
+           CAST(length(db.text) AS INT) AS len_b,
+           CAST(levenshtein(da.text, db.text) AS INT) AS lev
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+    WHERE abs(length(da.text) - length(db.text)) <= {EDIT_MAX}
+  )
+SELECT doc_a, doc_b, len_a, len_b, lev,
+       round(1 - lev / greatest(len_a, len_b), 6) AS edit_sim
+FROM lev
+WHERE lev <= {EDIT_MAX}
+"""
+)
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -9270,4 +9483,13 @@ QUERIES: dict[str, tuple] = {
     "url_blocklist_filter": (q_url_blocklist_filter, SQL_URL_BLOCKLIST_FILTER),
     "doc_chunk_windows": (q_doc_chunk_windows, SQL_DOC_CHUNK_WINDOWS),
     "sft_context_windows": (q_sft_context_windows, SQL_SFT_CONTEXT_WINDOWS),
+    # twenty-third wave, appended PAST the pinned driver window
+    "dedup_prefixfilter_pairs": (
+        q_dedup_prefixfilter_pairs,
+        SQL_DEDUP_PREFIXFILTER_PAIRS,
+    ),
+    "dedup_editdistance_pairs": (
+        q_dedup_editdistance_pairs,
+        SQL_DEDUP_EDITDISTANCE_PAIRS,
+    ),
 }
