@@ -229,6 +229,10 @@ def main() -> None:
         "url_blocklist_filter",
         "doc_chunk_windows",
         "sft_context_windows",
+        # round 5, twenty-third wave: exact prefix-filter similarity join +
+        # edit-distance verification over LSH candidates.
+        "dedup_prefixfilter_pairs",
+        "dedup_editdistance_pairs",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -281,6 +285,8 @@ def main() -> None:
         "url_blocklist_filter",
         "doc_chunk_windows",
         "sft_context_windows",
+        "dedup_prefixfilter_pairs",
+        "dedup_editdistance_pairs",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

@@ -68,7 +68,8 @@ def main() -> None:
                  "anchor_text_terms", "crawl_frontier_topk",
                  "dedup_sentence_spans", "mix_temperature_weights",
                  "url_blocklist_filter", "doc_chunk_windows",
-                 "sft_context_windows"):
+                 "sft_context_windows", "dedup_prefixfilter_pairs",
+                 "dedup_editdistance_pairs"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -291,6 +292,24 @@ def main() -> None:
                    and "CartesianProduct" not in full["sft_context_windows"]
                    and "BroadcastNestedLoop"
                    not in full["sft_context_windows"]))
+
+    checks.append(("prefix-filter join: shared shingle table checkpointed "
+                   "once (no parquet re-scan), candidates via shingle "
+                   "equi-join, no cartesian",
+                   "Scan parquet" not in full["dedup_prefixfilter_pairs"]
+                   and "Scan ExistingRDD"
+                       in full["dedup_prefixfilter_pairs"]
+                   and len(re.findall(r"hashpartitioning\(shingle",
+                                      full["dedup_prefixfilter_pairs"])) >= 1
+                   and "CartesianProduct"
+                   not in full["dedup_prefixfilter_pairs"]))
+    checks.append(("edit-distance verifier: banded levenshtein runs in-plan "
+                   "over LSH candidates only, no cartesian",
+                   "levenshtein" in full["dedup_editdistance_pairs"]
+                   and "CartesianProduct"
+                   not in full["dedup_editdistance_pairs"]
+                   and "BroadcastNestedLoop"
+                   not in full["dedup_editdistance_pairs"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -137,6 +137,8 @@ SCALE_CLASS = {
     "url_blocklist_filter": ("shuffle", "the frontier's distinct-canonical-URL shuffle (already paid to form the frontier); suffix + bad-word checks are in-row scan projections; at UT1 scale (~4M domains) the suffix list becomes a broadcast join on the reversed-host prefix, verdict logic unchanged"),
     "doc_chunk_windows": ("linear", "pure in-row array expressions (split, sequence, slice, md5) - a zero-exchange linear scan; output rows ~ n_tokens/stride per doc"),
     "sft_context_windows": ("shuffle", "one conv_id window for the prefix sums + one conv_id equi-join of assistant targets against turns with in-row inequality filters; per-target work bounded by conversation length (bounded entity, same contract as the kernel)"),
+    "dedup_prefixfilter_pairs": ("bucketed", "AllPairs prefix filter: only the first sz-ceil(t*sz)+1 rarest-globally shingles per doc feed the candidate equi-join (~(1-t) of the shingle rows), and rarest-first ordering keeps per-shingle join groups near-singleton (hot boilerplate shingles sort last and rarely enter a prefix); exact verification is two postings equi-joins on candidates only; recall 1.0 by the prefix pigeonhole, no banding probability"),
+    "dedup_editdistance_pairs": ("bucketed", "candidates are the minhash-LSH pairs (linear in corpus via banding, never all-pairs); the |len_a-len_b| <= EDIT_MAX lower-bound prefilter drops hopeless pairs before any DP; Spark's banded levenshtein caps per-pair work at O(len x EDIT_MAX) - constant-bounded per candidate"),
 }
 
 
