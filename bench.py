@@ -233,6 +233,11 @@ def main() -> None:
         # edit-distance verification over LSH candidates.
         "dedup_prefixfilter_pairs",
         "dedup_editdistance_pairs",
+        # round 5, twenty-fourth wave: transcript-corpus analytics.
+        "conversation_dedup",
+        "role_transition_stats",
+        "turn_reply_latency",
+        "agent_loop_detect",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -287,6 +292,10 @@ def main() -> None:
         "sft_context_windows",
         "dedup_prefixfilter_pairs",
         "dedup_editdistance_pairs",
+        "conversation_dedup",
+        "role_transition_stats",
+        "turn_reply_latency",
+        "agent_loop_detect",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

@@ -9279,6 +9279,267 @@ WHERE lev <= {EDIT_MAX}
 
 
 # --------------------------------------------------------------------------
+# Wave 24 — transcript-corpus analytics on the north-rule input shape:
+# conversation-level exact dedup, role-transition structure, reply latency,
+# and a stuck-agent loop detector
+# --------------------------------------------------------------------------
+
+_FS = "\x1f"  # field separator inside a turn digest (cannot appear in md5 hex)
+_NULLS = "\x01"  # null sentinel distinct from the empty string
+LOOP_REPEATS = 3  # identical assistant turns needed to flag a stuck loop
+
+
+def conversation_digest_frame(df: DataFrame) -> DataFrame:
+    """Per-conversation content digest + exact-dedup verdict over a
+    transcripts frame (conv_id, turn_idx, role, text, tool): each turn
+    hashes (role, text, tool) with a field separator and null sentinels so
+    (NULL) and ('') cannot collide, the conversation digest is the md5 of
+    the turn digests concatenated in stable turn order (digest-of-digests —
+    order-stable and delimiter-free because md5 hex is fixed-width), and
+    the keep rule is globally-first: min conv_id per digest group."""
+    td = F.md5(
+        F.concat_ws(
+            _FS,
+            F.coalesce(F.col("role"), F.lit(_NULLS)),
+            F.coalesce(F.col("text"), F.lit(_NULLS)),
+            F.coalesce(F.col("tool"), F.lit(_NULLS)),
+        )
+    )
+    conv = (
+        df.select("conv_id", "turn_idx", td.alias("td"))
+        .groupBy("conv_id")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("turn_idx", "td"))
+                        ),
+                        lambda s: s["td"],
+                    ),
+                    "",
+                )
+            ).alias("conv_digest"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+    )
+    wd = Window.partitionBy("conv_digest")
+    return conv.select(
+        "conv_id",
+        "conv_digest",
+        "n_turns",
+        F.min("conv_id").over(wd).alias("canonical_conv_id"),
+        F.count(F.lit(1)).over(wd).cast("long").alias("group_size"),
+        (F.col("conv_id") == F.min("conv_id").over(wd)).alias("is_canonical"),
+    )
+
+
+def q_conversation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversation-level exact dedup over the north-rule transcript shape —
+    the transcript-corpus analogue of dedup_exact: re-crawled or re-logged
+    conversations collapse to one canonical conv_id before any per-turn
+    work runs (the cheapest dedup a 10^12-turn corpus can buy, because it
+    happens at conversation granularity, upstream of extraction).
+
+    Scale shape: one conv_id groupBy whose state is bounded by conversation
+    length (the same bounded-entity contract as the kernel), then one
+    digest-keyed window — two key shuffles total, both all-integer/hex."""
+    return conversation_digest_frame(spark.read.parquet(TRANSCRIPTS_PQ))
+
+
+SQL_CONVERSATION_DEDUP = f"""
+WITH td AS (
+  SELECT conv_id, turn_idx,
+         md5(concat_ws(chr(31),
+             coalesce(role, chr(1)),
+             coalesce(text, chr(1)),
+             coalesce(tool, chr(1)))) AS td
+  FROM read_parquet('{TRANSCRIPTS_PQ}')
+), conv AS (
+  SELECT conv_id,
+         md5(string_agg(td, '' ORDER BY turn_idx)) AS conv_digest,
+         count(*) AS n_turns
+  FROM td GROUP BY conv_id
+)
+SELECT conv_id, conv_digest, n_turns,
+       min(conv_id) OVER (PARTITION BY conv_digest) AS canonical_conv_id,
+       CAST(count(*) OVER (PARTITION BY conv_digest) AS BIGINT)
+         AS group_size,
+       conv_id = min(conv_id) OVER (PARTITION BY conv_digest)
+         AS is_canonical
+FROM conv
+"""
+
+
+def q_role_transition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide role-transition structure of the transcript corpus: for
+    every (previous role -> role) pair under stable turn ordering (the
+    first turn of a conversation transitions from the synthetic 'START'
+    state), the transition count and its round-6 share among all
+    transitions leaving that previous role — the Markov fingerprint that
+    detects malformed conversations (assistant->assistant runs, tool turns
+    without a caller) at corpus scale.
+
+    Scale shape: one conv_id window for lag, one (prev_role, role) groupBy
+    with map-side combine, one prev_role window over the tiny role-pair
+    table — the wide shuffles are all on bounded-cardinality keys."""
+    df = spark.read.parquet(TRANSCRIPTS_PQ)
+    wp = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = df.select(
+        F.coalesce(F.lag("role").over(wp), F.lit("START")).alias("prev_role"),
+        "role",
+    )
+    counts = t.groupBy("prev_role", "role").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    wr = Window.partitionBy("prev_role")
+    return counts.select(
+        "prev_role",
+        "role",
+        "n_transitions",
+        F.sum("n_transitions").over(wr).cast("long").alias("prev_total"),
+        F.round(
+            F.col("n_transitions") / F.sum("n_transitions").over(wr), 6
+        ).alias("p_transition"),
+    )
+
+
+SQL_ROLE_TRANSITION_STATS = f"""
+WITH t AS (
+  SELECT coalesce(lag(role) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx), 'START') AS prev_role,
+         role
+  FROM read_parquet('{TRANSCRIPTS_PQ}')
+), c AS (
+  SELECT prev_role, role, count(*) AS n_transitions
+  FROM t GROUP BY prev_role, role
+)
+SELECT prev_role, role, n_transitions,
+       CAST(sum(n_transitions) OVER (PARTITION BY prev_role) AS BIGINT)
+         AS prev_total,
+       round(n_transitions / sum(n_transitions) OVER (
+         PARTITION BY prev_role), 6) AS p_transition
+FROM c
+"""
+
+
+def reply_latency_frame(df: DataFrame) -> DataFrame:
+    """Per USER turn, wall-clock latency to the next assistant turn in the
+    same conversation (the agent-responsiveness triage metric): next-reply
+    ts is the min assistant ts over the strictly-following window, so an
+    intervening tool turn does not count as the reply; unanswered trailing
+    user turns keep a row with NULL latency and answered=false."""
+    wf = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    reply_ts = F.min(
+        F.when(F.col("role") == "assistant", F.col("ts"))
+    ).over(wf)
+    return (
+        df.withColumn("reply_ts", reply_ts)
+        .filter(F.col("role") == "user")
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.timestamp_diff("SECOND", F.col("ts"), F.col("reply_ts")).alias(
+                "reply_latency_sec"
+            ),
+            F.col("reply_ts").isNotNull().alias("answered"),
+        )
+    )
+
+
+def q_turn_reply_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reply-latency table over the north-rule transcript shape (see
+    reply_latency_frame).  Scale shape: ONE conv_id window — per-row state
+    bounded by conversation length, no joins, all-integer output."""
+    return reply_latency_frame(spark.read.parquet(TRANSCRIPTS_PQ))
+
+
+SQL_TURN_REPLY_LATENCY = f"""
+WITH w AS (
+  SELECT conv_id, turn_idx, role, ts,
+         min(CASE WHEN role = 'assistant' THEN ts END) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS reply_ts
+  FROM read_parquet('{TRANSCRIPTS_PQ}')
+)
+SELECT conv_id, turn_idx,
+       CAST(date_diff('second', ts, reply_ts) AS BIGINT)
+         AS reply_latency_sec,
+       reply_ts IS NOT NULL AS answered
+FROM w WHERE role = 'user'
+"""
+
+
+def agent_loop_frame(df: DataFrame) -> DataFrame:
+    """Per-conversation stuck-agent detector: hash every assistant turn's
+    text (null sentinel distinct from empty), count repeats of each
+    distinct assistant output within the conversation, and flag the
+    conversation when any single output occurs >= LOOP_REPEATS times — the
+    cheapest tell of an agent retry loop, which both wastes tokens and
+    poisons SFT data.  Every conversation keeps a coverage row (zero
+    assistant turns -> zeros, no flag)."""
+    convs = df.select("conv_id").distinct()
+    reps = (
+        df.filter(F.col("role") == "assistant")
+        .select(
+            "conv_id",
+            F.md5(F.coalesce(F.col("text"), F.lit(_NULLS))).alias("td"),
+        )
+        .groupBy("conv_id", "td")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("conv_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_assistant_turns"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_outputs"),
+            F.max("c").cast("long").alias("max_repeat"),
+        )
+    )
+    return convs.join(reps, "conv_id", "left").select(
+        "conv_id",
+        F.coalesce("n_assistant_turns", F.lit(0)).alias("n_assistant_turns"),
+        F.coalesce("n_distinct_outputs", F.lit(0)).alias("n_distinct_outputs"),
+        F.coalesce("max_repeat", F.lit(0)).alias("max_repeat"),
+        (F.coalesce("max_repeat", F.lit(0)) >= LOOP_REPEATS).alias("has_loop"),
+    )
+
+
+def q_agent_loop_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stuck-agent loop detection over the north-rule transcript shape (see
+    agent_loop_frame).  Scale shape: one (conv_id, digest) groupBy with
+    map-side combine, one conv_id rollup, one conv_id left join for
+    coverage — all key shuffles on the conversation key."""
+    return agent_loop_frame(spark.read.parquet(TRANSCRIPTS_PQ))
+
+
+SQL_AGENT_LOOP_DETECT = f"""
+WITH reps AS (
+  SELECT conv_id, md5(coalesce(text, chr(1))) AS td, count(*) AS c
+  FROM read_parquet('{TRANSCRIPTS_PQ}')
+  WHERE role = 'assistant'
+  GROUP BY conv_id, md5(coalesce(text, chr(1)))
+), per_conv AS (
+  SELECT conv_id,
+         CAST(sum(c) AS BIGINT) AS n_assistant_turns,
+         CAST(count(*) AS BIGINT) AS n_distinct_outputs,
+         CAST(max(c) AS BIGINT) AS max_repeat
+  FROM reps GROUP BY conv_id
+)
+SELECT a.conv_id,
+       coalesce(p.n_assistant_turns, 0) AS n_assistant_turns,
+       coalesce(p.n_distinct_outputs, 0) AS n_distinct_outputs,
+       coalesce(p.max_repeat, 0) AS max_repeat,
+       coalesce(p.max_repeat, 0) >= {LOOP_REPEATS} AS has_loop
+FROM (SELECT DISTINCT conv_id
+      FROM read_parquet('{TRANSCRIPTS_PQ}')) a
+LEFT JOIN per_conv p USING (conv_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -9492,4 +9753,13 @@ QUERIES: dict[str, tuple] = {
         q_dedup_editdistance_pairs,
         SQL_DEDUP_EDITDISTANCE_PAIRS,
     ),
+    # twenty-fourth wave, appended PAST the pinned driver window:
+    # transcript-corpus analytics on the north-rule input shape
+    "conversation_dedup": (q_conversation_dedup, SQL_CONVERSATION_DEDUP),
+    "role_transition_stats": (
+        q_role_transition_stats,
+        SQL_ROLE_TRANSITION_STATS,
+    ),
+    "turn_reply_latency": (q_turn_reply_latency, SQL_TURN_REPLY_LATENCY),
+    "agent_loop_detect": (q_agent_loop_detect, SQL_AGENT_LOOP_DETECT),
 }

@@ -139,6 +139,10 @@ SCALE_CLASS = {
     "sft_context_windows": ("shuffle", "one conv_id window for the prefix sums + one conv_id equi-join of assistant targets against turns with in-row inequality filters; per-target work bounded by conversation length (bounded entity, same contract as the kernel)"),
     "dedup_prefixfilter_pairs": ("bucketed", "AllPairs prefix filter: only the first sz-ceil(t*sz)+1 rarest-globally shingles per doc feed the candidate equi-join (~(1-t) of the shingle rows), and rarest-first ordering keeps per-shingle join groups near-singleton (hot boilerplate shingles sort last and rarely enter a prefix); exact verification is two postings equi-joins on candidates only; recall 1.0 by the prefix pigeonhole, no banding probability"),
     "dedup_editdistance_pairs": ("bucketed", "candidates are the minhash-LSH pairs (linear in corpus via banding, never all-pairs); the |len_a-len_b| <= EDIT_MAX lower-bound prefilter drops hopeless pairs before any DP; Spark's banded levenshtein caps per-pair work at O(len x EDIT_MAX) - constant-bounded per candidate"),
+    "conversation_dedup": ("shuffle", "one conv_id groupBy whose collect_list state is bounded by conversation length (bounded entity, same contract as the kernel) + one digest-keyed window - two key shuffles, all-hex/integer rows"),
+    "role_transition_stats": ("shuffle", "one conv_id window for lag (state = one row) + one (prev_role, role) groupBy with map-side combine + one window over the bounded-cardinality role-pair table"),
+    "turn_reply_latency": ("linear", "ONE conv_id window, per-row state bounded by conversation length; no joins, integer output"),
+    "agent_loop_detect": ("shuffle", "one (conv_id, digest) groupBy with map-side combine + one conv_id rollup + one conv_id left join for coverage rows - all shuffles on the conversation key"),
 }
 
 
