@@ -9582,19 +9582,12 @@ QUERIES: dict[str, tuple] = {
         q_extract_repetition_filters,
         SQL_EXTRACT_REPETITION_FILTERS,
     ),
-    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
-    "token_zipf_fit": (q_token_zipf_fit, SQL_TOKEN_ZIPF_FIT),
-    "doc_unigram_entropy": (q_doc_unigram_entropy, SQL_DOC_UNIGRAM_ENTROPY),
     "kmeans_silhouette": (q_kmeans_silhouette, SQL_KMEANS_SILHOUETTE),
     "lm_perplexity_heldout": (q_lm_perplexity_heldout, SQL_LM_PERPLEXITY_HELDOUT),
     "ann_ivfpq_rerank_topk": (q_ann_ivfpq_rerank_topk, SQL_ANN_IVFPQ_RERANK_TOPK),
     "transcript_conversation_stats": (
         q_transcript_conversation_stats,
         SQL_TRANSCRIPT_CONVERSATION_STATS,
-    ),
-    "small_quantity_revenue": (
-        q_small_quantity_revenue,
-        SQL_SMALL_QUANTITY_REVENUE,
     ),
     # sixth/seventh/ninth/tenth-wave operators rotated IN for first-round
     # driver attestation (displacing corpus_sample_topn, the 3 packing
@@ -9606,26 +9599,6 @@ QUERIES: dict[str, tuple] = {
     "ann_pq_codes": (q_ann_pq_codes, SQL_ANN_PQ_CODES),
     "ann_pq_adc_topk": (q_ann_pq_adc_topk, SQL_ANN_PQ_ADC_TOPK),
     "ann_ivf_pq_topk": (q_ann_ivf_pq_topk, SQL_ANN_IVF_PQ_TOPK),
-    "unimax_allocation": (q_unimax_allocation, SQL_UNIMAX_ALLOCATION),
-    "embedding_random_projection": (
-        q_embedding_random_projection,
-        SQL_EMBEDDING_RANDOM_PROJECTION,
-    ),
-    # relational core (rotated back into the window this round)
-    # fourth/fifth-wave operators rotated IN for first-round driver
-    # attestation (displacing 5 r03-attested relational entries, which move
-    # past the window; CORRECTNESS_LOCAL.json re-attests the full registry)
-    "source_overlap_minhash": (q_source_overlap_minhash, SQL_SOURCE_OVERLAP_MINHASH),
-    "ccnet_perplexity_buckets": (
-        q_ccnet_perplexity_buckets,
-        SQL_CCNET_PERPLEXITY_BUCKETS,
-    ),
-    "source_token_kl": (q_source_token_kl, SQL_SOURCE_TOKEN_KL),
-    "domain_cap_sample": (q_domain_cap_sample, SQL_DOMAIN_CAP_SAMPLE),
-    "doclen_quantile_sketch": (
-        q_doclen_quantile_sketch,
-        SQL_DOCLEN_QUANTILE_SKETCH,
-    ),
     # new this session: exact-substring dedup, quality-aware cluster
     # canonicalization, inverted index — in-window so the external driver
     # attests them in their first round; they displace the last three
@@ -9646,9 +9619,6 @@ QUERIES: dict[str, tuple] = {
     # asymmetric containment dedup (the pair Jaccard-LSH structurally
     # misses) — in-window, displacing events_set_ops (r03-attested).
     "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
-    # PMI collocation mining — in-window, displacing revenue_cube
-    # (r03-attested).
-    "pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
     # waves 18-20 rotated IN for first-round driver attestation (fourth
     # rotation this round), displacing 8 r03/r04-attested entries
     # (bpe_learn_merges, bpe_tokenize_stats, dedup_minhash_lsh,
@@ -9663,6 +9633,37 @@ QUERIES: dict[str, tuple] = {
     "extract_url_normalize": (q_extract_url_normalize, SQL_EXTRACT_URL_NORMALIZE),
     "anchor_text_terms": (q_anchor_text_terms, SQL_ANCHOR_TEXT_TERMS),
     "crawl_frontier_topk": (q_crawl_frontier_topk, SQL_CRAWL_FRONTIER_TOPK),
+    # final (fifth) rotation this round: the 12 never-driver-attested
+    # late-wave operators (waves 12, 21, 23, 24 — appended past the window
+    # when built) rotated IN for their first-round driver attestation,
+    # displacing 12 entries with the strongest independent replica-test
+    # evidence (tfidf_top_terms, token_zipf_fit, doc_unigram_entropy,
+    # small_quantity_revenue, unimax_allocation,
+    # embedding_random_projection, source_overlap_minhash,
+    # ccnet_perplexity_buckets, source_token_kl, domain_cap_sample,
+    # doclen_quantile_sketch, pmi_collocations — every one re-attested by
+    # the committed CORRECTNESS_LOCAL.json full-registry run).
+    "ccnet_keep_policy": (q_ccnet_keep_policy, SQL_CCNET_KEEP_POLICY),
+    "dedup_sentence_spans": (q_dedup_sentence_spans, SQL_DEDUP_SENTENCE_SPANS),
+    "mix_temperature_weights": (q_mix_temperature_weights, SQL_MIX_TEMPERATURE_WEIGHTS),
+    "url_blocklist_filter": (q_url_blocklist_filter, SQL_URL_BLOCKLIST_FILTER),
+    "doc_chunk_windows": (q_doc_chunk_windows, SQL_DOC_CHUNK_WINDOWS),
+    "sft_context_windows": (q_sft_context_windows, SQL_SFT_CONTEXT_WINDOWS),
+    "dedup_prefixfilter_pairs": (
+        q_dedup_prefixfilter_pairs,
+        SQL_DEDUP_PREFIXFILTER_PAIRS,
+    ),
+    "dedup_editdistance_pairs": (
+        q_dedup_editdistance_pairs,
+        SQL_DEDUP_EDITDISTANCE_PAIRS,
+    ),
+    "conversation_dedup": (q_conversation_dedup, SQL_CONVERSATION_DEDUP),
+    "role_transition_stats": (
+        q_role_transition_stats,
+        SQL_ROLE_TRANSITION_STATS,
+    ),
+    "turn_reply_latency": (q_turn_reply_latency, SQL_TURN_REPLY_LATENCY),
+    "agent_loop_detect": (q_agent_loop_detect, SQL_AGENT_LOOP_DETECT),
     # ---- wave 21 entries are appended at the VERY END (past the window);
     # ---- past the driver's ~50-entry window from here (rotated OUT this
     # round; all driver-attested green in r03 AND r04, re-attested every
@@ -9736,30 +9737,30 @@ QUERIES: dict[str, tuple] = {
     "events_sessionize": (q_events_sessionize, SQL_EVENTS_SESSIONIZE),
     "top_revenue_orders": (q_top_revenue_orders, SQL_TOP_REVENUE_ORDERS),
     "nation_revenue": (q_nation_revenue, SQL_NATION_REVENUE),
-    # twelfth-wave operator, appended PAST the pinned driver window
-    "ccnet_keep_policy": (q_ccnet_keep_policy, SQL_CCNET_KEEP_POLICY),
-    # twenty-first wave, appended PAST the pinned driver window
-    "dedup_sentence_spans": (q_dedup_sentence_spans, SQL_DEDUP_SENTENCE_SPANS),
-    "mix_temperature_weights": (q_mix_temperature_weights, SQL_MIX_TEMPERATURE_WEIGHTS),
-    "url_blocklist_filter": (q_url_blocklist_filter, SQL_URL_BLOCKLIST_FILTER),
-    "doc_chunk_windows": (q_doc_chunk_windows, SQL_DOC_CHUNK_WINDOWS),
-    "sft_context_windows": (q_sft_context_windows, SQL_SFT_CONTEXT_WINDOWS),
-    # twenty-third wave, appended PAST the pinned driver window
-    "dedup_prefixfilter_pairs": (
-        q_dedup_prefixfilter_pairs,
-        SQL_DEDUP_PREFIXFILTER_PAIRS,
+    # displaced past the window by the final (fifth) rotation this round —
+    # all replica-tested and re-attested by CORRECTNESS_LOCAL.json
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
+    "token_zipf_fit": (q_token_zipf_fit, SQL_TOKEN_ZIPF_FIT),
+    "doc_unigram_entropy": (q_doc_unigram_entropy, SQL_DOC_UNIGRAM_ENTROPY),
+    "small_quantity_revenue": (
+        q_small_quantity_revenue,
+        SQL_SMALL_QUANTITY_REVENUE,
     ),
-    "dedup_editdistance_pairs": (
-        q_dedup_editdistance_pairs,
-        SQL_DEDUP_EDITDISTANCE_PAIRS,
+    "unimax_allocation": (q_unimax_allocation, SQL_UNIMAX_ALLOCATION),
+    "embedding_random_projection": (
+        q_embedding_random_projection,
+        SQL_EMBEDDING_RANDOM_PROJECTION,
     ),
-    # twenty-fourth wave, appended PAST the pinned driver window:
-    # transcript-corpus analytics on the north-rule input shape
-    "conversation_dedup": (q_conversation_dedup, SQL_CONVERSATION_DEDUP),
-    "role_transition_stats": (
-        q_role_transition_stats,
-        SQL_ROLE_TRANSITION_STATS,
+    "source_overlap_minhash": (q_source_overlap_minhash, SQL_SOURCE_OVERLAP_MINHASH),
+    "ccnet_perplexity_buckets": (
+        q_ccnet_perplexity_buckets,
+        SQL_CCNET_PERPLEXITY_BUCKETS,
     ),
-    "turn_reply_latency": (q_turn_reply_latency, SQL_TURN_REPLY_LATENCY),
-    "agent_loop_detect": (q_agent_loop_detect, SQL_AGENT_LOOP_DETECT),
+    "source_token_kl": (q_source_token_kl, SQL_SOURCE_TOKEN_KL),
+    "domain_cap_sample": (q_domain_cap_sample, SQL_DOMAIN_CAP_SAMPLE),
+    "doclen_quantile_sketch": (
+        q_doclen_quantile_sketch,
+        SQL_DOCLEN_QUANTILE_SKETCH,
+    ),
+    "pmi_collocations": (q_pmi_collocations, SQL_PMI_COLLOCATIONS),
 }

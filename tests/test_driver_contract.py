@@ -48,22 +48,22 @@ DRIVER_WINDOW_50 = [
     "bpe_tokenize_ids",
     "pack_token_ids", "doc_quality_classifier",
     "dedup_minhash_clusters",
-    "extract_c4_filters", "extract_repetition_filters", "tfidf_top_terms",
-    "token_zipf_fit", "doc_unigram_entropy", "kmeans_silhouette",
-    "lm_perplexity_heldout", "ann_ivfpq_rerank_topk",
-    "transcript_conversation_stats", "small_quantity_revenue",
+    "extract_c4_filters", "extract_repetition_filters",
+    "kmeans_silhouette", "lm_perplexity_heldout", "ann_ivfpq_rerank_topk",
+    "transcript_conversation_stats",
     "semdedup", "doc_ngram_novelty", "split_leakage_check",
     "ann_pq_codes", "ann_pq_adc_topk", "ann_ivf_pq_topk",
-    "unimax_allocation", "embedding_random_projection",
-    "source_overlap_minhash", "ccnet_perplexity_buckets", "source_token_kl",
-    "domain_cap_sample", "doclen_quantile_sketch",
     "dedup_exact_substring", "dedup_minhash_keep_best",
     "inverted_index_postings", "bm25_search_topk", "dedup_bloom_membership",
     "gopher_quality_filters", "dsir_importance_weights", "dedup_containment",
-    "pmi_collocations",
     "dedup_cluster_stats", "corpus_datacard",
     "extract_outlinks", "outlink_host_indegree", "outlink_host_pagerank",
     "extract_url_normalize", "anchor_text_terms", "crawl_frontier_topk",
+    "ccnet_keep_policy", "dedup_sentence_spans", "mix_temperature_weights",
+    "url_blocklist_filter", "doc_chunk_windows", "sft_context_windows",
+    "dedup_prefixfilter_pairs", "dedup_editdistance_pairs",
+    "conversation_dedup", "role_transition_stats", "turn_reply_latency",
+    "agent_loop_detect",
 ]
 
 
