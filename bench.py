@@ -238,6 +238,16 @@ def main() -> None:
         "role_transition_stats",
         "turn_reply_latency",
         "agent_loop_detect",
+        # round 5, twenty-fifth wave: SQ8 quantization, ANN recall eval,
+        # classifier calibration.  Excluded from the r04 subtotal.
+        "embedding_scalar_quantize",
+        "ann_recall_eval",
+        "quality_calibration_bins",
+        # round 5, twenty-sixth wave: tokenizer fertility, minhash
+        # estimator audit, snapshot delta.  Excluded from the r04 subtotal.
+        "tokenizer_fertility",
+        "minhash_estimate_error",
+        "corpus_snapshot_delta",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -296,6 +306,12 @@ def main() -> None:
         "role_transition_stats",
         "turn_reply_latency",
         "agent_loop_detect",
+        "embedding_scalar_quantize",
+        "ann_recall_eval",
+        "quality_calibration_bins",
+        "tokenizer_fertility",
+        "minhash_estimate_error",
+        "corpus_snapshot_delta",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

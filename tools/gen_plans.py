@@ -69,7 +69,10 @@ def main() -> None:
                  "dedup_sentence_spans", "mix_temperature_weights",
                  "url_blocklist_filter", "doc_chunk_windows",
                  "sft_context_windows", "dedup_prefixfilter_pairs",
-                 "dedup_editdistance_pairs"):
+                 "dedup_editdistance_pairs", "embedding_scalar_quantize",
+                 "ann_recall_eval", "quality_calibration_bins",
+                 "tokenizer_fertility", "minhash_estimate_error",
+                 "corpus_snapshot_delta"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -310,6 +313,39 @@ def main() -> None:
                    not in full["dedup_editdistance_pairs"]
                    and "BroadcastNestedLoop"
                    not in full["dedup_editdistance_pairs"]))
+
+    checks.append(("SQ8 encode pass is a zero-exchange linear projection "
+                   "(per-dim ranges collapsed to literals at build time)",
+                   len(re.findall(r"\(\d+\) Exchange",
+                                  full["embedding_scalar_quantize"])) == 0))
+    checks.append(("ANN recall eval: per-query top-K tables equi-join "
+                   "(only the intended exact-baseline broadcast against "
+                   "the corpus; no cartesian product)",
+                   "CartesianProduct" not in full["ann_recall_eval"]))
+    checks.append(("calibration bins score the CHECKPOINTED feature frame "
+                   "(no feature re-scan) and aggregate through ONE "
+                   "10-group exchange",
+                   "Scan ExistingRDD" in full["quality_calibration_bins"]
+                   and "Scan parquet" not in full["quality_calibration_bins"]
+                   and len(re.findall(r"hashpartitioning\(bin",
+                                      full["quality_calibration_bins"])) == 1))
+
+    checks.append(("fertility: segmentation joins back by word-key hash "
+                   "join over the checkpointed trainer state; no cartesian",
+                   "Scan ExistingRDD" in full["tokenizer_fertility"]
+                   and "CartesianProduct" not in full["tokenizer_fertility"]))
+    checks.append(("minhash estimator audit reads the shingle table from "
+                   "ONE checkpointed scan (signatures, candidates, exact "
+                   "verify all share it); no parquet re-scan, no cartesian",
+                   "Scan parquet" not in full["minhash_estimate_error"]
+                   and "Scan ExistingRDD" in full["minhash_estimate_error"]
+                   and "CartesianProduct"
+                   not in full["minhash_estimate_error"]))
+    checks.append(("snapshot delta is ONE full-outer equi-join on the doc "
+                   "key (SortMergeJoin FullOuter), no cartesian",
+                   "FullOuter" in full["corpus_snapshot_delta"]
+                   and "CartesianProduct"
+                   not in full["corpus_snapshot_delta"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -143,6 +143,12 @@ SCALE_CLASS = {
     "role_transition_stats": ("shuffle", "one conv_id window for lag (state = one row) + one (prev_role, role) groupBy with map-side combine + one window over the bounded-cardinality role-pair table"),
     "turn_reply_latency": ("linear", "ONE conv_id window, per-row state bounded by conversation length; no joins, integer output"),
     "agent_loop_detect": ("shuffle", "one (conv_id, digest) groupBy with map-side combine + one conv_id rollup + one conv_id left join for coverage rows - all shuffles on the conversation key"),
+    "embedding_scalar_quantize": ("linear", "per-dim min/max ranges are ONE aggregation collapsing to a single 2xEMB_DIM-scalar row (map-side combine, bounded 1-row driver collect) re-broadcast as literals; the encode pass is a zero-shuffle linear projection of the corpus"),
+    "ann_recall_eval": ("shuffle", "both inputs are per-query top-K tables (bounded K x Q rows; the expensive bucketed candidate work is audited on their own entries); the eval is one tiny (query_id, vec_id) equi-join + a per-query rollup"),
+    "quality_calibration_bins": ("shuffle", "reuses the memoized classifier weights + checkpointed feature frame; binning is a zero-exchange projection over the scored frame and ONE 10-group aggregation with map-side combine (fixed-width bins, no global-order ntile window)"),
+    "tokenizer_fertility": ("shuffle", "segmentation exists once per DISTINCT word (memoized vocab-bounded trainer state); the corpus-sized side is one hash join on the word key + one doc_id join for source, then a bounded per-source rollup with map-side combine"),
+    "minhash_estimate_error": ("shuffle", "the shingle table is checkpointed ONCE and feeds signatures, candidate generation, and exact verification; exact Jaccard runs on CANDIDATES only via shingle equi-joins - never all pairs; signature compare is a per-pair row expression"),
+    "corpus_snapshot_delta": ("shuffle", "ONE full outer equi-join on the doc key between two digest projections - linear in snapshot sizes, the Iceberg snapshot-diff shape; digests are in-row md5"),
 }
 
 
