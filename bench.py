@@ -248,6 +248,11 @@ def main() -> None:
         "tokenizer_fertility",
         "minhash_estimate_error",
         "corpus_snapshot_delta",
+        # round 5, twenty-seventh wave: boilerplate lines, tool triage,
+        # length batching.  Excluded from the r04 subtotal.
+        "boilerplate_line_filter",
+        "tool_call_stats",
+        "length_group_batching",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -312,6 +317,9 @@ def main() -> None:
         "tokenizer_fertility",
         "minhash_estimate_error",
         "corpus_snapshot_delta",
+        "boilerplate_line_filter",
+        "tool_call_stats",
+        "length_group_batching",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

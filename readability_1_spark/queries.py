@@ -10000,6 +10000,263 @@ FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
 """
 
 
+BOILER_MIN_DF = 3  # a line is site boilerplate once >= this many turns share it
+
+
+def q_boilerplate_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate line removal over EXTRACTED article text — the
+    CCNet-family cleanup the C4 span dedup does NOT cover: lines that
+    repeat across >= BOILER_MIN_DF distinct turns (nav, footers, cookie
+    banners that survive extraction) are dropped from EVERY turn
+    (including the first occurrence — unlike dedup_sentence_spans'
+    keep-first contract, a template line has no canonical owner).  Emits
+    per-turn line counts, removed-char mass, and the md5 of the kept text
+    so downstream stages can verify the rewrite without shipping it.
+
+    Scale shape: the kernel output is checkpointed ONCE and feeds the
+    line explode and the coverage join; line document-frequency is one
+    digest-key groupBy with map-side combine; the boiler set joins back
+    by digest equi-join; the per-turn rollup shuffles on the turn key."""
+    from .pipeline import extract_transcripts
+
+    df = spark.read.parquet(TRANSCRIPTS_PQ)
+    ex = (
+        extract_transcripts(df, num_parts=16)
+        .filter(F.col("status") == "ok")
+        .select("conv_id", "turn_idx", "text_content")
+    )
+    return boilerplate_frame(ex)
+
+
+def boilerplate_frame(ex: DataFrame) -> DataFrame:
+    """Core of q_boilerplate_line_filter over any
+    (conv_id, turn_idx, text_content) frame — factored so tests can pin
+    the df threshold and digest semantics on crafted corpora."""
+    ex = ex.localCheckpoint()
+    trimmed = F.transform(
+        F.split(F.col("text_content"), "\n"),
+        lambda x: F.regexp_replace(x, _C4_TRIM, ""),
+    )
+    nonempty = F.filter(trimmed, lambda x: x != "")
+    lines = ex.select(
+        "conv_id", "turn_idx", F.posexplode(nonempty).alias("pos", "line")
+    ).withColumn("ld", F.md5("line")).localCheckpoint()
+    dfreq = (
+        lines.select("conv_id", "turn_idx", "ld")
+        .distinct()
+        .groupBy("ld")
+        .agg(F.count(F.lit(1)).cast("long").alias("line_df"))
+    )
+    boiler = dfreq.filter(F.col("line_df") >= BOILER_MIN_DF).select(
+        "ld", F.lit(True).alias("is_boiler")
+    )
+    marked = lines.join(boiler, "ld", "left").withColumn(
+        "is_boiler", F.coalesce("is_boiler", F.lit(False))
+    )
+    per_turn = marked.groupBy("conv_id", "turn_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.col("is_boiler").cast("int")).cast("long").alias(
+            "n_boiler_lines"
+        ),
+        F.sum(
+            F.when(F.col("is_boiler"), F.length("line")).otherwise(0)
+        ).cast("long").alias("chars_removed"),
+        F.md5(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("is_boiler"),
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+            )
+        ).alias("kept_digest"),
+    )
+    empty_digest = F.md5(F.lit(""))
+    return ex.select("conv_id", "turn_idx").join(
+        per_turn, ["conv_id", "turn_idx"], "left"
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        F.coalesce("n_boiler_lines", F.lit(0)).alias("n_boiler_lines"),
+        F.coalesce("chars_removed", F.lit(0)).alias("chars_removed"),
+        F.coalesce("kept_digest", empty_digest).alias("kept_digest"),
+    )
+
+
+SQL_BOILERPLATE_LINE_FILTER = f"""
+WITH g AS (
+  SELECT conv_id, turn_idx, text_content
+  FROM read_parquet('{GOLDENS_PQ}') WHERE status = 'ok'
+), base AS (
+  SELECT conv_id, turn_idx,
+         list_filter(list_transform(string_split(text_content, chr(10)),
+                     x -> regexp_replace(x, '{_C4_TRIM}', '', 'g')),
+                     x -> x <> '') AS lines
+  FROM g
+), lx AS MATERIALIZED (
+  SELECT conv_id, turn_idx, i AS pos, lines[i] AS line, md5(lines[i]) AS ld
+  FROM base, UNNEST(generate_series(1, len(lines))) AS t(i)
+), dfq AS (
+  SELECT ld, CAST(count(*) AS BIGINT) AS line_df
+  FROM (SELECT DISTINCT conv_id, turn_idx, ld FROM lx)
+  GROUP BY ld
+), marked AS (
+  SELECT l.conv_id, l.turn_idx, l.pos, l.line,
+         coalesce(d.line_df >= {BOILER_MIN_DF}, FALSE) AS is_boiler
+  FROM lx l LEFT JOIN (SELECT ld, line_df FROM dfq
+                       WHERE line_df >= {BOILER_MIN_DF}) d USING (ld)
+), per_turn AS (
+  SELECT conv_id, turn_idx,
+         CAST(count(*) AS BIGINT) AS n_lines,
+         CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boiler_lines,
+         CAST(sum(CASE WHEN is_boiler THEN length(line) ELSE 0 END)
+              AS BIGINT) AS chars_removed,
+         md5(coalesce(string_agg(line, chr(10) ORDER BY pos)
+                        FILTER (WHERE NOT is_boiler), '')) AS kept_digest
+  FROM marked GROUP BY conv_id, turn_idx
+)
+SELECT g.conv_id, g.turn_idx,
+       coalesce(p.n_lines, 0) AS n_lines,
+       coalesce(p.n_boiler_lines, 0) AS n_boiler_lines,
+       coalesce(p.chars_removed, 0) AS chars_removed,
+       coalesce(p.kept_digest, md5('')) AS kept_digest
+FROM g LEFT JOIN per_turn p USING (conv_id, turn_idx)
+"""
+
+
+def q_tool_call_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool rollup over the north-rule transcript shape: call volume,
+    conversation reach, mean output size, and share of all tool calls —
+    the triage table an agent-transcript corpus publishes before deciding
+    which tool outputs are worth extracting/training on.  ONE tool-key
+    groupBy with map-side combine; the grand total is a 1-row broadcast
+    (same bounded nested-loop as the temperature-mix totals)."""
+    t = spark.read.parquet(TRANSCRIPTS_PQ).filter(F.col("role") == "tool")
+    per = t.groupBy("tool").agg(
+        F.count(F.lit(1)).cast("long").alias("n_calls"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        F.sum(F.coalesce(F.length("text"), F.lit(0))).cast("long").alias(
+            "sum_chars"
+        ),
+    )
+    total = per.agg(F.sum("n_calls").cast("long").alias("tot"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "tool",
+        "n_calls",
+        "n_convs",
+        F.round(F.col("sum_chars") / F.col("n_calls"), 6).alias("mean_chars"),
+        F.round(F.col("n_calls") / F.col("tot"), 6).alias("share"),
+    )
+
+
+SQL_TOOL_CALL_STATS = f"""
+WITH per AS (
+  SELECT tool, CAST(count(*) AS BIGINT) AS n_calls,
+         CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+         CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS sum_chars
+  FROM read_parquet('{TRANSCRIPTS_PQ}')
+  WHERE role = 'tool'
+  GROUP BY tool
+), tot AS (SELECT CAST(sum(n_calls) AS BIGINT) AS tot FROM per)
+SELECT tool, n_calls, n_convs,
+       round(sum_chars / n_calls, 6) AS mean_chars,
+       round(n_calls / tot, 6) AS share
+FROM per CROSS JOIN tot
+"""
+
+
+LB_BATCH = 16   # sequences per inference batch
+LB_SHARDS = 8   # deterministic shards inside each length bucket
+
+
+def q_length_group_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-grouped inference batching: docs bucket by power-of-two
+    token length (ALL-INTEGER length(bin(n)) — the doclen-sketch
+    contract), shard deterministically inside each bucket
+    (doc_id % LB_SHARDS), and fill LB_BATCH-sequence batches longest-first
+    inside each (bucket, shard); per batch the padding waste
+    1 - sum/(n*max) is emitted — the number a serving/eval stack uses to
+    choose its bucketing.  Batches only need SAME-BUCKET members, not a
+    global order, so sharding costs nothing in batch quality.
+
+    Scale shape: one exchange on the (bucket, shard) key and a streaming
+    rank window per key; LB_SHARDS bounds worker-width per bucket — at
+    100 TB raise LB_SHARDS until a shard fits an executor (the committed
+    two-pass prefix-sum scheme in pack_token_ids is the alternative when
+    global contiguity is genuinely required)."""
+    docs = _t(spark, sf_dir, "documents")
+    nt = F.size(
+        F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    )
+    d = docs.select("doc_id", nt.alias("n_tokens")).filter(
+        F.col("n_tokens") >= 1
+    )
+    d = d.withColumn(
+        "bucket", F.length(F.bin(F.col("n_tokens"))).cast("int")
+    ).withColumn("shard", (F.col("doc_id") % LB_SHARDS).cast("int"))
+    w = Window.partitionBy("bucket", "shard").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    b = d.withColumn("rn", F.row_number().over(w)).withColumn(
+        "batch_idx", F.floor((F.col("rn") - 1) / LB_BATCH).cast("int")
+    )
+    return (
+        b.groupBy("bucket", "shard", "batch_idx")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+        .withColumn(
+            "padding_waste",
+            F.round(
+                F.lit(1.0)
+                - F.col("sum_tokens") / (F.col("n_docs") * F.col("max_tokens")),
+                6,
+            ),
+        )
+    )
+
+
+SQL_LENGTH_GROUP_BATCHING = f"""
+WITH d AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents
+), f AS (
+  SELECT doc_id, n_tokens,
+         CAST(length(bin(n_tokens)) AS INT) AS bucket,
+         CAST(doc_id % {LB_SHARDS} AS INT) AS shard
+  FROM d WHERE n_tokens >= 1
+), r AS (
+  SELECT bucket, shard, n_tokens,
+         CAST((row_number() OVER (PARTITION BY bucket, shard
+                ORDER BY n_tokens DESC, doc_id ASC) - 1) // {LB_BATCH}
+              AS INT) AS batch_idx
+  FROM f
+), agg AS (
+  SELECT bucket, shard, batch_idx,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+         CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+  FROM r GROUP BY bucket, shard, batch_idx
+)
+SELECT bucket, shard, batch_idx, n_docs, max_tokens, sum_tokens,
+       round(1.0 - sum_tokens / (n_docs * max_tokens), 6) AS padding_waste
+FROM agg
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -10246,5 +10503,17 @@ QUERIES: dict[str, tuple] = {
     "corpus_snapshot_delta": (
         q_corpus_snapshot_delta,
         SQL_CORPUS_SNAPSHOT_DELTA,
+    ),
+    # round 5, twenty-seventh wave (appended past the pinned driver
+    # window): boilerplate line removal over extracted text, tool-call
+    # triage, length-grouped inference batching.
+    "boilerplate_line_filter": (
+        q_boilerplate_line_filter,
+        SQL_BOILERPLATE_LINE_FILTER,
+    ),
+    "tool_call_stats": (q_tool_call_stats, SQL_TOOL_CALL_STATS),
+    "length_group_batching": (
+        q_length_group_batching,
+        SQL_LENGTH_GROUP_BATCHING,
     ),
 }

@@ -72,7 +72,8 @@ def main() -> None:
                  "dedup_editdistance_pairs", "embedding_scalar_quantize",
                  "ann_recall_eval", "quality_calibration_bins",
                  "tokenizer_fertility", "minhash_estimate_error",
-                 "corpus_snapshot_delta"):
+                 "corpus_snapshot_delta", "boilerplate_line_filter",
+                 "tool_call_stats", "length_group_batching"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -346,6 +347,24 @@ def main() -> None:
                    "FullOuter" in full["corpus_snapshot_delta"]
                    and "CartesianProduct"
                    not in full["corpus_snapshot_delta"]))
+
+    checks.append(("boilerplate filter reads the kernel output from ONE "
+                   "checkpointed scan (explode + coverage join share it); "
+                   "no kernel re-run, no cartesian",
+                   "Scan ExistingRDD" in full["boilerplate_line_filter"]
+                   and "MapInArrow" not in full["boilerplate_line_filter"]
+                   and "CartesianProduct"
+                   not in full["boilerplate_line_filter"]))
+    checks.append(("tool stats: map-side partial counts; total is the "
+                   "intended 1-row broadcast nested loop",
+                   "partial_count" in full["tool_call_stats"]
+                   and "BroadcastNestedLoopJoin" in full["tool_call_stats"]))
+    checks.append(("length batching: ONE (bucket, shard) exchange feeds "
+                   "the rank window; aggregation combines map-side",
+                   len(re.findall(r"hashpartitioning\(bucket",
+                                  full["length_group_batching"])) == 1
+                   and "CartesianProduct"
+                   not in full["length_group_batching"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -149,6 +149,9 @@ SCALE_CLASS = {
     "tokenizer_fertility": ("shuffle", "segmentation exists once per DISTINCT word (memoized vocab-bounded trainer state); the corpus-sized side is one hash join on the word key + one doc_id join for source, then a bounded per-source rollup with map-side combine"),
     "minhash_estimate_error": ("shuffle", "the shingle table is checkpointed ONCE and feeds signatures, candidate generation, and exact verification; exact Jaccard runs on CANDIDATES only via shingle equi-joins - never all pairs; signature compare is a per-pair row expression"),
     "corpus_snapshot_delta": ("shuffle", "ONE full outer equi-join on the doc key between two digest projections - linear in snapshot sizes, the Iceberg snapshot-diff shape; digests are in-row md5"),
+    "boilerplate_line_filter": ("shuffle", "kernel output checkpointed ONCE feeds the line explode and the coverage join; line document-frequency is a digest-key groupBy with map-side combine; the boiler set joins back by digest equi-join; per-turn rollup shuffles on the turn key - all linear"),
+    "tool_call_stats": ("shuffle", "ONE tool-key groupBy with map-side combine; the grand total is a 1-row bounded broadcast nested loop (same shape as the temperature-mix totals)"),
+    "length_group_batching": ("shuffle", "one exchange on the (bucket, shard) key + a streaming rank window per key; LB_SHARDS bounds per-bucket worker width (raise it until a shard fits an executor at 100 TB; batches only need same-bucket members so sharding costs nothing in quality)"),
 }
 
 
