@@ -253,6 +253,11 @@ def main() -> None:
         "boilerplate_line_filter",
         "tool_call_stats",
         "length_group_batching",
+        # round 5, twenty-eighth wave: HTML triage, integrity gate, vocab
+        # coverage.  Excluded from the r04 subtotal.
+        "turn_html_stats",
+        "transcript_integrity_check",
+        "token_coverage_vocab_size",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -320,6 +325,9 @@ def main() -> None:
         "boilerplate_line_filter",
         "tool_call_stats",
         "length_group_batching",
+        "turn_html_stats",
+        "transcript_integrity_check",
+        "token_coverage_vocab_size",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

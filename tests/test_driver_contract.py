@@ -48,11 +48,14 @@ DRIVER_WINDOW_50 = [
     "bpe_tokenize_ids",
     "pack_token_ids", "doc_quality_classifier",
     "dedup_minhash_clusters",
-    "extract_c4_filters", "extract_repetition_filters",
-    "kmeans_silhouette", "lm_perplexity_heldout", "ann_ivfpq_rerank_topk",
-    "transcript_conversation_stats",
+    "extract_repetition_filters", "ann_ivfpq_rerank_topk",
+    # sixth (final) rotation: novel-code-path waves-25-28 operators in
+    # for first-round driver attestation
+    "embedding_scalar_quantize", "boilerplate_line_filter",
+    "length_group_batching", "turn_html_stats",
+    "transcript_integrity_check", "corpus_snapshot_delta",
     "semdedup", "doc_ngram_novelty", "split_leakage_check",
-    "ann_pq_codes", "ann_pq_adc_topk", "ann_ivf_pq_topk",
+    "ann_pq_codes",
     "dedup_exact_substring", "dedup_minhash_keep_best",
     "inverted_index_postings", "bm25_search_topk", "dedup_bloom_membership",
     "gopher_quality_filters", "dsir_importance_weights", "dedup_containment",

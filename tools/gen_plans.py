@@ -73,7 +73,9 @@ def main() -> None:
                  "ann_recall_eval", "quality_calibration_bins",
                  "tokenizer_fertility", "minhash_estimate_error",
                  "corpus_snapshot_delta", "boilerplate_line_filter",
-                 "tool_call_stats", "length_group_batching"):
+                 "tool_call_stats", "length_group_batching",
+                 "turn_html_stats", "transcript_integrity_check",
+                 "token_coverage_vocab_size"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -365,6 +367,21 @@ def main() -> None:
                                   full["length_group_batching"])) == 1
                    and "CartesianProduct"
                    not in full["length_group_batching"]))
+
+    checks.append(("HTML triage is a zero-exchange scan projection with "
+                   "the gate filter in-plan",
+                   len(re.findall(r"\(\d+\) Exchange",
+                                  full["turn_html_stats"])) == 0
+                   and "Filter" in full["turn_html_stats"]))
+    checks.append(("integrity gate: ONE conv_id exchange serves the lag "
+                   "window and the rollup",
+                   len(re.findall(r"hashpartitioning\(conv_id",
+                                  full["transcript_integrity_check"])) == 1))
+    checks.append(("vocab coverage: token counts combine map-side; K "
+                   "thresholds and totals broadcast",
+                   "partial_count" in full["token_coverage_vocab_size"]
+                   and "BroadcastNestedLoopJoin"
+                       in full["token_coverage_vocab_size"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

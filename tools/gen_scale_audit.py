@@ -152,6 +152,9 @@ SCALE_CLASS = {
     "boilerplate_line_filter": ("shuffle", "kernel output checkpointed ONCE feeds the line explode and the coverage join; line document-frequency is a digest-key groupBy with map-side combine; the boiler set joins back by digest equi-join; per-turn rollup shuffles on the turn key - all linear"),
     "tool_call_stats": ("shuffle", "ONE tool-key groupBy with map-side combine; the grand total is a 1-row bounded broadcast nested loop (same shape as the temperature-mix totals)"),
     "length_group_batching": ("shuffle", "one exchange on the (bucket, shard) key + a streaming rank window per key; LB_SHARDS bounds per-bucket worker width (raise it until a shard fits an executor at 100 TB; batches only need same-bucket members so sharding costs nothing in quality)"),
+    "turn_html_stats": ("linear", "zero-exchange scan projection - every stat is one JVM-side regexp over the row's own text; the HTML-gate predicate pushes to the scan like the extraction pipeline's"),
+    "transcript_integrity_check": ("shuffle", "one conv_id window (lag) + one conv_id groupBy - a single key exchange; everything else map-side"),
+    "token_coverage_vocab_size": ("shuffle", "corpus collapses to a (token, count) table with map-side combine; ranking is a window over the VOCAB-sized table (bounded, the zipf-fit precedent); K thresholds and totals join as tiny broadcasts"),
 }
 
 
