@@ -258,6 +258,9 @@ def main() -> None:
         "turn_html_stats",
         "transcript_integrity_check",
         "token_coverage_vocab_size",
+        # round 5, twenty-ninth wave: embedding outlier flags.  Excluded
+        # from the r04 subtotal.
+        "kmeans_outlier_flags",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -328,6 +331,7 @@ def main() -> None:
         "turn_html_stats",
         "transcript_integrity_check",
         "token_coverage_vocab_size",
+        "kmeans_outlier_flags",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

@@ -10473,6 +10473,94 @@ FROM covered CROSS JOIN tot
 """
 
 
+OUTLIER_PCT = 5  # farthest-% of each cluster flagged as outliers
+
+
+def q_kmeans_outlier_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space outlier flagging over the trained kmeans
+    clustering: per cluster, the farthest ceil(OUTLIER_PCT%) of members
+    (by L2 distance to their own centroid) are flagged — the
+    data-cleaning signal that complements SemDeDup (which removes the
+    points that are too CLOSE together; this surfaces the isolated/noisy
+    points quality pipelines route to review or drop).  All threshold
+    arithmetic is integer ceil via (n*PCT + 99) // 100 so the flag set is
+    identical cross-engine.
+
+    Scale shape: assignment is the kmeans recipe's broadcast crossJoin
+    (K rows) + ONE vec_id window; the outlier rank is ONE centroid_id
+    window — per-cluster width is the cluster size, the same bound
+    semdedup's pair stage already accepts."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = _kmeans_centroids(spark, sf_dir)
+    pairs = emb.crossJoin(F.broadcast(cent)).withColumn(
+        "dist",
+        F.round(F.sqrt(_kmeans_sq_dist(F.col("embedding"), F.col("c_emb"))), 6),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("dist").asc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        pairs.select("vec_id", "centroid_id", "dist")
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    w_rank = Window.partitionBy("centroid_id").orderBy(
+        F.col("dist").desc(), F.col("vec_id").asc()
+    )
+    w_cnt = Window.partitionBy("centroid_id")
+    flagged = (
+        assigned.withColumn("far_rank", F.row_number().over(w_rank))
+        .withColumn(
+            "cluster_n", F.count(F.lit(1)).over(w_cnt).cast("long")
+        )
+        .withColumn(
+            "n_flagged",
+            F.floor(
+                (F.col("cluster_n") * OUTLIER_PCT + 99) / 100
+            ).cast("long"),
+        )
+    )
+    return flagged.select(
+        "vec_id",
+        "centroid_id",
+        "dist",
+        "cluster_n",
+        (F.col("far_rank") <= F.col("n_flagged")).alias("is_outlier"),
+    )
+
+
+SQL_KMEANS_OUTLIER_FLAGS = f"""
+WITH c0 AS (
+  SELECT vec_id AS centroid_id,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS c_emb
+  FROM embeddings WHERE vec_id < {KMEANS_K}
+),
+{", ".join(_sql_kmeans_iter(n) for n in range(1, KMEANS_ITERS + 1))},
+d AS (
+  SELECT e.vec_id, c.centroid_id, {_sql_kmeans_dist('c')} AS dist
+  FROM embeddings e, c{KMEANS_ITERS} c
+), assigned AS (
+  SELECT vec_id, centroid_id, dist
+  FROM (SELECT vec_id, centroid_id, dist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist ASC, centroid_id ASC) AS rn
+        FROM d)
+  WHERE rn = 1
+), flagged AS (
+  SELECT vec_id, centroid_id, dist,
+         row_number() OVER (PARTITION BY centroid_id
+                            ORDER BY dist DESC, vec_id ASC) AS far_rank,
+         CAST(count(*) OVER (PARTITION BY centroid_id) AS BIGINT)
+           AS cluster_n
+  FROM assigned
+)
+SELECT vec_id, centroid_id, dist, cluster_n,
+       far_rank <= (cluster_n * {OUTLIER_PCT} + 99) // 100 AS is_outlier
+FROM flagged
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -10760,5 +10848,11 @@ QUERIES: dict[str, tuple] = {
     "transcript_conversation_stats": (
         q_transcript_conversation_stats,
         SQL_TRANSCRIPT_CONVERSATION_STATS,
+    ),
+    # round 5, twenty-ninth wave (appended past the pinned driver
+    # window): embedding-space outlier flagging.
+    "kmeans_outlier_flags": (
+        q_kmeans_outlier_flags,
+        SQL_KMEANS_OUTLIER_FLAGS,
     ),
 }

@@ -75,7 +75,7 @@ def main() -> None:
                  "corpus_snapshot_delta", "boilerplate_line_filter",
                  "tool_call_stats", "length_group_batching",
                  "turn_html_stats", "transcript_integrity_check",
-                 "token_coverage_vocab_size"):
+                 "token_coverage_vocab_size", "kmeans_outlier_flags"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -382,6 +382,13 @@ def main() -> None:
                    "partial_count" in full["token_coverage_vocab_size"]
                    and "BroadcastNestedLoopJoin"
                        in full["token_coverage_vocab_size"]))
+
+    checks.append(("outlier flags: centroids broadcast (K-row nested "
+                   "loop, never corpus-vs-corpus); assignment + outlier "
+                   "rank are the only two window exchanges",
+                   "BroadcastNestedLoopJoin" in full["kmeans_outlier_flags"]
+                   and "CartesianProduct"
+                   not in full["kmeans_outlier_flags"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")
