@@ -4655,10 +4655,17 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ws") >= 2,
         F.transform(F.sequence(F.lit(1), F.size("ws") - 1), bigram_at(F.col("ws"))),
     ).otherwise(F.array().cast("array<string>"))
+    # The unigram count table feeds THREE consumers (n_tok total, the w1
+    # join side, the w2 join side); without materialization each one
+    # re-runs the corpus-wide token explode (Catalyst won't reuse the
+    # exchange across the differently-filtered subtrees).  One
+    # localCheckpoint of the VOCAB-sized table drops the corpus explodes
+    # from four to two (unigram + bigram — the irreducible pair).
     uni = (
         toked.select(F.explode("ws").alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint()
     )
     bg = (
         toked.select(F.explode(bigrams).alias("bigram"))
@@ -5632,10 +5639,15 @@ def q_source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     assumed; totals are a 1-row broadcast; output is |sources| rows."""
     docs = _t(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != "")
+    # (source, word, k) feeds FOUR consumers (corpus counts, totals,
+    # per-source totals, the scoring join) — materialize the collapsed
+    # table once (bounded by |sources| x vocab, far smaller than the
+    # corpus) so the token explode runs a single time.
     per = (
         docs.select("source", F.explode(toks).alias("w"))
         .groupBy("source", "w")
         .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint()
     )
     cw = per.groupBy("w").agg(F.sum("k").alias("c_all"))
     totals = per.agg(
