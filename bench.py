@@ -261,6 +261,9 @@ def main() -> None:
         # round 5, twenty-ninth wave: embedding outlier flags.  Excluded
         # from the r04 subtotal.
         "kmeans_outlier_flags",
+        # round 5, thirtieth wave: near-repeat loop detection.  Excluded
+        # from the r04 subtotal.
+        "agent_loop_neardup",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -332,6 +335,7 @@ def main() -> None:
         "transcript_integrity_check",
         "token_coverage_vocab_size",
         "kmeans_outlier_flags",
+        "agent_loop_neardup",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

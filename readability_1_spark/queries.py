@@ -10573,6 +10573,85 @@ FROM flagged
 """
 
 
+NEAR_LOOP_BAND = 16     # max edit distance for a "near-repeat" reply
+NEAR_LOOP_REPEATS = 2   # near-repeat steps before a conversation is flagged
+
+
+def near_loop_frame(df: DataFrame) -> DataFrame:
+    """Near-repeat retry-loop detector over any transcript-shaped frame:
+    consecutive ASSISTANT outputs within NEAR_LOOP_BAND edits of each
+    other (retry loops whose outputs differ only in a timestamp, an id,
+    or one token — invisible to agent_loop_frame's exact digests).  The
+    banded levenshtein(l, r, band) caps the DP per pair and a
+    |len diff| <= band prefilter skips it entirely for obviously-far
+    pairs.  NULL outputs never match anything.  Every conversation keeps
+    a coverage row."""
+    convs = df.select("conv_id").distinct()
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    a = (
+        df.filter(F.col("role") == "assistant")
+        .select("conv_id", "turn_idx", "text")
+        .withColumn("prev", F.lag("text").over(w))
+    )
+    near = (
+        F.col("text").isNotNull()
+        & F.col("prev").isNotNull()
+        & (
+            F.abs(F.length("text") - F.length("prev")) <= NEAR_LOOP_BAND
+        )
+        & (F.levenshtein("text", "prev", NEAR_LOOP_BAND) >= 0)
+    )
+    per = a.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assistant_turns"),
+        F.sum(near.cast("int")).cast("long").alias("n_near_repeats"),
+    )
+    return convs.join(per, "conv_id", "left").select(
+        "conv_id",
+        F.coalesce("n_assistant_turns", F.lit(0)).alias("n_assistant_turns"),
+        F.coalesce("n_near_repeats", F.lit(0)).alias("n_near_repeats"),
+        (F.coalesce("n_near_repeats", F.lit(0)) >= NEAR_LOOP_REPEATS).alias(
+            "has_near_loop"
+        ),
+    )
+
+
+def q_agent_loop_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-repeat stuck-agent detection on the north-rule transcript
+    shape (see near_loop_frame) — the paraphrase-loop complement to
+    agent_loop_detect's exact-digest rule.  Scale shape: one conv_id
+    window (lag) + one conv_id groupBy + one conv_id coverage join; the
+    per-pair edit-distance DP is constant-bounded by the band."""
+    return near_loop_frame(spark.read.parquet(TRANSCRIPTS_PQ))
+
+
+SQL_AGENT_LOOP_NEARDUP = f"""
+WITH a AS (
+  SELECT conv_id, turn_idx, text,
+         lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM read_parquet('{TRANSCRIPTS_PQ}')
+  WHERE role = 'assistant'
+), flags AS (
+  SELECT conv_id,
+         CASE WHEN text IS NOT NULL AND prev IS NOT NULL
+                   AND abs(length(text) - length(prev)) <= {NEAR_LOOP_BAND}
+                   AND levenshtein(text, prev) <= {NEAR_LOOP_BAND}
+              THEN 1 ELSE 0 END AS near
+  FROM a
+), per AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n_assistant_turns,
+         CAST(sum(near) AS BIGINT) AS n_near_repeats
+  FROM flags GROUP BY conv_id
+)
+SELECT c.conv_id,
+       coalesce(p.n_assistant_turns, 0) AS n_assistant_turns,
+       coalesce(p.n_near_repeats, 0) AS n_near_repeats,
+       coalesce(p.n_near_repeats, 0) >= {NEAR_LOOP_REPEATS} AS has_near_loop
+FROM (SELECT DISTINCT conv_id FROM read_parquet('{TRANSCRIPTS_PQ}')) c
+LEFT JOIN per p USING (conv_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -10867,4 +10946,7 @@ QUERIES: dict[str, tuple] = {
         q_kmeans_outlier_flags,
         SQL_KMEANS_OUTLIER_FLAGS,
     ),
+    # round 5, thirtieth wave (appended past the pinned driver window):
+    # near-repeat retry-loop detection.
+    "agent_loop_neardup": (q_agent_loop_neardup, SQL_AGENT_LOOP_NEARDUP),
 }

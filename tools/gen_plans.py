@@ -75,7 +75,8 @@ def main() -> None:
                  "corpus_snapshot_delta", "boilerplate_line_filter",
                  "tool_call_stats", "length_group_batching",
                  "turn_html_stats", "transcript_integrity_check",
-                 "token_coverage_vocab_size", "kmeans_outlier_flags"):
+                 "token_coverage_vocab_size", "kmeans_outlier_flags",
+                 "agent_loop_neardup"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -389,6 +390,11 @@ def main() -> None:
                    "BroadcastNestedLoopJoin" in full["kmeans_outlier_flags"]
                    and "CartesianProduct"
                    not in full["kmeans_outlier_flags"]))
+
+    checks.append(("near-loop detector: banded levenshtein in-plan over "
+                   "the conv_id lag window, no cartesian",
+                   "levenshtein" in full["agent_loop_neardup"]
+                   and "CartesianProduct" not in full["agent_loop_neardup"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -156,6 +156,7 @@ SCALE_CLASS = {
     "transcript_integrity_check": ("shuffle", "one conv_id window (lag) + one conv_id groupBy - a single key exchange; everything else map-side"),
     "token_coverage_vocab_size": ("shuffle", "corpus collapses to a (token, count) table with map-side combine; ranking is a window over the VOCAB-sized table (bounded, the zipf-fit precedent); K thresholds and totals join as tiny broadcasts"),
     "kmeans_outlier_flags": ("shuffle", "assignment = broadcast K-row crossJoin + ONE vec_id window (the kmeans recipe's shape); outlier rank = ONE centroid_id window whose per-key width is the cluster size - the bound semdedup's pair stage already accepts; threshold is integer ceil, no second pass"),
+    "agent_loop_neardup": ("shuffle", "one conv_id window (lag) + one conv_id groupBy + one conv_id coverage join; per-pair edit-distance DP is constant-bounded by the band and a length prefilter skips far pairs entirely"),
 }
 
 
