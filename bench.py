@@ -264,6 +264,10 @@ def main() -> None:
         # round 5, thirtieth wave: near-repeat loop detection.  Excluded
         # from the r04 subtotal.
         "agent_loop_neardup",
+        # round 5, thirty-first wave: conversation split + BPE roundtrip.
+        # Excluded from the r04 subtotal.
+        "conversation_split_assign",
+        "bpe_roundtrip_check",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -336,6 +340,8 @@ def main() -> None:
         "token_coverage_vocab_size",
         "kmeans_outlier_flags",
         "agent_loop_neardup",
+        "conversation_split_assign",
+        "bpe_roundtrip_check",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

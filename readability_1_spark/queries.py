@@ -10652,6 +10652,78 @@ LEFT JOIN per p USING (conv_id)
 """
 
 
+def q_conversation_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/val/test assignment on the north-rule transcript
+    shape: the hash bucket depends ONLY on conv_id, so every turn of a
+    conversation lands in the same split by construction — the property a
+    transcript corpus needs (a doc-level split would scatter one
+    conversation's turns across train and eval, leaking near-verbatim
+    context).  Same content-stable 98/1/1 bucket recipe as
+    data_split_assign, so the two splits compose.  Zero shuffles."""
+    t = spark.read.parquet(TRANSCRIPTS_PQ)
+    bucket = _md5_bucket(F.col("conv_id"))
+    split = (
+        F.when(bucket < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        bucket.alias("split_bucket"),
+        split.alias("split"),
+    )
+
+
+SQL_CONVERSATION_SPLIT_ASSIGN = f"""
+WITH hx AS (
+  SELECT conv_id, turn_idx, md5(conv_id) AS h
+  FROM read_parquet('{TRANSCRIPTS_PQ}')
+), b AS (
+  SELECT conv_id, turn_idx,
+         {_sql_md5_poly('h')} % {SPLIT_BUCKETS} AS split_bucket
+  FROM hx
+)
+SELECT conv_id, turn_idx, split_bucket,
+       CASE WHEN split_bucket < {SPLIT_TRAIN_LT} THEN 'train'
+            WHEN split_bucket < {SPLIT_VAL_LT} THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+"""
+
+
+def q_bpe_roundtrip_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer self-attestation: for every DISTINCT word in the corpus,
+    verify that concatenating its learned-BPE segmentation reproduces the
+    word exactly (the lossless-roundtrip invariant a tokenizer must hold
+    before token ids are trusted as the corpus's representation) — the
+    pipeline-integrity family's member for the BPE stage, corpus-wide
+    instead of per-test.  Emits per-word subword count and the roundtrip
+    verdict; a single FALSE anywhere is a stop-the-line defect.
+
+    Scale shape: runs on the memoized trainer state — the VOCAB-sized
+    distinct-word table — so cost is independent of corpus row count."""
+    _merges, state = _bpe_train(spark, sf_dir)
+    syms = F.split(F.trim(F.col("s")), "  ")
+    return state.select(
+        "tok",
+        F.col("cnt").cast("long").alias("n_occurrences"),
+        F.size(syms).alias("n_sub"),
+        (F.array_join(syms, "") == F.col("tok")).alias("roundtrip_ok"),
+    )
+
+
+SQL_BPE_ROUNDTRIP_CHECK = f"""
+WITH {_SQL_BPE_CHAIN}
+SELECT tok,
+       CAST(cnt AS BIGINT) AS n_occurrences,
+       len(string_split(trim(s), '  ')) AS n_sub,
+       array_to_string(string_split(trim(s), '  '), '') = tok
+         AS roundtrip_ok
+FROM s{BPE_MERGES}
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -10949,4 +11021,11 @@ QUERIES: dict[str, tuple] = {
     # round 5, thirtieth wave (appended past the pinned driver window):
     # near-repeat retry-loop detection.
     "agent_loop_neardup": (q_agent_loop_neardup, SQL_AGENT_LOOP_NEARDUP),
+    # round 5, thirty-first wave (appended past the pinned driver
+    # window): conversation-level split, BPE roundtrip attestation.
+    "conversation_split_assign": (
+        q_conversation_split_assign,
+        SQL_CONVERSATION_SPLIT_ASSIGN,
+    ),
+    "bpe_roundtrip_check": (q_bpe_roundtrip_check, SQL_BPE_ROUNDTRIP_CHECK),
 }

@@ -76,7 +76,7 @@ def main() -> None:
                  "tool_call_stats", "length_group_batching",
                  "turn_html_stats", "transcript_integrity_check",
                  "token_coverage_vocab_size", "kmeans_outlier_flags",
-                 "agent_loop_neardup"):
+                 "agent_loop_neardup", "conversation_split_assign"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -395,6 +395,10 @@ def main() -> None:
                    "the conv_id lag window, no cartesian",
                    "levenshtein" in full["agent_loop_neardup"]
                    and "CartesianProduct" not in full["agent_loop_neardup"]))
+
+    checks.append(("conversation split is shuffle-free (no Exchange) - "
+                   "the no-straddle invariant holds by construction",
+                   "Exchange" not in full["conversation_split_assign"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

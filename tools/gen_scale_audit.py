@@ -157,6 +157,8 @@ SCALE_CLASS = {
     "token_coverage_vocab_size": ("shuffle", "corpus collapses to a (token, count) table with map-side combine; ranking is a window over the VOCAB-sized table (bounded, the zipf-fit precedent); K thresholds and totals join as tiny broadcasts"),
     "kmeans_outlier_flags": ("shuffle", "assignment = broadcast K-row crossJoin + ONE vec_id window (the kmeans recipe's shape); outlier rank = ONE centroid_id window whose per-key width is the cluster size - the bound semdedup's pair stage already accepts; threshold is integer ceil, no second pass"),
     "agent_loop_neardup": ("shuffle", "one conv_id window (lag) + one conv_id groupBy + one conv_id coverage join; per-pair edit-distance DP is constant-bounded by the band and a length prefilter skips far pairs entirely"),
+    "conversation_split_assign": ("linear", "zero-shuffle scan projection - the bucket is an in-row md5 polynomial of conv_id only, so all turns of a conversation land in one split by construction (no join needed to enforce it)"),
+    "bpe_roundtrip_check": ("shuffle", "runs on the memoized trainer state - the VOCAB-sized distinct-word table - so cost is independent of corpus row count; the verdict is an in-row string expression"),
 }
 
 
