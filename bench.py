@@ -268,6 +268,10 @@ def main() -> None:
         # Excluded from the r04 subtotal.
         "conversation_split_assign",
         "bpe_roundtrip_check",
+        # round 5, thirty-second wave: LSH banding planner + duplicated
+        # passage mining.  Excluded from the r04 subtotal.
+        "minhash_lsh_param_plan",
+        "dup_ngram_topk",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -342,6 +346,8 @@ def main() -> None:
         "agent_loop_neardup",
         "conversation_split_assign",
         "bpe_roundtrip_check",
+        "minhash_lsh_param_plan",
+        "dup_ngram_topk",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

@@ -10724,6 +10724,322 @@ FROM s{BPE_MERGES}
 """
 
 
+# All (n_bands, rows_per_band) factorizations of the N_MINHASH signature -
+# the whole design space a 16-hash signature admits.
+LSH_PLAN_CONFIGS = [
+    (b, N_MINHASH // b) for b in (1, 2, 4, 8, 16)
+]
+MICRO = 1_000_000
+LSH_GRID_STEP_MICRO = 10_000  # Jaccard grid 0.01 .. 0.99
+
+
+def _pow_micro_col(c, k: int):
+    """c^k in integer micro-units (fixed-point 1e6), by k unrolled
+    multiply-then-floor-div steps.  Products stay <= 1e12 (BIGINT-safe);
+    the floor of the double-precision quotient is exact because a
+    non-integer quotient sits >= 1e-6 from any integer while the double
+    ulp at 1e6 is ~2e-10 - so Spark's float division + floor equals
+    DuckDB's BIGINT `//` bit-for-bit."""
+    acc = F.lit(MICRO).cast("long")
+    for _ in range(k):
+        acc = F.floor(acc * c / MICRO).cast("long")
+    return acc
+
+
+def _collision_micro_col(j, b: int, r: int):
+    """LSH S-curve 1 - (1 - j^r)^b in integer micro-units."""
+    jr = _pow_micro_col(j, r)
+    return (
+        F.lit(MICRO).cast("long")
+        - _pow_micro_col(F.lit(MICRO).cast("long") - jr, b)
+    ).cast("long")
+
+
+def q_minhash_lsh_param_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-parameter planner for the MinHash index: for EVERY
+    (n_bands, rows_per_band) factorization of the 16-hash signature,
+    the analytic S-curve (integer micro-unit fixed point, so both engines
+    compute bit-identical values) AND the curve evaluated over the
+    candidate pairs the current index actually produced on this corpus -
+    the table an operator reads before committing a banding config at
+    100 TB, where re-sharding signatures is a full-corpus job.
+
+    Per config: `s_mid_micro` = the smallest grid Jaccard (step 0.01)
+    whose collision probability reaches 1/2 (the S-curve midpoint, the
+    config's effective dedup threshold); `p_at_j50_micro` = collision
+    probability at the dedup bar J=0.5; `exp_recall_micro` /
+    `exp_nearmiss_micro` = mean collision probability over observed
+    candidate pairs at-or-above / below the bar (signature-estimated
+    Jaccard, est = n_eq/16 exactly representable in micro-units).
+
+    Scale shape: the analytic grid is 99 x 5 constant rows; the corpus
+    part reuses the single-scan signature machinery (_minhash_pairs) and
+    aggregates the CANDIDATE-bounded pair table - no new corpus pass."""
+    half = MICRO // 2
+    cfg_grid = [
+        F.struct(
+            F.lit(b).cast("int").alias("n_bands"),
+            F.lit(r).cast("int").alias("rows_per_band"),
+            _collision_micro_col(F.col("j_micro"), b, r).alias("coll"),
+        )
+        for b, r in LSH_PLAN_CONFIGS
+    ]
+    grid = (
+        spark.range(1, 100)
+        .select((F.col("id") * LSH_GRID_STEP_MICRO).cast("long").alias("j_micro"))
+        .select("j_micro", F.explode(F.array(*cfg_grid)).alias("c"))
+        .select("j_micro", "c.*")
+    )
+    grid_agg = grid.groupBy("n_bands", "rows_per_band").agg(
+        F.min(F.when(F.col("coll") >= half, F.col("j_micro"))).alias(
+            "s_mid_micro"
+        ),
+        F.max(F.when(F.col("j_micro") == half, F.col("coll"))).alias(
+            "p_at_j50_micro"
+        ),
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = _shingles(docs).localCheckpoint()
+    pairs = _minhash_pairs(docs, sh=sh)
+    signed = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws(":", F.lit(seed), F.col("shingle")))
+            ).alias(f"mh{seed}")
+            for seed in range(N_MINHASH)
+        ]
+    )
+    sa = signed.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(N_MINHASH)],
+    )
+    sb = signed.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(N_MINHASH)],
+    )
+    n_eq = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        for s in range(N_MINHASH)
+    )
+    est = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(((F.lit(0) + n_eq) * (MICRO // N_MINHASH)).cast("long").alias("est_micro"))
+    )
+    cfg_est = [
+        F.struct(
+            F.lit(b).cast("int").alias("n_bands"),
+            F.lit(r).cast("int").alias("rows_per_band"),
+            _collision_micro_col(F.col("est_micro"), b, r).alias("coll"),
+        )
+        for b, r in LSH_PLAN_CONFIGS
+    ]
+    corpus = (
+        est.select("est_micro", F.explode(F.array(*cfg_est)).alias("c"))
+        .select("est_micro", "c.*")
+        .groupBy("n_bands", "rows_per_band")
+        .agg(
+            F.sum(F.when(F.col("est_micro") >= half, 1).otherwise(0))
+            .cast("long")
+            .alias("n_true_pairs"),
+            F.sum(F.when(F.col("est_micro") >= half, F.col("coll")))
+            .cast("long")
+            .alias("true_coll_sum"),
+            F.sum(F.when(F.col("est_micro") < half, 1).otherwise(0))
+            .cast("long")
+            .alias("n_near_pairs"),
+            F.sum(F.when(F.col("est_micro") < half, F.col("coll")))
+            .cast("long")
+            .alias("near_coll_sum"),
+        )
+    )
+    out = grid_agg.join(corpus, ["n_bands", "rows_per_band"])
+    return out.select(
+        "n_bands",
+        "rows_per_band",
+        "s_mid_micro",
+        "p_at_j50_micro",
+        "n_true_pairs",
+        F.when(
+            F.col("n_true_pairs") > 0,
+            F.floor(F.col("true_coll_sum") / F.col("n_true_pairs")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("exp_recall_micro"),
+        "n_near_pairs",
+        F.when(
+            F.col("n_near_pairs") > 0,
+            F.floor(F.col("near_coll_sum") / F.col("n_near_pairs")),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("exp_nearmiss_micro"),
+    )
+
+
+def _sql_pow_micro(expr: str, k: int) -> str:
+    s = "CAST(1000000 AS BIGINT)"
+    for _ in range(k):
+        s = f"(({s} * ({expr})) // 1000000)"
+    return s
+
+
+def _sql_collision_micro(expr: str, b: int, r: int) -> str:
+    jr = _sql_pow_micro(expr, r)
+    return f"(1000000 - {_sql_pow_micro(f'(1000000 - {jr})', b)})"
+
+
+def _sql_lsh_cfg_union(src: str, jexpr: str, extra_cols: str) -> str:
+    parts = [
+        f"SELECT CAST({b} AS INT) AS n_bands, CAST({r} AS INT) AS rows_per_band,"
+        f" {extra_cols} {_sql_collision_micro(jexpr, b, r)} AS coll FROM {src}"
+        for b, r in LSH_PLAN_CONFIGS
+    ]
+    return "\n    UNION ALL\n    ".join(parts)
+
+
+SQL_MINHASH_LSH_PARAM_PLAN = (
+    _SHINGLES_SQL
+    + f"""
+  , shc AS MATERIALIZED (SELECT doc_id, shingle FROM shingles),
+  minhashes AS MATERIALIZED (
+    SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minh
+    FROM shc, UNNEST(generate_series(0, {N_MINHASH - 1})) AS s(seed)
+    GROUP BY doc_id, seed
+  ),
+  bands AS (
+    SELECT doc_id, CAST(seed // {N_MINHASH // N_BANDS} AS INT) AS band,
+           md5(string_agg(minh, ',' ORDER BY seed)) AS sig
+    FROM minhashes GROUP BY doc_id, CAST(seed // {N_MINHASH // N_BANDS} AS INT)
+  ),
+  cand AS MATERIALIZED (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  ),
+  est AS (
+    SELECT CAST(sum(CASE WHEN ma.minh = mb.minh THEN 1 ELSE 0 END)
+                * {MICRO // N_MINHASH} AS BIGINT) AS est_micro
+    FROM cand c
+    JOIN minhashes ma ON ma.doc_id = c.doc_a
+    JOIN minhashes mb ON mb.doc_id = c.doc_b AND mb.seed = ma.seed
+    GROUP BY c.doc_a, c.doc_b
+  ),
+  grid AS (
+    SELECT CAST(g AS BIGINT) * {LSH_GRID_STEP_MICRO} AS j_micro
+    FROM generate_series(1, 99) t(g)
+  ),
+  gridc AS (
+    {_sql_lsh_cfg_union('grid', 'j_micro', 'j_micro,')}
+  ),
+  grid_agg AS (
+    SELECT n_bands, rows_per_band,
+           min(CASE WHEN coll >= {MICRO // 2} THEN j_micro END) AS s_mid_micro,
+           max(CASE WHEN j_micro = {MICRO // 2} THEN coll END) AS p_at_j50_micro
+    FROM gridc GROUP BY n_bands, rows_per_band
+  ),
+  estc AS (
+    {_sql_lsh_cfg_union('est', 'est_micro', 'est_micro,')}
+  ),
+  corpus AS (
+    SELECT n_bands, rows_per_band,
+           CAST(sum(CASE WHEN est_micro >= {MICRO // 2} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_true_pairs,
+           CAST(sum(CASE WHEN est_micro >= {MICRO // 2} THEN coll END)
+                AS BIGINT) AS true_coll_sum,
+           CAST(sum(CASE WHEN est_micro < {MICRO // 2} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_near_pairs,
+           CAST(sum(CASE WHEN est_micro < {MICRO // 2} THEN coll END)
+                AS BIGINT) AS near_coll_sum
+    FROM estc GROUP BY n_bands, rows_per_band
+  )
+SELECT g.n_bands, g.rows_per_band, g.s_mid_micro, g.p_at_j50_micro,
+       c.n_true_pairs,
+       CASE WHEN c.n_true_pairs > 0
+            THEN c.true_coll_sum // c.n_true_pairs ELSE 0 END
+         AS exp_recall_micro,
+       c.n_near_pairs,
+       CASE WHEN c.n_near_pairs > 0
+            THEN c.near_coll_sum // c.n_near_pairs ELSE 0 END
+         AS exp_nearmiss_micro
+FROM grid_agg g
+JOIN corpus c USING (n_bands, rows_per_band)
+"""
+)
+
+
+DUP_NGRAM_N = 5
+DUP_NGRAM_TOPK = 20
+
+
+def q_dup_ngram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT most-duplicated word 5-grams across the corpus - the
+    repeated-passage miner behind ExactSubstr-style dedup triage: the
+    approximate counterpart (token_cms_heavy_hitters) sketches unigram
+    heavy hitters; this surfaces the verbatim multi-word passages that
+    repeat across documents (boilerplate, licence blocks, templates),
+    ranked by total occurrences with a total-order tiebreak so the top-K
+    cut is deterministic.
+
+    Scale shape: ONE token-array scan explodes into (doc_id, ngram) rows
+    (corpus-linear), one ngram groupBy with map-side combine, and the
+    top-K is TakeOrdered over the duplicated subset - never a global
+    window over the full ngram vocabulary."""
+    toks = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != ""
+        ).alias("ws"),
+    )
+    mk = F.when(
+        F.size("ws") >= DUP_NGRAM_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - (DUP_NGRAM_N - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("ws", i + j) for j in range(DUP_NGRAM_N)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = toks.select("doc_id", F.explode(mk).alias("ngram"))
+    counts = grams.groupBy("ngram").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+    )
+    return (
+        counts.filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_occ"), F.desc("n_docs"), F.asc("ngram"))
+        .limit(DUP_NGRAM_TOPK)
+    )
+
+
+SQL_DUP_NGRAM_TOPK = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                     x -> x <> '') AS ws
+  FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         {' || '.join(f"ws[i+{j}]" if j else 'ws[i]' for j in range(DUP_NGRAM_N)).replace(' || ', " || ' ' || ")} AS ngram
+  FROM toks,
+       UNNEST(generate_series(1, greatest(len(ws) - {DUP_NGRAM_N - 1}, 0)))
+         AS t(i)
+),
+counts AS (
+  SELECT ngram, CAST(count(*) AS BIGINT) AS n_occ,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM grams GROUP BY ngram
+)
+SELECT ngram, n_occ, n_docs
+FROM counts WHERE n_docs >= 2
+ORDER BY n_occ DESC, n_docs DESC, ngram ASC
+LIMIT {DUP_NGRAM_TOPK}
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -11028,4 +11344,12 @@ QUERIES: dict[str, tuple] = {
         SQL_CONVERSATION_SPLIT_ASSIGN,
     ),
     "bpe_roundtrip_check": (q_bpe_roundtrip_check, SQL_BPE_ROUNDTRIP_CHECK),
+    # round 5, thirty-second wave (appended past the pinned driver
+    # window): LSH banding-parameter planner, exact duplicated-passage
+    # mining.
+    "minhash_lsh_param_plan": (
+        q_minhash_lsh_param_plan,
+        SQL_MINHASH_LSH_PARAM_PLAN,
+    ),
+    "dup_ngram_topk": (q_dup_ngram_topk, SQL_DUP_NGRAM_TOPK),
 }

@@ -76,7 +76,8 @@ def main() -> None:
                  "tool_call_stats", "length_group_batching",
                  "turn_html_stats", "transcript_integrity_check",
                  "token_coverage_vocab_size", "kmeans_outlier_flags",
-                 "agent_loop_neardup", "conversation_split_assign"):
+                 "agent_loop_neardup", "conversation_split_assign",
+                 "dup_ngram_topk"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -399,6 +400,13 @@ def main() -> None:
     checks.append(("conversation split is shuffle-free (no Exchange) - "
                    "the no-straddle invariant holds by construction",
                    "Exchange" not in full["conversation_split_assign"]))
+
+    checks.append(("duplicated-passage miner: ngram groupBy combines "
+                   "map-side; the cut is TakeOrdered, not a vocab-wide "
+                   "window",
+                   "partial_count" in full["dup_ngram_topk"]
+                   and "TakeOrderedAndProject" in full["dup_ngram_topk"]
+                   and "Window" not in full["dup_ngram_topk"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

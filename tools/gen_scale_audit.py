@@ -159,6 +159,8 @@ SCALE_CLASS = {
     "agent_loop_neardup": ("shuffle", "one conv_id window (lag) + one conv_id groupBy + one conv_id coverage join; per-pair edit-distance DP is constant-bounded by the band and a length prefilter skips far pairs entirely"),
     "conversation_split_assign": ("linear", "zero-shuffle scan projection - the bucket is an in-row md5 polynomial of conv_id only, so all turns of a conversation land in one split by construction (no join needed to enforce it)"),
     "bpe_roundtrip_check": ("shuffle", "runs on the memoized trainer state - the VOCAB-sized distinct-word table - so cost is independent of corpus row count; the verdict is an in-row string expression"),
+    "minhash_lsh_param_plan": ("bucketed", "signature/pair machinery identical to dedup_minhash_lsh (single shingle scan, bucket-group-and-pair); the planner's own aggregates run over a 5x99 constant grid and the CANDIDATE-bounded pair table; all arithmetic is integer micro-units so both engines agree bit-for-bit"),
+    "dup_ngram_topk": ("shuffle", "one token-array scan explodes into an ngram groupBy with map-side combine; the top-K cut is TakeOrdered over the duplicated subset, never a vocab-wide window"),
 }
 
 
