@@ -272,6 +272,11 @@ def main() -> None:
         # passage mining.  Excluded from the r04 subtotal.
         "minhash_lsh_param_plan",
         "dup_ngram_topk",
+        # round 5, thirty-third wave: hybrid RRF fusion, preference pairs,
+        # tool-output collapse.  Excluded from the r04 subtotal.
+        "hybrid_rrf_fusion",
+        "preference_pair_mining",
+        "tool_output_collapse",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -348,6 +353,9 @@ def main() -> None:
         "bpe_roundtrip_check",
         "minhash_lsh_param_plan",
         "dup_ngram_topk",
+        "hybrid_rrf_fusion",
+        "preference_pair_mining",
+        "tool_output_collapse",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

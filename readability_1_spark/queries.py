@@ -11040,6 +11040,474 @@ LIMIT {DUP_NGRAM_TOPK}
 """
 
 
+RRF_K = 60
+HYBRID_N_QUERIES = 4
+HYBRID_TOPK = 10
+HYBRID_DF_CAP = 100
+
+
+def q_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al. SIGIR
+    2009) — the production search shape that combines a LEXICAL ranking
+    with a SEMANTIC one: for each query-by-example document (doc_id <
+    HYBRID_N_QUERIES), rank the corpus by exact token-set Jaccard (over
+    the df-capped token universe) and by exact embedding cosine, then
+    fuse the two top-10 lists with RRF score = sum over lists of
+    1/(60 + rank), kept in integer micro-units (floor-div) so both
+    engines agree bit-for-bit.  Emits the fused top-10 per query with
+    each side's rank preserved (NULL where a doc appears in one list
+    only).
+
+    Scale shape: the query side is a bounded broadcast on BOTH legs —
+    lexical candidates come only from an equi-join on the query docs'
+    df-capped tokens (the BM25 candidate discipline; the df cap bounds
+    per-token join groups, the stopword guard at corpus scale), semantic
+    candidates from the broadcast query vectors; every ranking window
+    partitions by query over candidate-bounded sets, never the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.col("text")), TOKEN_SPLIT),
+                    lambda x: x != "",
+                )
+            )
+        ).alias("tok"),
+    )
+    dfc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ctoks = (
+        toks.join(dfc.filter(F.col("df") <= HYBRID_DF_CAP), "tok")
+        .select("doc_id", "tok")
+        .localCheckpoint()  # feeds sizes, the query side, and candidates
+    )
+    sizes = ctoks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    qt = ctoks.filter(F.col("doc_id") < HYBRID_N_QUERIES).select(
+        F.col("doc_id").alias("query_id"), "tok"
+    )
+    inter = (
+        ctoks.join(F.broadcast(qt), "tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sq = sizes.select(F.col("doc_id").alias("query_id"), F.col("sz").alias("sz_q"))
+    lex = (
+        inter.join(F.broadcast(sq), "query_id")
+        .join(sizes, "doc_id")
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(
+                F.col("n_inter")
+                * F.lit(MICRO)
+                / (F.col("sz_q") + F.col("sz") - F.col("n_inter"))
+            )
+            .cast("long")
+            .alias("jac_micro"),
+        )
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("jac_micro").desc(), F.col("doc_id").asc()
+    )
+    lex10 = (
+        lex.withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= HYBRID_TOPK)
+        .select("query_id", "doc_id", F.col("lex_rank").cast("int").alias("lex_rank"))
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") < HYBRID_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    pairs = emb.crossJoin(F.broadcast(qv)).filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    cosine = F.round(
+        _dot(F.col("q_emb"), F.col("embedding"))
+        / (
+            F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+            * F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        ),
+        6,
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    sem10 = (
+        pairs.withColumn("cosine", cosine)
+        .withColumn("sem_rank", F.row_number().over(ws))
+        .filter(F.col("sem_rank") <= HYBRID_TOPK)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.col("sem_rank").cast("int").alias("sem_rank"),
+        )
+    )
+
+    rrf = lambda rank: F.coalesce(  # noqa: E731
+        F.floor(F.lit(MICRO) / (F.lit(RRF_K) + rank)), F.lit(0)
+    ).cast("long")
+    fused = (
+        lex10.join(sem10, ["query_id", "doc_id"], "full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            (rrf(F.col("lex_rank")) + rrf(F.col("sem_rank")))
+            .cast("long")
+            .alias("rrf_micro"),
+            "lex_rank",
+            "sem_rank",
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= HYBRID_TOPK)
+        .select(
+            "query_id",
+            F.col("fused_rank").cast("int").alias("fused_rank"),
+            "doc_id",
+            "rrf_micro",
+            "lex_rank",
+            "sem_rank",
+        )
+    )
+
+
+SQL_HYBRID_RRF_FUSION = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id,
+           unnest(list_filter(regexp_split_to_array(lower(text),
+                  '{TOKEN_SPLIT}'), x -> x <> '')) AS tok
+    FROM documents)
+), dfc AS (
+  SELECT tok FROM toks GROUP BY tok HAVING count(*) <= {HYBRID_DF_CAP}
+), ctoks AS (
+  SELECT t.doc_id, t.tok FROM toks t JOIN dfc USING (tok)
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM ctoks GROUP BY doc_id
+), qt AS (
+  SELECT doc_id AS query_id, tok FROM ctoks WHERE doc_id < {HYBRID_N_QUERIES}
+), inter AS (
+  SELECT q.query_id, c.doc_id, CAST(count(*) AS BIGINT) AS n_inter
+  FROM qt q JOIN ctoks c USING (tok)
+  WHERE c.doc_id <> q.query_id
+  GROUP BY q.query_id, c.doc_id
+), lex AS (
+  SELECT i.query_id, i.doc_id,
+         (i.n_inter * {MICRO}) // (sq.sz + sd.sz - i.n_inter) AS jac_micro
+  FROM inter i
+  JOIN sizes sq ON sq.doc_id = i.query_id
+  JOIN sizes sd ON sd.doc_id = i.doc_id
+), lexr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY jac_micro DESC, doc_id ASC) AS lex_rank
+  FROM lex
+), lex10 AS (
+  SELECT query_id, doc_id, CAST(lex_rank AS INT) AS lex_rank
+  FROM lexr WHERE lex_rank <= {HYBRID_TOPK}
+), q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings
+  WHERE vec_id < {HYBRID_N_QUERIES}
+), spairs AS (
+  SELECT q.query_id, e.vec_id AS doc_id,
+         round(
+           list_sum(list_transform(generate_series(1, len(e.embedding)),
+             i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(q.q_emb,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(e.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cosine
+  FROM embeddings e, q
+  WHERE e.vec_id <> q.query_id
+), semr AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, doc_id ASC) AS sem_rank
+  FROM spairs
+), sem10 AS (
+  SELECT query_id, doc_id, CAST(sem_rank AS INT) AS sem_rank
+  FROM semr WHERE sem_rank <= {HYBRID_TOPK}
+), fused AS (
+  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+         coalesce(l.doc_id, s.doc_id) AS doc_id,
+         CAST(coalesce({MICRO} // ({RRF_K} + l.lex_rank), 0)
+              + coalesce({MICRO} // ({RRF_K} + s.sem_rank), 0) AS BIGINT)
+           AS rrf_micro,
+         l.lex_rank, s.sem_rank
+  FROM lex10 l
+  FULL OUTER JOIN sem10 s
+    ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+), ranked AS (
+  SELECT query_id, doc_id, rrf_micro, lex_rank, sem_rank,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY rrf_micro DESC, doc_id ASC)
+           AS fused_rank
+  FROM fused
+)
+SELECT query_id, CAST(fused_rank AS INT) AS fused_rank, doc_id, rrf_micro,
+       lex_rank, sem_rank
+FROM ranked WHERE fused_rank <= {HYBRID_TOPK}
+"""
+
+
+def preference_pair_frame(df: DataFrame) -> DataFrame:
+    """Preference-pair mining over the north-rule transcript shape: every
+    non-final ASSISTANT turn that the user responded to (a later user
+    turn exists in the conversation) pairs as `rejected` with the
+    conversation's FINAL assistant turn as `chosen` — the classic
+    retry-supersedes-attempt heuristic for mining DPO/RLHF preference
+    data from agent logs.  Pairs where either text is NULL or the two
+    texts are identical are emitted with usable=false (coverage rows),
+    so the yield of the heuristic is itself measurable."""
+    conv = df.groupBy("conv_id").agg(
+        F.max(
+            F.when(F.col("role") == "assistant", F.col("turn_idx"))
+        ).alias("final_a_idx"),
+        F.max(F.when(F.col("role") == "user", F.col("turn_idx"))).alias(
+            "max_user_idx"
+        ),
+    )
+    chosen = (
+        df.join(conv, "conv_id")
+        .filter(
+            (F.col("role") == "assistant")
+            & (F.col("turn_idx") == F.col("final_a_idx"))
+        )
+        .select(
+            "conv_id",
+            F.col("turn_idx").alias("chosen_turn_idx"),
+            F.col("text").alias("chosen_text"),
+        )
+    )
+    rej = (
+        df.join(conv, "conv_id")
+        .filter(
+            (F.col("role") == "assistant")
+            & (F.col("turn_idx") < F.col("final_a_idx"))
+            & (F.col("max_user_idx") > F.col("turn_idx"))
+        )
+        .select(
+            "conv_id",
+            F.col("turn_idx").alias("rejected_turn_idx"),
+            F.col("text").alias("rejected_text"),
+        )
+    )
+    return rej.join(chosen, "conv_id").select(
+        "conv_id",
+        "rejected_turn_idx",
+        "chosen_turn_idx",
+        F.coalesce(F.length("rejected_text"), F.lit(0))
+        .cast("long")
+        .alias("rejected_chars"),
+        F.coalesce(F.length("chosen_text"), F.lit(0))
+        .cast("long")
+        .alias("chosen_chars"),
+        (
+            F.col("rejected_text").isNotNull()
+            & F.col("chosen_text").isNotNull()
+            & (F.col("rejected_text") != F.col("chosen_text"))
+        ).alias("usable"),
+    )
+
+
+# The smoke corpus is strictly single-exchange (user -> tool ->
+# assistant), so its preference yield is structurally zero; this literal
+# multi-turn fixture (shared verbatim by the Spark frame and the SQL
+# VALUES clause) exercises every pair branch under external attestation:
+# a usable retry pair, an identical-final pair (usable=false), a
+# NULL-rejected pair (usable=false), and an assistant turn with no later
+# user turn (no pair at all).
+PREF_FIXTURE: list[tuple] = [
+    ("pref-retry-1", 0, "user", "please fix the bug"),
+    ("pref-retry-1", 1, "assistant", "attempt one fails"),
+    ("pref-retry-1", 2, "user", "still broken"),
+    ("pref-retry-1", 3, "assistant", "attempt two works"),
+    ("pref-retry-2", 0, "user", "do the thing"),
+    ("pref-retry-2", 1, "assistant", "same answer"),
+    ("pref-retry-2", 2, "user", "try again"),
+    ("pref-retry-2", 3, "assistant", "same answer"),
+    ("pref-retry-3", 0, "user", "question"),
+    ("pref-retry-3", 1, "assistant", None),
+    ("pref-retry-3", 2, "user", "clarify"),
+    ("pref-retry-3", 3, "tool", "tool output"),
+    ("pref-retry-3", 4, "assistant", "final"),
+    ("pref-retry-4", 0, "user", "one shot"),
+    ("pref-retry-4", 1, "assistant", "draft"),
+    ("pref-retry-4", 2, "tool", "lookup"),
+    ("pref-retry-4", 3, "assistant", "polished"),
+]
+
+
+def q_preference_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining on the smoke transcript corpus plus the
+    shared multi-turn fixture (see preference_pair_frame and
+    PREF_FIXTURE).  Scale shape: ONE conv_id groupBy (bounded
+    per-conversation state) + two conv_id equi-joins back — every wide
+    operation keys on conv_id, the corpus's natural partition key."""
+    base = spark.read.parquet(TRANSCRIPTS_PQ).select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+    fixture = spark.createDataFrame(
+        PREF_FIXTURE, "conv_id string, turn_idx int, role string, text string"
+    )
+    return preference_pair_frame(base.unionByName(fixture))
+
+
+def _pref_fixture_values() -> str:
+    rows = ", ".join(
+        "('{}', {}, '{}', {})".format(
+            c, i, r, "NULL" if x is None else f"'{x}'"
+        )
+        for c, i, r, x in PREF_FIXTURE
+    )
+    return rows
+
+
+SQL_PREFERENCE_PAIR_MINING = f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role, text
+  FROM read_parquet('{TRANSCRIPTS_PQ}')
+  UNION ALL
+  SELECT * FROM (VALUES {_pref_fixture_values()})
+    v(conv_id, turn_idx, role, text)
+), conv AS (
+  SELECT conv_id,
+         max(CASE WHEN role = 'assistant' THEN turn_idx END) AS final_a_idx,
+         max(CASE WHEN role = 'user' THEN turn_idx END) AS max_user_idx
+  FROM t GROUP BY conv_id
+), chosen AS (
+  SELECT t.conv_id, t.turn_idx AS chosen_turn_idx, t.text AS chosen_text
+  FROM t JOIN conv ON t.conv_id = conv.conv_id
+                  AND t.turn_idx = conv.final_a_idx
+  WHERE t.role = 'assistant'
+)
+SELECT a.conv_id,
+       a.turn_idx AS rejected_turn_idx,
+       c.chosen_turn_idx,
+       CAST(coalesce(length(a.text), 0) AS BIGINT) AS rejected_chars,
+       CAST(coalesce(length(c.chosen_text), 0) AS BIGINT) AS chosen_chars,
+       (a.text IS NOT NULL AND c.chosen_text IS NOT NULL
+        AND a.text <> c.chosen_text) AS usable
+FROM t a
+JOIN conv ON a.conv_id = conv.conv_id
+JOIN chosen c ON c.conv_id = a.conv_id
+WHERE a.role = 'assistant'
+  AND a.turn_idx < conv.final_a_idx
+  AND conv.max_user_idx > a.turn_idx
+"""
+
+
+def tool_output_collapse_frame(df: DataFrame) -> DataFrame:
+    """Context-compression audit over the north-rule transcript shape:
+    within a conversation, TOOL turns whose (tool, text) repeats an
+    earlier tool turn verbatim are collapsible (an agent context window
+    re-sends the same tool output; only the first occurrence carries
+    information).  Per conversation: tool-turn counts, distinct outputs,
+    collapsible turns, and the character mass a collapse pass saves —
+    conversations with no tool turns keep a zero row so coverage is
+    provable."""
+    convs = df.select("conv_id").distinct()
+    key = [
+        "conv_id",
+        F.coalesce(F.col("tool"), F.lit("\x01")),
+        F.md5(F.coalesce(F.col("text"), F.lit("\x01"))),
+    ]
+    wk = Window.partitionBy(*key).orderBy("turn_idx")
+    tool = (
+        df.filter(F.col("role") == "tool")
+        .withColumn("rn", F.row_number().over(wk))
+        .withColumn(
+            "n_chars", F.coalesce(F.length("text"), F.lit(0)).cast("long")
+        )
+    )
+    roll = tool.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tool_turns"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_distinct_outputs"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_collapsible"),
+        F.sum("n_chars").cast("long").alias("tool_chars"),
+        F.sum(F.when(F.col("rn") > 1, F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("chars_saved"),
+    )
+    return convs.join(roll, "conv_id", "left").select(
+        "conv_id",
+        F.coalesce("n_tool_turns", F.lit(0)).cast("long").alias("n_tool_turns"),
+        F.coalesce("n_distinct_outputs", F.lit(0))
+        .cast("long")
+        .alias("n_distinct_outputs"),
+        F.coalesce("n_collapsible", F.lit(0))
+        .cast("long")
+        .alias("n_collapsible"),
+        F.coalesce("tool_chars", F.lit(0)).cast("long").alias("tool_chars"),
+        F.coalesce("chars_saved", F.lit(0)).cast("long").alias("chars_saved"),
+        F.round(
+            F.try_divide(
+                F.coalesce("chars_saved", F.lit(0)),
+                F.when(F.coalesce("tool_chars", F.lit(0)) > 0, F.col("tool_chars")),
+            ),
+            6,
+        ).alias("saved_frac"),
+    )
+
+
+def q_tool_output_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-output collapse audit on the smoke transcript corpus (see
+    tool_output_collapse_frame).  Scale shape: one window + one groupBy,
+    both keyed on conv_id(+digest) — bounded per-conversation state, no
+    corpus-wide keys."""
+    return tool_output_collapse_frame(spark.read.parquet(TRANSCRIPTS_PQ))
+
+
+SQL_TOOL_OUTPUT_COLLAPSE = f"""
+WITH t AS (
+  SELECT * FROM read_parquet('{TRANSCRIPTS_PQ}')
+), convs AS (
+  SELECT DISTINCT conv_id FROM t
+), tool AS (
+  SELECT conv_id,
+         length(coalesce(text, '')) AS n_chars,
+         row_number() OVER (
+           PARTITION BY conv_id, coalesce(tool, chr(1)),
+                        md5(coalesce(text, chr(1)))
+           ORDER BY turn_idx) AS rn
+  FROM t WHERE role = 'tool'
+), roll AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n_tool_turns,
+         CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_distinct_outputs,
+         CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_collapsible,
+         CAST(sum(n_chars) AS BIGINT) AS tool_chars,
+         CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+           AS chars_saved
+  FROM tool GROUP BY conv_id
+)
+SELECT c.conv_id,
+       coalesce(r.n_tool_turns, 0) AS n_tool_turns,
+       coalesce(r.n_distinct_outputs, 0) AS n_distinct_outputs,
+       coalesce(r.n_collapsible, 0) AS n_collapsible,
+       coalesce(r.tool_chars, 0) AS tool_chars,
+       coalesce(r.chars_saved, 0) AS chars_saved,
+       round(coalesce(r.chars_saved, 0)
+             / (CASE WHEN coalesce(r.tool_chars, 0) > 0
+                     THEN r.tool_chars END), 6) AS saved_frac
+FROM convs c LEFT JOIN roll r USING (conv_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -11352,4 +11820,16 @@ QUERIES: dict[str, tuple] = {
         SQL_MINHASH_LSH_PARAM_PLAN,
     ),
     "dup_ngram_topk": (q_dup_ngram_topk, SQL_DUP_NGRAM_TOPK),
+    # round 5, thirty-third wave (appended past the pinned driver
+    # window): hybrid RRF retrieval fusion, DPO preference-pair mining,
+    # tool-output context-compression audit.
+    "hybrid_rrf_fusion": (q_hybrid_rrf_fusion, SQL_HYBRID_RRF_FUSION),
+    "preference_pair_mining": (
+        q_preference_pair_mining,
+        SQL_PREFERENCE_PAIR_MINING,
+    ),
+    "tool_output_collapse": (
+        q_tool_output_collapse,
+        SQL_TOOL_OUTPUT_COLLAPSE,
+    ),
 }

@@ -77,7 +77,8 @@ def main() -> None:
                  "turn_html_stats", "transcript_integrity_check",
                  "token_coverage_vocab_size", "kmeans_outlier_flags",
                  "agent_loop_neardup", "conversation_split_assign",
-                 "dup_ngram_topk"):
+                 "dup_ngram_topk", "hybrid_rrf_fusion",
+                 "preference_pair_mining", "tool_output_collapse"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -407,6 +408,25 @@ def main() -> None:
                    "partial_count" in full["dup_ngram_topk"]
                    and "TakeOrderedAndProject" in full["dup_ngram_topk"]
                    and "Window" not in full["dup_ngram_topk"]))
+
+    checks.append(("hybrid fusion: the only cross product is the bounded "
+                   "query-vector BROADCAST (BNLJ BuildRight, like "
+                   "ann_cosine_topk); lexical candidates come from token "
+                   "equi-joins; no CartesianProduct anywhere",
+                   "CartesianProduct" not in full["hybrid_rrf_fusion"]
+                   and full["hybrid_rrf_fusion"].count(
+                       "BroadcastNestedLoopJoin Cross") == 1
+                   and "BroadcastHashJoin" in full["hybrid_rrf_fusion"]))
+
+    checks.append(("preference mining: conv_id-keyed joins only, no "
+                   "cartesian and no explode",
+                   "CartesianProduct" not in full["preference_pair_mining"]
+                   and "Generate" not in full["preference_pair_mining"]))
+
+    checks.append(("tool-output collapse: window + rollup + coverage "
+                   "join, no cartesian and no explode",
+                   "CartesianProduct" not in full["tool_output_collapse"]
+                   and "Generate" not in full["tool_output_collapse"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -161,6 +161,9 @@ SCALE_CLASS = {
     "bpe_roundtrip_check": ("shuffle", "runs on the memoized trainer state - the VOCAB-sized distinct-word table - so cost is independent of corpus row count; the verdict is an in-row string expression"),
     "minhash_lsh_param_plan": ("bucketed", "signature/pair machinery identical to dedup_minhash_lsh (single shingle scan, bucket-group-and-pair); the planner's own aggregates run over a 5x99 constant grid and the CANDIDATE-bounded pair table; all arithmetic is integer micro-units so both engines agree bit-for-bit"),
     "dup_ngram_topk": ("shuffle", "one token-array scan explodes into an ngram groupBy with map-side combine; the top-K cut is TakeOrdered over the duplicated subset, never a vocab-wide window"),
+    "hybrid_rrf_fusion": ("bucketed", "both retrieval legs are query-bounded broadcasts: lexical candidates come only from an equi-join on the 4 query docs' df-capped tokens (the BM25 candidate discipline - the df cap bounds per-token join groups), semantic candidates from broadcast query vectors; the df-capped token table is checkpointed once and feeds sizes, the query side and candidates; every ranking window partitions by query over candidate-bounded sets"),
+    "preference_pair_mining": ("shuffle", "ONE conv_id groupBy (bounded per-conversation state) + two conv_id equi-joins back - every wide operation keys on conv_id, the corpus's natural partition key; the literal multi-turn fixture is a constant-size union"),
+    "tool_output_collapse": ("shuffle", "one (conv_id, tool, digest) window + one conv_id groupBy + one conv_id coverage join - all keys carry bounded per-conversation state"),
 }
 
 
