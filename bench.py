@@ -277,6 +277,11 @@ def main() -> None:
         "hybrid_rrf_fusion",
         "preference_pair_mining",
         "tool_output_collapse",
+        # round 5, thirty-fourth wave: incremental LSH probe, filter
+        # agreement, skew audit.  Excluded from the r04 subtotal.
+        "dedup_index_lookup",
+        "filter_agreement_matrix",
+        "partition_skew_audit",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -356,6 +361,9 @@ def main() -> None:
         "hybrid_rrf_fusion",
         "preference_pair_mining",
         "tool_output_collapse",
+        "dedup_index_lookup",
+        "filter_agreement_matrix",
+        "partition_skew_audit",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

@@ -11508,6 +11508,270 @@ FROM convs c LEFT JOIN roll r USING (conv_id)
 """
 
 
+INDEX_SPLIT_MOD = 5  # doc_id % 5 == 0 -> incoming batch; else frozen index
+
+
+def q_dedup_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup against a FROZEN LSH index — the production
+    ingestion path the self-join dedup family doesn't cover: a new batch
+    (doc_id % INDEX_SPLIT_MOD == 0, ~20% of the corpus) probes the band/signature
+    index built from the already-ingested docs (the other ~80%), so the
+    candidate join is query-side × bucket, never batch × batch or a
+    corpus self-join.  Per candidate: bands hit, signature-estimated
+    Jaccard in micro-units (n_eq/16, exactly representable), and the
+    is_dup verdict at the J>=0.5 bar.
+
+    Scale shape: signatures are computed in ONE groupBy over the shingle
+    scan (the dedup_minhash_lsh discipline, both sides share it); the
+    probe is a (band, sig) equi-join where the index side is exactly the
+    state an incremental system keeps sharded; the signature re-check
+    joins only candidate pairs."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = _shingles(docs)
+    signed = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws(":", F.lit(seed), F.col("shingle")))
+            ).alias(f"mh{seed}")
+            for seed in range(N_MINHASH)
+        ]
+    ).localCheckpoint()  # feeds bands (both sides) + the est re-check
+    per_band = N_MINHASH // N_BANDS
+    band_rows = [
+        F.struct(
+            F.lit(band).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[F.col(f"mh{band * per_band + j}") for j in range(per_band)],
+                )
+            ).alias("sig"),
+        )
+        for band in range(N_BANDS)
+    ]
+    bands = signed.select(
+        "doc_id", F.explode(F.array(*band_rows)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+    is_batch = F.col("doc_id") % INDEX_SPLIT_MOD == 0
+    idx = bands.filter(~is_batch).select(
+        F.col("doc_id").alias("index_doc"), "band", "sig"
+    )
+    qb = bands.filter(is_batch).select(
+        F.col("doc_id").alias("query_doc"), "band", "sig"
+    )
+    cand = (
+        qb.join(idx, ["band", "sig"])
+        .groupBy("query_doc", "index_doc")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_bands_hit"))
+    )
+    sa = signed.select(
+        F.col("doc_id").alias("query_doc"),
+        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(N_MINHASH)],
+    )
+    sb = signed.select(
+        F.col("doc_id").alias("index_doc"),
+        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(N_MINHASH)],
+    )
+    n_eq = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        for s in range(N_MINHASH)
+    )
+    est = ((F.lit(0) + n_eq) * (MICRO // N_MINHASH)).cast("long")
+    return (
+        cand.join(sa, "query_doc")
+        .join(sb, "index_doc")
+        .select(
+            "query_doc",
+            "index_doc",
+            "n_bands_hit",
+            est.alias("est_micro"),
+            (est >= MICRO // 2).alias("is_dup"),
+        )
+    )
+
+
+SQL_DEDUP_INDEX_LOOKUP = (
+    _SHINGLES_SQL
+    + f"""
+  , minhashes AS MATERIALIZED (
+    SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minh
+    FROM shingles, UNNEST(generate_series(0, {N_MINHASH - 1})) AS s(seed)
+    GROUP BY doc_id, seed
+  ),
+  bands AS (
+    SELECT doc_id, CAST(seed // {N_MINHASH // N_BANDS} AS INT) AS band,
+           md5(string_agg(minh, ',' ORDER BY seed)) AS sig
+    FROM minhashes
+    GROUP BY doc_id, CAST(seed // {N_MINHASH // N_BANDS} AS INT)
+  ),
+  cand AS (
+    SELECT q.doc_id AS query_doc, i.doc_id AS index_doc,
+           CAST(count(*) AS INT) AS n_bands_hit
+    FROM bands q
+    JOIN bands i ON q.band = i.band AND q.sig = i.sig
+    WHERE q.doc_id % {INDEX_SPLIT_MOD} = 0
+      AND i.doc_id % {INDEX_SPLIT_MOD} <> 0
+    GROUP BY q.doc_id, i.doc_id
+  ),
+  est AS (
+    SELECT c.query_doc, c.index_doc, c.n_bands_hit,
+           CAST(sum(CASE WHEN ma.minh = mb.minh THEN 1 ELSE 0 END)
+                * {MICRO // N_MINHASH} AS BIGINT) AS est_micro
+    FROM cand c
+    JOIN minhashes ma ON ma.doc_id = c.query_doc
+    JOIN minhashes mb ON mb.doc_id = c.index_doc AND mb.seed = ma.seed
+    GROUP BY c.query_doc, c.index_doc, c.n_bands_hit
+  )
+SELECT query_doc, index_doc, n_bands_hit, est_micro,
+       est_micro >= {MICRO // 2} AS is_dup
+FROM est
+"""
+)
+
+
+def q_filter_agreement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement matrix across the three independent quality batteries —
+    the filter-ablation table dataset cards publish before committing a
+    gate stack at scale: per (passes_gopher, classifier pred, LM
+    bottom-decile) cell, document count and mean Gopher word count.
+    Docs the LM ranker cannot score (<2 tokens) keep their cells with a
+    NULL lm flag, so coverage is provable.  Flags are cast to INT so the
+    NULLable column has identical pandas dtype on both engines.
+
+    Scale shape: pure composition of three attested subtrees (each
+    scales on its own audit entry) joined on doc_id, collapsed to a
+    <=8-cell rollup with map-side combine."""
+    g = q_gopher_quality_filters(spark, sf_dir).select(
+        "doc_id", F.col("passes_gopher").cast("int").alias("gopher_pass"),
+        "n_words",
+    )
+    c = q_doc_quality_classifier(spark, sf_dir).select(
+        "doc_id", F.col("pred").cast("int").alias("clf_pred")
+    )
+    r = q_doc_quality_rank(spark, sf_dir).select(
+        "doc_id", F.col("low_quality").cast("int").alias("lm_low_quality")
+    )
+    return (
+        g.join(c, "doc_id")
+        .join(r, "doc_id", "left")
+        .groupBy("gopher_pass", "clf_pred", "lm_low_quality")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(F.avg("n_words"), 6).alias("mean_words"),
+        )
+    )
+
+
+def _sql_filter_agreement() -> str:
+    return f"""
+SELECT CAST(g.passes_gopher AS INT) AS gopher_pass,
+       CAST(c.pred AS INT) AS clf_pred,
+       CAST(r.low_quality AS INT) AS lm_low_quality,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(g.n_words), 6) AS mean_words
+FROM ({SQL_GOPHER_QUALITY_FILTERS}) g
+JOIN ({SQL_DOC_QUALITY_CLASSIFIER}) c USING (doc_id)
+LEFT JOIN ({SQL_DOC_QUALITY_RANK}) r USING (doc_id)
+GROUP BY 1, 2, 3
+"""
+
+
+SKEW_BUCKETS = 32
+
+
+def q_partition_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew audit on the north-rule transcript shape: the
+    measurement behind the pipeline's salt-and-repartition design.  Each
+    conversation hashes to one of SKEW_BUCKETS buckets via the shared
+    content-stable md5 polynomial (a proxy for hash partitioning on
+    conv_id); per bucket: turn mass, conversation count, the largest
+    single conversation, the bucket's share of all turns and its skew
+    ratio vs the uniform ideal (micro-units, floor-div exact).  Empty
+    buckets keep zero rows — a skew audit that silently drops empty
+    partitions understates imbalance.
+
+    Scale shape: one (bucket, conv_id) groupBy (bounded per-conversation
+    state) + one bucket rollup; the grand total is a 1-row broadcast."""
+    t = spark.read.parquet(TRANSCRIPTS_PQ)
+    per_conv = (
+        t.select(
+            _md5_bucket(F.col("conv_id"), SKEW_BUCKETS)
+            .cast("int")
+            .alias("bucket"),
+            "conv_id",
+        )
+        .groupBy("bucket", "conv_id")
+        .agg(F.count(F.lit(1)).alias("conv_turns"))
+    )
+    roll = per_conv.groupBy("bucket").agg(
+        F.sum("conv_turns").cast("long").alias("n_turns"),
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.max("conv_turns").cast("long").alias("max_conv_turns"),
+    )
+    total = roll.agg(
+        F.sum("n_turns").cast("long").alias("total_turns")
+    )
+    buckets = spark.range(SKEW_BUCKETS).select(
+        F.col("id").cast("int").alias("bucket")
+    )
+    n_turns = F.coalesce(F.col("n_turns"), F.lit(0)).cast("long")
+    return (
+        buckets.join(roll, "bucket", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "bucket",
+            n_turns.alias("n_turns"),
+            F.coalesce(F.col("n_convs"), F.lit(0)).cast("long").alias("n_convs"),
+            F.coalesce(F.col("max_conv_turns"), F.lit(0))
+            .cast("long")
+            .alias("max_conv_turns"),
+            F.floor(n_turns * F.lit(MICRO) / F.col("total_turns"))
+            .cast("long")
+            .alias("turns_share_micro"),
+            F.floor(
+                n_turns * F.lit(SKEW_BUCKETS) * F.lit(MICRO)
+                / F.col("total_turns")
+            )
+            .cast("long")
+            .alias("skew_ratio_micro"),
+        )
+    )
+
+
+SQL_PARTITION_SKEW_AUDIT = f"""
+WITH hx AS (
+  SELECT conv_id, md5(conv_id) AS h
+  FROM read_parquet('{TRANSCRIPTS_PQ}')
+), bk AS (
+  SELECT conv_id, {_sql_md5_poly('h')} % {SKEW_BUCKETS} AS bucket FROM hx
+), pc AS (
+  SELECT bucket, conv_id, count(*) AS conv_turns
+  FROM bk GROUP BY bucket, conv_id
+), roll AS (
+  SELECT bucket,
+         CAST(sum(conv_turns) AS BIGINT) AS n_turns,
+         CAST(count(*) AS BIGINT) AS n_convs,
+         CAST(max(conv_turns) AS BIGINT) AS max_conv_turns
+  FROM pc GROUP BY bucket
+), tot AS (
+  SELECT CAST(sum(n_turns) AS BIGINT) AS total_turns FROM roll
+), gr AS (
+  SELECT unnest(generate_series(0, {SKEW_BUCKETS - 1})) AS bucket
+)
+SELECT CAST(g.bucket AS INT) AS bucket,
+       coalesce(r.n_turns, 0) AS n_turns,
+       coalesce(r.n_convs, 0) AS n_convs,
+       coalesce(r.max_conv_turns, 0) AS max_conv_turns,
+       (coalesce(r.n_turns, 0) * {MICRO}) // t.total_turns
+         AS turns_share_micro,
+       (coalesce(r.n_turns, 0) * {SKEW_BUCKETS} * {MICRO}) // t.total_turns
+         AS skew_ratio_micro
+FROM gr g
+LEFT JOIN roll r ON r.bucket = g.bucket
+CROSS JOIN tot t
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -11831,5 +12095,17 @@ QUERIES: dict[str, tuple] = {
     "tool_output_collapse": (
         q_tool_output_collapse,
         SQL_TOOL_OUTPUT_COLLAPSE,
+    ),
+    # round 5, thirty-fourth wave (appended past the pinned driver
+    # window): incremental LSH index probe, quality-battery agreement
+    # matrix, partition-skew audit.
+    "dedup_index_lookup": (q_dedup_index_lookup, SQL_DEDUP_INDEX_LOOKUP),
+    "filter_agreement_matrix": (
+        q_filter_agreement_matrix,
+        _sql_filter_agreement(),
+    ),
+    "partition_skew_audit": (
+        q_partition_skew_audit,
+        SQL_PARTITION_SKEW_AUDIT,
     ),
 }

@@ -78,7 +78,8 @@ def main() -> None:
                  "token_coverage_vocab_size", "kmeans_outlier_flags",
                  "agent_loop_neardup", "conversation_split_assign",
                  "dup_ngram_topk", "hybrid_rrf_fusion",
-                 "preference_pair_mining", "tool_output_collapse"):
+                 "preference_pair_mining", "tool_output_collapse",
+                 "dedup_index_lookup", "partition_skew_audit"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -427,6 +428,22 @@ def main() -> None:
                    "join, no cartesian and no explode",
                    "CartesianProduct" not in full["tool_output_collapse"]
                    and "Generate" not in full["tool_output_collapse"]))
+
+    checks.append(("incremental LSH probe: bands on both sides read the "
+                   "checkpointed signature table (no shingle re-scan), "
+                   "candidates from equi-joins only",
+                   "CartesianProduct" not in full["dedup_index_lookup"]
+                   and "BroadcastNestedLoopJoin"
+                       not in full["dedup_index_lookup"]
+                   and full["dedup_index_lookup"].count(
+                       "Scan ExistingRDD") >= 2))
+
+    checks.append(("skew audit: the grand total joins as a 1-row "
+                   "broadcast, no cartesian beyond it",
+                   full["partition_skew_audit"].count(
+                       "BroadcastNestedLoopJoin Cross") <= 1
+                   and "CartesianProduct"
+                       not in full["partition_skew_audit"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -164,6 +164,9 @@ SCALE_CLASS = {
     "hybrid_rrf_fusion": ("bucketed", "both retrieval legs are query-bounded broadcasts: lexical candidates come only from an equi-join on the 4 query docs' df-capped tokens (the BM25 candidate discipline - the df cap bounds per-token join groups), semantic candidates from broadcast query vectors; the df-capped token table is checkpointed once and feeds sizes, the query side and candidates; every ranking window partitions by query over candidate-bounded sets"),
     "preference_pair_mining": ("shuffle", "ONE conv_id groupBy (bounded per-conversation state) + two conv_id equi-joins back - every wide operation keys on conv_id, the corpus's natural partition key; the literal multi-turn fixture is a constant-size union"),
     "tool_output_collapse": ("shuffle", "one (conv_id, tool, digest) window + one conv_id groupBy + one conv_id coverage join - all keys carry bounded per-conversation state"),
+    "dedup_index_lookup": ("bucketed", "signatures from ONE groupBy over the shingle scan (checkpointed - feeds bands on both sides AND the est re-check); the probe is a (band, sig) equi-join where the index side is exactly the sharded state an incremental system keeps; signature re-check joins candidates only - never batch x batch or a corpus self-join"),
+    "filter_agreement_matrix": ("shuffle", "pure composition of three attested subtrees (gopher scan projection, memoized classifier features, LM count tables) joined on doc_id and collapsed to a <=8-cell rollup with map-side combine"),
+    "partition_skew_audit": ("shuffle", "one (bucket, conv_id) groupBy with bounded per-conversation state + one bucket rollup over SKEW_BUCKETS rows; the grand total is a 1-row broadcast; empty buckets come from a constant range join"),
 }
 
 
