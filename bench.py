@@ -282,6 +282,11 @@ def main() -> None:
         "dedup_index_lookup",
         "filter_agreement_matrix",
         "partition_skew_audit",
+        # round 5, thirty-fifth wave: encoding triage, shuffle plan,
+        # license scan.  Excluded from the r04 subtotal.
+        "mojibake_detect",
+        "training_shuffle_plan",
+        "license_notice_scan",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -353,6 +358,9 @@ def main() -> None:
         "transcript_integrity_check",
         "token_coverage_vocab_size",
         "kmeans_outlier_flags",
+        "mojibake_detect",
+        "training_shuffle_plan",
+        "license_notice_scan",
         "agent_loop_neardup",
         "conversation_split_assign",
         "bpe_roundtrip_check",

@@ -11773,6 +11773,260 @@ CROSS JOIN tot t
 
 
 # --------------------------------------------------------------------------
+# Encoding-quality triage (mojibake / replacement-char / control-char scan)
+# --------------------------------------------------------------------------
+
+# UTF-8-bytes-decoded-as-Latin-1 signature sequences (the classic mojibake
+# artifacts: é -> Ã©, ’ -> â€™, « -> Â«, ...).  Fixed literal list so both
+# engines count by exact substring replace — no regexp dialect involved.
+MOJIBAKE_SEQS = (
+    "Ã©",  # Ã©  (é)
+    "Ã¨",  # Ã¨  (è)
+    "Ã¡",  # Ã¡  (á)
+    "Ã³",  # Ã³  (ó)
+    "Ãº",  # Ãº  (ú)
+    "Ã±",  # Ã±  (ñ)
+    "Ã¼",  # Ã¼  (ü)
+    "Ã¶",  # Ã¶  (ö)
+    "Ã¤",  # Ã¤  (ä)
+    "â€™",  # â€™ (’)
+    "â€œ",  # â€œ (“)
+    "â€“",  # â€“ (–)
+    "â€”",  # â€” (—)
+    "Â«",  # Â«
+    "Â»",  # Â»
+)
+REPL_CHAR = "�"
+CTRL_RE = r"[\x00-\x08\x0B\x0C\x0E-\x1F]"
+
+
+def _subseq_count(col, pat: str):
+    """Exact occurrence count of literal `pat` in `col` via the
+    length-delta-of-replace identity (cross-engine exact; no regexp)."""
+    return (
+        (F.length(col) - F.length(F.replace(col, F.lit(pat), F.lit(""))))
+        / F.lit(len(pat))
+    ).cast("long")
+
+
+def q_mojibake_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-quality triage over the document corpus: per doc, the
+    count of U+FFFD replacement characters (a decoder already gave up),
+    exact hits on the classic UTF-8-read-as-Latin-1 mojibake signature
+    sequences (Ã©, â€™, Â«, ...), and C0 control characters outside
+    tab/newline/CR — the ftfy-style pre-filter a crawl pipeline runs
+    before any text operator trusts the bytes.  `encoding_suspect` is the
+    routing verdict.
+
+    Scale shape: a zero-exchange scan projection — every stat is a
+    JVM-side length/replace identity or one bounded regexp over the row's
+    own text; nothing shuffles."""
+    return mojibake_frame(_t(spark, sf_dir, "documents"))
+
+
+def mojibake_frame(docs: DataFrame) -> DataFrame:
+    """Core of q_mojibake_detect over any (doc_id, text) frame —
+    factored so crafted-corpus tests can pin each signature branch."""
+    txt = F.col("text")
+    moji = None
+    for p in MOJIBAKE_SEQS:
+        c = _subseq_count(txt, p)
+        moji = c if moji is None else (moji + c)
+    ctrl = (
+        F.length(txt) - F.length(F.regexp_replace(txt, CTRL_RE, ""))
+    ).cast("long")
+    out = docs.select(
+        "doc_id",
+        F.length(txt).cast("long").alias("n_chars"),
+        _subseq_count(txt, REPL_CHAR).alias("repl_chars"),
+        moji.cast("long").alias("mojibake_hits"),
+        ctrl.alias("ctrl_chars"),
+    )
+    return out.withColumn(
+        "encoding_suspect",
+        (F.col("repl_chars") > 0)
+        | (F.col("mojibake_hits") > 0)
+        | (F.col("ctrl_chars") > 0),
+    )
+
+
+def _sql_subseq_count(col: str, pat: str) -> str:
+    esc = pat.replace("'", "''")
+    return (
+        f"((length({col}) - length(replace({col}, '{esc}', '')))"
+        f" // {len(pat)})"
+    )
+
+
+_SQL_MOJI_SUM = " + ".join(_sql_subseq_count("text", p) for p in MOJIBAKE_SEQS)
+
+SQL_MOJIBAKE_DETECT = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST({_sql_subseq_count('text', REPL_CHAR)} AS BIGINT)
+           AS repl_chars,
+         CAST({_SQL_MOJI_SUM} AS BIGINT) AS mojibake_hits,
+         CAST(length(text)
+              - length(regexp_replace(text, '{CTRL_RE}', '', 'g'))
+              AS BIGINT) AS ctrl_chars
+  FROM documents
+)
+SELECT doc_id, n_chars, repl_chars, mojibake_hits, ctrl_chars,
+       (repl_chars > 0 OR mojibake_hits > 0 OR ctrl_chars > 0)
+         AS encoding_suspect
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic training-shuffle plan (epoch-keyed hash shuffle to shards)
+# --------------------------------------------------------------------------
+
+SHUFFLE_EPOCHS = 2
+SHUFFLE_SHARDS = 8
+SHUFFLE_KEY_MOD = 1_000_000_007
+
+
+def q_training_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle WITHOUT a global sort: every
+    document gets, per epoch, a content-stable shuffle key
+    (md5 polynomial of doc_id:epoch), a shard (key mod SHUFFLE_SHARDS) and
+    a slot (rank within its epoch+shard by key).  Readers stream shard
+    files in slot order and see a reproducible epoch-specific permutation
+    — the standard 100 TB alternative to materializing a shuffled copy
+    per epoch; changing the epoch reshuffles, re-running does not.
+
+    Scale shape: the epoch fan-out is a 2-element array explode
+    (map-side); the ONLY exchange is the (epoch, shard) partition for the
+    slot window, whose groups are corpus/SHARDS-bounded and grow strictly
+    smaller as SHARDS scales with the cluster."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    epochs = F.explode(
+        F.array(*[F.lit(e) for e in range(SHUFFLE_EPOCHS)])
+    ).alias("epoch")
+    keyed = docs.select("doc_id", epochs).select(
+        "doc_id",
+        F.col("epoch").cast("int").alias("epoch"),
+        _md5_bucket(
+            F.concat_ws(
+                ":", F.col("doc_id").cast("string"),
+                F.col("epoch").cast("string"),
+            ),
+            SHUFFLE_KEY_MOD,
+        ).cast("long").alias("shuffle_key"),
+    )
+    w = Window.partitionBy("epoch", "shard").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.withColumn(
+            "shard",
+            F.pmod(F.col("shuffle_key"), F.lit(SHUFFLE_SHARDS)).cast("int"),
+        )
+        .withColumn("slot", F.row_number().over(w).cast("long"))
+        .select("epoch", "doc_id", "shuffle_key", "shard", "slot")
+    )
+
+
+SQL_TRAINING_SHUFFLE_PLAN = f"""
+WITH ep AS (
+  SELECT d.doc_id, e.epoch,
+         md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(e.epoch AS VARCHAR))
+           AS h
+  FROM documents d
+  CROSS JOIN (VALUES (0), (1)) AS e(epoch)
+), keyed AS (
+  SELECT doc_id, CAST(epoch AS INT) AS epoch,
+         CAST({_sql_md5_poly('h')} % {SHUFFLE_KEY_MOD} AS BIGINT)
+           AS shuffle_key
+  FROM ep
+), sh AS (
+  SELECT *, CAST(shuffle_key % {SHUFFLE_SHARDS} AS INT) AS shard FROM keyed
+)
+SELECT epoch, doc_id, shuffle_key, shard,
+       CAST(row_number() OVER (PARTITION BY epoch, shard
+                               ORDER BY shuffle_key, doc_id) AS BIGINT)
+         AS slot
+FROM sh
+"""
+
+
+# --------------------------------------------------------------------------
+# License / indexing-directive compliance scan over raw HTML turns
+# --------------------------------------------------------------------------
+
+def q_license_notice_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compliance triage over HTML-gated transcript turns: rel=license
+    link markers, creativecommons.org link count, and noindex/nofollow
+    robots directives — the per-document licensing/indexing evidence a
+    training-data pipeline must carry BEFORE a corpus ships (C4/RefinedWeb
+    both filter on exactly these markers).  `license_verdict` routes:
+    cc_marked (explicit license marker) > noindex_restricted (publisher
+    opted out of indexing) > unmarked.
+
+    Scale shape: a zero-exchange scan projection — every flag is a
+    JVM-side lowercase + substring scan of the row's own text; the HTML
+    gate predicate pushes to the scan like the extraction pipeline's."""
+    return license_frame(spark.read.parquet(TRANSCRIPTS_PQ))
+
+
+def license_frame(t: DataFrame) -> DataFrame:
+    """Core of q_license_notice_scan over any transcript-shaped frame."""
+    from .pipeline import HTML_GATE
+
+    g = t.filter(F.col("text").isNotNull() & F.col("text").rlike(HTML_GATE))
+    low = F.lower(F.col("text"))
+    rel_license = (
+        (F.instr(low, 'rel="license"') > 0)
+        | (F.instr(low, "rel='license'") > 0)
+    )
+    cc_links = _subseq_count(low, "creativecommons.org")
+    noindex = F.instr(low, "noindex") > 0
+    nofollow = F.instr(low, "nofollow") > 0
+    out = g.select(
+        "conv_id",
+        "turn_idx",
+        rel_license.alias("has_rel_license"),
+        cc_links.alias("cc_links"),
+        noindex.alias("has_noindex"),
+        nofollow.alias("has_nofollow"),
+    )
+    return out.withColumn(
+        "license_verdict",
+        F.when(
+            F.col("has_rel_license") | (F.col("cc_links") > 0),
+            F.lit("cc_marked"),
+        )
+        .when(F.col("has_noindex"), F.lit("noindex_restricted"))
+        .otherwise(F.lit("unmarked")),
+    )
+
+
+SQL_LICENSE_NOTICE_SCAN = f"""
+WITH g AS (
+  SELECT conv_id, turn_idx, lower(text) AS low
+  FROM read_parquet('{TRANSCRIPTS_PQ}')
+  WHERE text IS NOT NULL
+    AND regexp_matches(text, '(?i)<html|<!doctype\\s+html')
+), s AS (
+  SELECT conv_id, turn_idx,
+         (strpos(low, 'rel="license"') > 0
+          OR strpos(low, 'rel=''license''') > 0) AS has_rel_license,
+         CAST({_sql_subseq_count('low', 'creativecommons.org')} AS BIGINT)
+           AS cc_links,
+         strpos(low, 'noindex') > 0 AS has_noindex,
+         strpos(low, 'nofollow') > 0 AS has_nofollow
+  FROM g
+)
+SELECT conv_id, turn_idx, has_rel_license, cc_links, has_noindex,
+       has_nofollow,
+       CASE WHEN has_rel_license OR cc_links > 0 THEN 'cc_marked'
+            WHEN has_noindex THEN 'noindex_restricted'
+            ELSE 'unmarked' END AS license_verdict
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -12108,4 +12362,10 @@ QUERIES: dict[str, tuple] = {
         q_partition_skew_audit,
         SQL_PARTITION_SKEW_AUDIT,
     ),
+    "mojibake_detect": (q_mojibake_detect, SQL_MOJIBAKE_DETECT),
+    "training_shuffle_plan": (
+        q_training_shuffle_plan,
+        SQL_TRAINING_SHUFFLE_PLAN,
+    ),
+    "license_notice_scan": (q_license_notice_scan, SQL_LICENSE_NOTICE_SCAN),
 }

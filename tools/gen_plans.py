@@ -79,7 +79,9 @@ def main() -> None:
                  "agent_loop_neardup", "conversation_split_assign",
                  "dup_ngram_topk", "hybrid_rrf_fusion",
                  "preference_pair_mining", "tool_output_collapse",
-                 "dedup_index_lookup", "partition_skew_audit"):
+                 "dedup_index_lookup", "partition_skew_audit",
+                 "mojibake_detect", "training_shuffle_plan",
+                 "license_notice_scan"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -444,6 +446,17 @@ def main() -> None:
                        "BroadcastNestedLoopJoin Cross") <= 1
                    and "CartesianProduct"
                        not in full["partition_skew_audit"]))
+
+    checks.append(("mojibake + license scans are Exchange-free scan "
+                   "projections",
+                   "Exchange" not in full["mojibake_detect"]
+                   and "Exchange" not in full["license_notice_scan"]))
+
+    checks.append(("training shuffle plan: exactly ONE exchange (the "
+                   "(epoch, shard) slot window), no joins",
+                   len(re.findall(r"\(\d+\) Exchange",
+                                  full["training_shuffle_plan"])) == 1
+                   and "Join" not in full["training_shuffle_plan"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -167,6 +167,9 @@ SCALE_CLASS = {
     "dedup_index_lookup": ("bucketed", "signatures from ONE groupBy over the shingle scan (checkpointed - feeds bands on both sides AND the est re-check); the probe is a (band, sig) equi-join where the index side is exactly the sharded state an incremental system keeps; signature re-check joins candidates only - never batch x batch or a corpus self-join"),
     "filter_agreement_matrix": ("shuffle", "pure composition of three attested subtrees (gopher scan projection, memoized classifier features, LM count tables) joined on doc_id and collapsed to a <=8-cell rollup with map-side combine"),
     "partition_skew_audit": ("shuffle", "one (bucket, conv_id) groupBy with bounded per-conversation state + one bucket rollup over SKEW_BUCKETS rows; the grand total is a 1-row broadcast; empty buckets come from a constant range join"),
+    "mojibake_detect": ("linear", "zero-exchange scan projection - every stat is a JVM-side length/replace substring-count identity or one bounded regexp over the row's own text; no shuffle anywhere"),
+    "training_shuffle_plan": ("shuffle", "epoch fan-out is a 2-element array explode (map-side); the ONLY exchange is the (epoch, shard) partition for the slot window, whose groups are corpus/SHARDS-bounded and shrink as SHARDS scales with the cluster"),
+    "license_notice_scan": ("linear", "zero-exchange scan projection - every flag is a lowercase + substring position scan of the row's own text; the HTML gate predicate pushes to the scan"),
 }
 
 
