@@ -287,6 +287,11 @@ def main() -> None:
         "mojibake_detect",
         "training_shuffle_plan",
         "license_notice_scan",
+        # round 5, thirty-sixth wave: unicode triage, A-ES weighted
+        # sampling, soft dedup weights.  Excluded from the r04 subtotal.
+        "unicode_normalize_stats",
+        "weighted_sample_aes",
+        "dedup_soft_weights",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -361,6 +366,9 @@ def main() -> None:
         "mojibake_detect",
         "training_shuffle_plan",
         "license_notice_scan",
+        "unicode_normalize_stats",
+        "weighted_sample_aes",
+        "dedup_soft_weights",
         "agent_loop_neardup",
         "conversation_split_assign",
         "bpe_roundtrip_check",

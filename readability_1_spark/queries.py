@@ -12027,6 +12027,253 @@ FROM s
 
 
 # --------------------------------------------------------------------------
+# Unicode normalization triage (invisible / typographic-variant characters)
+# --------------------------------------------------------------------------
+
+NBSP = " "
+ZERO_WIDTH_CHARS = ("​", "‌", "‍", "﻿")
+SOFT_HYPHEN = "­"
+CURLY_QUOTES = ("’", "‘", "“", "”")
+
+
+def q_unicode_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-normalization triage over the document corpus: per doc, the
+    count of NBSPs, zero-width characters (ZWSP/ZWNJ/ZWJ/BOM-as-ZWNBSP),
+    soft hyphens, and curly quotes — the invisible/typographic variants a
+    tokenizer-bound pipeline folds to canonical forms before token counts,
+    dedup shingles, or BPE training touch the text (two byte-different
+    strings that render identically must not count as distinct).
+    `n_chars_normalized` is the post-fold length (zero-width + soft hyphen
+    drop; NBSP and curly quotes map 1:1), and `needs_normalize` routes.
+
+    Scale shape: a zero-exchange scan projection — every count is a
+    JVM-side length/replace substring identity over the row's own text;
+    nothing shuffles."""
+    return unicode_normalize_frame(_t(spark, sf_dir, "documents"))
+
+
+def unicode_normalize_frame(docs: DataFrame) -> DataFrame:
+    """Core of q_unicode_normalize_stats over any (doc_id, text) frame —
+    factored so crafted-corpus tests can pin each character class."""
+    txt = F.col("text")
+    zw = None
+    for ch in ZERO_WIDTH_CHARS:
+        c = _subseq_count(txt, ch)
+        zw = c if zw is None else (zw + c)
+    cq = None
+    for ch in CURLY_QUOTES:
+        c = _subseq_count(txt, ch)
+        cq = c if cq is None else (cq + c)
+    out = docs.select(
+        "doc_id",
+        F.length(txt).cast("long").alias("n_chars"),
+        _subseq_count(txt, NBSP).alias("nbsp_count"),
+        zw.cast("long").alias("zero_width_count"),
+        _subseq_count(txt, SOFT_HYPHEN).alias("soft_hyphen_count"),
+        cq.cast("long").alias("curly_quote_count"),
+    )
+    return out.select(
+        "*",
+        (
+            F.col("n_chars")
+            - F.col("zero_width_count")
+            - F.col("soft_hyphen_count")
+        ).cast("long").alias("n_chars_normalized"),
+        (
+            (F.col("nbsp_count") > 0)
+            | (F.col("zero_width_count") > 0)
+            | (F.col("soft_hyphen_count") > 0)
+            | (F.col("curly_quote_count") > 0)
+        ).alias("needs_normalize"),
+    )
+
+
+_SQL_ZW_SUM = " + ".join(
+    _sql_subseq_count("text", ch) for ch in ZERO_WIDTH_CHARS
+)
+_SQL_CQ_SUM = " + ".join(
+    _sql_subseq_count("text", ch) for ch in CURLY_QUOTES
+)
+
+SQL_UNICODE_NORMALIZE_STATS = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST({_sql_subseq_count('text', NBSP)} AS BIGINT) AS nbsp_count,
+         CAST({_SQL_ZW_SUM} AS BIGINT) AS zero_width_count,
+         CAST({_sql_subseq_count('text', SOFT_HYPHEN)} AS BIGINT)
+           AS soft_hyphen_count,
+         CAST({_SQL_CQ_SUM} AS BIGINT) AS curly_quote_count
+  FROM documents
+)
+SELECT doc_id, n_chars, nbsp_count, zero_width_count, soft_hyphen_count,
+       curly_quote_count,
+       CAST(n_chars - zero_width_count - soft_hyphen_count AS BIGINT)
+         AS n_chars_normalized,
+       (nbsp_count > 0 OR zero_width_count > 0 OR soft_hyphen_count > 0
+        OR curly_quote_count > 0) AS needs_normalize
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis, deterministic)
+# --------------------------------------------------------------------------
+
+AES_SAMPLE_K = 100
+AES_KEY_MOD = 1_000_000_007
+
+
+def q_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): every doc draws a content-stable uniform
+    u ∈ (0,1) from the md5 polynomial of its doc_id, and the top-K docs by
+    the key u^(1/w) are the sample — docs with weight w are selected with
+    probability proportional to w, exactly K are drawn, and re-running (or
+    re-partitioning) never changes the draw.  The key is compared in the
+    log domain (ln(u)/w, larger-is-better, scaled ×1e6 and rounded to 6 so
+    both engines rank the identical number); weight = character length,
+    the length-proportional draw a token-budgeted eval sample wants.
+
+    Scale shape: one scan projection + orderBy(limit K) which compiles to
+    TakeOrdered — per-partition top-K then a single K-row driver merge; no
+    global sort at 100 TB."""
+    return weighted_sample_frame(_t(spark, sf_dir, "documents"))
+
+
+def weighted_sample_frame(docs: DataFrame, k: int = AES_SAMPLE_K) -> DataFrame:
+    """Core of q_weighted_sample_aes over any (doc_id, text) frame —
+    factored so crafted-corpus tests can pin the A-ES key math."""
+    w = F.greatest(F.length("text").cast("double"), F.lit(1.0))
+    m = _md5_bucket(F.col("doc_id").cast("string"), AES_KEY_MOD)
+    u = (m.cast("double") + F.lit(1.0)) / F.lit(float(AES_KEY_MOD + 1))
+    key = F.round(F.log(u) * F.lit(1e6) / w, 6)
+    return (
+        docs.select(
+            "doc_id",
+            F.length("text").cast("long").alias("weight_chars"),
+            key.alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+SQL_WEIGHTED_SAMPLE_AES = f"""
+WITH hx AS (
+  SELECT doc_id, length(text) AS n_chars,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), keyed AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight_chars,
+         round(ln((CAST({_sql_md5_poly('h')} % {AES_KEY_MOD} AS DOUBLE) + 1.0)
+                  / {float(AES_KEY_MOD + 1)})
+               * 1e6 / greatest(CAST(n_chars AS DOUBLE), 1.0), 6)
+           AS sample_key
+  FROM hx
+)
+SELECT doc_id, weight_chars, sample_key
+FROM keyed
+ORDER BY sample_key DESC, doc_id ASC
+LIMIT {AES_SAMPLE_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# Soft deduplication (commonness-weighted sampling instead of hard drops)
+# --------------------------------------------------------------------------
+
+def q_dedup_soft_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SoftDeDup-style reweighting: instead of hard-dropping near
+    duplicates, every document gets a sampling weight inversely
+    proportional to how COMMON its content is — mean ln(document
+    frequency) over the doc's distinct 3-word shingles, folded to
+    soft_weight = 1/(1+mean_log_df).  Unique content keeps weight 1;
+    boilerplate that appears in thousands of docs is downweighted
+    smoothly, preserving the information hard dedup throws away.  Docs
+    too short to shingle (<3 tokens) carry weight 1 explicitly.
+
+    Determinism: ln(df) is scaled to INTEGER micro-units before the sum
+    (BIGINT addition is exact, so summation order cannot matter — avg()
+    over round-6 doubles still drifts a ulp and flips a round-6 boundary);
+    the mean divides the exact micro-sum once and rounds to 6 on both
+    engines.
+
+    Scale shape: one distinct-(doc_id, shingle) exchange, one
+    shingle-keyed df aggregation with map-side combine, one doc_id
+    rollup, one doc_id left join — all linear, no self-joins, no
+    per-shingle pair blowup (df is a count, never a pair list)."""
+    return soft_weights_frame(_t(spark, sf_dir, "documents"))
+
+
+def soft_weights_frame(docs: DataFrame) -> DataFrame:
+    """Core of q_dedup_soft_weights over any (doc_id, text) frame —
+    factored so crafted-corpus tests can pin the commonness math."""
+    sh = _shingles(docs)
+    df_tbl = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    per_doc = (
+        sh.join(df_tbl, "shingle")
+        .withColumn(
+            "log_df_micro",
+            F.round(F.log(F.col("df").cast("double")) * F.lit(1e6), 0)
+            .cast("bigint"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum("log_df_micro").alias("sum_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.round(
+                F.col("sum_micro").cast("double")
+                / F.col("n_shingles").cast("double")
+                / F.lit(1e6),
+                6,
+            ).alias("mean_log_df"),
+        )
+    )
+    out = docs.select("doc_id").join(per_doc, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long")
+        .alias("n_shingles"),
+        F.coalesce(F.col("mean_log_df"), F.lit(0.0)).alias("mean_log_df"),
+        F.round(
+            F.lit(1.0)
+            / (F.lit(1.0) + F.coalesce(F.col("mean_log_df"), F.lit(0.0))),
+            6,
+        ).alias("soft_weight"),
+    )
+
+
+SQL_DEDUP_SOFT_WEIGHTS = f"""
+{_SHINGLES_SQL}
+, df_tbl AS (
+  SELECT shingle, count(*) AS df FROM shingles GROUP BY shingle
+), agg AS (
+  SELECT s.doc_id,
+         CAST(count(*) AS BIGINT) AS n_shingles,
+         CAST(sum(CAST(round(ln(CAST(d.df AS DOUBLE)) * 1e6, 0) AS BIGINT))
+              AS BIGINT) AS sum_micro
+  FROM shingles s JOIN df_tbl d USING (shingle)
+  GROUP BY s.doc_id
+), per_doc AS (
+  SELECT doc_id, n_shingles,
+         round(CAST(sum_micro AS DOUBLE) / CAST(n_shingles AS DOUBLE) / 1e6,
+               6) AS mean_log_df
+  FROM agg
+)
+SELECT doc_id,
+       COALESCE(p.n_shingles, 0) AS n_shingles,
+       COALESCE(p.mean_log_df, 0.0) AS mean_log_df,
+       round(1.0 / (1.0 + COALESCE(p.mean_log_df, 0.0)), 6) AS soft_weight
+FROM documents LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -12368,4 +12615,10 @@ QUERIES: dict[str, tuple] = {
         SQL_TRAINING_SHUFFLE_PLAN,
     ),
     "license_notice_scan": (q_license_notice_scan, SQL_LICENSE_NOTICE_SCAN),
+    "unicode_normalize_stats": (
+        q_unicode_normalize_stats,
+        SQL_UNICODE_NORMALIZE_STATS,
+    ),
+    "weighted_sample_aes": (q_weighted_sample_aes, SQL_WEIGHTED_SAMPLE_AES),
+    "dedup_soft_weights": (q_dedup_soft_weights, SQL_DEDUP_SOFT_WEIGHTS),
 }

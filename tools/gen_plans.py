@@ -81,7 +81,8 @@ def main() -> None:
                  "preference_pair_mining", "tool_output_collapse",
                  "dedup_index_lookup", "partition_skew_audit",
                  "mojibake_detect", "training_shuffle_plan",
-                 "license_notice_scan"):
+                 "license_notice_scan", "unicode_normalize_stats",
+                 "weighted_sample_aes", "dedup_soft_weights"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -457,6 +458,21 @@ def main() -> None:
                    len(re.findall(r"\(\d+\) Exchange",
                                   full["training_shuffle_plan"])) == 1
                    and "Join" not in full["training_shuffle_plan"]))
+
+    checks.append(("unicode triage is an Exchange-free scan projection",
+                   "Exchange" not in full["unicode_normalize_stats"]))
+
+    checks.append(("A-ES weighted sample compiles to TakeOrdered — "
+                   "no global Sort, no Exchange, no Window",
+                   "TakeOrderedAndProject" in full["weighted_sample_aes"]
+                   and "Exchange" not in full["weighted_sample_aes"]
+                   and "Window" not in full["weighted_sample_aes"]))
+
+    checks.append(("soft-dedup weights: shingle df is a count join, "
+                   "never a shingle self-pair (no cartesian/nested-loop)",
+                   "CartesianProduct" not in full["dedup_soft_weights"]
+                   and "BroadcastNestedLoopJoin"
+                       not in full["dedup_soft_weights"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

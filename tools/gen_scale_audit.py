@@ -170,6 +170,9 @@ SCALE_CLASS = {
     "mojibake_detect": ("linear", "zero-exchange scan projection - every stat is a JVM-side length/replace substring-count identity or one bounded regexp over the row's own text; no shuffle anywhere"),
     "training_shuffle_plan": ("shuffle", "epoch fan-out is a 2-element array explode (map-side); the ONLY exchange is the (epoch, shard) partition for the slot window, whose groups are corpus/SHARDS-bounded and shrink as SHARDS scales with the cluster"),
     "license_notice_scan": ("linear", "zero-exchange scan projection - every flag is a lowercase + substring position scan of the row's own text; the HTML gate predicate pushes to the scan"),
+    "unicode_normalize_stats": ("linear", "zero-exchange scan projection - every count is a JVM-side length/replace substring identity over the row's own text; no shuffle anywhere"),
+    "weighted_sample_aes": ("linear", "one scan projection (in-row md5-polynomial key) + orderBy.limit compiling to TakeOrdered - per-partition top-K then a single K-row driver merge, never a global sort"),
+    "dedup_soft_weights": ("shuffle", "one distinct-(doc_id, shingle) exchange + one shingle-keyed df count with map-side combine + one doc_id rollup over exact BIGINT micro-units + one doc_id left join - all linear in corpus size; df is a count, never a pair list, so no per-shingle blowup"),
 }
 
 
