@@ -292,6 +292,11 @@ def main() -> None:
         "unicode_normalize_stats",
         "weighted_sample_aes",
         "dedup_soft_weights",
+        # round 5, thirty-seventh wave: slop triage, pass@k, GRPO
+        # advantages.  Excluded from the r04 subtotal.
+        "synthetic_text_flags",
+        "eval_pass_at_k",
+        "group_advantage_normalize",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -369,6 +374,9 @@ def main() -> None:
         "unicode_normalize_stats",
         "weighted_sample_aes",
         "dedup_soft_weights",
+        "synthetic_text_flags",
+        "eval_pass_at_k",
+        "group_advantage_normalize",
         "agent_loop_neardup",
         "conversation_split_assign",
         "bpe_roundtrip_check",

@@ -12274,6 +12274,253 @@ FROM documents LEFT JOIN per_doc p USING (doc_id)
 
 
 # --------------------------------------------------------------------------
+# Model-generated-text (slop) heuristics — pretraining hygiene for the
+# post-2023 web, where crawls are contaminated with LLM output
+# --------------------------------------------------------------------------
+
+SLOP_PHRASES = (
+    "as an ai",
+    "as a language model",
+    "i cannot assist",
+    "it is important to note",
+    "it's important to note",
+    "in conclusion,",
+    "delve into",
+    "i hope this helps",
+    "certainly!",
+    "as of my knowledge cutoff",
+)
+BULLET_MARKERS = ("\n- ", "\n* ")
+
+
+def q_synthetic_text_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-generated-text triage over the document corpus: exact hits on
+    the telltale assistant-register phrases ("as an AI", "I hope this
+    helps", "delve into", ...), bullet-list markers and em-dash density —
+    the cheap first-pass filter a post-2023 crawl pipeline runs to keep
+    LLM output out of pretraining data (self-training collapse).
+    `synthetic_suspect` routes: ≥2 phrase hits, or ≥1 hit plus heavy
+    list formatting.
+
+    Scale shape: a zero-exchange scan projection — every count is a
+    JVM-side lowercase + length/replace substring identity over the row's
+    own text; nothing shuffles."""
+    return synthetic_flags_frame(_t(spark, sf_dir, "documents"))
+
+
+def synthetic_flags_frame(docs: DataFrame) -> DataFrame:
+    """Core of q_synthetic_text_flags over any (doc_id, text) frame —
+    factored so crafted-corpus tests can pin each signal."""
+    low = F.lower(F.col("text"))
+    slop = None
+    for p in SLOP_PHRASES:
+        c = _subseq_count(low, p)
+        slop = c if slop is None else (slop + c)
+    bullets = None
+    for m in BULLET_MARKERS:
+        c = _subseq_count(low, m)
+        bullets = c if bullets is None else (bullets + c)
+    out = docs.select(
+        "doc_id",
+        slop.cast("long").alias("slop_hits"),
+        bullets.cast("long").alias("bullet_lines"),
+        _subseq_count(low, "—").alias("em_dashes"),
+    )
+    return out.withColumn(
+        "synthetic_suspect",
+        (F.col("slop_hits") >= 2)
+        | ((F.col("slop_hits") >= 1) & (F.col("bullet_lines") >= 3)),
+    )
+
+
+_SQL_SLOP_SUM = " + ".join(_sql_subseq_count("low", p) for p in SLOP_PHRASES)
+_SQL_BULLET_SUM = " + ".join(
+    _sql_subseq_count("low", m.replace("\n", "' || chr(10) || '"))
+    for m in BULLET_MARKERS
+)
+
+SQL_SYNTHETIC_TEXT_FLAGS = f"""
+WITH lw AS (
+  SELECT doc_id, lower(text) AS low FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST({_SQL_SLOP_SUM} AS BIGINT) AS slop_hits,
+         CAST({_SQL_BULLET_SUM} AS BIGINT) AS bullet_lines,
+         CAST({_sql_subseq_count('low', '—')} AS BIGINT) AS em_dashes
+  FROM lw
+)
+SELECT doc_id, slop_hits, bullet_lines, em_dashes,
+       (slop_hits >= 2 OR (slop_hits >= 1 AND bullet_lines >= 3))
+         AS synthetic_suspect
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# Unbiased pass@k estimation (eval aggregation over attempt groups)
+# --------------------------------------------------------------------------
+
+PASS_AT_KS = (1, 2, 3)
+
+
+def q_eval_pass_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased pass@k over attempt groups (the HumanEval/Codex
+    estimator): per user, n = attempts (events), c = successes
+    (purchases), pass@k = 1 − C(n−c,k)/C(n,k) — the probability that a
+    size-k draw without replacement contains a success, which the naive
+    c/n-based (1−(1−c/n)^k) over-estimates.  k ∈ {1,2,3} so the binomial
+    ratio stays an EXACT BIGINT product ratio (Π(n−c−i)/Π(n−i), i<k —
+    safe up to n ≈ 2M attempts per group); the only float op is one
+    division, rounded to 6 on both engines.  Groups with n < k emit NULL
+    (the estimator is undefined there, not zero).
+
+    Scale shape: ONE user-keyed count aggregation with map-side combine;
+    the per-k arithmetic is in-row integer math on the n/c rollup."""
+    return pass_at_k_frame(_t(spark, sf_dir, "events"))
+
+
+def pass_at_k_frame(ev: DataFrame) -> DataFrame:
+    """Core of q_eval_pass_at_k over any (user_id, event_type) frame —
+    factored so crafted-corpus tests can pin the estimator edges."""
+    agg = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_attempts"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).cast("long").alias("n_success"),
+    )
+    cols = [F.col("user_id"), F.col("n_attempts"), F.col("n_success")]
+    n, c = F.col("n_attempts"), F.col("n_success")
+    for k in PASS_AT_KS:
+        num = F.lit(1).cast("long")
+        den = F.lit(1).cast("long")
+        for i in range(k):
+            num = num * F.greatest(n - c - F.lit(i), F.lit(0).cast("long"))
+            den = den * (n - F.lit(i))
+        pk = F.round(
+            F.lit(1.0) - num.cast("double") / den.cast("double"), 6
+        )
+        cols.append(
+            F.when(n >= F.lit(k), pk).alias(f"pass_at_{k}")
+        )
+    return agg.select(*cols)
+
+
+def _sql_pass_k(k: int) -> str:
+    num = " * ".join(f"greatest(n_attempts - n_success - {i}, 0)"
+                     for i in range(k))
+    den = " * ".join(f"(n_attempts - {i})" for i in range(k))
+    return (
+        f"CASE WHEN n_attempts >= {k} THEN "
+        f"round(1.0 - CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE), 6) "
+        f"END AS pass_at_{k}"
+    )
+
+
+SQL_EVAL_PASS_AT_K = f"""
+WITH agg AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_attempts,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_success
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_attempts, n_success,
+       {", ".join(_sql_pass_k(k) for k in PASS_AT_KS)}
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# GRPO-style within-group advantage normalization (RL data prep)
+# --------------------------------------------------------------------------
+
+ADV_SCALE = 1000  # rewards quantized to milli-units for exact group sums
+
+
+def q_group_advantage_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRPO-style advantage normalization: every sample's reward is
+    centered and scaled by ITS GROUP's mean and std — advantage =
+    (x − mean)/std within (user_id, event_type) — the per-prompt
+    normalization an RLVR pipeline applies to grouped rollouts before
+    policy gradients.  Rewards quantize to milli-units so the group sums
+    S1=Σx, S2=Σx² are EXACT BIGINTs; the advantage folds to the
+    integer-exact form (n·x − S1)/√(n·S2 − S1²) — one sqrt of an exact
+    integer (IEEE sqrt is correctly rounded, so both engines produce the
+    identical double) and one division, rounded to 6.  Degenerate groups
+    (n < 2 or zero variance) emit advantage 0 explicitly.
+
+    Scale shape: ONE (user_id, event_type) exchange shared by all three
+    window aggregates; group state is bounded by rollouts-per-prompt, the
+    natural RL batch shape."""
+    return group_advantage_frame(_t(spark, sf_dir, "events"))
+
+
+def group_advantage_frame(ev: DataFrame) -> DataFrame:
+    """Core of q_group_advantage_normalize over any
+    (event_id, user_id, event_type, value) frame — factored so crafted
+    tests can pin the degenerate-group branches."""
+    x = F.round(F.col("value") * F.lit(ADV_SCALE), 0).cast("bigint")
+    w = Window.partitionBy("user_id", "event_type")
+    d = (
+        ev.select("event_id", "user_id", "event_type", x.alias("reward_milli"))
+        .withColumn("group_n", F.count("*").over(w).cast("long"))
+        .withColumn("s1", F.sum("reward_milli").over(w))
+        .withColumn(
+            "s2", F.sum(F.col("reward_milli") * F.col("reward_milli")).over(w)
+        )
+    )
+    n, s1, s2 = F.col("group_n"), F.col("s1"), F.col("s2")
+    disc = n * s2 - s1 * s1
+    adv = F.round(
+        (n * F.col("reward_milli") - s1).cast("double")
+        / F.sqrt(disc.cast("double")),
+        6,
+    )
+    return d.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "reward_milli",
+        "group_n",
+        F.round(s1.cast("double") / n.cast("double") / F.lit(float(ADV_SCALE)), 6)
+        .alias("group_mean"),
+        F.round(
+            F.sqrt(disc.cast("double")) / n.cast("double")
+            / F.lit(float(ADV_SCALE)),
+            6,
+        ).alias("group_std"),
+        F.when((n >= 2) & (disc > 0), adv).otherwise(F.lit(0.0))
+        .alias("advantage"),
+    )
+
+
+SQL_GROUP_ADVANTAGE_NORMALIZE = f"""
+WITH m AS (
+  SELECT event_id, user_id, event_type,
+         CAST(round(value * {ADV_SCALE}, 0) AS BIGINT) AS reward_milli
+  FROM events
+), w AS (
+  SELECT *,
+         CAST(count(*) OVER g AS BIGINT) AS group_n,
+         CAST(sum(reward_milli) OVER g AS BIGINT) AS s1,
+         CAST(sum(reward_milli * reward_milli) OVER g AS BIGINT) AS s2
+  FROM m
+  WINDOW g AS (PARTITION BY user_id, event_type)
+)
+SELECT event_id, user_id, event_type, reward_milli, group_n,
+       round(CAST(s1 AS DOUBLE) / CAST(group_n AS DOUBLE) / {ADV_SCALE}.0, 6)
+         AS group_mean,
+       round(sqrt(CAST(group_n * s2 - s1 * s1 AS DOUBLE))
+             / CAST(group_n AS DOUBLE) / {ADV_SCALE}.0, 6) AS group_std,
+       CASE WHEN group_n >= 2 AND group_n * s2 - s1 * s1 > 0
+            THEN round(CAST(group_n * reward_milli - s1 AS DOUBLE)
+                       / sqrt(CAST(group_n * s2 - s1 * s1 AS DOUBLE)), 6)
+            ELSE 0.0 END AS advantage
+FROM w
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -12621,4 +12868,10 @@ QUERIES: dict[str, tuple] = {
     ),
     "weighted_sample_aes": (q_weighted_sample_aes, SQL_WEIGHTED_SAMPLE_AES),
     "dedup_soft_weights": (q_dedup_soft_weights, SQL_DEDUP_SOFT_WEIGHTS),
+    "synthetic_text_flags": (q_synthetic_text_flags, SQL_SYNTHETIC_TEXT_FLAGS),
+    "eval_pass_at_k": (q_eval_pass_at_k, SQL_EVAL_PASS_AT_K),
+    "group_advantage_normalize": (
+        q_group_advantage_normalize,
+        SQL_GROUP_ADVANTAGE_NORMALIZE,
+    ),
 }

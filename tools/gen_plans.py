@@ -82,7 +82,9 @@ def main() -> None:
                  "dedup_index_lookup", "partition_skew_audit",
                  "mojibake_detect", "training_shuffle_plan",
                  "license_notice_scan", "unicode_normalize_stats",
-                 "weighted_sample_aes", "dedup_soft_weights"):
+                 "weighted_sample_aes", "dedup_soft_weights",
+                 "synthetic_text_flags", "eval_pass_at_k",
+                 "group_advantage_normalize"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -473,6 +475,22 @@ def main() -> None:
                    "CartesianProduct" not in full["dedup_soft_weights"]
                    and "BroadcastNestedLoopJoin"
                        not in full["dedup_soft_weights"]))
+
+    checks.append(("slop triage is an Exchange-free scan projection",
+                   "Exchange" not in full["synthetic_text_flags"]))
+
+    checks.append(("pass@k: exactly ONE exchange (the user rollup), "
+                   "estimator is in-row arithmetic (no join, no window)",
+                   len(re.findall(r"\(\d+\) Exchange",
+                                  full["eval_pass_at_k"])) == 1
+                   and "Join" not in full["eval_pass_at_k"]
+                   and "Window" not in full["eval_pass_at_k"]))
+
+    checks.append(("group advantages: exactly ONE exchange shared by all "
+                   "three window aggregates, no joins",
+                   len(re.findall(r"\(\d+\) Exchange",
+                                  full["group_advantage_normalize"])) == 1
+                   and "Join" not in full["group_advantage_normalize"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -173,6 +173,9 @@ SCALE_CLASS = {
     "unicode_normalize_stats": ("linear", "zero-exchange scan projection - every count is a JVM-side length/replace substring identity over the row's own text; no shuffle anywhere"),
     "weighted_sample_aes": ("linear", "one scan projection (in-row md5-polynomial key) + orderBy.limit compiling to TakeOrdered - per-partition top-K then a single K-row driver merge, never a global sort"),
     "dedup_soft_weights": ("shuffle", "one distinct-(doc_id, shingle) exchange + one shingle-keyed df count with map-side combine + one doc_id rollup over exact BIGINT micro-units + one doc_id left join - all linear in corpus size; df is a count, never a pair list, so no per-shingle blowup"),
+    "synthetic_text_flags": ("linear", "zero-exchange scan projection - every count is a JVM-side lowercase + length/replace substring identity over the row's own text; no shuffle anywhere"),
+    "eval_pass_at_k": ("shuffle", "ONE user-keyed count aggregation with map-side combine; the per-k estimator is in-row BIGINT product-ratio arithmetic on the n/c rollup (exact up to ~2M attempts per group at k<=3)"),
+    "group_advantage_normalize": ("shuffle", "ONE (user_id, event_type) exchange shared by all three window aggregates; group state is bounded by rollouts-per-prompt (the natural RL batch shape); moments are exact BIGINT milli-unit sums so no summation-order drift"),
 }
 
 
