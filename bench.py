@@ -297,6 +297,11 @@ def main() -> None:
         "synthetic_text_flags",
         "eval_pass_at_k",
         "group_advantage_normalize",
+        # round 5, thirty-eighth wave: groundedness, contrastive pairs,
+        # FIM planning.  Excluded from the r04 subtotal.
+        "grounding_overlap_score",
+        "contrastive_pair_mining",
+        "fim_span_plan",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -377,6 +382,9 @@ def main() -> None:
         "synthetic_text_flags",
         "eval_pass_at_k",
         "group_advantage_normalize",
+        "grounding_overlap_score",
+        "contrastive_pair_mining",
+        "fim_span_plan",
         "agent_loop_neardup",
         "conversation_split_assign",
         "bpe_roundtrip_check",

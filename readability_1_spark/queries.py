@@ -12521,6 +12521,425 @@ FROM w
 
 
 # --------------------------------------------------------------------------
+# Groundedness scoring: assistant claims vs prior tool evidence
+# --------------------------------------------------------------------------
+
+GROUND_NGRAM = 8
+GROUND_P1 = 1_000_000_007
+GROUND_P2 = 2_147_483_647
+
+
+def _sql_gram_fold(mult: int, mod: int) -> str:
+    """Nested (g*mult + th_i) % mod fold over th, th1..th7 — the SQL twin
+    of the Spark gram polynomial (DuckDB % on non-negative BIGINTs matches
+    Spark pmod here)."""
+    g = "CAST(0 AS BIGINT)"
+    cols = ["th"] + [f"th{i}" for i in range(1, GROUND_NGRAM)]
+    for c in cols:
+        g = f"(({g} * {mult} + {c}) % {mod})"
+    return g
+
+
+def q_grounding_overlap_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Groundedness triage over agent transcripts: for every assistant
+    turn, the fraction of its distinct 8-token windows that appear in a
+    PRIOR tool output of the same conversation — verbatim-evidence
+    overlap, the cheap hallucination pre-filter an agent-data pipeline
+    runs before transcripts become SFT data (claims with no upstream
+    evidence are routed to review, not training).  Verdict: `short`
+    (too few tokens to window), `grounded` (≥50% of windows evidenced),
+    else `ungrounded`.
+
+    Scale shape: the gram stream is LINEAR — tokens explode once and the
+    8-token window id comes from a lead() window over the per-turn token
+    order (the naive in-row per-window array slice re-copies the whole
+    token array per gram and is O(turn_len²) — measured catastrophic on
+    100 KB tool outputs, on BOTH engines); the wide ops are one
+    (conv_id, turn_idx) window sort, one (conv_id, gram) first-evidence
+    aggregation with map-side combine and one (conv_id, gram) equi-join —
+    all keyed by conversation, the corpus's natural partition key; no
+    self-join on turns, no cross-conversation traffic."""
+    return grounding_frame(spark.read.parquet(TRANSCRIPTS_PQ))
+
+
+def grounding_frame(t: DataFrame) -> DataFrame:
+    """Core of q_grounding_overlap_score over any transcript-shaped
+    frame — factored so crafted-corpus tests can pin each branch."""
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != ""
+    )
+    base = t.filter(
+        F.col("text").isNotNull()
+        & F.col("role").isin("tool", "assistant")
+    ).select("conv_id", "turn_idx", "role", ws.alias("ws"))
+    toks = base.select(
+        "conv_id", "turn_idx", "role",
+        F.posexplode("ws").alias("pos", "tok"),
+    ).withColumn("th", _md5_bucket(F.col("tok"), GROUND_P1))
+    wlead = Window.partitionBy("conv_id", "turn_idx").orderBy("pos")
+    led = toks.select(
+        "conv_id", "turn_idx", "role", "th",
+        *[
+            F.lead("th", i).over(wlead).alias(f"th{i}")
+            for i in range(1, GROUND_NGRAM)
+        ],
+    )
+    cols = [F.col("th")] + [
+        F.col(f"th{i}") for i in range(1, GROUND_NGRAM)
+    ]
+    g1, g2 = F.lit(0).cast("long"), F.lit(0).cast("long")
+    for t in cols:
+        g1 = F.pmod(g1 * 31 + t, F.lit(GROUND_P1))
+        g2 = F.pmod(g2 * 37 + t, F.lit(GROUND_P2))
+    grams = (
+        led.filter(F.col(f"th{GROUND_NGRAM - 1}").isNotNull())
+        .select(
+            "conv_id", "turn_idx", "role",
+            (g1 * F.lit(GROUND_P2) + g2).alias("gram"),
+        )
+    )
+    tool_grams = (
+        grams.filter(F.col("role") == "tool")
+        .groupBy("conv_id", "gram")
+        .agg(F.min("turn_idx").alias("first_tool_idx"))
+    )
+    asst = (
+        grams.filter(F.col("role") == "assistant")
+        .dropDuplicates(["conv_id", "turn_idx", "gram"])
+    )
+    counted = (
+        asst.join(tool_grams, ["conv_id", "gram"], "left")
+        .groupBy("conv_id", "turn_idx")
+        .agg(
+            F.count("*").cast("long").alias("n_grams"),
+            F.sum(
+                F.when(
+                    F.col("first_tool_idx") < F.col("turn_idx"), 1
+                ).otherwise(0)
+            ).cast("long").alias("n_grounded"),
+        )
+    )
+    shorts = (
+        base.filter(
+            (F.col("role") == "assistant")
+            & (F.size("ws") < GROUND_NGRAM)
+        )
+        .select(
+            "conv_id", "turn_idx",
+            F.lit(0).cast("long").alias("n_grams"),
+            F.lit(0).cast("long").alias("n_grounded"),
+        )
+    )
+    agg = counted.unionByName(shorts)
+    score = F.round(
+        F.col("n_grounded").cast("double") / F.col("n_grams").cast("double"),
+        6,
+    )
+    return agg.select(
+        "conv_id",
+        "turn_idx",
+        "n_grams",
+        "n_grounded",
+        F.when(F.col("n_grams") > 0, score).alias("grounding_score"),
+        F.when(F.col("n_grams") == 0, F.lit("short"))
+        .when(score >= 0.5, F.lit("grounded"))
+        .otherwise(F.lit("ungrounded"))
+        .alias("grounding_verdict"),
+    )
+
+
+SQL_GROUNDING_OVERLAP_SCORE = f"""
+WITH toks AS (
+  SELECT conv_id, turn_idx, role,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                     x -> x <> '') AS ws
+  FROM read_parquet('{TRANSCRIPTS_PQ}')
+  WHERE text IS NOT NULL AND role IN ('tool', 'assistant')
+), tokstream AS (
+  SELECT conv_id, turn_idx, role,
+         unnest(generate_series(1, len(ws))) AS pos,
+         unnest(ws) AS tok
+  FROM toks
+), hashed AS (
+  SELECT conv_id, turn_idx, role, pos,
+         {_sql_md5_poly('md5(tok)')} % {GROUND_P1} AS th
+  FROM tokstream
+), led AS (
+  SELECT conv_id, turn_idx, role, th,
+         {", ".join(f"lead(th, {i}) OVER w AS th{i}"
+                    for i in range(1, GROUND_NGRAM))}
+  FROM hashed
+  WINDOW w AS (PARTITION BY conv_id, turn_idx ORDER BY pos)
+  QUALIFY th{GROUND_NGRAM - 1} IS NOT NULL
+), grams AS (
+  SELECT conv_id, turn_idx, role,
+         CAST({_sql_gram_fold(31, GROUND_P1)} * {GROUND_P2}
+              + {_sql_gram_fold(37, GROUND_P2)} AS BIGINT) AS gram
+  FROM led
+), tool_grams AS (
+  SELECT conv_id, gram, min(turn_idx) AS first_tool_idx
+  FROM grams WHERE role = 'tool' GROUP BY conv_id, gram
+), asst AS (
+  SELECT DISTINCT conv_id, turn_idx, gram FROM grams
+  WHERE role = 'assistant'
+), agg AS (
+  SELECT a.conv_id, a.turn_idx,
+         CAST(count(a.gram) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN tg.first_tool_idx < a.turn_idx THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_grounded
+  FROM asst a LEFT JOIN tool_grams tg
+    ON a.conv_id = tg.conv_id AND a.gram = tg.gram
+  GROUP BY a.conv_id, a.turn_idx
+), shorts AS (
+  SELECT conv_id, turn_idx, CAST(0 AS BIGINT) AS n_grams,
+         CAST(0 AS BIGINT) AS n_grounded
+  FROM toks
+  WHERE role = 'assistant' AND len(ws) < {GROUND_NGRAM}
+), uni AS (
+  SELECT * FROM agg UNION ALL SELECT * FROM shorts
+)
+SELECT conv_id, turn_idx, n_grams, n_grounded,
+       CASE WHEN n_grams > 0
+            THEN round(CAST(n_grounded AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+       END AS grounding_score,
+       CASE WHEN n_grams = 0 THEN 'short'
+            WHEN round(CAST(n_grounded AS DOUBLE) / CAST(n_grams AS DOUBLE), 6)
+                 >= 0.5 THEN 'grounded'
+            ELSE 'ungrounded' END AS grounding_verdict
+FROM uni
+"""
+
+
+# --------------------------------------------------------------------------
+# Contrastive pair mining (embedding-model training data)
+# --------------------------------------------------------------------------
+
+CONTRAST_CHUNK = 32
+CONTRAST_NEG_BUCKETS = 16
+CONTRAST_HEAD = 5
+
+
+def q_contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training pairs for embedding models: anchors and
+    positives are ADJACENT 32-token chunks of the same document (local
+    coherence makes them semantically related — the standard unsupervised
+    positive), and the hard-ish negative is a deterministic other
+    document from the anchor's md5 bucket (content-stable, so re-running
+    never reshuffles pairs).  Emits head snippets so pairs are usable
+    directly.
+
+    Scale shape: chunking and pairing are IN-ROW on each doc's own token
+    array (no exchange); the negative assignment is two map-side-combined
+    aggregations over a 16-row bucket key space, broadcast back; the head
+    lookup is one doc_id equi-join."""
+    return contrastive_frame(_t(spark, sf_dir, "documents"))
+
+
+def contrastive_frame(docs: DataFrame) -> DataFrame:
+    """Core of q_contrastive_pair_mining over any (doc_id, text) frame."""
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != ""
+    )
+    c = CONTRAST_CHUNK
+    base = docs.select(
+        F.col("doc_id"),
+        ws.alias("ws"),
+        _md5_bucket(F.col("doc_id").cast("string"), CONTRAST_NEG_BUCKETS)
+        .cast("int").alias("bucket"),
+    ).withColumn("n_win", (F.size("ws") / F.lit(c)).cast("long"))
+
+    def head(i_col):
+        return F.concat_ws(
+            " ", F.slice(F.col("ws"), i_col, CONTRAST_HEAD)
+        )
+
+    heads = base.select(
+        F.col("doc_id").alias("neg_doc_id"),
+        head(F.lit(1)).alias("neg_head"),
+    )
+    # two smallest doc_ids per bucket — O(buckets) state, map-side combined
+    min1 = base.groupBy("bucket").agg(F.min("doc_id").alias("min1"))
+    min2 = (
+        base.join(min1, "bucket")
+        .filter(F.col("doc_id") != F.col("min1"))
+        .groupBy("bucket")
+        .agg(F.min("doc_id").alias("min2"))
+    )
+    pairs = (
+        base.filter(F.col("n_win") >= 2)
+        .select(
+            "doc_id",
+            "bucket",
+            "ws",
+            F.explode(
+                F.sequence(F.lit(0), (F.col("n_win") - 2).cast("int"))
+            ).alias("win_idx"),
+        )
+        .select(
+            "doc_id",
+            "bucket",
+            F.col("win_idx").cast("long").alias("win_idx"),
+            head(F.col("win_idx").cast("int") * c + 1).alias("anchor_head"),
+            head((F.col("win_idx").cast("int") + 1) * c + 1)
+            .alias("pos_head"),
+        )
+    )
+    out = (
+        pairs.join(F.broadcast(min1), "bucket")
+        .join(F.broadcast(min2), "bucket", "left")
+        .withColumn(
+            "neg_doc_id",
+            F.when(F.col("doc_id") != F.col("min1"), F.col("min1"))
+            .otherwise(F.col("min2")),
+        )
+        .join(heads, "neg_doc_id", "left")
+    )
+    return out.select(
+        "doc_id",
+        "win_idx",
+        "anchor_head",
+        "pos_head",
+        "neg_doc_id",
+        F.when(F.col("neg_doc_id").isNotNull(), F.col("neg_head"))
+        .alias("neg_head"),
+    )
+
+
+SQL_CONTRASTIVE_PAIR_MINING = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                     x -> x <> '') AS ws,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), base AS (
+  SELECT doc_id, ws,
+         CAST({_sql_md5_poly('h')} % {CONTRAST_NEG_BUCKETS} AS INT) AS bucket,
+         CAST(len(ws) // {CONTRAST_CHUNK} AS BIGINT) AS n_win
+  FROM toks
+), heads AS (
+  SELECT doc_id AS neg_doc_id,
+         array_to_string(list_slice(ws, 1, {CONTRAST_HEAD}), ' ') AS neg_head
+  FROM base
+), min1 AS (
+  SELECT bucket, min(doc_id) AS min1 FROM base GROUP BY bucket
+), min2 AS (
+  SELECT b.bucket, min(b.doc_id) AS min2
+  FROM base b JOIN min1 m ON b.bucket = m.bucket AND b.doc_id <> m.min1
+  GROUP BY b.bucket
+), pairs AS (
+  SELECT doc_id, bucket, ws, CAST(i AS BIGINT) AS win_idx
+  FROM base, UNNEST(generate_series(0, CAST(n_win - 2 AS INT))) AS t(i)
+  WHERE n_win >= 2
+), labeled AS (
+  SELECT p.doc_id, p.win_idx,
+         array_to_string(
+           list_slice(p.ws, CAST(p.win_idx * {CONTRAST_CHUNK} + 1 AS INT),
+                      CAST(p.win_idx * {CONTRAST_CHUNK}
+                           + {CONTRAST_HEAD} AS INT)), ' ') AS anchor_head,
+         array_to_string(
+           list_slice(p.ws,
+                      CAST((p.win_idx + 1) * {CONTRAST_CHUNK} + 1 AS INT),
+                      CAST((p.win_idx + 1) * {CONTRAST_CHUNK}
+                           + {CONTRAST_HEAD} AS INT)), ' ') AS pos_head,
+         CASE WHEN p.doc_id <> m1.min1 THEN m1.min1 ELSE m2.min2 END
+           AS neg_doc_id
+  FROM pairs p
+  JOIN min1 m1 ON p.bucket = m1.bucket
+  LEFT JOIN min2 m2 ON p.bucket = m2.bucket
+)
+SELECT l.doc_id, l.win_idx, l.anchor_head, l.pos_head, l.neg_doc_id,
+       CASE WHEN l.neg_doc_id IS NOT NULL THEN h.neg_head END AS neg_head
+FROM labeled l LEFT JOIN heads h ON l.neg_doc_id = h.neg_doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Fill-in-the-middle span planning (FIM training-example transformation)
+# --------------------------------------------------------------------------
+
+FIM_MIN_CHARS = 8
+
+
+def q_fim_span_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle span planning (the Bavarian et al. FIM
+    transformation a code/text pretraining pipeline applies to a fraction
+    of documents): per doc, a content-stable middle span — length n/4,
+    start drawn from the doc_id hash — plus the PSM/SPM mode bit from an
+    independent hash, so the same corpus always yields the same FIM
+    examples and a re-run never changes training data.  Docs under
+    FIM_MIN_CHARS are routed `skip` with zeroed spans.
+
+    Scale shape: a zero-exchange scan projection — every field is in-row
+    integer arithmetic on the row's own length and doc_id hash."""
+    return fim_span_frame(_t(spark, sf_dir, "documents"))
+
+
+def fim_span_frame(docs: DataFrame) -> DataFrame:
+    """Core of q_fim_span_plan over any (doc_id, text) frame."""
+    n = F.length("text").cast("long")
+    h = _md5_bucket(F.col("doc_id").cast("string"), AES_KEY_MOD)
+    hm = _md5_bucket(F.concat(F.col("doc_id").cast("string"), F.lit(":m")), 2)
+    mid_len = F.expr(f"CAST(length(text) AS BIGINT) div 4")
+    mid_start = F.lit(1) + F.pmod(h, n - mid_len)
+    ok = n >= FIM_MIN_CHARS
+    out = docs.select(
+        "doc_id",
+        n.alias("n_chars"),
+        F.when(ok, F.when(hm == 0, F.lit("psm")).otherwise(F.lit("spm")))
+        .otherwise(F.lit("skip"))
+        .alias("fim_mode"),
+        F.when(ok, mid_start).otherwise(F.lit(0)).cast("long")
+        .alias("middle_start"),
+        F.when(ok, mid_len).otherwise(F.lit(0)).cast("long")
+        .alias("middle_len"),
+    )
+    return out.select(
+        "*",
+        F.when(F.col("fim_mode") != "skip", F.col("middle_start") - 1)
+        .otherwise(F.lit(0)).cast("long").alias("prefix_len"),
+        F.when(
+            F.col("fim_mode") != "skip",
+            F.col("n_chars") - (F.col("middle_start") - 1)
+            - F.col("middle_len"),
+        )
+        .otherwise(F.lit(0)).cast("long").alias("suffix_len"),
+    )
+
+
+SQL_FIM_SPAN_PLAN = f"""
+WITH hx AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         md5(CAST(doc_id AS VARCHAR)) AS h,
+         md5(CAST(doc_id AS VARCHAR) || ':m') AS hm
+  FROM documents
+), s AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN n_chars >= {FIM_MIN_CHARS}
+              THEN CASE WHEN {_sql_md5_poly('hm')} % 2 = 0
+                        THEN 'psm' ELSE 'spm' END
+              ELSE 'skip' END AS fim_mode,
+         CASE WHEN n_chars >= {FIM_MIN_CHARS}
+              THEN 1 + ({_sql_md5_poly('h')} % {AES_KEY_MOD})
+                       % (n_chars - n_chars // 4)
+              ELSE 0 END AS middle_start,
+         CASE WHEN n_chars >= {FIM_MIN_CHARS} THEN n_chars // 4
+              ELSE 0 END AS middle_len
+  FROM hx
+)
+SELECT doc_id, n_chars, fim_mode,
+       CAST(middle_start AS BIGINT) AS middle_start,
+       CAST(middle_len AS BIGINT) AS middle_len,
+       CAST(CASE WHEN fim_mode <> 'skip' THEN middle_start - 1 ELSE 0 END
+            AS BIGINT) AS prefix_len,
+       CAST(CASE WHEN fim_mode <> 'skip'
+                 THEN n_chars - (middle_start - 1) - middle_len
+                 ELSE 0 END AS BIGINT) AS suffix_len
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -12874,4 +13293,13 @@ QUERIES: dict[str, tuple] = {
         q_group_advantage_normalize,
         SQL_GROUP_ADVANTAGE_NORMALIZE,
     ),
+    "grounding_overlap_score": (
+        q_grounding_overlap_score,
+        SQL_GROUNDING_OVERLAP_SCORE,
+    ),
+    "contrastive_pair_mining": (
+        q_contrastive_pair_mining,
+        SQL_CONTRASTIVE_PAIR_MINING,
+    ),
+    "fim_span_plan": (q_fim_span_plan, SQL_FIM_SPAN_PLAN),
 }

@@ -84,7 +84,8 @@ def main() -> None:
                  "license_notice_scan", "unicode_normalize_stats",
                  "weighted_sample_aes", "dedup_soft_weights",
                  "synthetic_text_flags", "eval_pass_at_k",
-                 "group_advantage_normalize"):
+                 "group_advantage_normalize", "grounding_overlap_score",
+                 "contrastive_pair_mining", "fim_span_plan"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -491,6 +492,22 @@ def main() -> None:
                    len(re.findall(r"\(\d+\) Exchange",
                                   full["group_advantage_normalize"])) == 1
                    and "Join" not in full["group_advantage_normalize"]))
+
+    checks.append(("grounding: conversation-keyed joins only, no "
+                   "cartesian/nested-loop, no turn self-join",
+                   "CartesianProduct" not in full["grounding_overlap_score"]
+                   and "BroadcastNestedLoopJoin"
+                       not in full["grounding_overlap_score"]))
+
+    checks.append(("contrastive pairs: bucket mins broadcast back "
+                   "(no shuffle join on the 16-row side)",
+                   full["contrastive_pair_mining"].count("BroadcastHashJoin")
+                   >= 2
+                   and "CartesianProduct"
+                       not in full["contrastive_pair_mining"]))
+
+    checks.append(("FIM plan is an Exchange-free scan projection",
+                   "Exchange" not in full["fim_span_plan"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -176,6 +176,9 @@ SCALE_CLASS = {
     "synthetic_text_flags": ("linear", "zero-exchange scan projection - every count is a JVM-side lowercase + length/replace substring identity over the row's own text; no shuffle anywhere"),
     "eval_pass_at_k": ("shuffle", "ONE user-keyed count aggregation with map-side combine; the per-k estimator is in-row BIGINT product-ratio arithmetic on the n/c rollup (exact up to ~2M attempts per group at k<=3)"),
     "group_advantage_normalize": ("shuffle", "ONE (user_id, event_type) exchange shared by all three window aggregates; group state is bounded by rollouts-per-prompt (the natural RL batch shape); moments are exact BIGINT milli-unit sums so no summation-order drift"),
+    "grounding_overlap_score": ("shuffle", "LINEAR gram stream: tokens explode once, the 8-token window id is an integer lead() fold over the per-turn token order (the naive per-window array slice is O(turn_len^2) - measured catastrophic on 100KB tool outputs on BOTH engines); wide ops are one per-turn window sort, one (conv_id, gram) first-evidence agg with map-side combine, one (conv_id, gram) equi-join - all conversation-keyed, no turn self-join"),
+    "contrastive_pair_mining": ("bucketed", "chunking and anchor/positive pairing are IN-ROW on each doc's token array; the negative assignment is two map-side-combined aggregations over a 16-row bucket key space broadcast back; the head lookup is one doc_id equi-join"),
+    "fim_span_plan": ("linear", "zero-exchange scan projection - every span field is in-row integer arithmetic on the row's own length and doc_id hash"),
 }
 
 
