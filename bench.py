@@ -302,6 +302,11 @@ def main() -> None:
         "grounding_overlap_score",
         "contrastive_pair_mining",
         "fim_span_plan",
+        # round 5, thirty-ninth wave: prefix-cache audit, OCR triage,
+        # instruction complexity.  Excluded from the r04 subtotal.
+        "shared_prefix_stats",
+        "ocr_garbage_detect",
+        "instruction_complexity",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -385,6 +390,9 @@ def main() -> None:
         "grounding_overlap_score",
         "contrastive_pair_mining",
         "fim_span_plan",
+        "shared_prefix_stats",
+        "ocr_garbage_detect",
+        "instruction_complexity",
         "agent_loop_neardup",
         "conversation_split_assign",
         "bpe_roundtrip_check",

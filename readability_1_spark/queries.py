@@ -12940,6 +12940,280 @@ FROM s
 
 
 # --------------------------------------------------------------------------
+# KV-cache prefix-sharing audit (inference batching economics)
+# --------------------------------------------------------------------------
+
+def q_shared_prefix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KV-cache prefix-sharing audit over agent transcripts: group
+    conversations by the digest of their FIRST turn (the system/template
+    prompt position) and report how many conversations share each prefix,
+    its token mass, and the tokens an inference server saves by computing
+    that prefix's KV cache once (`(n_convs − 1) × prefix_tokens`) — the
+    batching-economics evidence behind prompt-caching and radix-tree KV
+    sharing.  Groups with n_convs ≥ 2 are `cacheable`.
+
+    Scale shape: one turn_idx=0 scan (predicate pushes to the parquet
+    scan) + ONE digest-keyed aggregation with map-side combine; group
+    state is two counters."""
+    return shared_prefix_frame(spark.read.parquet(TRANSCRIPTS_PQ))
+
+
+def shared_prefix_frame(t: DataFrame) -> DataFrame:
+    """Core of q_shared_prefix_stats over any transcript-shaped frame."""
+    first = t.filter(
+        (F.col("turn_idx") == 0) & F.col("text").isNotNull()
+    )
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != ""
+    )
+    keyed = first.select(
+        F.md5(F.col("text").cast("binary")).alias("prefix_digest"),
+        F.size(ws).cast("long").alias("prefix_tokens"),
+    )
+    agg = keyed.groupBy("prefix_digest").agg(
+        F.count("*").cast("long").alias("n_convs"),
+        F.min("prefix_tokens").alias("prefix_tokens"),
+    )
+    return agg.select(
+        "prefix_digest",
+        "n_convs",
+        "prefix_tokens",
+        ((F.col("n_convs") - 1) * F.col("prefix_tokens")).cast("long")
+        .alias("tokens_saved"),
+        (F.col("n_convs") >= 2).alias("cacheable"),
+    )
+
+
+SQL_SHARED_PREFIX_STATS = f"""
+WITH first AS (
+  SELECT md5(text) AS prefix_digest,
+         CAST(len(list_filter(
+           regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+           x -> x <> '')) AS BIGINT) AS prefix_tokens
+  FROM read_parquet('{TRANSCRIPTS_PQ}')
+  WHERE turn_idx = 0 AND text IS NOT NULL
+), agg AS (
+  SELECT prefix_digest,
+         CAST(count(*) AS BIGINT) AS n_convs,
+         min(prefix_tokens) AS prefix_tokens
+  FROM first GROUP BY prefix_digest
+)
+SELECT prefix_digest, n_convs, prefix_tokens,
+       CAST((n_convs - 1) * prefix_tokens AS BIGINT) AS tokens_saved,
+       (n_convs >= 2) AS cacheable
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# OCR-noise triage (char-class and token-shape garbage signals)
+# --------------------------------------------------------------------------
+
+CONSONANT_RUN_RE = "[bcdfghjklmnpqrstvwxz]+"
+# DuckDB's RE2 has no lookahead, so "mixed alphanumeric token" is the
+# conjunction of three simple patterns on both engines.
+MIXED_ALNUM_PARTS = ("^[a-z0-9]+$", "[a-z]", "[0-9]")
+
+
+def q_ocr_garbage_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR-noise triage over the document corpus: the char-class and
+    token-shape signals that separate scanner/OCR garbage from prose —
+    alphanumeric mass ratio, single-character token rate, digit-inside-
+    word tokens (`th1s`, `l0ss`), and the longest consonant run (OCR
+    column-merge artifacts) — scanned-PDF corpora route on exactly these
+    before any text operator trusts the tokens.  All ratios are integer
+    micro-units (round-6-stable by construction).
+
+    Scale shape: a zero-exchange scan projection — every signal is a
+    JVM-side regexp/length identity over the row's own text."""
+    return ocr_garbage_frame(_t(spark, sf_dir, "documents"))
+
+
+def ocr_garbage_frame(docs: DataFrame) -> DataFrame:
+    """Core of q_ocr_garbage_detect over any (doc_id, text) frame."""
+    low = F.lower(F.col("text"))
+    n_chars = F.length(low).cast("long")
+    alnum = F.length(F.regexp_replace(low, "[^a-z0-9]", "")).cast("long")
+    ws = F.filter(F.split(low, TOKEN_SPLIT), lambda x: x != "")
+    n_toks = F.size(ws).cast("long")
+    singles = F.size(
+        F.filter(ws, lambda x: F.length(x) == 1)
+    ).cast("long")
+    def _is_mixed(x):
+        cond = None
+        for p in MIXED_ALNUM_PARTS:
+            c = x.rlike(p)
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    mixed = F.size(F.filter(ws, _is_mixed)).cast("long")
+    runs = F.regexp_extract_all(low, F.lit(CONSONANT_RUN_RE), 0)
+    max_run = F.coalesce(
+        F.array_max(F.transform(runs, lambda r: F.length(r))),
+        F.lit(0),
+    ).cast("long")
+    out = docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_toks.alias("n_tokens"),
+        F.when(
+            n_chars > 0,
+            F.round(alnum.cast("double") / n_chars.cast("double"), 6),
+        ).otherwise(F.lit(0.0)).alias("alnum_ratio"),
+        F.when(
+            n_toks > 0,
+            F.round(singles.cast("double") / n_toks.cast("double"), 6),
+        ).otherwise(F.lit(0.0)).alias("singleton_rate"),
+        mixed.alias("mixed_alnum_tokens"),
+        max_run.alias("max_consonant_run"),
+    )
+    return out.withColumn(
+        "ocr_suspect",
+        (F.col("alnum_ratio") < 0.6)
+        | (F.col("singleton_rate") > 0.3)
+        | (F.col("max_consonant_run") >= 8),
+    )
+
+
+SQL_OCR_GARBAGE_DETECT = f"""
+WITH lw AS (
+  SELECT doc_id, lower(text) AS low,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                     x -> x <> '') AS ws
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(length(low) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(low, '[^a-z0-9]', '', 'g'))
+              AS BIGINT) AS alnum,
+         CAST(len(ws) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(ws, x -> length(x) = 1)) AS BIGINT)
+           AS singles,
+         CAST(len(list_filter(ws,
+              x -> {" AND ".join(f"regexp_matches(x, '{p}')"
+                                 for p in MIXED_ALNUM_PARTS)}))
+              AS BIGINT) AS mixed_alnum_tokens,
+         COALESCE(list_max(list_transform(
+           regexp_extract_all(low, '{CONSONANT_RUN_RE}'),
+           r -> length(r))), 0) AS max_consonant_run
+  FROM lw
+), r AS (
+  SELECT doc_id, n_chars, n_tokens,
+         CASE WHEN n_chars > 0
+              THEN round(CAST(alnum AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
+              ELSE 0.0 END AS alnum_ratio,
+         CASE WHEN n_tokens > 0
+              THEN round(CAST(singles AS DOUBLE) / CAST(n_tokens AS DOUBLE),
+                         6)
+              ELSE 0.0 END AS singleton_rate,
+         mixed_alnum_tokens,
+         CAST(max_consonant_run AS BIGINT) AS max_consonant_run
+  FROM s
+)
+SELECT doc_id, n_chars, n_tokens, alnum_ratio, singleton_rate,
+       mixed_alnum_tokens, max_consonant_run,
+       (alnum_ratio < 0.6 OR singleton_rate > 0.3
+        OR max_consonant_run >= 8) AS ocr_suspect
+FROM r
+"""
+
+
+# --------------------------------------------------------------------------
+# Instruction complexity scoring (SFT curriculum stratification)
+# --------------------------------------------------------------------------
+
+CONSTRAINT_MARKERS = (
+    "must ", "should ", "at least", "at most", "exactly", "do not ",
+    "don't ", "without ", "only ", "ensure ",
+)
+NUMBERED_REQ_RE = r"\n\d+[.)]"
+
+
+def q_instruction_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction-complexity stratification over user turns: constraint
+    markers ("must", "at least", "do not", ...), numbered requirement
+    lines, question marks and token mass fold into an integer score that
+    bands prompts low/medium/high — the difficulty axis an SFT curriculum
+    (or a routing policy) stratifies on.  Integer arithmetic only, so the
+    score is trivially cross-engine exact.
+
+    Scale shape: a zero-exchange scan projection over user turns — every
+    count is a substring/regexp identity on the row's own text."""
+    return instruction_complexity_frame(spark.read.parquet(TRANSCRIPTS_PQ))
+
+
+def instruction_complexity_frame(t: DataFrame) -> DataFrame:
+    """Core of q_instruction_complexity over any transcript-shaped frame."""
+    u = t.filter((F.col("role") == "user") & F.col("text").isNotNull())
+    low = F.lower(F.col("text"))
+    cons = None
+    for m in CONSTRAINT_MARKERS:
+        c = _subseq_count(low, m)
+        cons = c if cons is None else (cons + c)
+    numbered = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(NUMBERED_REQ_RE), 0)
+    ).cast("long")
+    questions = _subseq_count(F.col("text"), "?")
+    ws = F.filter(F.split(low, TOKEN_SPLIT), lambda x: x != "")
+    n_toks = F.size(ws).cast("long")
+    tok_part = ((n_toks - F.pmod(n_toks, F.lit(100))) / F.lit(100)) \
+        .cast("long")  # exact n_toks div 100 (numerator is a multiple)
+    score = (
+        F.lit(2) * cons + F.lit(3) * numbered + questions + tok_part
+    ).cast("long")
+    out = u.select(
+        "conv_id",
+        "turn_idx",
+        cons.cast("long").alias("constraint_hits"),
+        numbered.alias("numbered_reqs"),
+        questions.alias("question_marks"),
+        n_toks.alias("n_tokens"),
+        score.alias("complexity_score"),
+    )
+    return out.withColumn(
+        "complexity_band",
+        F.when(F.col("complexity_score") >= 8, F.lit("high"))
+        .when(F.col("complexity_score") >= 3, F.lit("medium"))
+        .otherwise(F.lit("low")),
+    )
+
+
+_SQL_CONS_SUM = " + ".join(
+    _sql_subseq_count("low", m) for m in CONSTRAINT_MARKERS
+)
+
+SQL_INSTRUCTION_COMPLEXITY = f"""
+WITH u AS (
+  SELECT conv_id, turn_idx, text, lower(text) AS low,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                     x -> x <> '') AS ws
+  FROM read_parquet('{TRANSCRIPTS_PQ}')
+  WHERE role = 'user' AND text IS NOT NULL
+), s AS (
+  SELECT conv_id, turn_idx,
+         CAST({_SQL_CONS_SUM} AS BIGINT) AS constraint_hits,
+         CAST(len(regexp_extract_all(text, '{NUMBERED_REQ_RE}'))
+              AS BIGINT) AS numbered_reqs,
+         CAST({_sql_subseq_count('text', '?')} AS BIGINT)
+           AS question_marks,
+         CAST(len(ws) AS BIGINT) AS n_tokens
+  FROM u
+), sc AS (
+  SELECT *,
+         CAST(2 * constraint_hits + 3 * numbered_reqs + question_marks
+              + n_tokens // 100 AS BIGINT) AS complexity_score
+  FROM s
+)
+SELECT conv_id, turn_idx, constraint_hits, numbered_reqs, question_marks,
+       n_tokens, complexity_score,
+       CASE WHEN complexity_score >= 8 THEN 'high'
+            WHEN complexity_score >= 3 THEN 'medium'
+            ELSE 'low' END AS complexity_band
+FROM sc
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -13302,4 +13576,10 @@ QUERIES: dict[str, tuple] = {
         SQL_CONTRASTIVE_PAIR_MINING,
     ),
     "fim_span_plan": (q_fim_span_plan, SQL_FIM_SPAN_PLAN),
+    "shared_prefix_stats": (q_shared_prefix_stats, SQL_SHARED_PREFIX_STATS),
+    "ocr_garbage_detect": (q_ocr_garbage_detect, SQL_OCR_GARBAGE_DETECT),
+    "instruction_complexity": (
+        q_instruction_complexity,
+        SQL_INSTRUCTION_COMPLEXITY,
+    ),
 }

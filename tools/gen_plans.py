@@ -85,7 +85,9 @@ def main() -> None:
                  "weighted_sample_aes", "dedup_soft_weights",
                  "synthetic_text_flags", "eval_pass_at_k",
                  "group_advantage_normalize", "grounding_overlap_score",
-                 "contrastive_pair_mining", "fim_span_plan"):
+                 "contrastive_pair_mining", "fim_span_plan",
+                 "shared_prefix_stats", "ocr_garbage_detect",
+                 "instruction_complexity"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -508,6 +510,19 @@ def main() -> None:
 
     checks.append(("FIM plan is an Exchange-free scan projection",
                    "Exchange" not in full["fim_span_plan"]))
+
+    checks.append(("prefix-cache audit: turn_idx=0 predicate pushes to "
+                   "the scan, ONE exchange, no joins",
+                   "PushedFilters: [IsNotNull(turn_idx)"
+                   in full["shared_prefix_stats"]
+                   and len(re.findall(r"\(\d+\) Exchange",
+                                      full["shared_prefix_stats"])) == 1
+                   and "Join" not in full["shared_prefix_stats"]))
+
+    checks.append(("OCR + instruction triage are Exchange-free scan "
+                   "projections",
+                   "Exchange" not in full["ocr_garbage_detect"]
+                   and "Exchange" not in full["instruction_complexity"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

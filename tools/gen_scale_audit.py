@@ -179,6 +179,9 @@ SCALE_CLASS = {
     "grounding_overlap_score": ("shuffle", "LINEAR gram stream: tokens explode once, the 8-token window id is an integer lead() fold over the per-turn token order (the naive per-window array slice is O(turn_len^2) - measured catastrophic on 100KB tool outputs on BOTH engines); wide ops are one per-turn window sort, one (conv_id, gram) first-evidence agg with map-side combine, one (conv_id, gram) equi-join - all conversation-keyed, no turn self-join"),
     "contrastive_pair_mining": ("bucketed", "chunking and anchor/positive pairing are IN-ROW on each doc's token array; the negative assignment is two map-side-combined aggregations over a 16-row bucket key space broadcast back; the head lookup is one doc_id equi-join"),
     "fim_span_plan": ("linear", "zero-exchange scan projection - every span field is in-row integer arithmetic on the row's own length and doc_id hash"),
+    "shared_prefix_stats": ("shuffle", "one turn_idx=0 scan (predicate pushes to the parquet scan) + ONE digest-keyed aggregation with map-side combine; group state is two counters"),
+    "ocr_garbage_detect": ("linear", "zero-exchange scan projection - every signal is a JVM-side regexp/length identity over the row's own text"),
+    "instruction_complexity": ("linear", "zero-exchange scan projection over user turns - every count is a substring/regexp identity on the row's own text; integer score arithmetic only"),
 }
 
 
