@@ -307,6 +307,11 @@ def main() -> None:
         "shared_prefix_stats",
         "ocr_garbage_detect",
         "instruction_complexity",
+        # round 5, fortieth wave: special-token hygiene + SFT
+        # serialization.  Excluded from the r04 subtotal.
+        "special_token_leakage",
+        "chat_template_render",
+        "loss_mask_spans",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -393,6 +398,9 @@ def main() -> None:
         "shared_prefix_stats",
         "ocr_garbage_detect",
         "instruction_complexity",
+        "special_token_leakage",
+        "chat_template_render",
+        "loss_mask_spans",
         "agent_loop_neardup",
         "conversation_split_assign",
         "bpe_roundtrip_check",

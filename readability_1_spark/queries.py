@@ -13214,6 +13214,211 @@ FROM sc
 
 
 # --------------------------------------------------------------------------
+# Special-token leakage scan (tokenizer control-token hygiene)
+# --------------------------------------------------------------------------
+
+SPECIAL_TOKENS = (
+    "<|endoftext|>",
+    "<|im_start|>",
+    "<|im_end|>",
+    "<s>",
+    "</s>",
+    "[INST]",
+    "[/INST]",
+    "<|user|>",
+    "<|assistant|>",
+    "<unk>",
+    "<pad>",
+)
+
+
+def q_special_token_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Special-token leakage scan: exact (case-sensitive) hits on the
+    tokenizer control tokens of the major template families
+    (<|endoftext|>, <|im_start|>, <s>, [INST], ...) inside corpus text —
+    a document that CONTAINS a control token literal would, if trained
+    on raw, let web content forge turn boundaries (the special-token
+    injection channel), so pipelines scrub or escape these before
+    serialization.  `leaky` routes.
+
+    Scale shape: a zero-exchange scan projection — every count is a
+    JVM-side length/replace substring identity over the row's own
+    text."""
+    return special_token_frame(_t(spark, sf_dir, "documents"))
+
+
+def special_token_frame(docs: DataFrame) -> DataFrame:
+    """Core of q_special_token_leakage over any (doc_id, text) frame."""
+    txt = F.col("text")
+    total = None
+    for t in SPECIAL_TOKENS:
+        c = _subseq_count(txt, t)
+        total = c if total is None else (total + c)
+    eot = _subseq_count(txt, "<|endoftext|>")
+    inst = _subseq_count(txt, "[INST]") + _subseq_count(txt, "[/INST]")
+    im = _subseq_count(txt, "<|im_start|>") + _subseq_count(txt, "<|im_end|>")
+    return docs.select(
+        "doc_id",
+        total.cast("long").alias("special_token_hits"),
+        eot.alias("eot_hits"),
+        im.cast("long").alias("chatml_hits"),
+        inst.cast("long").alias("inst_hits"),
+        (total > 0).alias("leaky"),
+    )
+
+
+_SQL_SPECIAL_SUM = " + ".join(
+    _sql_subseq_count("text", t) for t in SPECIAL_TOKENS
+)
+
+SQL_SPECIAL_TOKEN_LEAKAGE = f"""
+SELECT doc_id,
+       CAST({_SQL_SPECIAL_SUM} AS BIGINT) AS special_token_hits,
+       CAST({_sql_subseq_count('text', '<|endoftext|>')} AS BIGINT)
+         AS eot_hits,
+       CAST({_sql_subseq_count('text', '<|im_start|>')}
+            + {_sql_subseq_count('text', '<|im_end|>')} AS BIGINT)
+         AS chatml_hits,
+       CAST({_sql_subseq_count('text', '[INST]')}
+            + {_sql_subseq_count('text', '[/INST]')} AS BIGINT)
+         AS inst_hits,
+       ({_SQL_SPECIAL_SUM}) > 0 AS leaky
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# Chat-template rendering + loss-mask span planning (SFT serialization)
+# --------------------------------------------------------------------------
+
+TMPL_END = "<|end|>"
+
+
+def _piece_expr(role_col, text_col):
+    """One turn's rendered template piece: <|role|>text<|end|>."""
+    return F.concat(
+        F.lit("<|"), role_col, F.lit("|>"), text_col, F.lit(TMPL_END)
+    )
+
+
+def q_chat_template_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chat-template serialization — the step that turns a transcript
+    into THE training string: every turn renders as <|role|>text<|end|>
+    in turn order and the conversation concatenates; emitted as a digest
+    plus length/turn stats (the string itself stays distributed — only
+    its md5 and size leave the executors).  Deterministic: same corpus,
+    same bytes, same digest, forever.
+
+    Scale shape: ONE conv_id aggregation; per-group state is the
+    conversation's own turns (the natural SFT unit of work)."""
+    return chat_template_frame(spark.read.parquet(TRANSCRIPTS_PQ))
+
+
+def chat_template_frame(t: DataFrame) -> DataFrame:
+    """Core of q_chat_template_render over any transcript-shaped frame."""
+    turns = t.filter(F.col("text").isNotNull()).select(
+        "conv_id",
+        F.struct(
+            F.col("turn_idx"),
+            _piece_expr(F.col("role"), F.col("text")).alias("piece"),
+        ).alias("tp"),
+    )
+    agg = turns.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list("tp")), lambda x: x["piece"]
+            ),
+            "",
+        ).alias("rendered"),
+    )
+    return agg.select(
+        "conv_id",
+        "n_turns",
+        F.length("rendered").cast("long").alias("rendered_chars"),
+        F.md5(F.col("rendered").cast("binary")).alias("rendered_digest"),
+    )
+
+
+SQL_CHAT_TEMPLATE_RENDER = f"""
+WITH pieces AS (
+  SELECT conv_id, turn_idx,
+         '<|' || role || '|>' || text || '{TMPL_END}' AS piece
+  FROM read_parquet('{TRANSCRIPTS_PQ}')
+  WHERE text IS NOT NULL
+), agg AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n_turns,
+         string_agg(piece, '' ORDER BY turn_idx) AS rendered
+  FROM pieces GROUP BY conv_id
+)
+SELECT conv_id, n_turns,
+       CAST(length(rendered) AS BIGINT) AS rendered_chars,
+       md5(rendered) AS rendered_digest
+FROM agg
+"""
+
+
+def q_loss_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loss-mask span planning for the rendered SFT string: each turn's
+    [span_start, span_end] character range inside its conversation's
+    chat-template rendering, plus `trainable` (loss flows only through
+    assistant turns; user/tool turns are context) — the mask an SFT
+    trainer applies position-for-position to q_chat_template_render's
+    output.  max(span_end) per conversation equals rendered_chars by
+    construction (tested).
+
+    Scale shape: ONE conv_id window (running sum of piece lengths in
+    turn order); per-group state is the conversation's own turns;
+    integer arithmetic only."""
+    return loss_mask_frame(spark.read.parquet(TRANSCRIPTS_PQ))
+
+
+def loss_mask_frame(t: DataFrame) -> DataFrame:
+    """Core of q_loss_mask_spans over any transcript-shaped frame."""
+    turns = t.filter(F.col("text").isNotNull()).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        F.length(_piece_expr(F.col("role"), F.col("text")))
+        .cast("long").alias("piece_len"),
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    run = F.sum("piece_len").over(w)
+    return turns.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "piece_len",
+        (run - F.col("piece_len") + 1).cast("long").alias("span_start"),
+        run.cast("long").alias("span_end"),
+        (F.col("role") == "assistant").alias("trainable"),
+    )
+
+
+SQL_LOSS_MASK_SPANS = f"""
+WITH pieces AS (
+  SELECT conv_id, turn_idx, role,
+         CAST(length('<|' || role || '|>' || text || '{TMPL_END}')
+              AS BIGINT) AS piece_len
+  FROM read_parquet('{TRANSCRIPTS_PQ}')
+  WHERE text IS NOT NULL
+)
+SELECT conv_id, turn_idx, role, piece_len,
+       CAST(sum(piece_len) OVER w - piece_len + 1 AS BIGINT) AS span_start,
+       CAST(sum(piece_len) OVER w AS BIGINT) AS span_end,
+       (role = 'assistant') AS trainable
+FROM pieces
+WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -13582,4 +13787,10 @@ QUERIES: dict[str, tuple] = {
         q_instruction_complexity,
         SQL_INSTRUCTION_COMPLEXITY,
     ),
+    "special_token_leakage": (
+        q_special_token_leakage,
+        SQL_SPECIAL_TOKEN_LEAKAGE,
+    ),
+    "chat_template_render": (q_chat_template_render, SQL_CHAT_TEMPLATE_RENDER),
+    "loss_mask_spans": (q_loss_mask_spans, SQL_LOSS_MASK_SPANS),
 }

@@ -87,7 +87,8 @@ def main() -> None:
                  "group_advantage_normalize", "grounding_overlap_score",
                  "contrastive_pair_mining", "fim_span_plan",
                  "shared_prefix_stats", "ocr_garbage_detect",
-                 "instruction_complexity"):
+                 "instruction_complexity", "special_token_leakage",
+                 "chat_template_render", "loss_mask_spans"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -523,6 +524,19 @@ def main() -> None:
                    "projections",
                    "Exchange" not in full["ocr_garbage_detect"]
                    and "Exchange" not in full["instruction_complexity"]))
+
+    checks.append(("special-token scan is an Exchange-free scan "
+                   "projection",
+                   "Exchange" not in full["special_token_leakage"]))
+
+    checks.append(("chat render + loss mask: exactly ONE conv exchange "
+                   "each, no joins",
+                   len(re.findall(r"\(\d+\) Exchange",
+                                  full["chat_template_render"])) == 1
+                   and "Join" not in full["chat_template_render"]
+                   and len(re.findall(r"\(\d+\) Exchange",
+                                      full["loss_mask_spans"])) == 1
+                   and "Join" not in full["loss_mask_spans"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

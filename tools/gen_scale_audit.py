@@ -182,6 +182,9 @@ SCALE_CLASS = {
     "shared_prefix_stats": ("shuffle", "one turn_idx=0 scan (predicate pushes to the parquet scan) + ONE digest-keyed aggregation with map-side combine; group state is two counters"),
     "ocr_garbage_detect": ("linear", "zero-exchange scan projection - every signal is a JVM-side regexp/length identity over the row's own text"),
     "instruction_complexity": ("linear", "zero-exchange scan projection over user turns - every count is a substring/regexp identity on the row's own text; integer score arithmetic only"),
+    "special_token_leakage": ("linear", "zero-exchange scan projection - every count is a JVM-side length/replace substring identity over the row's own text"),
+    "chat_template_render": ("shuffle", "ONE conv_id aggregation; per-group state is the conversation's own turns (the natural SFT unit of work); only the md5 digest and sizes leave the executors, never the rendered string"),
+    "loss_mask_spans": ("shuffle", "ONE conv_id window (running sum of piece lengths in turn order); per-group state is the conversation's own turns; integer arithmetic only"),
 }
 
 
