@@ -312,6 +312,11 @@ def main() -> None:
         "special_token_leakage",
         "chat_template_render",
         "loss_mask_spans",
+        # round 5, forty-first wave: clustering eval, packed attention,
+        # shard sizing.  Excluded from the r04 subtotal.
+        "kmeans_cluster_purity",
+        "packing_attention_spans",
+        "shard_size_plan",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -401,6 +406,9 @@ def main() -> None:
         "special_token_leakage",
         "chat_template_render",
         "loss_mask_spans",
+        "kmeans_cluster_purity",
+        "packing_attention_spans",
+        "shard_size_plan",
         "agent_loop_neardup",
         "conversation_split_assign",
         "bpe_roundtrip_check",

@@ -13419,6 +13419,263 @@ WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx
 
 
 # --------------------------------------------------------------------------
+# K-means cluster purity (clustering-vs-label agreement eval)
+# --------------------------------------------------------------------------
+
+def q_kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-purity evaluation of the trained k-means clustering
+    against the embeddings' ground-truth labels: per cluster, the
+    majority label and its share (purity) plus the label-diversity count
+    — THE standard external clustering metric, and the go/no-go check
+    before cluster assignments drive curation decisions (SemDeDup,
+    outlier drops, topic caps).  Integer counts + one rounded division.
+
+    Scale shape: assignment is the kmeans recipe's broadcast crossJoin
+    (K rows) + ONE vec_id window; purity is one (cluster, label) count
+    with map-side combine + one cluster-keyed majority window over ≤
+    |labels| rows per cluster."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    labels = _t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cent = _kmeans_centroids(spark, sf_dir)
+    assigned = _kmeans_assign(emb, cent).select("vec_id", "centroid_id")
+    cl = assigned.join(labels, "vec_id").groupBy(
+        "centroid_id", "label"
+    ).agg(F.count("*").cast("long").alias("n"))
+    w = Window.partitionBy("centroid_id").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    wc = Window.partitionBy("centroid_id")
+    return (
+        cl.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_n", F.sum("n").over(wc).cast("long"))
+        .withColumn("n_labels", F.count("*").over(wc).cast("long"))
+        .filter(F.col("rn") == 1)
+        .select(
+            "centroid_id",
+            "cluster_n",
+            "n_labels",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("majority_n"),
+            F.round(
+                F.col("n").cast("double") / F.col("cluster_n").cast("double"),
+                6,
+            ).alias("purity"),
+        )
+    )
+
+
+SQL_KMEANS_CLUSTER_PURITY = f"""
+WITH c0 AS (
+  SELECT vec_id AS centroid_id,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS c_emb
+  FROM embeddings WHERE vec_id < {KMEANS_K}
+),
+{", ".join(_sql_kmeans_iter(n) for n in range(1, KMEANS_ITERS + 1))},
+assigned AS (
+  SELECT vec_id, centroid_id FROM (
+    SELECT e.vec_id, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {_sql_kmeans_dist('c')} ASC, c.centroid_id ASC) AS rn
+    FROM embeddings e, c{KMEANS_ITERS} c
+  ) WHERE rn = 1
+), cl AS (
+  SELECT a.centroid_id, e.label, CAST(count(*) AS BIGINT) AS n
+  FROM assigned a JOIN embeddings e USING (vec_id)
+  GROUP BY a.centroid_id, e.label
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY centroid_id
+                            ORDER BY n DESC, label ASC) AS rn,
+         CAST(sum(n) OVER (PARTITION BY centroid_id) AS BIGINT)
+           AS cluster_n,
+         CAST(count(*) OVER (PARTITION BY centroid_id) AS BIGINT)
+           AS n_labels
+  FROM cl
+)
+SELECT centroid_id, cluster_n, n_labels, label AS majority_label,
+       n AS majority_n,
+       round(CAST(n AS DOUBLE) / CAST(cluster_n AS DOUBLE), 6) AS purity
+FROM ranked WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------------
+# Block-diagonal attention span planning over packed sequences
+# --------------------------------------------------------------------------
+
+def q_packing_attention_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-diagonal attention planning for the packed training
+    sequences: inside each fixed-length pack, tokens must attend only
+    within their own document, so every EOS boundary opens a new block —
+    this query emits each sequence's [start, end] block spans plus
+    whether the block is EOS-terminated (a document tail continuing into
+    the next sequence is not) — exactly the mask spec a trainer turns
+    into a block-causal attention bias for packed batches.
+
+    Scale shape: reuses the pack pipeline (range-partition prefix sums,
+    one seq_id exchange); the span construction is IN-ROW array
+    arithmetic over each ≤SEQ_LEN id array — no additional exchange."""
+    from .pretrain import pack_token_sequences
+
+    per_doc, eos_id = _doc_token_ids(spark, sf_dir)
+    seqs = pack_token_sequences(per_doc, PACK_IDS_SEQ_LEN, eos_id)
+    arr = F.col("token_ids")
+    n = F.size(arr)
+    eos = F.lit(int(eos_id))
+    epos = F.filter(
+        F.sequence(F.lit(1), n),
+        lambda i: F.element_at(arr, i) == eos,
+    )
+    starts = F.concat(
+        F.array(F.lit(1)),
+        F.transform(
+            F.filter(epos, lambda e: e < n), lambda e: e + F.lit(1)
+        ),
+    )
+    ends = F.when(
+        (F.size(epos) > 0) & (F.element_at(epos, -1) == n), epos
+    ).otherwise(F.concat(epos, F.array(n)))
+    blocks = F.arrays_zip(starts.alias("s"), ends.alias("e"))
+    out = seqs.select(
+        "seq_id",
+        arr.alias("ids"),
+        F.posexplode(blocks).alias("block_idx", "blk"),
+    )
+    return out.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        F.col("block_idx").cast("long").alias("block_idx"),
+        F.col("blk.s").cast("long").alias("span_start"),
+        F.col("blk.e").cast("long").alias("span_end"),
+        (F.col("blk.e") - F.col("blk.s") + 1).cast("long")
+        .alias("block_len"),
+        (F.element_at(F.col("ids"), F.col("blk.e").cast("int")) == eos)
+        .alias("eos_terminated"),
+    )
+
+
+SQL_PACKING_ATTENTION_SPANS = f"""
+WITH {_SQL_BPE_IDS_CHAIN},
+with_eos AS (
+  SELECT doc_id,
+         list_concat(ids, list_value(CAST(
+           (SELECT count(*) FROM bases) + (SELECT count(*) FROM bmerges)
+           AS INT))) AS ids,
+         CAST((SELECT count(*) FROM bases)
+              + (SELECT count(*) FROM bmerges) AS INT) AS eos_id
+  FROM doc_ids
+), offs AS (
+  SELECT doc_id, ids, eos_id,
+         CAST(sum(len(ids)) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              - len(ids) AS BIGINT) AS start
+  FROM with_eos
+), gpos AS (
+  SELECT offs.start + t.i - 1 AS g, ids[t.i] AS tid, eos_id
+  FROM offs, UNNEST(generate_series(1, len(ids))) t(i)
+), packs AS (
+  SELECT CAST(g // {PACK_IDS_SEQ_LEN} AS BIGINT) AS seq_id,
+         list(tid ORDER BY g) AS ids,
+         min(eos_id) AS eos_id
+  FROM gpos GROUP BY 1
+), sp AS (
+  SELECT seq_id, ids, eos_id, len(ids) AS n,
+         list_filter(generate_series(1, len(ids)),
+                     i -> ids[i] = eos_id) AS epos
+  FROM packs
+), se AS (
+  SELECT seq_id, ids, eos_id, n, epos,
+         list_concat(list_value(1),
+           list_transform(list_filter(epos, e -> e < n),
+                          e -> e + 1)) AS starts,
+         CASE WHEN len(epos) > 0 AND epos[len(epos)] = n THEN epos
+              ELSE list_concat(epos, list_value(n)) END AS ends
+  FROM sp
+)
+SELECT seq_id,
+       CAST(b - 1 AS BIGINT) AS block_idx,
+       CAST(s AS BIGINT) AS span_start,
+       CAST(e AS BIGINT) AS span_end,
+       CAST(e - s + 1 AS BIGINT) AS block_len,
+       (ids[e] = eos_id) AS eos_terminated
+FROM (
+  SELECT seq_id, ids, eos_id,
+         unnest(generate_series(1, len(starts))) AS b,
+         unnest(starts) AS s,
+         unnest(ends) AS e
+  FROM se
+)
+"""
+
+
+# --------------------------------------------------------------------------
+# Output shard sizing plan (small-files avoidance at the sink)
+# --------------------------------------------------------------------------
+
+SHARD_TARGET_CHARS = 50_000
+
+
+def q_shard_size_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output shard sizing: per source, how many shards the writer should
+    cut so files land near SHARD_TARGET_CHARS (ceil division — the
+    small-files problem is THE classic 100 TB sink failure: a thousand
+    sources × a thousand tiny parquet files kills every downstream scan),
+    plus docs-per-shard and a `merge_candidate` flag for sources smaller
+    than half a shard (coalesce them into a mixed shard instead).
+    Integer arithmetic only.
+
+    Scale shape: ONE source-keyed aggregation with map-side combine;
+    the plan arithmetic is in-row on the per-source rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    agg = docs.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+    )
+
+    def ceil_div(a, b):
+        # exact integer ceil: (a+b-1) div b via the pmod identity
+        num = a + b - F.lit(1)
+        return ((num - F.pmod(num, b)) / b).cast("long")
+
+    out = agg.withColumn(
+        "n_shards",
+        F.greatest(
+            ceil_div(F.col("total_chars"), F.lit(SHARD_TARGET_CHARS)),
+            F.lit(1).cast("long"),
+        ),
+    )
+    return out.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "n_shards",
+        ceil_div(F.col("n_docs"), F.col("n_shards")).alias("docs_per_shard"),
+        (F.col("total_chars") < F.lit(SHARD_TARGET_CHARS / 2))
+        .alias("merge_candidate"),
+    )
+
+
+SQL_SHARD_SIZE_PLAN = f"""
+WITH agg AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(length(text)) AS BIGINT) AS total_chars
+  FROM documents GROUP BY source
+), plan AS (
+  SELECT source, n_docs, total_chars,
+         greatest((total_chars + {SHARD_TARGET_CHARS} - 1)
+                  // {SHARD_TARGET_CHARS}, 1) AS n_shards
+  FROM agg
+)
+SELECT source, n_docs, total_chars,
+       CAST(n_shards AS BIGINT) AS n_shards,
+       CAST((n_docs + n_shards - 1) // n_shards AS BIGINT)
+         AS docs_per_shard,
+       (total_chars < {SHARD_TARGET_CHARS} / 2) AS merge_candidate
+FROM plan
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -13793,4 +14050,13 @@ QUERIES: dict[str, tuple] = {
     ),
     "chat_template_render": (q_chat_template_render, SQL_CHAT_TEMPLATE_RENDER),
     "loss_mask_spans": (q_loss_mask_spans, SQL_LOSS_MASK_SPANS),
+    "kmeans_cluster_purity": (
+        q_kmeans_cluster_purity,
+        SQL_KMEANS_CLUSTER_PURITY,
+    ),
+    "packing_attention_spans": (
+        q_packing_attention_spans,
+        SQL_PACKING_ATTENTION_SPANS,
+    ),
+    "shard_size_plan": (q_shard_size_plan, SQL_SHARD_SIZE_PLAN),
 }

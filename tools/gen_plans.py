@@ -88,7 +88,9 @@ def main() -> None:
                  "contrastive_pair_mining", "fim_span_plan",
                  "shared_prefix_stats", "ocr_garbage_detect",
                  "instruction_complexity", "special_token_leakage",
-                 "chat_template_render", "loss_mask_spans"):
+                 "chat_template_render", "loss_mask_spans",
+                 "kmeans_cluster_purity", "packing_attention_spans",
+                 "pack_token_ids", "shard_size_plan"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -528,6 +530,26 @@ def main() -> None:
     checks.append(("special-token scan is an Exchange-free scan "
                    "projection",
                    "Exchange" not in full["special_token_leakage"]))
+
+    checks.append(("cluster purity: centroid set broadcasts (no shuffle "
+                   "join), no cartesian beyond the K-row cross",
+                   full["kmeans_cluster_purity"].count(
+                       "BroadcastNestedLoopJoin Cross") <= 1
+                   and "CartesianProduct"
+                       not in full["kmeans_cluster_purity"]))
+
+    checks.append(("attention spans: in-row span math adds NO exchange "
+                   "beyond the pack pipeline's own",
+                   len(re.findall(r"\(\d+\) Exchange",
+                                  full["packing_attention_spans"]))
+                   <= len(re.findall(r"\(\d+\) Exchange",
+                                     full["pack_token_ids"]))))
+
+    checks.append(("shard plan: exactly ONE exchange (the source "
+                   "rollup), no joins",
+                   len(re.findall(r"\(\d+\) Exchange",
+                                  full["shard_size_plan"])) == 1
+                   and "Join" not in full["shard_size_plan"]))
 
     checks.append(("chat render + loss mask: exactly ONE conv exchange "
                    "each, no joins",

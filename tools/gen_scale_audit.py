@@ -185,6 +185,9 @@ SCALE_CLASS = {
     "special_token_leakage": ("linear", "zero-exchange scan projection - every count is a JVM-side length/replace substring identity over the row's own text"),
     "chat_template_render": ("shuffle", "ONE conv_id aggregation; per-group state is the conversation's own turns (the natural SFT unit of work); only the md5 digest and sizes leave the executors, never the rendered string"),
     "loss_mask_spans": ("shuffle", "ONE conv_id window (running sum of piece lengths in turn order); per-group state is the conversation's own turns; integer arithmetic only"),
+    "kmeans_cluster_purity": ("bucketed", "assignment is the kmeans recipe's broadcast crossJoin (K rows) + ONE vec_id window; purity is one (cluster, label) count with map-side combine + one cluster-keyed majority window over <=|labels| rows per cluster"),
+    "packing_attention_spans": ("shuffle", "reuses the pack pipeline (range-partition prefix sums, one seq_id exchange); the span construction is IN-ROW array arithmetic over each <=SEQ_LEN id array - no additional exchange"),
+    "shard_size_plan": ("shuffle", "ONE source-keyed aggregation with map-side combine; plan arithmetic is in-row integer ceil-division on the per-source rollup"),
 }
 
 
