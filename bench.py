@@ -317,6 +317,11 @@ def main() -> None:
         "kmeans_cluster_purity",
         "packing_attention_spans",
         "shard_size_plan",
+        # round 5, forty-second wave: temporal split, refusal triage,
+        # known-item MRR.  Excluded from the r04 subtotal.
+        "time_split_assign",
+        "refusal_rate_scan",
+        "search_mrr_eval",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -409,6 +414,9 @@ def main() -> None:
         "kmeans_cluster_purity",
         "packing_attention_spans",
         "shard_size_plan",
+        "time_split_assign",
+        "refusal_rate_scan",
+        "search_mrr_eval",
         "agent_loop_neardup",
         "conversation_split_assign",
         "bpe_roundtrip_check",

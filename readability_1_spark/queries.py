@@ -13676,6 +13676,326 @@ FROM plan
 
 
 # --------------------------------------------------------------------------
+# Temporal split assignment (time-based train/val/test, leakage-safe)
+# --------------------------------------------------------------------------
+
+TIME_TRAIN_PCT = 80
+TIME_VAL_PCT = 90
+
+
+def q_time_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/val/test split over the event stream: cutoffs at
+    80% / 90% of the [min, max] timestamp range (integer microsecond
+    arithmetic — exact), train strictly before the first cutoff, val
+    before the second, test after — the split a forecasting/RL-log
+    pipeline needs, where a HASH split would leak the future into
+    training.  By construction max(train ts) < min(val ts) < min(test
+    ts) (tested).
+
+    Scale shape: one 1-row min/max aggregation broadcast back + an
+    in-row banding comparison; no per-event shuffle.
+
+    The NTZ gotcha: `ts` is TIMESTAMP_NTZ, which Spark's unix_micros
+    rejects and a cast to TIMESTAMP would re-interpret in the session
+    timezone (environment-dependent!); timestampdiff from a literal NTZ
+    epoch measures wall-clock micros with no timezone involved, matching
+    DuckDB's epoch_us on its (NTZ) TIMESTAMP."""
+    ev = _t(spark, sf_dir, "events")
+    ts_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    mm = ev.agg(
+        F.min(ts_us).alias("t0"),
+        F.max(ts_us).alias("t1"),
+    )
+    span = F.col("t1") - F.col("t0")
+    cuts = mm.select(
+        (F.col("t0") + (span * TIME_TRAIN_PCT
+                        - F.pmod(span * TIME_TRAIN_PCT, F.lit(100))) / 100)
+        .cast("long").alias("cut_train"),
+        (F.col("t0") + (span * TIME_VAL_PCT
+                        - F.pmod(span * TIME_VAL_PCT, F.lit(100))) / 100)
+        .cast("long").alias("cut_val"),
+    )
+    out = ev.select(
+        "event_id", ts_us.cast("long").alias("ts_us")
+    ).crossJoin(F.broadcast(cuts))
+    return out.select(
+        "event_id",
+        "ts_us",
+        F.when(F.col("ts_us") < F.col("cut_train"), F.lit("train"))
+        .when(F.col("ts_us") < F.col("cut_val"), F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+SQL_TIME_SPLIT_ASSIGN = f"""
+WITH mm AS (
+  SELECT CAST(min(epoch_us(ts)) AS BIGINT) AS t0,
+         CAST(max(epoch_us(ts)) AS BIGINT) AS t1
+  FROM events
+), cuts AS (
+  SELECT t0 + ((t1 - t0) * {TIME_TRAIN_PCT}) // 100 AS cut_train,
+         t0 + ((t1 - t0) * {TIME_VAL_PCT}) // 100 AS cut_val
+  FROM mm
+)
+SELECT event_id,
+       CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       CASE WHEN epoch_us(ts) < cut_train THEN 'train'
+            WHEN epoch_us(ts) < cut_val THEN 'val'
+            ELSE 'test' END AS split
+FROM events CROSS JOIN cuts
+"""
+
+
+# --------------------------------------------------------------------------
+# Refusal-rate triage over assistant turns (over-refusal SFT hygiene)
+# --------------------------------------------------------------------------
+
+REFUSAL_MARKERS = (
+    "i can't",
+    "i cannot",
+    "i won't",
+    "i'm sorry",
+    "i am sorry",
+    "i'm unable",
+    "i am unable",
+    "as an ai",
+)
+
+
+def q_refusal_rate_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refusal-rate triage over agent transcripts: per conversation, how
+    many assistant turns open with/contain the refusal register ("I
+    can't", "I'm unable", "as an AI", ...) and whether the FIRST
+    assistant turn refuses — the over-refusal signal an SFT curation pass
+    balances before training (a corpus that teaches reflexive refusal is
+    as bad as one that teaches none).
+
+    Scale shape: the flag is an in-row lowercase substring scan; the
+    rollup is ONE conv_id aggregation with map-side combine."""
+    return refusal_frame(spark.read.parquet(TRANSCRIPTS_PQ))
+
+
+def refusal_frame(t: DataFrame) -> DataFrame:
+    """Core of q_refusal_rate_scan over any transcript-shaped frame."""
+    a = t.filter(
+        (F.col("role") == "assistant") & F.col("text").isNotNull()
+    )
+    low = F.lower(F.col("text"))
+    hit = None
+    for m in REFUSAL_MARKERS:
+        c = F.instr(low, m) > 0
+        hit = c if hit is None else (hit | c)
+    flagged = a.select(
+        "conv_id",
+        "turn_idx",
+        hit.cast("int").alias("refused"),
+    )
+    agg = flagged.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_assistant_turns"),
+        F.sum("refused").cast("long").alias("n_refusal_turns"),
+        F.min_by("refused", "turn_idx").alias("first_refused"),
+    )
+    return agg.select(
+        "conv_id",
+        "n_assistant_turns",
+        "n_refusal_turns",
+        F.round(
+            F.col("n_refusal_turns").cast("double")
+            / F.col("n_assistant_turns").cast("double"),
+            6,
+        ).alias("refusal_rate"),
+        (F.col("first_refused") == 1).alias("first_turn_refusal"),
+    )
+
+
+_SQL_REFUSAL_OR = " OR ".join(
+    f"strpos(low, '{m.replace(chr(39), chr(39) * 2)}') > 0"
+    for m in REFUSAL_MARKERS
+)
+
+SQL_REFUSAL_RATE_SCAN = f"""
+WITH a AS (
+  SELECT conv_id, turn_idx, lower(text) AS low
+  FROM read_parquet('{TRANSCRIPTS_PQ}')
+  WHERE role = 'assistant' AND text IS NOT NULL
+), flagged AS (
+  SELECT conv_id, turn_idx,
+         CASE WHEN {_SQL_REFUSAL_OR} THEN 1 ELSE 0 END AS refused
+  FROM a
+), agg AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n_assistant_turns,
+         CAST(sum(refused) AS BIGINT) AS n_refusal_turns,
+         CAST(min_by(refused, turn_idx) AS INT) AS first_refused
+  FROM flagged GROUP BY conv_id
+)
+SELECT conv_id, n_assistant_turns, n_refusal_turns,
+       round(CAST(n_refusal_turns AS DOUBLE)
+             / CAST(n_assistant_turns AS DOUBLE), 6) AS refusal_rate,
+       (first_refused = 1) AS first_turn_refusal
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Known-item retrieval MRR eval (self-retrieval over rare query terms)
+# --------------------------------------------------------------------------
+
+MRR_N_QUERIES = 16
+MRR_QUERY_TERMS = 3
+
+
+def q_search_mrr_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Known-item retrieval evaluation: for MRR_N_QUERIES hash-sampled
+    documents, build a query from each doc's MRR_QUERY_TERMS rarest
+    tokens (min document frequency, lexicographic tiebreak) and rank
+    every document containing a query term by summed idf of matched
+    terms — the source document should rank first, and its reciprocal
+    rank is the MRR component.  This is the standard self-retrieval
+    smoke eval an IR/RAG pipeline runs after every index build: a
+    falling MRR means tokenization, df stats or the candidate join
+    regressed.
+
+    Scale shape: the (tok, doc, tf) table is aggregated once
+    (map-side combine) and checkpointed; query docs come from the
+    content-hash TakeOrdered sample; per-query terms rank inside the
+    query doc's OWN token set (bounded by doc length); candidates come
+    ONLY from postings of the ≤ Q×T rare query terms (rare ⇒ short
+    postings), never a corpus scan per query; ranking windows partition
+    per query over candidate-bounded sets.
+
+    On THIS synthetic corpus the MRR is honestly terrible (~0.02): the
+    documents are template-generated from a shared phrase pool, so dozens
+    of docs contain every "rare" term of any query doc — exactly the
+    duplication failure a falling MRR is supposed to expose (the crafted
+    distinctive-vocabulary corpus in tests scores MRR 1.0)."""
+    return mrr_frame(_t(spark, sf_dir, "documents"))
+
+
+def mrr_frame(docs: DataFrame) -> DataFrame:
+    """Core of q_search_mrr_eval over any (doc_id, text) frame."""
+    per = (
+        _tokens(docs)
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
+    stats = per.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    h = _md5_bucket(F.col("doc_id").cast("string"), 1000000007)
+    qdocs = (
+        docs.select(F.col("doc_id").alias("query_doc_id"), h.alias("sk"))
+        .orderBy(F.col("sk").asc(), F.col("query_doc_id").asc())
+        .limit(MRR_N_QUERIES)
+        .select("query_doc_id")
+    )
+    wq = Window.partitionBy("query_doc_id").orderBy(
+        F.col("df").asc(), F.col("tok").asc()
+    )
+    qterms = (
+        per.join(
+            F.broadcast(qdocs),
+            per["doc_id"] == F.col("query_doc_id"),
+        )
+        .join(stats, "tok")
+        .select("query_doc_id", "tok", "df")
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= MRR_QUERY_TERMS)
+        .drop("rn")
+    )
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    cand = (
+        per.join(F.broadcast(qterms), "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("query_doc_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched"),
+            F.round(F.sum(idf), 6).alias("score"),
+        )
+    )
+    wr = Window.partitionBy("query_doc_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    ranked = cand.withColumn("rank", F.row_number().over(wr))
+    wc = Window.partitionBy("query_doc_id")
+    return (
+        ranked.withColumn(
+            "n_candidates", F.count(F.lit(1)).over(wc).cast("long")
+        )
+        .filter(F.col("doc_id") == F.col("query_doc_id"))
+        .select(
+            "query_doc_id",
+            "n_candidates",
+            F.col("rank").cast("long").alias("self_rank"),
+            F.round(F.lit(1.0) / F.col("rank").cast("double"), 6)
+            .alias("reciprocal_rank"),
+            (F.col("rank") == 1).alias("top1_hit"),
+        )
+    )
+
+
+SQL_SEARCH_MRR_EVAL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                   '{TOKEN_SPLIT}'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), per AS (
+  SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY tok, doc_id
+), stats AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df FROM per GROUP BY tok
+), nd AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+), qdocs AS (
+  SELECT doc_id AS query_doc_id
+  FROM (
+    SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents
+  )
+  ORDER BY {_sql_md5_poly('hx')} % 1000000007 ASC, doc_id ASC
+  LIMIT {MRR_N_QUERIES}
+), qterms AS (
+  SELECT query_doc_id, tok, df FROM (
+    SELECT q.query_doc_id, p.tok, s.df,
+           row_number() OVER (PARTITION BY q.query_doc_id
+                              ORDER BY s.df ASC, p.tok ASC) AS rn
+    FROM per p
+    JOIN qdocs q ON p.doc_id = q.query_doc_id
+    JOIN stats s USING (tok)
+  ) WHERE rn <= {MRR_QUERY_TERMS}
+), cand AS (
+  SELECT t.query_doc_id, p.doc_id,
+         CAST(count(*) AS BIGINT) AS n_matched,
+         round(sum(ln(1.0 + (n.n_docs - t.df + 0.5) / (t.df + 0.5))), 6)
+           AS score
+  FROM per p JOIN qterms t USING (tok) CROSS JOIN nd n
+  GROUP BY t.query_doc_id, p.doc_id
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY query_doc_id
+                            ORDER BY score DESC, doc_id ASC) AS rank,
+         CAST(count(*) OVER (PARTITION BY query_doc_id) AS BIGINT)
+           AS n_candidates
+  FROM cand
+)
+SELECT query_doc_id, n_candidates,
+       CAST(rank AS BIGINT) AS self_rank,
+       round(1.0 / CAST(rank AS DOUBLE), 6) AS reciprocal_rank,
+       (rank = 1) AS top1_hit
+FROM ranked WHERE doc_id = query_doc_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -14059,4 +14379,7 @@ QUERIES: dict[str, tuple] = {
         SQL_PACKING_ATTENTION_SPANS,
     ),
     "shard_size_plan": (q_shard_size_plan, SQL_SHARD_SIZE_PLAN),
+    "time_split_assign": (q_time_split_assign, SQL_TIME_SPLIT_ASSIGN),
+    "refusal_rate_scan": (q_refusal_rate_scan, SQL_REFUSAL_RATE_SCAN),
+    "search_mrr_eval": (q_search_mrr_eval, SQL_SEARCH_MRR_EVAL),
 }

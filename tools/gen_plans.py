@@ -90,7 +90,9 @@ def main() -> None:
                  "instruction_complexity", "special_token_leakage",
                  "chat_template_render", "loss_mask_spans",
                  "kmeans_cluster_purity", "packing_attention_spans",
-                 "pack_token_ids", "shard_size_plan"):
+                 "pack_token_ids", "shard_size_plan",
+                 "time_split_assign", "refusal_rate_scan",
+                 "search_mrr_eval"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -550,6 +552,25 @@ def main() -> None:
                    len(re.findall(r"\(\d+\) Exchange",
                                   full["shard_size_plan"])) == 1
                    and "Join" not in full["shard_size_plan"]))
+
+    checks.append(("time split: the 1-row cutoffs broadcast (nested-loop "
+                   "cross of a 1-row side only), no per-event exchange",
+                   full["time_split_assign"].count(
+                       "BroadcastNestedLoopJoin Cross") <= 1
+                   and "hashpartitioning(event_id"
+                       not in full["time_split_assign"]))
+
+    checks.append(("refusal scan: exactly ONE exchange (the conv "
+                   "rollup), no joins",
+                   len(re.findall(r"\(\d+\) Exchange",
+                                  full["refusal_rate_scan"])) == 1
+                   and "Join" not in full["refusal_rate_scan"]))
+
+    checks.append(("MRR eval: candidates via broadcast equi-joins on "
+                   "query terms, no cartesian beyond 1-row stats",
+                   "CartesianProduct" not in full["search_mrr_eval"]
+                   and full["search_mrr_eval"].count("BroadcastHashJoin")
+                   >= 2))
 
     checks.append(("chat render + loss mask: exactly ONE conv exchange "
                    "each, no joins",

@@ -188,6 +188,9 @@ SCALE_CLASS = {
     "kmeans_cluster_purity": ("bucketed", "assignment is the kmeans recipe's broadcast crossJoin (K rows) + ONE vec_id window; purity is one (cluster, label) count with map-side combine + one cluster-keyed majority window over <=|labels| rows per cluster"),
     "packing_attention_spans": ("shuffle", "reuses the pack pipeline (range-partition prefix sums, one seq_id exchange); the span construction is IN-ROW array arithmetic over each <=SEQ_LEN id array - no additional exchange"),
     "shard_size_plan": ("shuffle", "ONE source-keyed aggregation with map-side combine; plan arithmetic is in-row integer ceil-division on the per-source rollup"),
+    "time_split_assign": ("linear", "one 1-row min/max aggregation broadcast back + an in-row integer banding comparison; no per-event shuffle (NTZ-safe timestampdiff from a literal epoch - no timezone dependence)"),
+    "refusal_rate_scan": ("shuffle", "the flag is an in-row lowercase substring scan; the rollup is ONE conv_id aggregation with map-side combine"),
+    "search_mrr_eval": ("bucketed", "the (tok, doc, tf) table aggregates once (map-side combine) and checkpoints; query docs via content-hash TakeOrdered; per-query terms rank inside the query doc's OWN token set; candidates only from postings of the <=QxT rare query terms (broadcast equi-join), never a per-query corpus scan; ranking windows per query over candidate-bounded sets"),
 }
 
 
