@@ -322,6 +322,11 @@ def main() -> None:
         "time_split_assign",
         "refusal_rate_scan",
         "search_mrr_eval",
+        # round 5, forty-third wave: lexical diversity, code routing,
+        # markdown triage.  Excluded from the r04 subtotal.
+        "lexical_diversity",
+        "code_detect",
+        "markdown_structure_stats",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -417,6 +422,9 @@ def main() -> None:
         "time_split_assign",
         "refusal_rate_scan",
         "search_mrr_eval",
+        "lexical_diversity",
+        "code_detect",
+        "markdown_structure_stats",
         "agent_loop_neardup",
         "conversation_split_assign",
         "bpe_roundtrip_check",

@@ -13996,6 +13996,303 @@ FROM ranked WHERE doc_id = query_doc_id
 
 
 # --------------------------------------------------------------------------
+# Lexical diversity metrics (vocabulary-richness quality signals)
+# --------------------------------------------------------------------------
+
+def q_lexical_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical-diversity scoring: per document the type/token ratio,
+    Guiraud's root TTR (types/√tokens — length-robust where raw TTR
+    collapses on long docs), Herdan's C (ln types / ln tokens) and the
+    hapax ratio (share of once-only words) — the vocabulary-richness
+    axis of quality filtering that catches keyword-stuffed and
+    template-padded pages the length/punct batteries miss.  sqrt/ln of
+    exact integer counts (IEEE sqrt is correctly rounded; ln differences
+    are masked by round-6 — the established recipe).
+
+    Scale shape: one token explode → ONE (doc_id, tok) count with
+    map-side combine → one doc_id rollup; all ratios are in-row
+    arithmetic on exact counts."""
+    return lexical_diversity_frame(_t(spark, sf_dir, "documents"))
+
+
+def lexical_diversity_frame(docs: DataFrame) -> DataFrame:
+    """Core of q_lexical_diversity over any (doc_id, text) frame."""
+    per = _tokens(docs).groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    agg = per.groupBy("doc_id").agg(
+        F.sum("tf").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.when(F.col("tf") == 1, 1).otherwise(0)).cast("long")
+        .alias("n_hapax"),
+    )
+    out = docs.select("doc_id").join(agg, "doc_id", "left").na.fill(
+        0, ["n_tokens", "n_types", "n_hapax"]
+    )
+    tok_d = F.col("n_tokens").cast("double")
+    typ_d = F.col("n_types").cast("double")
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        "n_hapax",
+        F.when(F.col("n_tokens") > 0, F.round(typ_d / tok_d, 6))
+        .otherwise(F.lit(0.0)).alias("ttr"),
+        F.when(F.col("n_tokens") > 0, F.round(typ_d / F.sqrt(tok_d), 6))
+        .otherwise(F.lit(0.0)).alias("root_ttr"),
+        F.when(
+            F.col("n_tokens") > 1,
+            F.round(F.log(typ_d) / F.log(tok_d), 6),
+        ).otherwise(F.lit(0.0)).alias("herdan_c"),
+        F.when(
+            F.col("n_types") > 0,
+            F.round(F.col("n_hapax").cast("double") / typ_d, 6),
+        ).otherwise(F.lit(0.0)).alias("hapax_ratio"),
+    )
+
+
+SQL_LEXICAL_DIVERSITY = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                   '{TOKEN_SPLIT}'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), per AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+), agg AS (
+  SELECT doc_id,
+         CAST(sum(tf) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_hapax
+  FROM per GROUP BY doc_id
+), filled AS (
+  SELECT d.doc_id,
+         COALESCE(a.n_tokens, 0) AS n_tokens,
+         COALESCE(a.n_types, 0) AS n_types,
+         COALESCE(a.n_hapax, 0) AS n_hapax
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+)
+SELECT doc_id, n_tokens, n_types, n_hapax,
+       CASE WHEN n_tokens > 0
+            THEN round(CAST(n_types AS DOUBLE) / n_tokens, 6)
+            ELSE 0.0 END AS ttr,
+       CASE WHEN n_tokens > 0
+            THEN round(CAST(n_types AS DOUBLE)
+                       / sqrt(CAST(n_tokens AS DOUBLE)), 6)
+            ELSE 0.0 END AS root_ttr,
+       CASE WHEN n_tokens > 1
+            THEN round(ln(CAST(n_types AS DOUBLE))
+                       / ln(CAST(n_tokens AS DOUBLE)), 6)
+            ELSE 0.0 END AS herdan_c,
+       CASE WHEN n_types > 0
+            THEN round(CAST(n_hapax AS DOUBLE) / n_types, 6)
+            ELSE 0.0 END AS hapax_ratio
+FROM filled
+"""
+
+
+# --------------------------------------------------------------------------
+# Code-vs-prose detection (mixed-corpus routing)
+# --------------------------------------------------------------------------
+
+CODE_KEYWORDS = (
+    "def ", "return ", "import ", "function ", "const ", "var ",
+    "public ", "class ", "#include",
+)
+
+
+def q_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose routing over the document corpus: brace/semicolon
+    density, indented-line share, camelCase token count and programming-
+    keyword hits — the mixed-corpus classifier that routes code to the
+    code pipeline (different dedup granularity, different tokenizer,
+    different quality rules) before any text battery mis-scores it.
+
+    Scale shape: a zero-exchange scan projection — every signal is a
+    substring/regexp identity over the row's own text."""
+    return code_detect_frame(_t(spark, sf_dir, "documents"))
+
+
+def code_detect_frame(docs: DataFrame) -> DataFrame:
+    """Core of q_code_detect over any (doc_id, text) frame."""
+    txt = F.col("text")
+    braces = (
+        _subseq_count(txt, "{") + _subseq_count(txt, "}")
+        + _subseq_count(txt, ";")
+    )
+    kw = None
+    for k in CODE_KEYWORDS:
+        c = _subseq_count(txt, k)
+        kw = c if kw is None else (kw + c)
+    lines = F.size(F.split(txt, "\n", -1)).cast("long")
+    indented = F.size(
+        F.filter(
+            F.split(txt, "\n", -1),
+            lambda ln: ln.rlike("^(    |\\t)"),
+        )
+    ).cast("long")
+    camel = F.size(
+        F.regexp_extract_all(
+            txt, F.lit("[a-z][a-z0-9]*[A-Z][A-Za-z0-9]*"), 0
+        )
+    ).cast("long")
+    n_chars = F.length(txt).cast("long")
+    out = docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        braces.cast("long").alias("brace_semi_count"),
+        kw.cast("long").alias("keyword_hits"),
+        lines.alias("n_lines"),
+        indented.alias("indented_lines"),
+        camel.alias("camel_tokens"),
+    )
+    dens = F.when(
+        F.col("n_chars") > 0,
+        F.round(
+            F.col("brace_semi_count").cast("double") * 1000
+            / F.col("n_chars").cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "*",
+        dens.alias("brace_density_permille"),
+    ).withColumn(
+        "code_suspect",
+        (F.col("brace_density_permille") >= 20)
+        | (F.col("keyword_hits") >= 3)
+        | (
+            (F.col("n_lines") >= 5)
+            & (F.col("indented_lines") * 2 >= F.col("n_lines"))
+        ),
+    )
+
+
+_SQL_CODE_KW_SUM = " + ".join(
+    _sql_subseq_count("text", k) for k in CODE_KEYWORDS
+)
+
+SQL_CODE_DETECT = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST({_sql_subseq_count('text', '{{')}
+              + {_sql_subseq_count('text', '}}')}
+              + {_sql_subseq_count('text', ';')} AS BIGINT)
+           AS brace_semi_count,
+         CAST({_SQL_CODE_KW_SUM} AS BIGINT) AS keyword_hits,
+         CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+         CAST(len(list_filter(string_split(text, chr(10)),
+              ln -> regexp_matches(ln, '^(    |\t)')))
+              AS BIGINT) AS indented_lines,
+         CAST(len(regexp_extract_all(text,
+              '[a-z][a-z0-9]*[A-Z][A-Za-z0-9]*')) AS BIGINT)
+           AS camel_tokens
+  FROM documents
+), d AS (
+  SELECT *,
+         CASE WHEN n_chars > 0
+              THEN round(CAST(brace_semi_count AS DOUBLE) * 1000
+                         / CAST(n_chars AS DOUBLE), 6)
+              ELSE 0.0 END AS brace_density_permille
+  FROM s
+)
+SELECT doc_id, n_chars, brace_semi_count, keyword_hits, n_lines,
+       indented_lines, camel_tokens, brace_density_permille,
+       (brace_density_permille >= 20 OR keyword_hits >= 3
+        OR (n_lines >= 5 AND indented_lines * 2 >= n_lines))
+         AS code_suspect
+FROM d
+"""
+
+
+# --------------------------------------------------------------------------
+# Markdown structure stats (format-aware routing)
+# --------------------------------------------------------------------------
+
+def q_markdown_structure_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown-structure triage: ATX header lines, fenced code blocks
+    (paired ``` fences), markdown links, table rows and blockquote lines
+    — the format signals a corpus router uses to send markdown through a
+    structure-aware extraction path (headers/fences carry semantics a
+    plain-text pipeline destroys).  `is_markdown` routes at ≥3 structure
+    hits.
+
+    Scale shape: a zero-exchange scan projection — every count is a
+    line/regexp identity over the row's own text."""
+    return markdown_frame(_t(spark, sf_dir, "documents"))
+
+
+def markdown_frame(docs: DataFrame) -> DataFrame:
+    """Core of q_markdown_structure_stats over any (doc_id, text) frame."""
+    txt = F.col("text")
+    lines = F.split(txt, "\n", -1)
+    headers = F.size(
+        F.filter(lines, lambda ln: ln.rlike("^#{1,6} "))
+    ).cast("long")
+    fences = _subseq_count(txt, "```")
+    code_blocks = ((fences - F.pmod(fences, F.lit(2))) / 2).cast("long")
+    links = F.size(
+        F.regexp_extract_all(txt, F.lit(r"\[[^\]]*\]\([^)]*\)"), 0)
+    ).cast("long")
+    tables = F.size(
+        F.filter(lines, lambda ln: ln.rlike("^\\|.*\\|"))
+    ).cast("long")
+    quotes = F.size(
+        F.filter(lines, lambda ln: ln.rlike("^> "))
+    ).cast("long")
+    out = docs.select(
+        "doc_id",
+        headers.alias("header_lines"),
+        code_blocks.alias("code_blocks"),
+        links.alias("md_links"),
+        tables.alias("table_rows"),
+        quotes.alias("quote_lines"),
+    )
+    return out.withColumn(
+        "is_markdown",
+        (
+            F.col("header_lines") + F.col("code_blocks") + F.col("md_links")
+            + F.col("table_rows") + F.col("quote_lines")
+        )
+        >= 3,
+    )
+
+
+SQL_MARKDOWN_STRUCTURE_STATS = f"""
+WITH s AS (
+  SELECT doc_id,
+         string_split(text, chr(10)) AS lines,
+         CAST({_sql_subseq_count('text', '```')} AS BIGINT) AS fences,
+         CAST(len(regexp_extract_all(text,
+              '\\[[^\\]]*\\]\\([^)]*\\)')) AS BIGINT) AS md_links
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         CAST(len(list_filter(lines,
+              ln -> regexp_matches(ln, '^#{{1,6}} '))) AS BIGINT)
+           AS header_lines,
+         CAST(fences // 2 AS BIGINT) AS code_blocks,
+         md_links,
+         CAST(len(list_filter(lines,
+              ln -> regexp_matches(ln, '^\\|.*\\|'))) AS BIGINT)
+           AS table_rows,
+         CAST(len(list_filter(lines,
+              ln -> regexp_matches(ln, '^> '))) AS BIGINT)
+           AS quote_lines
+  FROM s
+)
+SELECT doc_id, header_lines, code_blocks, md_links, table_rows,
+       quote_lines,
+       (header_lines + code_blocks + md_links + table_rows + quote_lines
+        >= 3) AS is_markdown
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -14382,4 +14679,10 @@ QUERIES: dict[str, tuple] = {
     "time_split_assign": (q_time_split_assign, SQL_TIME_SPLIT_ASSIGN),
     "refusal_rate_scan": (q_refusal_rate_scan, SQL_REFUSAL_RATE_SCAN),
     "search_mrr_eval": (q_search_mrr_eval, SQL_SEARCH_MRR_EVAL),
+    "lexical_diversity": (q_lexical_diversity, SQL_LEXICAL_DIVERSITY),
+    "code_detect": (q_code_detect, SQL_CODE_DETECT),
+    "markdown_structure_stats": (
+        q_markdown_structure_stats,
+        SQL_MARKDOWN_STRUCTURE_STATS,
+    ),
 }

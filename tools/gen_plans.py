@@ -92,7 +92,8 @@ def main() -> None:
                  "kmeans_cluster_purity", "packing_attention_spans",
                  "pack_token_ids", "shard_size_plan",
                  "time_split_assign", "refusal_rate_scan",
-                 "search_mrr_eval"):
+                 "search_mrr_eval", "lexical_diversity",
+                 "code_detect", "markdown_structure_stats"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -571,6 +572,28 @@ def main() -> None:
                    "CartesianProduct" not in full["search_mrr_eval"]
                    and full["search_mrr_eval"].count("BroadcastHashJoin")
                    >= 2))
+
+    checks.append(("lexical diversity: exactly TWO exchanges ((doc,tok) "
+                   "count then doc rollup, both with map-side combine), "
+                   "join-back is broadcast",
+                   len(re.findall(r"\(\d+\) Exchange",
+                                  full["lexical_diversity"])) == 2
+                   and full["lexical_diversity"].count("partial_") >= 2
+                   and "BroadcastHashJoin"
+                       in full["lexical_diversity"]
+                   and "SortMergeJoin"
+                       not in full["lexical_diversity"]))
+
+    checks.append(("code detect + markdown triage: zero-exchange scan "
+                   "projections, no joins",
+                   len(re.findall(r"\(\d+\) Exchange",
+                                  full["code_detect"])) == 0
+                   and "Join" not in full["code_detect"]
+                   and len(re.findall(
+                           r"\(\d+\) Exchange",
+                           full["markdown_structure_stats"])) == 0
+                   and "Join"
+                       not in full["markdown_structure_stats"]))
 
     checks.append(("chat render + loss mask: exactly ONE conv exchange "
                    "each, no joins",

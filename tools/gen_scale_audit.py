@@ -191,6 +191,9 @@ SCALE_CLASS = {
     "time_split_assign": ("linear", "one 1-row min/max aggregation broadcast back + an in-row integer banding comparison; no per-event shuffle (NTZ-safe timestampdiff from a literal epoch - no timezone dependence)"),
     "refusal_rate_scan": ("shuffle", "the flag is an in-row lowercase substring scan; the rollup is ONE conv_id aggregation with map-side combine"),
     "search_mrr_eval": ("bucketed", "the (tok, doc, tf) table aggregates once (map-side combine) and checkpoints; query docs via content-hash TakeOrdered; per-query terms rank inside the query doc's OWN token set; candidates only from postings of the <=QxT rare query terms (broadcast equi-join), never a per-query corpus scan; ranking windows per query over candidate-bounded sets"),
+    "lexical_diversity": ("shuffle", "one token explode feeds ONE (doc_id, tok) count with map-side combine, then ONE doc_id rollup; all diversity ratios are in-row arithmetic on exact counts; the empty-doc join-back is broadcast"),
+    "code_detect": ("linear", "zero-exchange scan projection - brace/semicolon/keyword counts are exact substring identities, indentation and camelCase are per-row line/regexp scans; the routing verdict is in-row boolean arithmetic"),
+    "markdown_structure_stats": ("linear", "zero-exchange scan projection - header/table/quote lines via per-row line filters, fences via an exact substring identity, links via one regexp pass; the routing verdict is in-row"),
 }
 
 
