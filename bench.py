@@ -327,6 +327,11 @@ def main() -> None:
         "lexical_diversity",
         "code_detect",
         "markdown_structure_stats",
+        # round 5, forty-fourth wave: readability scores, Luhn CC scan,
+        # toxicity triage.  Excluded from the r04 subtotal.
+        "readability_scores",
+        "pii_luhn_scan",
+        "toxicity_wordlist_scan",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -425,6 +430,9 @@ def main() -> None:
         "lexical_diversity",
         "code_detect",
         "markdown_structure_stats",
+        "readability_scores",
+        "pii_luhn_scan",
+        "toxicity_wordlist_scan",
         "agent_loop_neardup",
         "conversation_split_assign",
         "bpe_roundtrip_check",

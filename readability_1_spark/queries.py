@@ -14293,6 +14293,311 @@ FROM c
 
 
 # --------------------------------------------------------------------------
+# Readability scores (Flesch-family quality features)
+# --------------------------------------------------------------------------
+
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading ease + Flesch-Kincaid grade per document — the
+    classic prose-difficulty features fastText-era quality filters feed
+    alongside length/punct signals.  Syllables are deterministic
+    vowel-group runs ([aeiouy]+ per alpha word, min 1) and sentences are
+    [.!?]+ punctuation runs, so both engines count identically; the two
+    intermediate ratios are rounded to 6 places BEFORE the score
+    arithmetic (the round-at-every-stage float recipe).
+
+    Scale shape: a zero-exchange scan projection — words, sentence runs
+    and syllables are in-row regexp passes + one HOF fold per row."""
+    return readability_frame(_t(spark, sf_dir, "documents"))
+
+
+def readability_frame(docs: DataFrame) -> DataFrame:
+    """Core of q_readability_scores over any (doc_id, text) frame."""
+    txt = F.col("text")
+    words = F.regexp_extract_all(F.lower(txt), F.lit("[a-z]+"), 0)
+    n_words = F.size(words).cast("long")
+    n_sents = F.size(
+        F.regexp_extract_all(txt, F.lit("[.!?]+"), 0)
+    ).cast("long")
+
+    def _syl(w):
+        return F.greatest(
+            F.lit(1),
+            F.size(F.regexp_extract_all(w, F.lit("[aeiouy]+"), 0)),
+        )
+
+    n_syll = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + _syl(w)
+    ).cast("long")
+    out = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sents.alias("n_sentences"),
+        n_syll.alias("n_syllables"),
+    )
+    w_d = F.col("n_words").cast("double")
+    s_d = F.greatest(F.lit(1), F.col("n_sentences")).cast("double")
+    wps = F.round(w_d / s_d, 6)
+    spw = F.round(F.col("n_syllables").cast("double") / w_d, 6)
+    return out.select(
+        "*",
+        F.when(F.col("n_words") > 0, wps).otherwise(F.lit(0.0))
+        .alias("words_per_sentence"),
+        F.when(F.col("n_words") > 0, spw).otherwise(F.lit(0.0))
+        .alias("syllables_per_word"),
+        F.when(
+            F.col("n_words") > 0,
+            F.round(
+                F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw,
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("flesch_reading_ease"),
+        F.when(
+            F.col("n_words") > 0,
+            F.round(
+                F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("fk_grade"),
+    )
+
+
+SQL_READABILITY_SCORES = """
+WITH s AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(text), '[a-z]+') AS words,
+         CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+           AS n_sentences
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n_words,
+         n_sentences,
+         CAST(list_sum(list_transform(words,
+              w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+')))))
+              AS BIGINT) AS n_syllables
+  FROM s
+), r AS (
+  SELECT doc_id, n_words, n_sentences,
+         COALESCE(n_syllables, 0) AS n_syllables,
+         round(CAST(n_words AS DOUBLE)
+               / CAST(greatest(1, n_sentences) AS DOUBLE), 6) AS wps,
+         round(CAST(COALESCE(n_syllables, 0) AS DOUBLE)
+               / CAST(n_words AS DOUBLE), 6) AS spw
+  FROM c
+)
+SELECT doc_id, n_words, n_sentences, n_syllables,
+       CASE WHEN n_words > 0 THEN wps ELSE 0.0 END
+         AS words_per_sentence,
+       CASE WHEN n_words > 0 THEN spw ELSE 0.0 END
+         AS syllables_per_word,
+       CASE WHEN n_words > 0
+            THEN round(206.835 - 1.015 * wps - 84.6 * spw, 6)
+            ELSE 0.0 END AS flesch_reading_ease,
+       CASE WHEN n_words > 0
+            THEN round(0.39 * wps + 11.8 * spw - 15.59, 6)
+            ELSE 0.0 END AS fk_grade
+FROM r
+"""
+
+
+# --------------------------------------------------------------------------
+# Credit-card-number scan (Luhn-validated PII detection)
+# --------------------------------------------------------------------------
+
+def q_pii_luhn_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payment-card PII detection: maximal digit[ -]digit runs are
+    extracted per document, separators stripped, 13-19-digit candidates
+    kept, and each is validated with the Luhn checksum — the
+    integer-exact check that separates real card numbers from phone
+    numbers/ids and keeps the scrub's false-positive rate sane.
+    `text_redact_pii`'s regexes catch emails/phones/URLs; this closes
+    the payment-card channel.
+
+    Scale shape: a zero-exchange scan projection — run extraction is one
+    regexp pass, the Luhn fold is an in-row HOF over each candidate."""
+    return pii_luhn_frame(_t(spark, sf_dir, "documents"))
+
+
+def pii_luhn_frame(docs: DataFrame) -> DataFrame:
+    """Core of q_pii_luhn_scan over any (doc_id, text) frame."""
+    runs = F.regexp_extract_all(
+        F.col("text"), F.lit("[0-9][0-9 -]*[0-9]"), 0
+    )
+    digit_runs = F.transform(
+        runs, lambda s: F.regexp_replace(s, "[^0-9]", "")
+    )
+    cands = F.filter(
+        digit_runs,
+        lambda s: (F.length(s) >= 13) & (F.length(s) <= 19),
+    )
+
+    def _luhn_ok(s):
+        n = F.length(s)
+
+        def step(acc, i):
+            d = F.substr(s, i, F.lit(1)).cast("int")
+            dbl = d * 2
+            return acc + F.when(
+                F.pmod(n - i, F.lit(2)) == 1,
+                F.when(dbl > 9, dbl - 9).otherwise(dbl),
+            ).otherwise(d)
+
+        return F.pmod(
+            F.aggregate(F.sequence(F.lit(1), n), F.lit(0), step),
+            F.lit(10),
+        ) == 0
+
+    valid = F.filter(cands, _luhn_ok)
+    return docs.select(
+        "doc_id",
+        F.size(cands).cast("long").alias("n_candidates"),
+        F.size(valid).cast("long").alias("n_luhn_valid"),
+        (F.size(valid) > 0).alias("has_cc_suspect"),
+    )
+
+
+SQL_PII_LUHN_SCAN = """
+WITH s AS (
+  SELECT doc_id,
+         list_filter(
+           list_transform(
+             regexp_extract_all(text, '[0-9][0-9 -]*[0-9]'),
+             r -> regexp_replace(r, '[^0-9]', '', 'g')),
+           d -> len(d) >= 13 AND len(d) <= 19) AS cands
+  FROM documents
+), v AS (
+  SELECT doc_id, cands,
+         list_filter(cands, s ->
+           list_sum(list_transform(generate_series(1, len(s)), i ->
+             CASE WHEN (len(s) - i) % 2 = 1
+                  THEN CASE
+                         WHEN CAST(substring(s, i, 1) AS INT) * 2 > 9
+                         THEN CAST(substring(s, i, 1) AS INT) * 2 - 9
+                         ELSE CAST(substring(s, i, 1) AS INT) * 2
+                       END
+                  ELSE CAST(substring(s, i, 1) AS INT)
+             END)) % 10 = 0) AS valid
+  FROM s
+)
+SELECT doc_id,
+       CAST(len(cands) AS BIGINT) AS n_candidates,
+       CAST(len(valid) AS BIGINT) AS n_luhn_valid,
+       len(valid) > 0 AS has_cc_suspect
+FROM v
+"""
+
+
+# --------------------------------------------------------------------------
+# Toxicity word-list scan (content-safety triage)
+# --------------------------------------------------------------------------
+
+# Demonstrative lexicon — a production deployment swaps in its own list;
+# the operator shape (per-term word-boundary counts, distinct-term hit
+# count, per-1k-token rate, threshold verdict) is what's under test.
+TOXICITY_TERMS = (
+    "idiot", "stupid", "hate", "kill", "damn", "moron", "dumb",
+    "trash", "garbage", "loser",
+)
+TOXICITY_PER_1K_FLAG = 2.0
+
+
+def q_toxicity_wordlist_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-safety triage: per-term word-boundary hit counts over a
+    fixed lexicon, summed to total hits + distinct terms hit + a
+    per-1000-token rate, flagged at >= 2.0/1k.  Per-term counts (not one
+    alternation regex) keep the arithmetic an exact sum of independent
+    regexp counts on both engines.
+
+    Scale shape: a zero-exchange scan projection — |lexicon| regexp
+    passes per row, in-row arithmetic."""
+    return toxicity_frame(_t(spark, sf_dir, "documents"))
+
+
+def toxicity_frame(docs: DataFrame) -> DataFrame:
+    """Core of q_toxicity_wordlist_scan over any (doc_id, text) frame."""
+    low = F.lower(F.col("text"))
+    per_term = [
+        F.size(
+            F.regexp_extract_all(low, F.lit(rf"\b{t}\b"), 0)
+        ).cast("long")
+        for t in TOXICITY_TERMS
+    ]
+    total = per_term[0]
+    for c in per_term[1:]:
+        total = total + c
+    distinct = sum(
+        (c > 0).cast("int") for c in per_term
+    ).cast("long")
+    n_tokens = F.size(
+        F.filter(
+            F.split(low, TOKEN_SPLIT, -1),
+            lambda x: x != "",
+        )
+    ).cast("long")
+    out = docs.select(
+        "doc_id",
+        total.alias("tox_hits"),
+        distinct.alias("tox_terms_hit"),
+        n_tokens.alias("n_tokens"),
+    )
+    rate = F.when(
+        F.col("n_tokens") > 0,
+        F.round(
+            F.col("tox_hits").cast("double") * 1000
+            / F.col("n_tokens").cast("double"),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "*",
+        rate.alias("tox_per_1k_tokens"),
+    ).withColumn(
+        "tox_flagged",
+        F.col("tox_per_1k_tokens") >= TOXICITY_PER_1K_FLAG,
+    )
+
+
+_SQL_TOX_COUNTS = ",\n         ".join(
+    f"CAST(len(regexp_extract_all(lower(text), '\\b{t}\\b')) AS BIGINT)"
+    f" AS hit_{i}"
+    for i, t in enumerate(TOXICITY_TERMS)
+)
+_SQL_TOX_TOTAL = " + ".join(f"hit_{i}" for i in range(len(TOXICITY_TERMS)))
+_SQL_TOX_DISTINCT = " + ".join(
+    f"CASE WHEN hit_{i} > 0 THEN 1 ELSE 0 END"
+    for i in range(len(TOXICITY_TERMS))
+)
+
+SQL_TOXICITY_WORDLIST_SCAN = f"""
+WITH s AS (
+  SELECT doc_id,
+         {_SQL_TOX_COUNTS},
+         CAST(len(list_filter(regexp_split_to_array(lower(text),
+                                                     '{TOKEN_SPLIT}'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         CAST({_SQL_TOX_TOTAL} AS BIGINT) AS tox_hits,
+         CAST({_SQL_TOX_DISTINCT} AS BIGINT) AS tox_terms_hit,
+         n_tokens
+  FROM s
+)
+SELECT doc_id, tox_hits, tox_terms_hit, n_tokens,
+       CASE WHEN n_tokens > 0
+            THEN round(CAST(tox_hits AS DOUBLE) * 1000
+                       / CAST(n_tokens AS DOUBLE), 6)
+            ELSE 0.0 END AS tox_per_1k_tokens,
+       CASE WHEN n_tokens > 0
+            THEN round(CAST(tox_hits AS DOUBLE) * 1000
+                       / CAST(n_tokens AS DOUBLE), 6)
+                 >= {TOXICITY_PER_1K_FLAG}
+            ELSE FALSE END AS tox_flagged
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -14684,5 +14989,11 @@ QUERIES: dict[str, tuple] = {
     "markdown_structure_stats": (
         q_markdown_structure_stats,
         SQL_MARKDOWN_STRUCTURE_STATS,
+    ),
+    "readability_scores": (q_readability_scores, SQL_READABILITY_SCORES),
+    "pii_luhn_scan": (q_pii_luhn_scan, SQL_PII_LUHN_SCAN),
+    "toxicity_wordlist_scan": (
+        q_toxicity_wordlist_scan,
+        SQL_TOXICITY_WORDLIST_SCAN,
     ),
 }

@@ -93,7 +93,9 @@ def main() -> None:
                  "pack_token_ids", "shard_size_plan",
                  "time_split_assign", "refusal_rate_scan",
                  "search_mrr_eval", "lexical_diversity",
-                 "code_detect", "markdown_structure_stats"):
+                 "code_detect", "markdown_structure_stats",
+                 "readability_scores", "pii_luhn_scan",
+                 "toxicity_wordlist_scan"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -594,6 +596,13 @@ def main() -> None:
                            full["markdown_structure_stats"])) == 0
                    and "Join"
                        not in full["markdown_structure_stats"]))
+
+    checks.append(("readability + luhn + toxicity: zero-exchange scan "
+                   "projections, no joins",
+                   all(len(re.findall(r"\(\d+\) Exchange", full[n])) == 0
+                       and "Join" not in full[n]
+                       for n in ("readability_scores", "pii_luhn_scan",
+                                 "toxicity_wordlist_scan"))))
 
     checks.append(("chat render + loss mask: exactly ONE conv exchange "
                    "each, no joins",

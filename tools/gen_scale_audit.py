@@ -194,6 +194,9 @@ SCALE_CLASS = {
     "lexical_diversity": ("shuffle", "one token explode feeds ONE (doc_id, tok) count with map-side combine, then ONE doc_id rollup; all diversity ratios are in-row arithmetic on exact counts; the empty-doc join-back is broadcast"),
     "code_detect": ("linear", "zero-exchange scan projection - brace/semicolon/keyword counts are exact substring identities, indentation and camelCase are per-row line/regexp scans; the routing verdict is in-row boolean arithmetic"),
     "markdown_structure_stats": ("linear", "zero-exchange scan projection - header/table/quote lines via per-row line filters, fences via an exact substring identity, links via one regexp pass; the routing verdict is in-row"),
+    "readability_scores": ("linear", "zero-exchange scan projection - words/sentence-runs/vowel-group syllables are in-row regexp passes plus one HOF fold per row; score arithmetic is in-row on round-6 ratios"),
+    "pii_luhn_scan": ("linear", "zero-exchange scan projection - digit-run extraction is one regexp pass; the Luhn checksum is an in-row HOF fold over each <=19-digit candidate"),
+    "toxicity_wordlist_scan": ("linear", "zero-exchange scan projection - |lexicon| word-boundary regexp counts per row summed in-row; the rate and verdict are in-row arithmetic"),
 }
 
 
