@@ -332,6 +332,11 @@ def main() -> None:
         "readability_scores",
         "pii_luhn_scan",
         "toxicity_wordlist_scan",
+        # round 5, forty-fifth wave: Heaps'-law vocabulary growth, source
+        # keyness, verbosity trend.  Excluded from the r04 subtotal.
+        "heaps_law_fit",
+        "source_keyness",
+        "assistant_verbosity_trend",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -433,6 +438,9 @@ def main() -> None:
         "readability_scores",
         "pii_luhn_scan",
         "toxicity_wordlist_scan",
+        "heaps_law_fit",
+        "source_keyness",
+        "assistant_verbosity_trend",
         "agent_loop_neardup",
         "conversation_split_assign",
         "bpe_roundtrip_check",

@@ -14598,6 +14598,403 @@ FROM c
 
 
 # --------------------------------------------------------------------------
+# Heaps'-law vocabulary-growth fit (corpus health diagnostic)
+# --------------------------------------------------------------------------
+
+HEAPS_BUCKETS = 16
+
+
+def q_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V = K * n^beta over the document stream: cumulative
+    distinct vocabulary vs cumulative token mass at HEAPS_BUCKETS
+    doc-id-range checkpoints, plus the log-log least-squares beta/lnK —
+    the vocabulary-growth diagnostic next to the Zipf slope on a dataset
+    card (template-duplicated corpora flatten beta toward 0; healthy
+    prose sits near 0.4-0.6).  Points are quantized to INTEGER micro-nats
+    (the zipf-fit recipe) so every regression sum is exact.
+
+    Scale shape: NO global per-doc window — per-token first-seen doc is
+    one vocab rollup (min doc_id), checkpoint banding is in-row integer
+    arithmetic against a broadcast 1-row min/max, and the cumulative
+    window runs over the HEAPS_BUCKETS-row rollup only.  The fit is a
+    1-row aggregate broadcast back to the 16 rows."""
+    return heaps_frame(_t(spark, sf_dir, "documents"))
+
+
+def heaps_frame(docs: DataFrame) -> DataFrame:
+    """Core of q_heaps_law_fit over any (doc_id, text) frame."""
+    toks = _tokens(docs)
+    rng = docs.agg(
+        F.min("doc_id").alias("min_id"),
+        (F.max("doc_id") - F.min("doc_id") + 1).alias("span"),
+    )
+
+    def _bucket(col):
+        return F.least(
+            F.lit(HEAPS_BUCKETS - 1),
+            ((col - F.col("min_id")) * HEAPS_BUCKETS)
+            .cast("bigint") / F.col("span"),
+        ).cast("bigint")
+
+    # token mass per checkpoint bucket
+    mass = (
+        toks.crossJoin(F.broadcast(rng))
+        .select(_bucket(F.col("doc_id")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_tokens"))
+    )
+    # new vocabulary per bucket = types whose FIRST document is in it
+    first_seen = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    fresh = (
+        first_seen.crossJoin(F.broadcast(rng))
+        .select(_bucket(F.col("first_doc")).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_types"))
+    )
+    buckets = (
+        mass.join(fresh, "bucket", "left")
+        .na.fill(0, ["new_types"])
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )  # HEAPS_BUCKETS rows only
+    cum = buckets.select(
+        "bucket",
+        F.sum("new_tokens").over(w).cast("long").alias("cum_tokens"),
+        F.sum("new_types").over(w).cast("long").alias("cum_types"),
+    )
+    pts = cum.filter(
+        (F.col("cum_tokens") > 0) & (F.col("cum_types") > 0)
+    ).select(
+        F.round(F.log(F.col("cum_tokens").cast("double")) * 1e6, 0)
+        .cast("bigint").alias("xi"),
+        F.round(F.log(F.col("cum_types").cast("double")) * 1e6, 0)
+        .cast("bigint").alias("yi"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n_pts"),
+        F.sum("xi").alias("sx"),
+        F.sum("yi").alias("sy"),
+        F.sum(F.col("xi") * F.col("yi")).alias("sxy"),
+        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
+    )
+    n = F.col("n_pts").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    beta = F.round(
+        (n * F.col("sxy").cast("double") - sx * sy)
+        / (n * F.col("sxx").cast("double") - sx * sx),
+        6,
+    )
+    fit = s.select(
+        beta.alias("heaps_beta"), "sx", "sy", "n_pts"
+    ).withColumn(
+        "heaps_lnk",
+        F.round(
+            (F.col("sy").cast("double") / 1e6
+             - F.col("heaps_beta") * F.col("sx").cast("double") / 1e6)
+            / F.col("n_pts"),
+            6,
+        ),
+    ).select("heaps_beta", "heaps_lnk")
+    return cum.crossJoin(F.broadcast(fit)).select(
+        "bucket", "cum_tokens", "cum_types", "heaps_beta", "heaps_lnk"
+    )
+
+
+SQL_HEAPS_LAW_FIT = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                   '{TOKEN_SPLIT}'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), rng AS (
+  SELECT min(doc_id) AS min_id,
+         max(doc_id) - min(doc_id) + 1 AS span
+  FROM documents
+), mass AS (
+  SELECT least({HEAPS_BUCKETS - 1},
+               ((doc_id - min_id) * {HEAPS_BUCKETS}) // span) AS bucket,
+         CAST(count(*) AS BIGINT) AS new_tokens
+  FROM toks, rng GROUP BY 1
+), first_seen AS (
+  SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok
+), fresh AS (
+  SELECT least({HEAPS_BUCKETS - 1},
+               ((first_doc - min_id) * {HEAPS_BUCKETS}) // span) AS bucket,
+         CAST(count(*) AS BIGINT) AS new_types
+  FROM first_seen, rng GROUP BY 1
+), cum AS (
+  SELECT m.bucket,
+         CAST(sum(m.new_tokens) OVER w AS BIGINT) AS cum_tokens,
+         CAST(sum(COALESCE(f.new_types, 0)) OVER w AS BIGINT) AS cum_types
+  FROM mass m LEFT JOIN fresh f USING (bucket)
+  WINDOW w AS (ORDER BY m.bucket
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+), pts AS (
+  SELECT CAST(round(ln(CAST(cum_tokens AS DOUBLE)) * 1e6, 0) AS BIGINT)
+           AS xi,
+         CAST(round(ln(CAST(cum_types AS DOUBLE)) * 1e6, 0) AS BIGINT)
+           AS yi
+  FROM cum WHERE cum_tokens > 0 AND cum_types > 0
+), s AS (
+  SELECT count(*) AS n_pts,
+         CAST(sum(xi) AS BIGINT) AS sx,
+         CAST(sum(yi) AS BIGINT) AS sy,
+         CAST(sum(xi * yi) AS BIGINT) AS sxy,
+         CAST(sum(xi * xi) AS BIGINT) AS sxx
+  FROM pts
+), fit AS (
+  SELECT round((CAST(n_pts AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(n_pts AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+           AS heaps_beta,
+         sx, sy, n_pts
+  FROM s
+)
+SELECT c.bucket, c.cum_tokens, c.cum_types, f.heaps_beta,
+       round((CAST(f.sy AS DOUBLE) / 1e6
+              - f.heaps_beta * CAST(f.sx AS DOUBLE) / 1e6)
+             / f.n_pts, 6) AS heaps_lnk
+FROM cum c, fit f
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-source keyness (log-odds term attribution)
+# --------------------------------------------------------------------------
+
+KEYNESS_TOP_K = 10
+
+
+def q_source_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source term keyness: the smoothed log-odds ratio
+    ln((a+1)/(A-a+1)) - ln((b+1)/(B-b+1)) of each token between one
+    source and the rest of the corpus, top-KEYNESS_TOP_K terms per
+    source — the term-LEVEL attribution that explains WHAT drives the
+    distribution-level `source_unigram_kl` drift.  Keyness is quantized
+    to BIGINT micro-nats from exact integer counts.
+
+    Scale shape: one (source, tok) count with map-side combine, one tok
+    rollup joined back on tok, source totals as a broadcast |sources|-row
+    map, and the rank window partitioned per source over its own
+    vocabulary."""
+    return source_keyness_frame(_t(spark, sf_dir, "documents"))
+
+
+def source_keyness_frame(docs: DataFrame) -> DataFrame:
+    """Core of q_source_keyness over any (doc_id, source, text) frame."""
+    toks = (
+        docs.select(
+            "source",
+            F.explode(
+                F.filter(
+                    F.split(F.lower("text"), TOKEN_SPLIT),
+                    lambda x: x != "",
+                )
+            ).alias("tok"),
+        )
+    )
+    st = toks.groupBy("source", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("a")
+    )
+    tot_tok = st.groupBy("tok").agg(F.sum("a").cast("long").alias("t"))
+    tot_src = st.groupBy("source").agg(
+        F.sum("a").cast("long").alias("src_total")
+    )
+    n_all = st.agg(F.sum("a").cast("long").alias("corpus_total"))
+    j = (
+        st.join(tot_tok, "tok")
+        .join(F.broadcast(tot_src), "source")
+        .crossJoin(F.broadcast(n_all))
+    )
+    a = F.col("a").cast("double")
+    rest_in = (F.col("src_total") - F.col("a")).cast("double")
+    b = (F.col("t") - F.col("a")).cast("double")
+    rest_out = (
+        F.col("corpus_total") - F.col("src_total")
+        - (F.col("t") - F.col("a"))
+    ).cast("double")
+    key_micro = F.round(
+        (
+            F.log((a + 1) / (rest_in + 1))
+            - F.log((b + 1) / (rest_out + 1))
+        )
+        * 1e6,
+        0,
+    ).cast("bigint")
+    scored = j.select(
+        "source",
+        "tok",
+        F.col("a").alias("tf_source"),
+        F.col("t").alias("tf_corpus"),
+        key_micro.alias("keyness_micro"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("keyness_micro"), F.asc("tok")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KEYNESS_TOP_K)
+        .select(
+            "source", "rank", "tok", "tf_source", "tf_corpus",
+            "keyness_micro",
+        )
+    )
+
+
+SQL_SOURCE_KEYNESS = f"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(regexp_split_to_array(lower(text),
+                                                   '{TOKEN_SPLIT}'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), st AS (
+  SELECT source, tok, CAST(count(*) AS BIGINT) AS a
+  FROM toks GROUP BY source, tok
+), tot_tok AS (
+  SELECT tok, CAST(sum(a) AS BIGINT) AS t FROM st GROUP BY tok
+), tot_src AS (
+  SELECT source, CAST(sum(a) AS BIGINT) AS src_total FROM st GROUP BY source
+), n_all AS (
+  SELECT CAST(sum(a) AS BIGINT) AS corpus_total FROM st
+), scored AS (
+  SELECT st.source, st.tok, st.a AS tf_source, tt.t AS tf_corpus,
+         CAST(round((ln((CAST(st.a AS DOUBLE) + 1)
+                        / (CAST(ts.src_total - st.a AS DOUBLE) + 1))
+                     - ln((CAST(tt.t - st.a AS DOUBLE) + 1)
+                          / (CAST(na.corpus_total - ts.src_total
+                                  - (tt.t - st.a) AS DOUBLE) + 1)))
+                    * 1e6, 0) AS BIGINT) AS keyness_micro
+  FROM st
+  JOIN tot_tok tt USING (tok)
+  JOIN tot_src ts USING (source)
+  CROSS JOIN n_all na
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY keyness_micro DESC, tok ASC)
+              AS rank
+  FROM scored
+)
+SELECT source, CAST(rank AS BIGINT) AS rank, tok, tf_source, tf_corpus,
+       keyness_micro
+FROM ranked WHERE rank <= {KEYNESS_TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# Assistant verbosity trend (SFT drift diagnostic over transcripts)
+# --------------------------------------------------------------------------
+
+def q_assistant_verbosity_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation verbosity trend of the assistant: the
+    least-squares slope of assistant-turn token counts over the
+    assistant-turn ordinal — the drift signal that catches agents whose
+    replies balloon (context stuffing) or collapse (degenerate loops)
+    as a conversation progresses.  All regression sums are exact BIGINT
+    arithmetic on (ordinal, token-count) pairs; the slope is one double
+    division of exact integers, round-6; conversations with fewer than
+    two assistant turns report NULL slope.
+
+    Scale shape: ONE conv_id exchange — the ordinal window and the
+    rollup share the same hash partitioning; the token count is an
+    in-row split/filter."""
+    return verbosity_trend_frame(spark.read.parquet(TRANSCRIPTS_PQ))
+
+
+def verbosity_trend_frame(t: DataFrame) -> DataFrame:
+    """Core of q_assistant_verbosity_trend over any transcript frame."""
+    a = t.filter(
+        (F.col("role") == "assistant") & F.col("text").isNotNull()
+    ).select(
+        "conv_id",
+        "turn_idx",
+        F.size(
+            F.filter(
+                F.split(F.lower("text"), TOKEN_SPLIT, -1),
+                lambda x: x != "",
+            )
+        ).cast("long").alias("y"),
+    )
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    xy = a.select(
+        "conv_id",
+        F.row_number().over(w).cast("long").alias("x"),
+        "y",
+    )
+    s = xy.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    slope = F.when(
+        F.col("n") >= 2,
+        F.round(num.cast("double") / den.cast("double"), 6),
+    )
+    return s.select(
+        "conv_id",
+        F.col("n").alias("n_assistant_turns"),
+        F.col("sy").alias("total_tokens"),
+        F.round(
+            F.col("sy").cast("double") / F.col("n").cast("double"), 6
+        ).alias("mean_tokens"),
+        slope.alias("slope_tokens_per_turn"),
+        # trend sign from the EXACT integer numerator (round-6 of the
+        # slope could collapse a |slope|<5e-7 to 0.0 and disagree)
+        F.when(F.col("n") < 2, F.lit(None).cast("string"))
+        .when(num > 0, F.lit("expanding"))
+        .when(num < 0, F.lit("contracting"))
+        .otherwise(F.lit("flat")).alias("trend"),
+    )
+
+
+SQL_ASSISTANT_VERBOSITY_TREND = f"""
+WITH a AS (
+  SELECT conv_id, turn_idx,
+         CAST(len(list_filter(regexp_split_to_array(lower(text),
+                                                     '{TOKEN_SPLIT}'),
+                              x -> x <> '')) AS BIGINT) AS y
+  FROM read_parquet('{TRANSCRIPTS_PQ}')
+  WHERE role = 'assistant' AND text IS NOT NULL
+), xy AS (
+  SELECT conv_id,
+         CAST(row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx)
+              AS BIGINT) AS x,
+         y
+  FROM a
+), s AS (
+  SELECT conv_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM xy GROUP BY conv_id
+)
+SELECT conv_id,
+       n AS n_assistant_turns,
+       sy AS total_tokens,
+       round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_tokens,
+       CASE WHEN n >= 2
+            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+            END AS slope_tokens_per_turn,
+       CASE WHEN n < 2 THEN NULL
+            WHEN n * sxy - sx * sy > 0 THEN 'expanding'
+            WHEN n * sxy - sx * sy < 0 THEN 'contracting'
+            ELSE 'flat' END AS trend
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -14995,5 +15392,11 @@ QUERIES: dict[str, tuple] = {
     "toxicity_wordlist_scan": (
         q_toxicity_wordlist_scan,
         SQL_TOXICITY_WORDLIST_SCAN,
+    ),
+    "heaps_law_fit": (q_heaps_law_fit, SQL_HEAPS_LAW_FIT),
+    "source_keyness": (q_source_keyness, SQL_SOURCE_KEYNESS),
+    "assistant_verbosity_trend": (
+        q_assistant_verbosity_trend,
+        SQL_ASSISTANT_VERBOSITY_TREND,
     ),
 }

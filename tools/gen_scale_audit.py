@@ -197,6 +197,9 @@ SCALE_CLASS = {
     "readability_scores": ("linear", "zero-exchange scan projection - words/sentence-runs/vowel-group syllables are in-row regexp passes plus one HOF fold per row; score arithmetic is in-row on round-6 ratios"),
     "pii_luhn_scan": ("linear", "zero-exchange scan projection - digit-run extraction is one regexp pass; the Luhn checksum is an in-row HOF fold over each <=19-digit candidate"),
     "toxicity_wordlist_scan": ("linear", "zero-exchange scan projection - |lexicon| word-boundary regexp counts per row summed in-row; the rate and verdict are in-row arithmetic"),
+    "heaps_law_fit": ("shuffle", "one token-mass rollup + one per-type min(doc_id) rollup (map-side combine on both); checkpoint banding is in-row arithmetic vs a broadcast 1-row min/max; the cumulative window and least-squares fit run over the fixed HEAPS_BUCKETS-row rollup only (no global per-doc window)"),
+    "source_keyness": ("shuffle", "one (source, token) count rollup with map-side combine; token and source totals are rollups of the rollup; log-odds is in-row integer-micro arithmetic; top-K per source via ONE rank window partitioned by source over the count table (bounded by |vocab|x|sources|, far smaller than the corpus)"),
+    "assistant_verbosity_trend": ("shuffle", "one per-conv rank window on the natural (conv_id, turn_idx) key + one per-conv aggregation of 5 integer sums with map-side combine; slope/trend are in-row arithmetic on the 1-row-per-conv rollup - no global window, no collect"),
 }
 
 
