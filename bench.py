@@ -337,6 +337,12 @@ def main() -> None:
         "heaps_law_fit",
         "source_keyness",
         "assistant_verbosity_trend",
+        # round 5, forty-sixth wave: embedding-space PCA health, context
+        # budget planning, truncation triage.  Excluded from the r04
+        # subtotal.
+        "embedding_pca_power",
+        "context_budget_plan",
+        "truncation_artifact_detect",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -441,6 +447,9 @@ def main() -> None:
         "heaps_law_fit",
         "source_keyness",
         "assistant_verbosity_trend",
+        "embedding_pca_power",
+        "context_budget_plan",
+        "truncation_artifact_detect",
         "agent_loop_neardup",
         "conversation_split_assign",
         "bpe_roundtrip_check",

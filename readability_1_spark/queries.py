@@ -17,6 +17,7 @@ for non-SQL-expressible operators.
 
 from __future__ import annotations
 
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -14995,6 +14996,387 @@ FROM s
 
 
 # --------------------------------------------------------------------------
+# Embedding-space health: top principal component via power iteration
+# --------------------------------------------------------------------------
+
+PCA_ITERS = 8
+
+
+def q_embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus via deterministic
+    power iteration — the embedding-space health diagnostic (a collapsed
+    or anisotropic embedding model concentrates variance in one direction;
+    explained_variance_ratio near 1 means the ANN index is effectively
+    one-dimensional).  Returns one row per dimension: the corpus mean, the
+    unit top-PC loading, and the (replicated) eigenvalue + explained
+    variance ratio.
+
+    Determinism recipe (cross-engine exact): every dot-product term is
+    quantized to an INTEGER micro-unit BEFORE summation — round(x*1e6, 0)
+    as BIGINT — so no floating sum depends on aggregation order; stage
+    results round-6 (the iterative-float recipe).  The eigen-solve runs on
+    the collected DIM^2 covariance table (4,096 cells — bounded by the
+    embedding width, independent of corpus size, the same driver-side
+    budget as the BPE trainer's 1-row winners); the DuckDB twin unrolls
+    the identical PCA_ITERS iterations as CTEs.
+
+    Scale shape: the corpus-sized work is ONE in-row (i, j) expansion
+    (explode x sequence, no self-join shuffle) into a DIM^2-cell rollup
+    with map-side combine; because the per-term quantization makes partial
+    sums exact under ANY aggregation tree, the same numbers come out of a
+    per-partition Arrow Gram-matrix kernel at 10^12 rows.  Population
+    covariance (divide by n)."""
+    return pca_power_frame(
+        _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+
+
+def pca_power_frame(emb: DataFrame) -> DataFrame:
+    """Core of q_embedding_pca_power over any (vec_id, embedding) frame
+    whose arrays are EMB_DIM wide."""
+    x1 = emb.select(
+        "vec_id", "embedding", F.posexplode("embedding").alias("p", "v_raw")
+    ).select(
+        "vec_id",
+        "embedding",
+        (F.col("p") + 1).cast("bigint").alias("i"),
+        F.col("v_raw").cast("double").alias("vi"),
+    )
+    mu = x1.groupBy("i").agg(
+        F.sum(F.round(F.col("vi") * 1e6, 0).cast("bigint")).alias("m_int"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        "i",
+        F.round(
+            F.col("m_int").cast("double") / (F.lit(1e6) * F.col("n")), 6
+        ).alias("mu"),
+    )
+    xj = x1.join(F.broadcast(mu), "i").select(
+        "i", "vi", "mu", "embedding",
+        F.explode(F.sequence(F.lit(1), F.lit(EMB_DIM))).alias("j"),
+    )
+    prod = (
+        (F.col("vi") - F.col("mu"))
+        * (F.element_at("embedding", F.col("j").cast("int")).cast("double")
+           - F.col("mu_j"))
+        * F.lit(1e6)
+    )
+    cv = (
+        xj.join(
+            F.broadcast(mu.select(
+                F.col("i").alias("j"), F.col("mu").alias("mu_j")
+            )),
+            "j",
+        )
+        .select("i", F.col("j").cast("bigint").alias("j"),
+                F.round(prod, 0).cast("bigint").alias("p_int"))
+        .groupBy("i", "j")
+        .agg(F.sum("p_int").alias("s_int"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "i", "j",
+            F.round(
+                F.col("s_int").cast("double") / (F.lit(1e6) * F.col("n")), 6
+            ).alias("c"),
+        )
+    )
+    c = {(r["i"], r["j"]): r["c"] for r in cv.collect()}  # DIM^2, bounded
+
+    def _int_hu(x: float) -> int:
+        import decimal
+
+        return int(
+            decimal.Decimal(x).quantize(
+                decimal.Decimal("1"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    def _matvec(v: dict) -> dict:
+        return {
+            i: _round6_half_up(
+                sum(_int_hu(c[(i, j)] * v[j] * 1e6) for j in range(1, EMB_DIM + 1))
+                / 1e6
+            )
+            for i in range(1, EMB_DIM + 1)
+        }
+
+    v = {i: 0.125 for i in range(1, EMB_DIM + 1)}  # 1/sqrt(64), exact
+    for _ in range(PCA_ITERS):
+        w = _matvec(v)
+        nrm = _round6_half_up(
+            math.sqrt(
+                sum(_int_hu(w[i] * w[i] * 1e6) for i in w) / 1e6
+            )
+        )
+        v = {i: _round6_half_up(w[i] / nrm) for i in w}
+    wf = _matvec(v)
+    eigenvalue = _round6_half_up(
+        sum(_int_hu(v[i] * wf[i] * 1e6) for i in v) / 1e6
+    )
+    trace = _round6_half_up(
+        sum(_int_hu(c[(i, i)] * 1e6) for i in range(1, EMB_DIM + 1)) / 1e6
+    )
+    evr = _round6_half_up(eigenvalue / trace)
+    loading = F.element_at(
+        F.array(*[F.lit(v[i]) for i in range(1, EMB_DIM + 1)]),
+        F.col("i").cast("int"),
+    )
+    return mu.select(
+        F.col("i").alias("dim"),
+        F.col("mu").alias("mean_v"),
+        loading.alias("loading"),
+        F.lit(eigenvalue).alias("eigenvalue"),
+        F.lit(evr).alias("explained_variance_ratio"),
+    )
+
+
+def _sql_pca_iter(t: int) -> str:
+    """One unrolled power iteration: w{t} = C v{t-1} (integer micro-unit
+    terms), n{t} its round-6 norm, v{t} the renormalized vector.
+
+    Every CTE is MATERIALIZED: v{t} references w{t} twice (directly and
+    through n{t}), so inlined CTEs would double evaluations per iteration
+    — 2^PCA_ITERS re-evaluations of the covariance self-join."""
+    return f"""w{t} AS MATERIALIZED (
+  SELECT c.i AS i,
+         round(CAST(sum(CAST(round(c.c * v.val * 1e6, 0) AS BIGINT))
+                    AS DOUBLE) / 1e6, 6) AS w
+  FROM cv c JOIN v{t - 1} v ON v.i = c.j GROUP BY c.i
+), n{t} AS MATERIALIZED (
+  SELECT round(sqrt(CAST(sum(CAST(round(w * w * 1e6, 0) AS BIGINT))
+                         AS DOUBLE) / 1e6), 6) AS nrm
+  FROM w{t}
+), v{t} AS MATERIALIZED (
+  SELECT i, round(w / nrm, 6) AS val FROM w{t}, n{t}
+)"""
+
+
+SQL_EMBEDDING_PCA_POWER = f"""
+WITH x AS (
+  SELECT vec_id, CAST(d.i AS BIGINT) AS i,
+         CAST(embedding[d.i] AS DOUBLE) AS v
+  FROM embeddings, UNNEST(generate_series(1, {EMB_DIM})) AS d(i)
+), mu AS (
+  SELECT i,
+         round(CAST(sum(CAST(round(v * 1e6, 0) AS BIGINT)) AS DOUBLE)
+               / (1e6 * count(*)), 6) AS mu
+  FROM x GROUP BY i
+), cv AS MATERIALIZED (
+  SELECT xi.i AS i, xj.i AS j,
+         round(CAST(sum(CAST(round((xi.v - mi.mu) * (xj.v - mj.mu) * 1e6,
+                                   0) AS BIGINT)) AS DOUBLE)
+               / (1e6 * count(*)), 6) AS c
+  FROM x xi JOIN x xj USING (vec_id)
+  JOIN mu mi ON mi.i = xi.i JOIN mu mj ON mj.i = xj.i
+  GROUP BY 1, 2
+), v0 AS MATERIALIZED (
+  SELECT CAST(g.i AS BIGINT) AS i, 0.125 AS val
+  FROM UNNEST(generate_series(1, {EMB_DIM})) AS g(i)
+),
+{", ".join(_sql_pca_iter(t) for t in range(1, PCA_ITERS + 1))},
+wf AS (
+  SELECT c.i AS i,
+         round(CAST(sum(CAST(round(c.c * v.val * 1e6, 0) AS BIGINT))
+                    AS DOUBLE) / 1e6, 6) AS w
+  FROM cv c JOIN v{PCA_ITERS} v ON v.i = c.j GROUP BY c.i
+), lam AS (
+  SELECT round(CAST(sum(CAST(round(v.val * w.w * 1e6, 0) AS BIGINT))
+                    AS DOUBLE) / 1e6, 6) AS eigenvalue
+  FROM v{PCA_ITERS} v JOIN wf w USING (i)
+), tr AS (
+  SELECT round(CAST(sum(CAST(round(c * 1e6, 0) AS BIGINT)) AS DOUBLE)
+               / 1e6, 6) AS trace
+  FROM cv WHERE i = j
+)
+SELECT m.i AS dim, m.mu AS mean_v, v.val AS loading, lam.eigenvalue,
+       round(lam.eigenvalue / tr.trace, 6) AS explained_variance_ratio
+FROM mu m JOIN v{PCA_ITERS} v USING (i), lam, tr
+"""
+
+
+# --------------------------------------------------------------------------
+# Context-window budget planning over transcripts
+# --------------------------------------------------------------------------
+
+CTX_BUDGET_TOKENS = 512   # context window budget per conversation
+CTX_TURN_OVERHEAD = 4     # role tag + separators per rendered turn
+
+
+def q_context_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation context-window fit audit: render cost per turn =
+    token count + CTX_TURN_OVERHEAD, keep the longest RECENT suffix of
+    turns whose total fits CTX_BUDGET_TOKENS (the standard chat-history
+    eviction policy: newest turns survive, oldest are truncated).  Emits
+    how many turns and tokens fit, the first surviving turn_idx, and a
+    truncated flag — the planning table for SFT serialization under a
+    fixed context length.
+
+    Scale shape: one conv-keyed window (suffix running sum over turn_idx
+    DESC) + one conv rollup with map-side combine; integer arithmetic
+    only, trivially cross-engine exact."""
+    return context_budget_frame(spark.read.parquet(TRANSCRIPTS_PQ))
+
+
+def context_budget_frame(t: DataFrame) -> DataFrame:
+    """Core of q_context_budget_plan over any transcript frame."""
+    y = (
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), TOKEN_SPLIT, -1),
+                lambda x: x != "",
+            )
+        ).cast("long")
+        + F.lit(CTX_TURN_OVERHEAD)
+    )
+    a = t.filter(F.col("text").isNotNull()).select(
+        "conv_id", "turn_idx", y.alias("y")
+    )
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy(F.col("turn_idx").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sfx = a.select(
+        "conv_id", "turn_idx", "y",
+        F.sum("y").over(w).cast("long").alias("suffix_cum"),
+    )
+    fits = F.col("suffix_cum") <= CTX_BUDGET_TOKENS
+    return sfx.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum("y").cast("long").alias("total_tokens"),
+        F.sum(F.when(fits, 1).otherwise(0)).cast("long").alias("n_turns_fit"),
+        F.coalesce(
+            F.sum(F.when(fits, F.col("y"))), F.lit(0)
+        ).cast("long").alias("tokens_fit"),
+        F.min(F.when(fits, F.col("turn_idx"))).cast("int")
+        .alias("first_kept_turn_idx"),
+    ).withColumn(
+        "truncated", F.col("total_tokens") > CTX_BUDGET_TOKENS
+    )
+
+
+SQL_CONTEXT_BUDGET_PLAN = f"""
+WITH a AS (
+  SELECT conv_id, turn_idx,
+         CAST(len(list_filter(regexp_split_to_array(lower(text),
+                                                     '{TOKEN_SPLIT}'),
+                              x -> x <> '')) AS BIGINT)
+         + {CTX_TURN_OVERHEAD} AS y
+  FROM read_parquet('{TRANSCRIPTS_PQ}')
+  WHERE text IS NOT NULL
+), sfx AS (
+  SELECT conv_id, turn_idx, y,
+         CAST(sum(y) OVER (PARTITION BY conv_id ORDER BY turn_idx DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS BIGINT) AS suffix_cum
+  FROM a
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(y) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN suffix_cum <= {CTX_BUDGET_TOKENS}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_turns_fit,
+       CAST(COALESCE(sum(CASE WHEN suffix_cum <= {CTX_BUDGET_TOKENS}
+                              THEN y END), 0) AS BIGINT) AS tokens_fit,
+       CAST(min(CASE WHEN suffix_cum <= {CTX_BUDGET_TOKENS}
+                     THEN turn_idx END) AS INT) AS first_kept_turn_idx,
+       sum(y) > {CTX_BUDGET_TOKENS} AS truncated
+FROM sfx GROUP BY conv_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Crawl-truncation artifact triage
+# --------------------------------------------------------------------------
+
+READMORE_MARKERS = (
+    "read more", "continue reading", "sign in to continue",
+    "subscribe to continue",
+)
+
+
+def q_truncation_artifact_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-truncation triage: documents cut off mid-stream by the
+    fetcher or a paywall — trailing ellipsis, teaser markers ('read
+    more'), a final character that is still mid-word with unbalanced
+    parentheses — poison completion training (the model learns to stop
+    mid-sentence).  Emits per-signal columns + a truncation_suspect
+    routing verdict.
+
+    Scale shape: zero-exchange scan projection; trailing-whitespace strip
+    is one greedy regexp, bracket balance via the length-delta-of-replace
+    identity, markers are exact substring hits."""
+    return truncation_frame(_t(spark, sf_dir, "documents"))
+
+
+def truncation_frame(docs: DataFrame) -> DataFrame:
+    """Core of q_truncation_artifact_detect over any (doc_id, text) frame."""
+    t = F.regexp_replace(F.col("text"), r"[ \t\r\n\f]+$", "")
+    low = F.lower(F.col("text"))
+    n_open = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("(")))
+    ).cast("long")
+    n_close = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit(")")))
+    ).cast("long")
+    n_dq = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit('"')))
+    ).cast("long")
+    readmore = None
+    for m in READMORE_MARKERS:
+        hit = low.contains(m)
+        readmore = hit if readmore is None else (readmore | hit)
+    s = docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars_trimmed"),
+        t.rlike("[A-Za-z0-9]$").alias("ends_alnum"),
+        (t.endswith("...") | t.endswith("…")).alias("ends_ellipsis"),
+        (n_open - n_close).alias("unclosed_paren"),
+        (F.pmod(n_dq, F.lit(2)) == 1).alias("odd_dquotes"),
+        readmore.alias("readmore_hit"),
+    )
+    return s.withColumn(
+        "truncation_suspect",
+        F.col("ends_ellipsis")
+        | F.col("readmore_hit")
+        | (F.col("ends_alnum") & (F.col("unclosed_paren") > 0)),
+    )
+
+
+_SQL_READMORE = " OR ".join(
+    f"contains(lower(text), '{m}')" for m in READMORE_MARKERS
+)
+
+SQL_TRUNCATION_ARTIFACT_DETECT = f"""
+WITH s AS (
+  SELECT doc_id,
+         regexp_replace(text, '[ \\t\\r\\n\\f]+$', '') AS t,
+         CAST(length(text) - length(replace(text, '(', '')) AS BIGINT)
+           AS n_open,
+         CAST(length(text) - length(replace(text, ')', '')) AS BIGINT)
+           AS n_close,
+         CAST(length(text) - length(replace(text, '"', '')) AS BIGINT)
+           AS n_dq,
+         ({_SQL_READMORE}) AS readmore_hit
+  FROM documents
+), c AS (
+  SELECT doc_id,
+         CAST(length(t) AS BIGINT) AS n_chars_trimmed,
+         regexp_matches(t, '[A-Za-z0-9]$') AS ends_alnum,
+         (t LIKE '%...' OR t LIKE '%' || chr(8230)) AS ends_ellipsis,
+         n_open - n_close AS unclosed_paren,
+         n_dq % 2 = 1 AS odd_dquotes,
+         readmore_hit
+  FROM s
+)
+SELECT doc_id, n_chars_trimmed, ends_alnum, ends_ellipsis, unclosed_paren,
+       odd_dquotes, readmore_hit,
+       ends_ellipsis OR readmore_hit
+         OR (ends_alnum AND unclosed_paren > 0) AS truncation_suspect
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -15398,5 +15780,11 @@ QUERIES: dict[str, tuple] = {
     "assistant_verbosity_trend": (
         q_assistant_verbosity_trend,
         SQL_ASSISTANT_VERBOSITY_TREND,
+    ),
+    "embedding_pca_power": (q_embedding_pca_power, SQL_EMBEDDING_PCA_POWER),
+    "context_budget_plan": (q_context_budget_plan, SQL_CONTEXT_BUDGET_PLAN),
+    "truncation_artifact_detect": (
+        q_truncation_artifact_detect,
+        SQL_TRUNCATION_ARTIFACT_DETECT,
     ),
 }

@@ -95,7 +95,8 @@ def main() -> None:
                  "search_mrr_eval", "lexical_diversity",
                  "code_detect", "markdown_structure_stats",
                  "readability_scores", "pii_luhn_scan",
-                 "toxicity_wordlist_scan"):
+                 "toxicity_wordlist_scan", "embedding_pca_power",
+                 "context_budget_plan", "truncation_artifact_detect"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -612,6 +613,26 @@ def main() -> None:
                    and len(re.findall(r"\(\d+\) Exchange",
                                       full["loss_mask_spans"])) == 1
                    and "Join" not in full["loss_mask_spans"]))
+
+    checks.append(("PCA: corpus side is ONE dim rollup (in-row (i,j) "
+                   "expansion, no corpus self-join — the DIM^2 eigen-solve "
+                   "is driver-side on the bounded covariance table)",
+                   len(re.findall(r"\(\d+\) Exchange",
+                                  full["embedding_pca_power"])) == 1
+                   and "Join" not in full["embedding_pca_power"]
+                   and "Cartesian" not in full["embedding_pca_power"]))
+
+    checks.append(("context budget plan: ONE conv exchange shared by the "
+                   "suffix window and the rollup, no joins",
+                   len(re.findall(r"\(\d+\) Exchange",
+                                  full["context_budget_plan"])) == 1
+                   and "Join" not in full["context_budget_plan"]))
+
+    checks.append(("truncation triage: zero-exchange scan projection, "
+                   "no joins",
+                   len(re.findall(r"\(\d+\) Exchange",
+                                  full["truncation_artifact_detect"])) == 0
+                   and "Join" not in full["truncation_artifact_detect"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -200,6 +200,9 @@ SCALE_CLASS = {
     "heaps_law_fit": ("shuffle", "one token-mass rollup + one per-type min(doc_id) rollup (map-side combine on both); checkpoint banding is in-row arithmetic vs a broadcast 1-row min/max; the cumulative window and least-squares fit run over the fixed HEAPS_BUCKETS-row rollup only (no global per-doc window)"),
     "source_keyness": ("shuffle", "one (source, token) count rollup with map-side combine; token and source totals are rollups of the rollup; log-odds is in-row integer-micro arithmetic; top-K per source via ONE rank window partitioned by source over the count table (bounded by |vocab|x|sources|, far smaller than the corpus)"),
     "assistant_verbosity_trend": ("shuffle", "one per-conv rank window on the natural (conv_id, turn_idx) key + one per-conv aggregation of 5 integer sums with map-side combine; slope/trend are in-row arithmetic on the 1-row-per-conv rollup - no global window, no collect"),
+    "embedding_pca_power": ("shuffle", "corpus-side work is ONE in-row (i,j) expansion (posexplode x sequence, no self-join) into a DIM^2-cell integer rollup with map-side combine; the PCA_ITERS eigen-solve runs driver-side on the collected DIM^2 covariance table (bounded by the embedding width, independent of corpus size - the BPE-trainer budget); per-term integer micro-unit quantization makes partial sums exact under any aggregation tree"),
+    "context_budget_plan": ("shuffle", "one conv-keyed suffix-sum window + one conv rollup sharing the same hash partitioning (single exchange); token costs are in-row split/filter arithmetic; integer-only outputs"),
+    "truncation_artifact_detect": ("linear", "zero-exchange scan projection - trailing-ws strip and final-char class are per-row regexps, bracket/quote balance via the length-delta-of-replace identity, teaser markers are exact substring hits; the verdict is in-row boolean arithmetic"),
 }
 
 
