@@ -343,6 +343,11 @@ def main() -> None:
         "embedding_pca_power",
         "context_budget_plan",
         "truncation_artifact_detect",
+        # round 5, forty-seventh wave: injection scan, CoT structure,
+        # prompt-conflict mining.  Excluded from the r04 subtotal.
+        "prompt_injection_scan",
+        "cot_structure_detect",
+        "sft_prompt_conflicts",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -450,6 +455,9 @@ def main() -> None:
         "embedding_pca_power",
         "context_budget_plan",
         "truncation_artifact_detect",
+        "prompt_injection_scan",
+        "cot_structure_detect",
+        "sft_prompt_conflicts",
         "agent_loop_neardup",
         "conversation_split_assign",
         "bpe_roundtrip_check",

@@ -15377,6 +15377,291 @@ FROM c
 
 
 # --------------------------------------------------------------------------
+# Prompt-injection scan over untrusted transcript channels
+# --------------------------------------------------------------------------
+
+INJECTION_MARKERS = (
+    "previous instructions",
+    "disregard the above",
+    "new instructions:",
+    "you are now",
+    "pretend you are",
+    "do not tell the user",
+    "system prompt",
+    "ignore the above",
+)
+
+
+def q_prompt_injection_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prompt-injection triage over the UNTRUSTED channels of agent
+    transcripts (tool outputs and user turns): exact occurrence counts of
+    the instruction-override register ("ignore the above", "previous
+    instructions", "you are now", ...).  A crawl page echoed through a
+    browser tool that successfully steers the assistant is exactly the
+    transcript you must not train on — this is the routing pass before
+    agent SFT.  Assistant turns are excluded (model output is the trusted
+    channel here; special_token_leakage covers control-token forgery).
+
+    Scale shape: zero-exchange scan projection — per-marker occurrence
+    counts via the length-delta-of-replace identity (exact integers on
+    both engines), in-row verdict."""
+    return injection_frame(spark.read.parquet(TRANSCRIPTS_PQ))
+
+
+def injection_frame(t: DataFrame) -> DataFrame:
+    """Core of q_prompt_injection_scan over any transcript-shaped frame."""
+    low = F.lower(F.col("text"))
+    per_marker = [
+        (
+            (F.length(low) - F.length(F.replace(low, F.lit(m))))
+            / F.lit(len(m))
+        ).cast("long")
+        for m in INJECTION_MARKERS
+    ]
+    total = per_marker[0]
+    for c in per_marker[1:]:
+        total = total + c
+    distinct = sum((c > 0).cast("int") for c in per_marker).cast("long")
+    return t.filter(
+        F.col("role").isin("tool", "user") & F.col("text").isNotNull()
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        total.alias("n_marker_hits"),
+        distinct.alias("n_distinct_markers"),
+        (distinct > 0).alias("injection_suspect"),
+    )
+
+
+_SQL_INJ_COUNTS = ",\n         ".join(
+    f"CAST((length(low) - length(replace(low, '{m}', ''))) / {len(m)}"
+    f" AS BIGINT) AS c{k}"
+    for k, m in enumerate(INJECTION_MARKERS)
+)
+_SQL_INJ_TOTAL = " + ".join(f"c{k}" for k in range(len(INJECTION_MARKERS)))
+_SQL_INJ_DISTINCT = " + ".join(
+    f"CASE WHEN c{k} > 0 THEN 1 ELSE 0 END"
+    for k in range(len(INJECTION_MARKERS))
+)
+
+SQL_PROMPT_INJECTION_SCAN = f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role, lower(text) AS low
+  FROM read_parquet('{TRANSCRIPTS_PQ}')
+  WHERE role IN ('tool', 'user') AND text IS NOT NULL
+), c AS (
+  SELECT conv_id, turn_idx, role,
+         {_SQL_INJ_COUNTS}
+  FROM t
+)
+SELECT conv_id, turn_idx, role,
+       CAST({_SQL_INJ_TOTAL} AS BIGINT) AS n_marker_hits,
+       CAST({_SQL_INJ_DISTINCT} AS BIGINT) AS n_distinct_markers,
+       ({_SQL_INJ_DISTINCT}) > 0 AS injection_suspect
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# Chain-of-thought structure detection over assistant turns
+# --------------------------------------------------------------------------
+
+COT_STEP_LINE = r"^[ \t]*([0-9]+[.)] |step [0-9])"
+COT_CONNECTIVES = (
+    "first", "second", "then", "next", "therefore", "finally", "because",
+)
+COT_ANSWER_MARKERS = (
+    "answer:", "the answer is", "final answer", "in conclusion",
+)
+
+
+def q_cot_structure_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-of-thought structure triage over assistant turns: numbered
+    step lines, reasoning connectives (word-boundary counts), answer
+    markers, equation signs — the mining pass that routes reasoning-rich
+    SFT examples into a curriculum (and keeps step-free one-liners out of
+    the reasoning mix).  Verdict: >= 2 step lines, or >= 3 connectives
+    with an explicit answer marker.
+
+    Scale shape: zero-exchange scan projection — one line split + one
+    regexp per connective per row, in-row verdict arithmetic."""
+    return cot_frame(spark.read.parquet(TRANSCRIPTS_PQ))
+
+
+def cot_frame(t: DataFrame) -> DataFrame:
+    """Core of q_cot_structure_detect over any transcript-shaped frame."""
+    low = F.lower(F.col("text"))
+    n_step = F.size(
+        F.filter(
+            F.split(low, "\n", -1),
+            lambda x: x.rlike(COT_STEP_LINE),
+        )
+    ).cast("long")
+    per_conn = [
+        F.size(F.regexp_extract_all(low, F.lit(rf"\b{c}\b"), 0)).cast("long")
+        for c in COT_CONNECTIVES
+    ]
+    n_conn = per_conn[0]
+    for c in per_conn[1:]:
+        n_conn = n_conn + c
+    ans = None
+    for m in COT_ANSWER_MARKERS:
+        hit = F.instr(low, m) > 0
+        ans = hit if ans is None else (ans | hit)
+    n_eq = (F.length(low) - F.length(F.replace(low, F.lit("=")))).cast("long")
+    s = t.filter(
+        (F.col("role") == "assistant") & F.col("text").isNotNull()
+    ).select(
+        "conv_id",
+        "turn_idx",
+        n_step.alias("n_step_lines"),
+        n_conn.alias("n_connectives"),
+        ans.alias("has_answer_marker"),
+        n_eq.alias("n_equations"),
+    )
+    return s.withColumn(
+        "cot_structured",
+        (F.col("n_step_lines") >= 2)
+        | ((F.col("n_connectives") >= 3) & F.col("has_answer_marker")),
+    )
+
+
+_SQL_COT_CONN = " + ".join(
+    f"len(regexp_extract_all(low, '\\b{c}\\b'))" for c in COT_CONNECTIVES
+)
+_SQL_COT_ANS = " OR ".join(
+    f"strpos(low, '{m}') > 0" for m in COT_ANSWER_MARKERS
+)
+
+SQL_COT_STRUCTURE_DETECT = f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, lower(text) AS low
+  FROM read_parquet('{TRANSCRIPTS_PQ}')
+  WHERE role = 'assistant' AND text IS NOT NULL
+), s AS (
+  SELECT conv_id, turn_idx,
+         CAST(len(list_filter(regexp_split_to_array(low, '\\n'),
+                              x -> regexp_matches(x, '{COT_STEP_LINE}')))
+              AS BIGINT) AS n_step_lines,
+         CAST({_SQL_COT_CONN} AS BIGINT) AS n_connectives,
+         ({_SQL_COT_ANS}) AS has_answer_marker,
+         CAST(length(low) - length(replace(low, '=', '')) AS BIGINT)
+           AS n_equations
+  FROM t
+)
+SELECT conv_id, turn_idx, n_step_lines, n_connectives, has_answer_marker,
+       n_equations,
+       n_step_lines >= 2
+         OR (n_connectives >= 3 AND has_answer_marker) AS cot_structured
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
+# SFT prompt→response conflict mining
+# --------------------------------------------------------------------------
+
+
+def q_sft_prompt_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-conflict mining for SFT data: group every (user prompt →
+    next assistant response) pair by the prompt's content digest and
+    surface prompts that map to MORE THAN ONE distinct response across
+    the corpus — contradictory supervision that degrades instruction
+    tuning (the duplicate-prompt/different-label audit).  Emits per
+    prompt digest the pair count, distinct responses, the modal
+    response's support, a deterministic example conv_id, and the
+    conflict flag.
+
+    Scale shape: ONE conv_id window pairs each user turn with its next
+    assistant turn (min-over-following on a zero-padded turn_idx-prefixed
+    digest — no self-join), then one (prompt, response) rollup + one
+    prompt rollup, both with map-side combine."""
+    return prompt_conflict_frame(spark.read.parquet(TRANSCRIPTS_PQ))
+
+
+def prompt_conflict_frame(t: DataFrame) -> DataFrame:
+    """Core of q_sft_prompt_conflicts over any transcript-shaped frame."""
+    w = (
+        Window.partitionBy("conv_id")
+        .orderBy("turn_idx")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    keyed = F.when(
+        F.col("role") == "assistant",
+        F.concat(
+            F.lpad(F.col("turn_idx").cast("string"), 10, "0"),
+            F.lit(":"),
+            F.md5(F.coalesce(F.col("text"), F.lit(_NULLS))),
+        ),
+    )
+    paired = t.select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        F.min(keyed).over(w).alias("reply_key"),
+    ).filter(
+        (F.col("role") == "user")
+        & F.col("text").isNotNull()
+        & F.col("reply_key").isNotNull()
+    ).select(
+        "conv_id",
+        F.md5(F.col("text")).alias("prompt_digest"),
+        F.substring(F.col("reply_key"), 12, 32).alias("response_digest"),
+    )
+    # One explicit prompt_digest exchange serves BOTH rollups: hash
+    # partitioning on a subset key satisfies the (prompt, response)
+    # clustering too, so neither groupBy adds its own shuffle (verified
+    # in BENCH/PLANS.md — 2 exchanges total incl. the conv window).
+    by_resp = (
+        paired.repartition("prompt_digest")
+        .groupBy("prompt_digest", "response_digest")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.min("conv_id").alias("conv_min"),
+        )
+    )
+    return by_resp.groupBy("prompt_digest").agg(
+        F.sum("c").cast("long").alias("n_pairs"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_responses"),
+        F.max("c").cast("long").alias("top_response_count"),
+        F.min("conv_min").alias("example_conv_id"),
+    ).withColumn(
+        "conflict", F.col("n_distinct_responses") > 1
+    )
+
+
+SQL_SFT_PROMPT_CONFLICTS = f"""
+WITH w AS (
+  SELECT conv_id, turn_idx, role, text,
+         min(CASE WHEN role = 'assistant'
+                  THEN lpad(CAST(turn_idx AS VARCHAR), 10, '0') || ':'
+                       || md5(COALESCE(text, '{_NULLS}')) END) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS reply_key
+  FROM read_parquet('{TRANSCRIPTS_PQ}')
+), paired AS (
+  SELECT conv_id, md5(text) AS prompt_digest,
+         substr(reply_key, 12, 32) AS response_digest
+  FROM w
+  WHERE role = 'user' AND text IS NOT NULL AND reply_key IS NOT NULL
+), by_resp AS (
+  SELECT prompt_digest, response_digest,
+         CAST(count(*) AS BIGINT) AS c, min(conv_id) AS conv_min
+  FROM paired GROUP BY prompt_digest, response_digest
+)
+SELECT prompt_digest,
+       CAST(sum(c) AS BIGINT) AS n_pairs,
+       CAST(count(*) AS BIGINT) AS n_distinct_responses,
+       CAST(max(c) AS BIGINT) AS top_response_count,
+       min(conv_min) AS example_conv_id,
+       count(*) > 1 AS conflict
+FROM by_resp GROUP BY prompt_digest
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -15787,4 +16072,10 @@ QUERIES: dict[str, tuple] = {
         q_truncation_artifact_detect,
         SQL_TRUNCATION_ARTIFACT_DETECT,
     ),
+    "prompt_injection_scan": (
+        q_prompt_injection_scan,
+        SQL_PROMPT_INJECTION_SCAN,
+    ),
+    "cot_structure_detect": (q_cot_structure_detect, SQL_COT_STRUCTURE_DETECT),
+    "sft_prompt_conflicts": (q_sft_prompt_conflicts, SQL_SFT_PROMPT_CONFLICTS),
 }

@@ -96,7 +96,9 @@ def main() -> None:
                  "code_detect", "markdown_structure_stats",
                  "readability_scores", "pii_luhn_scan",
                  "toxicity_wordlist_scan", "embedding_pca_power",
-                 "context_budget_plan", "truncation_artifact_detect"):
+                 "context_budget_plan", "truncation_artifact_detect",
+                 "prompt_injection_scan", "cot_structure_detect",
+                 "sft_prompt_conflicts"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -633,6 +635,20 @@ def main() -> None:
                    len(re.findall(r"\(\d+\) Exchange",
                                   full["truncation_artifact_detect"])) == 0
                    and "Join" not in full["truncation_artifact_detect"]))
+
+    checks.append(("injection scan + CoT detect: zero-exchange scan "
+                   "projections, no joins",
+                   all(len(re.findall(r"\(\d+\) Exchange", full[n])) == 0
+                       and "Join" not in full[n]
+                       for n in ("prompt_injection_scan",
+                                 "cot_structure_detect"))))
+
+    checks.append(("prompt conflict miner: ONE conv window exchange + one "
+                   "digest rollup (map-side combine), no self-join",
+                   len(re.findall(r"\(\d+\) Exchange",
+                                  full["sft_prompt_conflicts"])) == 2
+                   and "Join" not in full["sft_prompt_conflicts"]
+                   and "partial_" in full["sft_prompt_conflicts"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -203,6 +203,9 @@ SCALE_CLASS = {
     "embedding_pca_power": ("shuffle", "corpus-side work is ONE in-row (i,j) expansion (posexplode x sequence, no self-join) into a DIM^2-cell integer rollup with map-side combine; the PCA_ITERS eigen-solve runs driver-side on the collected DIM^2 covariance table (bounded by the embedding width, independent of corpus size - the BPE-trainer budget); per-term integer micro-unit quantization makes partial sums exact under any aggregation tree"),
     "context_budget_plan": ("shuffle", "one conv-keyed suffix-sum window + one conv rollup sharing the same hash partitioning (single exchange); token costs are in-row split/filter arithmetic; integer-only outputs"),
     "truncation_artifact_detect": ("linear", "zero-exchange scan projection - trailing-ws strip and final-char class are per-row regexps, bracket/quote balance via the length-delta-of-replace identity, teaser markers are exact substring hits; the verdict is in-row boolean arithmetic"),
+    "prompt_injection_scan": ("linear", "zero-exchange scan projection over the tool/user rows - |markers| length-delta-of-replace occurrence counts per row (exact integers), in-row verdict"),
+    "cot_structure_detect": ("linear", "zero-exchange scan projection over assistant rows - one line split + |connectives| word-boundary regexp counts per row, answer markers are substring hits, in-row verdict"),
+    "sft_prompt_conflicts": ("shuffle", "ONE conv_id window pairs user turns with the next assistant turn (min-over-following on a turn_idx-prefixed digest, no self-join) + one (prompt,response) rollup + one prompt rollup, all with map-side combine; output bounded by distinct prompts"),
 }
 
 
