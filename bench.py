@@ -348,6 +348,12 @@ def main() -> None:
         "prompt_injection_scan",
         "cot_structure_detect",
         "sft_prompt_conflicts",
+        # round 5, forty-eighth wave: trajectory success filter, Q4-shape
+        # late shipments, cross-split prompt leakage.  Excluded from the
+        # r04 subtotal.
+        "trajectory_success_filter",
+        "late_shipment_orders",
+        "sft_split_prompt_leakage",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -458,6 +464,9 @@ def main() -> None:
         "prompt_injection_scan",
         "cot_structure_detect",
         "sft_prompt_conflicts",
+        "trajectory_success_filter",
+        "late_shipment_orders",
+        "sft_split_prompt_leakage",
         "agent_loop_neardup",
         "conversation_split_assign",
         "bpe_roundtrip_check",

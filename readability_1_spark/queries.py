@@ -15662,6 +15662,282 @@ FROM by_resp GROUP BY prompt_digest
 
 
 # --------------------------------------------------------------------------
+# Trajectory success filtering (rejection sampling for agent SFT)
+# --------------------------------------------------------------------------
+
+TRAJ_ERROR_MARKERS = (
+    "traceback (most recent call last)",
+    "command not found",
+    "permission denied",
+    "fatal:",
+)
+TRAJ_STATUS_RE = "exited with status [1-9]"
+
+
+def q_trajectory_success_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rejection-sampling gate for agent SFT data: keep only trajectories
+    whose tool turns show no hard-failure markers (specific phrases —
+    tracebacks, command-not-found, non-zero exit status; the bare word
+    'error' is NOT a marker, it appears in ordinary web page content) and
+    whose FINAL assistant turn is non-empty.  Training on failed
+    trajectories teaches the failure loop; this is the standard
+    success-filtering pass before agent fine-tuning.
+
+    Scale shape: in-row marker flags, then ONE conv_id rollup with
+    map-side combine; the final-turn lookup is the min-over-group trick
+    on a zero-padded turn_idx-prefixed key (no join, no second window)."""
+    return trajectory_frame(spark.read.parquet(TRANSCRIPTS_PQ))
+
+
+def trajectory_frame(t: DataFrame) -> DataFrame:
+    """Core of q_trajectory_success_filter over any transcript frame."""
+    low = F.lower(F.col("text"))
+    err = F.size(
+        F.regexp_extract_all(low, F.lit(TRAJ_STATUS_RE), 0)
+    ) > 0
+    for m in TRAJ_ERROR_MARKERS:
+        err = err | (F.instr(low, m) > 0)
+    is_tool = (F.col("role") == "tool") & F.col("text").isNotNull()
+    is_asst = (F.col("role") == "assistant") & F.col("text").isNotNull()
+    final_key = F.when(
+        is_asst,
+        F.concat(
+            F.lpad(F.col("turn_idx").cast("string"), 10, "0"),
+            F.lit(":"),
+            F.length("text").cast("string"),
+        ),
+    )
+    agg = t.groupBy("conv_id").agg(
+        F.sum(F.when(is_tool, 1).otherwise(0)).cast("long").alias(
+            "n_tool_turns"
+        ),
+        F.sum(F.when(is_tool & err, 1).otherwise(0)).cast("long").alias(
+            "n_error_tool_turns"
+        ),
+        F.sum(F.when(is_asst, 1).otherwise(0)).cast("long").alias(
+            "n_assistant_turns"
+        ),
+        F.sum(
+            F.when(is_asst & (F.length("text") == 0), 1).otherwise(0)
+        ).cast("long").alias("n_empty_assistant_turns"),
+        F.max(final_key).alias("fk"),
+    )
+    final_len = F.coalesce(
+        F.split_part(F.col("fk"), F.lit(":"), F.lit(2)).cast("long"),
+        F.lit(0),
+    )
+    return agg.select(
+        "conv_id",
+        "n_tool_turns",
+        "n_error_tool_turns",
+        "n_assistant_turns",
+        "n_empty_assistant_turns",
+        final_len.alias("final_assistant_len"),
+    ).withColumn(
+        "keep",
+        (F.col("n_error_tool_turns") == 0)
+        & (F.col("final_assistant_len") > 0),
+    )
+
+
+_SQL_TRAJ_ERR = " OR ".join(
+    [f"len(regexp_extract_all(low, '{TRAJ_STATUS_RE}')) > 0"]
+    + [f"strpos(low, '{m}') > 0" for m in TRAJ_ERROR_MARKERS]
+)
+
+SQL_TRAJECTORY_SUCCESS_FILTER = f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, role, text, lower(text) AS low,
+         role = 'tool' AND text IS NOT NULL AS is_tool,
+         role = 'assistant' AND text IS NOT NULL AS is_asst
+  FROM read_parquet('{TRANSCRIPTS_PQ}')
+), agg AS (
+  SELECT conv_id,
+         CAST(sum(CASE WHEN is_tool THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_tool_turns,
+         CAST(sum(CASE WHEN is_tool AND ({_SQL_TRAJ_ERR})
+                       THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_error_tool_turns,
+         CAST(sum(CASE WHEN is_asst THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_assistant_turns,
+         CAST(sum(CASE WHEN is_asst AND length(text) = 0
+                       THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_empty_assistant_turns,
+         max(CASE WHEN is_asst
+                  THEN lpad(CAST(turn_idx AS VARCHAR), 10, '0') || ':'
+                       || CAST(length(text) AS VARCHAR) END) AS fk
+  FROM t GROUP BY conv_id
+)
+SELECT conv_id, n_tool_turns, n_error_tool_turns, n_assistant_turns,
+       n_empty_assistant_turns,
+       CAST(COALESCE(split_part(fk, ':', 2), '0') AS BIGINT)
+         AS final_assistant_len,
+       n_error_tool_turns = 0
+         AND CAST(COALESCE(split_part(fk, ':', 2), '0') AS BIGINT) > 0
+         AS keep
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
+# Late-shipment order counts (TPC-H Q4 EXISTS-decorrelation shape)
+# --------------------------------------------------------------------------
+
+LATE_SHIP_DAYS = 60
+
+
+def q_late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4's correlated-EXISTS shape on this schema: per order
+    priority, how many orders have AT LEAST ONE lineitem shipped more
+    than LATE_SHIP_DAYS after the order date, plus the late share.  The
+    EXISTS decorrelates into a LEFT SEMI join whose condition carries
+    both the key equality AND the non-equi date predicate — Spark never
+    materializes the duplicate-producing inner join, and the semi join's
+    early-out stops probing an order's lineitems at the first late one.
+
+    Scale shape: one semi join on the natural l_orderkey/o_orderkey
+    shuffle + two 5-row priority rollups joined broadcast; interval
+    arithmetic is wall-clock (timestamp-NTZ safe, no timezone cast)."""
+    return late_shipment_frame(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate"),
+    )
+
+
+def late_shipment_frame(orders: DataFrame, li: DataFrame) -> DataFrame:
+    """Core of q_late_shipment_orders over any orders/lineitem frames."""
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (
+            li["l_shipdate"]
+            > orders["o_orderdate"] + F.expr(f"INTERVAL {LATE_SHIP_DAYS} DAYS")
+        ),
+        "left_semi",
+    )
+    n_late = late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_late_orders")
+    )
+    n_all = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    return (
+        n_all.join(F.broadcast(n_late), "o_orderpriority", "left")
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.coalesce("n_late_orders", F.lit(0)).cast("long").alias(
+                "n_late_orders"
+            ),
+            F.round(
+                F.coalesce("n_late_orders", F.lit(0)).cast("double")
+                / F.col("n_orders").cast("double"),
+                6,
+            ).alias("late_share"),
+        )
+    )
+
+
+SQL_LATE_SHIPMENT_ORDERS = f"""
+WITH late AS (
+  SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_late_orders
+  FROM orders o
+  WHERE EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY
+  )
+  GROUP BY o.o_orderpriority
+), tot AS (
+  SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT t.o_orderpriority, t.n_orders,
+       CAST(COALESCE(l.n_late_orders, 0) AS BIGINT) AS n_late_orders,
+       round(CAST(COALESCE(l.n_late_orders, 0) AS DOUBLE)
+             / CAST(t.n_orders AS DOUBLE), 6) AS late_share
+FROM tot t LEFT JOIN late l USING (o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------------
+# Cross-split exact-prompt leakage audit (SFT twin of split_leakage_check)
+# --------------------------------------------------------------------------
+
+
+def q_sft_split_prompt_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-prompt leakage audit across the conversation-level
+    train/val/test split: per distinct user-prompt digest, occurrence
+    counts in each split and an `eval_leak` flag when the same prompt
+    appears in BOTH train and an eval split — the evaluation-integrity
+    check the conversation-level split hash cannot give you for free
+    (identical prompts recur across conversations, and a val conversation
+    whose prompt is also trained on is a contaminated eval example).
+    Complements split_leakage_check (shingle-level, documents) at exact
+    granularity on the transcript corpus.
+
+    Scale shape: split assignment is the in-row conv_id hash (zero
+    shuffles, composes with conversation_split_assign); then ONE
+    prompt-digest rollup with map-side combine."""
+    t = spark.read.parquet(TRANSCRIPTS_PQ)
+    bucket = _md5_bucket(F.col("conv_id"))
+    split = (
+        F.when(bucket < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    p = t.filter(
+        (F.col("role") == "user") & F.col("text").isNotNull()
+    ).select(
+        F.md5(F.col("text")).alias("prompt_digest"),
+        split.alias("split"),
+        "conv_id",
+    )
+    agg = p.groupBy("prompt_digest").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+        .cast("long").alias("n_train"),
+        F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+        .cast("long").alias("n_val"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+        .cast("long").alias("n_test"),
+        F.min("conv_id").alias("example_conv_id"),
+    )
+    return agg.withColumn(
+        "eval_leak",
+        (F.col("n_train") > 0) & ((F.col("n_val") + F.col("n_test")) > 0),
+    )
+
+
+SQL_SFT_SPLIT_PROMPT_LEAKAGE = f"""
+WITH hx AS (
+  SELECT conv_id, text, md5(conv_id) AS h
+  FROM read_parquet('{TRANSCRIPTS_PQ}')
+  WHERE role = 'user' AND text IS NOT NULL
+), p AS (
+  SELECT md5(text) AS prompt_digest, conv_id,
+         CASE WHEN {_sql_md5_poly('h')} % {SPLIT_BUCKETS} < {SPLIT_TRAIN_LT}
+              THEN 'train'
+              WHEN {_sql_md5_poly('h')} % {SPLIT_BUCKETS} < {SPLIT_VAL_LT}
+              THEN 'val' ELSE 'test' END AS split
+  FROM hx
+), agg AS (
+  SELECT prompt_digest,
+         CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_train,
+         CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_val,
+         CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_test,
+         min(conv_id) AS example_conv_id
+  FROM p GROUP BY prompt_digest
+)
+SELECT prompt_digest, n_train, n_val, n_test, example_conv_id,
+       n_train > 0 AND (n_val + n_test) > 0 AS eval_leak
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -16078,4 +16354,16 @@ QUERIES: dict[str, tuple] = {
     ),
     "cot_structure_detect": (q_cot_structure_detect, SQL_COT_STRUCTURE_DETECT),
     "sft_prompt_conflicts": (q_sft_prompt_conflicts, SQL_SFT_PROMPT_CONFLICTS),
+    "trajectory_success_filter": (
+        q_trajectory_success_filter,
+        SQL_TRAJECTORY_SUCCESS_FILTER,
+    ),
+    "late_shipment_orders": (
+        q_late_shipment_orders,
+        SQL_LATE_SHIPMENT_ORDERS,
+    ),
+    "sft_split_prompt_leakage": (
+        q_sft_split_prompt_leakage,
+        SQL_SFT_SPLIT_PROMPT_LEAKAGE,
+    ),
 }

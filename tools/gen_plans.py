@@ -98,7 +98,8 @@ def main() -> None:
                  "toxicity_wordlist_scan", "embedding_pca_power",
                  "context_budget_plan", "truncation_artifact_detect",
                  "prompt_injection_scan", "cot_structure_detect",
-                 "sft_prompt_conflicts"):
+                 "sft_prompt_conflicts", "trajectory_success_filter",
+                 "late_shipment_orders", "sft_split_prompt_leakage"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -642,6 +643,21 @@ def main() -> None:
                        and "Join" not in full[n]
                        for n in ("prompt_injection_scan",
                                  "cot_structure_detect"))))
+
+    checks.append(("trajectory filter + prompt leakage: ONE exchange each "
+                   "(conv rollup / prompt-digest rollup with map-side "
+                   "combine), no joins",
+                   all(len(re.findall(r"\(\d+\) Exchange", full[n])) == 1
+                       and "Join" not in full[n]
+                       and "partial_" in full[n]
+                       for n in ("trajectory_success_filter",
+                                 "sft_split_prompt_leakage"))))
+
+    checks.append(("late-shipment Q4 shape: EXISTS decorrelates to a LEFT "
+                   "SEMI join (no duplicate-producing inner join, no "
+                   "cartesian)",
+                   "LeftSemi" in full["late_shipment_orders"]
+                   and "Cartesian" not in full["late_shipment_orders"]))
 
     checks.append(("prompt conflict miner: ONE conv window exchange + one "
                    "digest rollup (map-side combine), no self-join",

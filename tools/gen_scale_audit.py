@@ -206,6 +206,9 @@ SCALE_CLASS = {
     "prompt_injection_scan": ("linear", "zero-exchange scan projection over the tool/user rows - |markers| length-delta-of-replace occurrence counts per row (exact integers), in-row verdict"),
     "cot_structure_detect": ("linear", "zero-exchange scan projection over assistant rows - one line split + |connectives| word-boundary regexp counts per row, answer markers are substring hits, in-row verdict"),
     "sft_prompt_conflicts": ("shuffle", "ONE conv_id window pairs user turns with the next assistant turn (min-over-following on a turn_idx-prefixed digest, no self-join) + one (prompt,response) rollup + one prompt rollup, all with map-side combine; output bounded by distinct prompts"),
+    "trajectory_success_filter": ("shuffle", "in-row marker flags (specific-phrase + one regexp count per row) then ONE conv_id rollup with map-side combine; the final-turn lookup is a max-over-group on a turn_idx-prefixed key - no join, no window"),
+    "late_shipment_orders": ("shuffle", "EXISTS decorrelated to a LEFT SEMI join on the natural l_orderkey shuffle (semi-join early-out stops probing at the first late lineitem; never materializes the duplicate-producing inner join) + two bounded priority rollups joined broadcast"),
+    "sft_split_prompt_leakage": ("shuffle", "split assignment is the in-row conv_id hash (zero extra shuffle, composes with conversation_split_assign); ONE prompt-digest rollup with map-side combine; output bounded by distinct prompts"),
 }
 
 
