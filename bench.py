@@ -354,6 +354,16 @@ def main() -> None:
         "trajectory_success_filter",
         "late_shipment_orders",
         "sft_split_prompt_leakage",
+        # round 5, forty-ninth wave: CDC chunk dedup, Q13 histogram, RAKE
+        # keywords.  Excluded from the r04 subtotal.
+        "cdc_chunk_dedup",
+        "customer_order_distribution",
+        "rake_keywords",
+        # round 5, fiftieth wave: bipartite HITS, Q22 idle balances, T5
+        # span-corruption planning.  Excluded from the r04 subtotal.
+        "outlink_host_hits",
+        "idle_customer_balance",
+        "span_corruption_plan",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -478,6 +488,12 @@ def main() -> None:
         "dedup_index_lookup",
         "filter_agreement_matrix",
         "partition_skew_audit",
+        "cdc_chunk_dedup",
+        "customer_order_distribution",
+        "rake_keywords",
+        "outlink_host_hits",
+        "idle_customer_balance",
+        "span_corruption_plan",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

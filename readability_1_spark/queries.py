@@ -15938,6 +15938,746 @@ FROM agg
 
 
 # --------------------------------------------------------------------------
+# Content-defined chunking dedup (LBFS/FastCDC shape at word granularity)
+# --------------------------------------------------------------------------
+
+CDC_MOD = 8  # expected chunk length in words (boundary prob = 1/CDC_MOD)
+
+
+def q_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup over the documents corpus — the
+    storage-dedup family (LBFS, Muthitacharoen et al. SOSP'01; FastCDC)
+    the fixed-window families (doc_chunk_windows, dedup_exact_substring)
+    cannot replace: chunk boundaries derive from CONTENT (a word whose
+    hash lands in the boundary class ends the chunk), so an insertion
+    early in a document shifts only the chunk it lands in — every later
+    chunk re-aligns and still dedups, where fixed-offset windows all
+    shift and all miss.  Per document: chunk count, chunks whose content
+    digest was already seen earlier in the corpus (global first
+    occurrence by (doc_id, chunk_idx) owns a digest), duplicated word
+    mass and the round-6 duplicate fraction; zero-token docs keep a
+    coverage row.
+
+    Scale shape: ONE doc_id exchange serves the running boundary-count
+    window; chunk digests aggregate on the (doc_id, chunk_idx) prefix of
+    the same partitioning; the ownership rollup is one digest-keyed
+    exchange with map-side combine; the final per-doc rollup rides the
+    doc_id key again.  No joins wider than digest→owner; never all-pairs.
+
+    Boundary hash is the shared md5 base-31 polynomial (`_md5_bucket`) so
+    both engines draw identical boundaries.  Expected chunk length is
+    CDC_MOD words; like real CDC with no max-cut, a boundary-free run
+    yields one long chunk (documented, deterministic)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return cdc_chunk_frame(docs)
+
+
+def cdc_chunk_frame(docs: DataFrame) -> DataFrame:
+    """Core of q_cdc_chunk_dedup over any (doc_id, text) frame."""
+    words = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col("text")), TOKEN_SPLIT),
+                lambda x: x != "",
+            )
+        ).alias("pos", "word"),
+    )
+    bflag = (_md5_bucket(F.col("word"), CDC_MOD) == 0).cast("long")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    marked = words.withColumn(
+        "chunk_idx",
+        F.coalesce(
+            F.sum(bflag).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).cast("long"),
+    )
+    chunks = marked.groupBy("doc_id", "chunk_idx").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda s: s["word"],
+                ),
+            ).cast("binary")
+        ).alias("chunk_digest"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+    )
+    key = F.concat_ws(
+        ":",
+        F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+        F.lpad(F.col("chunk_idx").cast("string"), 8, "0"),
+    )
+    keyed = chunks.withColumn("ck", key)
+    owners = keyed.groupBy("chunk_digest").agg(
+        F.min("ck").alias("owner_key")
+    )
+    flagged = keyed.join(owners, "chunk_digest").withColumn(
+        "is_dup", (F.col("ck") != F.col("owner_key")).cast("int")
+    )
+    per_doc = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("is_dup").cast("long").alias("n_dup_chunks"),
+        F.sum(F.col("is_dup") * F.col("n_words")).cast("long").alias(
+            "dup_word_mass"
+        ),
+        F.sum("n_words").cast("long").alias("n_words_total"),
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+        F.coalesce("n_dup_chunks", F.lit(0)).cast("long").alias(
+            "n_dup_chunks"
+        ),
+        F.coalesce("dup_word_mass", F.lit(0)).cast("long").alias(
+            "dup_word_mass"
+        ),
+        F.round(
+            F.col("dup_word_mass").cast("double")
+            / F.col("n_words_total").cast("double"),
+            6,
+        ).alias("dup_fraction"),
+    )
+
+
+SQL_CDC_CHUNK_DEDUP = f"""
+WITH words AS (
+  SELECT doc_id, t.i - 1 AS pos, ws[t.i] AS word
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                       x -> x <> '') AS ws
+    FROM documents
+  ) d, UNNEST(generate_series(1, len(ws))) AS t(i)
+), marked AS (
+  SELECT doc_id, pos, word,
+         CAST(COALESCE(SUM(CASE WHEN {_sql_md5_poly('md5(word)')} % {CDC_MOD} = 0
+                               THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS BIGINT) AS chunk_idx
+  FROM words
+), chunks AS (
+  SELECT doc_id, chunk_idx,
+         md5(string_agg(word, ' ' ORDER BY pos)) AS chunk_digest,
+         CAST(count(*) AS BIGINT) AS n_words,
+         lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':'
+           || lpad(CAST(chunk_idx AS VARCHAR), 8, '0') AS ck
+  FROM marked GROUP BY doc_id, chunk_idx
+), owners AS (
+  SELECT chunk_digest, min(ck) AS owner_key FROM chunks GROUP BY chunk_digest
+), flagged AS (
+  SELECT c.doc_id, c.n_words,
+         CASE WHEN c.ck <> o.owner_key THEN 1 ELSE 0 END AS is_dup
+  FROM chunks c JOIN owners o USING (chunk_digest)
+), per_doc AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(sum(is_dup) AS BIGINT) AS n_dup_chunks,
+         CAST(sum(is_dup * n_words) AS BIGINT) AS dup_word_mass,
+         CAST(sum(n_words) AS BIGINT) AS n_words_total
+  FROM flagged GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(COALESCE(p.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+       CAST(COALESCE(p.dup_word_mass, 0) AS BIGINT) AS dup_word_mass,
+       round(CAST(p.dup_word_mass AS DOUBLE)
+             / CAST(p.n_words_total AS DOUBLE), 6) AS dup_fraction
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
+# --------------------------------------------------------------------------
+# Customer order-count distribution (TPC-H Q13 outer-join histogram shape)
+# --------------------------------------------------------------------------
+
+
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13's shape on this schema: the distribution of orders per
+    customer INCLUDING zero-order customers — the count-of-counts
+    histogram only an OUTER join can produce (an inner join silently
+    drops the zero bucket, the single most common Q13 bug).
+
+    Scale shape: orders pre-aggregate per custkey with map-side combine
+    BEFORE the join (the join probes one row per customer, not one per
+    order), one custkey-keyed left join, then a bounded histogram rollup
+    (distinct order counts, not customers)."""
+    return order_count_distribution_frame(
+        _t(spark, sf_dir, "customer").select("c_custkey"),
+        _t(spark, sf_dir, "orders").select("o_custkey"),
+    )
+
+
+def order_count_distribution_frame(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """Core of q_customer_order_distribution over any frames."""
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("long").alias("c_count")
+    )
+    counts = customer.join(
+        per_cust, customer["c_custkey"] == per_cust["o_custkey"], "left"
+    ).select(F.coalesce("c_count", F.lit(0)).cast("long").alias("c_count"))
+    return counts.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+SQL_CUSTOMER_ORDER_DISTRIBUTION = """
+WITH per_cust AS (
+  SELECT o_custkey, CAST(count(*) AS BIGINT) AS c_count
+  FROM orders GROUP BY o_custkey
+), counts AS (
+  SELECT CAST(COALESCE(p.c_count, 0) AS BIGINT) AS c_count
+  FROM customer c LEFT JOIN per_cust p ON c.c_custkey = p.o_custkey
+)
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM counts GROUP BY c_count
+"""
+
+
+# --------------------------------------------------------------------------
+# RAKE keyword extraction (Rose et al. 2010)
+# --------------------------------------------------------------------------
+
+RAKE_MAX_PHRASE = 4  # classic RAKE caps candidate phrases at 4 words
+RAKE_TOP_K = 3
+
+
+def q_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) per document: candidate
+    phrases are maximal stopword-free token runs (capped at
+    RAKE_MAX_PHRASE words), each scored by the sum of its member words'
+    degree/frequency ratios where degree counts, over every candidate
+    occurrence of the word IN THIS DOC, the length of the containing
+    phrase — multi-word collocations outrank isolated frequent words,
+    which is what separates RAKE from raw tf.  Complements tfidf_top_terms
+    (corpus-statistical, single-token) with the document-local PHRASE
+    extractor.  Top-RAKE_TOP_K phrases per doc, score DESC / phrase ASC.
+
+    Determinism: word scores are integer micro-units (deg·1e6 // freq) so
+    phrase scores are exact BIGINT sums — no float summation order risk.
+
+    Scale shape: everything is keyed by doc_id or its (doc_id, phrase_id)
+    / (doc_id, word) prefixes — the boundary window, both groupings, the
+    score join-back and the per-doc top-K rank window all ride one
+    partitioning family; no corpus-wide windows, no cross joins."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return rake_frame(docs)
+
+
+def rake_frame(docs: DataFrame) -> DataFrame:
+    """Core of q_rake_keywords over any (doc_id, text) frame."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col("text")), TOKEN_SPLIT),
+                lambda x: x != "",
+            )
+        ).alias("pos", "word"),
+    )
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    sflag = F.array_contains(stop_arr, F.col("word")).cast("long")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    marked = toks.withColumn(
+        "phrase_id", F.sum(sflag).over(w).cast("long")
+    ).filter(~F.array_contains(stop_arr, F.col("word")))
+    phrases = (
+        marked.groupBy("doc_id", "phrase_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda s: s["word"],
+            ).alias("pwords")
+        )
+        .filter(F.size("pwords") <= RAKE_MAX_PHRASE)
+        .withColumn("plen", F.size("pwords").cast("long"))
+    )
+    occ = phrases.select(
+        "doc_id", "phrase_id", "plen", F.explode("pwords").alias("word")
+    )
+    wstats = occ.groupBy("doc_id", "word").agg(
+        F.floor(
+            (F.sum("plen") * F.lit(1_000_000)) / F.count(F.lit(1))
+        ).cast("long").alias("wscore_micro")
+    )
+    pscores = (
+        occ.join(wstats, ["doc_id", "word"])
+        .groupBy("doc_id", "phrase_id")
+        .agg(F.sum("wscore_micro").cast("long").alias("score_micro"))
+    )
+    scored = phrases.join(pscores, ["doc_id", "phrase_id"]).select(
+        "doc_id",
+        F.concat_ws(" ", "pwords").alias("phrase"),
+        F.col("plen").alias("n_words"),
+        "score_micro",
+    )
+    rw = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("phrase").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rw).cast("long"))
+        .filter(F.col("rank") <= RAKE_TOP_K)
+        .select("doc_id", "rank", "phrase", "n_words", "score_micro")
+    )
+
+
+_SQL_RAKE_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+SQL_RAKE_KEYWORDS = f"""
+WITH toks AS (
+  SELECT doc_id, t.i - 1 AS pos, ws[t.i] AS word
+  FROM (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                       x -> x <> '') AS ws
+    FROM documents
+  ) d, UNNEST(generate_series(1, len(ws))) AS t(i)
+), marked AS (
+  SELECT doc_id, pos, word,
+         CAST(SUM(CASE WHEN word IN ({_SQL_RAKE_STOP_IN}) THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS phrase_id
+  FROM toks
+), nonstop AS (
+  SELECT * FROM marked WHERE word NOT IN ({_SQL_RAKE_STOP_IN})
+), phrases AS (
+  SELECT doc_id, phrase_id,
+         string_agg(word, ' ' ORDER BY pos) AS phrase,
+         CAST(count(*) AS BIGINT) AS plen
+  FROM nonstop GROUP BY doc_id, phrase_id
+  HAVING count(*) <= {RAKE_MAX_PHRASE}
+), occ AS (
+  SELECT n.doc_id, n.phrase_id, p.plen, n.word
+  FROM nonstop n JOIN phrases p USING (doc_id, phrase_id)
+), wstats AS (
+  SELECT doc_id, word,
+         (sum(plen) * 1000000) // count(*) AS wscore_micro
+  FROM occ GROUP BY doc_id, word
+), pscores AS (
+  SELECT o.doc_id, o.phrase_id,
+         CAST(sum(w.wscore_micro) AS BIGINT) AS score_micro
+  FROM occ o JOIN wstats w USING (doc_id, word)
+  GROUP BY o.doc_id, o.phrase_id
+), ranked AS (
+  SELECT p.doc_id, p.phrase, p.plen AS n_words, s.score_micro,
+         CAST(row_number() OVER (
+           PARTITION BY p.doc_id
+           ORDER BY s.score_micro DESC, p.phrase ASC) AS BIGINT) AS rank
+  FROM phrases p JOIN pscores s USING (doc_id, phrase_id)
+)
+SELECT doc_id, rank, phrase, n_words, score_micro
+FROM ranked WHERE rank <= {RAKE_TOP_K}
+"""
+
+
+# --------------------------------------------------------------------------
+# HITS hubs/authorities over the bipartite page→host link graph
+# --------------------------------------------------------------------------
+
+HITS_SCALE = 1_000_000  # L1-normalized mass per side, integer micro-units
+HITS_ITERS = 8
+
+
+def q_outlink_host_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg 1999) over the BIPARTITE page→host link graph the
+    extraction kernel emits: pages are hubs (good pages link to many good
+    hosts), external hosts are authorities (good hosts are linked by good
+    hubs) — the mutually-recursive ranking PageRank's co-citation walk
+    (outlink_host_pagerank) flattens away.  HITS_ITERS synchronous
+    iterations; each side L1-normalizes to HITS_SCALE in integer
+    micro-units via BIGINT floor division, so summation order can never
+    flip a value and the DuckDB twin matches exactly (the same contract
+    as pagerank_frame).  Emits every host's citation count and final
+    authority mass.
+
+    Integer bounds (documented contract): values stay under 2^63 while
+    max in-degree × HITS_SCALE² < 2^63, i.e. in-degree < ~9.2e6; a larger
+    deployment re-splits the normalize into two floor steps.
+
+    Scale shape: per iteration ONE page-keyed equi-join + host groupBy
+    (map-side combine) and the mirror host-keyed pair, plus two 1-row
+    total aggregates cross-joined in (bounded broadcasts); per-iteration
+    localCheckpoint keeps lineage bounded like connected_components.  The
+    kernel output is checkpointed ONCE and feeds edges/pages/indegree
+    (shared-subplan discipline)."""
+    ph = _ext_host_rows(spark, distinct_per_turn=True).localCheckpoint(
+        eager=True
+    )
+    return _host_hits_from(ph)
+
+
+def _host_hits_from(ph: DataFrame) -> DataFrame:
+    """(host, n_pages, auth_units) HITS authority table from a
+    pre-checkpointed (conv_id, turn_idx, host) frame."""
+    edges = ph.select(
+        F.concat_ws(
+            "\t", "conv_id", F.col("turn_idx").cast("string")
+        ).alias("page"),
+        "host",
+    ).localCheckpoint(eager=True)
+    hub = (
+        edges.select("page")
+        .distinct()
+        .withColumn("hub", F.lit(HITS_SCALE).cast("long"))
+    )
+    auth = None
+    for _ in range(HITS_ITERS):
+        araw = edges.join(hub, "page").groupBy("host").agg(
+            F.sum("hub").cast("long").alias("raw")
+        )
+        atot = araw.agg(F.sum("raw").cast("long").alias("tot"))
+        auth = (
+            araw.crossJoin(atot)
+            .select(
+                "host",
+                F.expr(
+                    f"CAST((raw * {HITS_SCALE}) div tot AS BIGINT)"
+                ).alias("auth"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        hraw = edges.join(auth, "host").groupBy("page").agg(
+            F.sum("auth").cast("long").alias("raw")
+        )
+        htot = hraw.agg(F.sum("raw").cast("long").alias("tot"))
+        hub = (
+            hraw.crossJoin(htot)
+            .select(
+                "page",
+                F.expr(
+                    f"CAST((raw * {HITS_SCALE}) div tot AS BIGINT)"
+                ).alias("hub"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    indeg = edges.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages")
+    )
+    return indeg.join(auth, "host", "left").select(
+        "host",
+        "n_pages",
+        F.coalesce("auth", F.lit(0)).cast("long").alias("auth_units"),
+    )
+
+
+def _sql_hits_iter(k: int) -> str:
+    return f"""araw{k} AS MATERIALIZED (
+  SELECT host, CAST(sum(hub) AS BIGINT) AS raw
+  FROM e JOIN hub{k - 1} USING (page) GROUP BY host
+), auth{k} AS MATERIALIZED (
+  SELECT host,
+         CAST((raw * {HITS_SCALE})
+              // (SELECT CAST(sum(raw) AS BIGINT) FROM araw{k}) AS BIGINT)
+           AS auth
+  FROM araw{k}
+), hraw{k} AS MATERIALIZED (
+  SELECT page, CAST(sum(auth) AS BIGINT) AS raw
+  FROM e JOIN auth{k} USING (host) GROUP BY page
+), hub{k} AS MATERIALIZED (
+  SELECT page,
+         CAST((raw * {HITS_SCALE})
+              // (SELECT CAST(sum(raw) AS BIGINT) FROM hraw{k}) AS BIGINT)
+           AS hub
+  FROM hraw{k}
+)"""
+
+
+SQL_OUTLINK_HOST_HITS = f"""
+WITH {_SQL_LINKS_PREFIX}, ph AS MATERIALIZED (
+  SELECT DISTINCT conv_id, turn_idx, host FROM (
+    SELECT conv_id, turn_idx, unnest({_SQL_EXT_HOSTS}) AS host FROM h
+  )
+), e AS MATERIALIZED (
+  SELECT conv_id || chr(9) || CAST(turn_idx AS VARCHAR) AS page, host
+  FROM ph
+), hub0 AS MATERIALIZED (
+  SELECT DISTINCT page, CAST({HITS_SCALE} AS BIGINT) AS hub FROM e
+),
+{", ".join(_sql_hits_iter(k) for k in range(1, HITS_ITERS + 1))}
+SELECT i.host, i.n_pages,
+       CAST(coalesce(a.auth, 0) AS BIGINT) AS auth_units
+FROM (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_pages FROM e GROUP BY host
+) i LEFT JOIN auth{HITS_ITERS} a USING (host)
+"""
+
+
+# --------------------------------------------------------------------------
+# Idle high-balance customers (TPC-H Q22 anti-join + scalar-threshold shape)
+# --------------------------------------------------------------------------
+
+
+IDLE_RECENT_PCT = 75  # "recent" = the last 25% of the order-date range
+
+
+def q_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22's shape on this schema: per market segment, customers
+    whose account balance beats the positive-balance average but who have
+    placed NO RECENT order (none in the last quarter of the corpus's
+    order-date range) — the 'idle capital' report combining a scalar
+    aggregate threshold with a NOT-EXISTS that decorrelates to a LEFT
+    ANTI join.  Two determinism recipes: balances quantize to exact
+    integer cents so the average threshold is a BIGINT floor quotient,
+    and the recency cutoff is integer epoch-microsecond arithmetic from a
+    literal NTZ epoch (`timestampdiff`, the time_split_assign recipe — a
+    timezone cast would make the boundary environment-dependent).  No
+    float summation-order risk on either filter boundary.
+
+    Scale shape: threshold and cutoff are 1-row aggregates cross-joined
+    in (bounded broadcasts); the anti join pre-shrinks its probe side to
+    the above-threshold customers and its build side to the DISTINCT
+    custkeys with a recent order (map-side combine); the final rollup is
+    segment-bounded."""
+    return idle_customer_frame(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate"),
+    )
+
+
+_ORDER_EUS = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+    " o_orderdate)"
+)
+
+
+def idle_customer_frame(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Core of q_idle_customer_balance over any frames."""
+    o = orders.select(
+        "o_custkey", F.expr(_ORDER_EUS).cast("long").alias("eus")
+    )
+    cut = o.agg(
+        F.expr(
+            f"CAST(min(eus) + (max(eus) - min(eus)) * {IDLE_RECENT_PCT}"
+            " div 100 AS BIGINT)"
+        ).alias("cut_eus")
+    )
+    recent = (
+        o.crossJoin(cut)
+        .filter(F.col("eus") >= F.col("cut_eus"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    c = customer.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_cents"),
+    )
+    thr = c.filter(F.col("bal_cents") > 0).agg(
+        F.expr("CAST(sum(bal_cents) div count(*) AS BIGINT)").alias(
+            "thr_cents"
+        )
+    )
+    rich = c.crossJoin(thr).filter(F.col("bal_cents") > F.col("thr_cents"))
+    idle = rich.join(recent, "c_custkey", "left_anti")
+    return idle.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("bal_cents").cast("long").alias("total_bal_cents"),
+        F.round(
+            F.sum("bal_cents").cast("double")
+            / (F.count(F.lit(1)).cast("double") * F.lit(100.0)),
+            6,
+        ).alias("avg_bal"),
+    )
+
+
+SQL_IDLE_CUSTOMER_BALANCE = f"""
+WITH o AS (
+  SELECT o_custkey, epoch_us(o_orderdate) AS eus FROM orders
+), cut AS (
+  SELECT CAST(min(eus) + (max(eus) - min(eus)) * {IDLE_RECENT_PCT} // 100
+              AS BIGINT) AS cut_eus
+  FROM o
+), c AS (
+  SELECT c_custkey, c_mktsegment,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer
+), thr AS (
+  SELECT CAST(sum(bal_cents) // count(*) AS BIGINT) AS thr_cents
+  FROM c WHERE bal_cents > 0
+), idle AS (
+  SELECT c.c_mktsegment, c.bal_cents
+  FROM c, thr, cut
+  WHERE c.bal_cents > thr.thr_cents
+    AND NOT EXISTS (
+      SELECT 1 FROM o
+      WHERE o.o_custkey = c.c_custkey AND o.eus >= cut.cut_eus
+    )
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CAST(sum(bal_cents) AS BIGINT) AS total_bal_cents,
+       round(CAST(sum(bal_cents) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 100.0), 6) AS avg_bal
+FROM idle GROUP BY c_mktsegment
+"""
+
+
+# --------------------------------------------------------------------------
+# T5 span-corruption planning (Raffel et al. 2020 §3.1.4)
+# --------------------------------------------------------------------------
+
+SPAN_NOISE_PCT = 15   # corrupt 15% of tokens (T5 default)
+SPAN_MEAN_LEN = 3     # mean corrupted-span length (T5 default)
+SPAN_MIN_TOKENS = 8   # shorter docs route `skip`
+SENTINEL_BASE = 32000  # first sentinel id (<extra_id_0> analogue)
+
+
+def q_span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption planning (Raffel et al. 2020 §3.1.4): per
+    document, SPAN_NOISE_PCT of tokens corrupt across spans of mean
+    SPAN_MEAN_LEN, each span replaced by an ascending sentinel id — the
+    multi-span generalization of fim_span_plan (single span, mode bit).
+    Fully content-stable: span count and lengths are exact integer
+    arithmetic on the token count (floor share + remainder to the first
+    spans), and each span's start is hash-drawn WITHIN ITS OWN equal
+    segment of the document, so spans can never overlap and a re-run
+    never changes the training data.  Docs under SPAN_MIN_TOKENS keep a
+    `skip` coverage row with NULL span fields.
+
+    Scale shape: a zero-shuffle linear scan — the per-doc span array
+    builds in-row (transform over sequence; exploded in the NEXT select,
+    a generator cannot nest) and every field is integer arithmetic on the
+    row's own token count and doc_id hash."""
+    return span_corruption_frame(_t(spark, sf_dir, "documents"))
+
+
+def span_corruption_frame(docs: DataFrame) -> DataFrame:
+    """Core of q_span_corruption_plan over any (doc_id, text) frame."""
+    base = docs.select(
+        "doc_id",
+        F.coalesce(
+            F.size(
+                F.filter(
+                    F.split(F.lower(F.col("text")), TOKEN_SPLIT),
+                    lambda x: x != "",
+                )
+            ).cast("long"),
+            F.lit(0).cast("long"),
+        ).alias("n_tokens"),
+    )
+    sized = base.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"n_tokens * {SPAN_NOISE_PCT} div 100").alias("n_corrupt"),
+    ).select(
+        "*",
+        F.greatest(
+            F.lit(1).cast("long"),
+            F.expr(f"n_corrupt div {SPAN_MEAN_LEN}"),
+        ).alias("n_spans"),
+    )
+
+    def _mk_span(k):
+        seg = F.expr("n_tokens div n_spans")
+        span_len = F.expr(f"n_corrupt div n_spans") + F.when(
+            k < F.expr(f"n_corrupt % n_spans"), F.lit(1)
+        ).otherwise(F.lit(0))
+        room = F.greatest(seg - span_len + 1, F.lit(1).cast("long"))
+        hcol = F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"), F.lit(":"), k.cast("string")
+            ).cast("binary")
+        )
+        acc = F.lit(0).cast("long")
+        for i in range(8):
+            acc = acc * 31 + F.ascii(F.substring(hcol, i + 1, 1))
+        start = k * seg + F.pmod(acc, room)
+        return F.struct(
+            k.cast("long").alias("span_idx"),
+            start.cast("long").alias("start_tok"),
+            span_len.cast("long").alias("len_tok"),
+            (F.lit(SENTINEL_BASE) + k).cast("long").alias("sentinel_id"),
+        )
+
+    ok = (F.col("n_tokens") >= SPAN_MIN_TOKENS) & (F.col("n_corrupt") >= 1)
+    spans = sized.select(
+        "doc_id",
+        "n_tokens",
+        F.when(
+            ok,
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), F.col("n_spans") - 1),
+                _mk_span,
+            ),
+        )
+        .otherwise(F.array(F.lit(None)).cast(
+            "array<struct<span_idx:bigint,start_tok:bigint,"
+            "len_tok:bigint,sentinel_id:bigint>>"
+        ))
+        .alias("sp"),
+        F.when(ok, F.lit("plan")).otherwise(F.lit("skip")).alias("status"),
+    )
+    ex = spans.select(
+        "doc_id", "n_tokens", "status", F.explode("sp").alias("s")
+    )
+    return ex.select(
+        "doc_id",
+        "n_tokens",
+        "status",
+        F.col("s.span_idx").alias("span_idx"),
+        F.col("s.start_tok").alias("start_tok"),
+        F.col("s.len_tok").alias("len_tok"),
+        F.col("s.sentinel_id").alias("sentinel_id"),
+    )
+
+
+SQL_SPAN_CORRUPTION_PLAN = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(coalesce(len(list_filter(
+           regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+           x -> x <> '')), 0) AS BIGINT) AS n_tokens
+  FROM documents
+), sized AS (
+  SELECT doc_id, n_tokens,
+         n_tokens * {SPAN_NOISE_PCT} // 100 AS n_corrupt,
+         greatest(CAST(1 AS BIGINT),
+                  (n_tokens * {SPAN_NOISE_PCT} // 100)
+                    // {SPAN_MEAN_LEN}) AS n_spans
+  FROM base
+), ok AS (
+  SELECT * FROM sized
+  WHERE n_tokens >= {SPAN_MIN_TOKENS} AND n_corrupt >= 1
+), spans AS (
+  SELECT doc_id, n_tokens, 'plan' AS status,
+         CAST(t.k AS BIGINT) AS span_idx,
+         CAST(t.k * (n_tokens // n_spans)
+           + ({_sql_md5_poly(
+               "md5(CAST(doc_id AS VARCHAR) || ':' || CAST(t.k AS VARCHAR))"
+           )})
+             % greatest((n_tokens // n_spans)
+                        - (n_corrupt // n_spans
+                           + CASE WHEN t.k < n_corrupt % n_spans
+                                  THEN 1 ELSE 0 END) + 1,
+                        CAST(1 AS BIGINT)) AS BIGINT) AS start_tok,
+         CAST(n_corrupt // n_spans
+           + CASE WHEN t.k < n_corrupt % n_spans THEN 1 ELSE 0 END
+           AS BIGINT) AS len_tok,
+         CAST({SENTINEL_BASE} + t.k AS BIGINT) AS sentinel_id
+  FROM ok, UNNEST(generate_series(0, n_spans - 1)) AS t(k)
+), skipped AS (
+  SELECT doc_id, n_tokens, 'skip' AS status,
+         CAST(NULL AS BIGINT) AS span_idx,
+         CAST(NULL AS BIGINT) AS start_tok,
+         CAST(NULL AS BIGINT) AS len_tok,
+         CAST(NULL AS BIGINT) AS sentinel_id
+  FROM sized
+  WHERE NOT (n_tokens >= {SPAN_MIN_TOKENS} AND n_corrupt >= 1)
+)
+SELECT doc_id, n_tokens, status, span_idx, start_tok, len_tok, sentinel_id
+FROM spans
+UNION ALL
+SELECT doc_id, n_tokens, status, span_idx, start_tok, len_tok, sentinel_id
+FROM skipped
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -16366,4 +17106,16 @@ QUERIES: dict[str, tuple] = {
         q_sft_split_prompt_leakage,
         SQL_SFT_SPLIT_PROMPT_LEAKAGE,
     ),
+    "cdc_chunk_dedup": (q_cdc_chunk_dedup, SQL_CDC_CHUNK_DEDUP),
+    "customer_order_distribution": (
+        q_customer_order_distribution,
+        SQL_CUSTOMER_ORDER_DISTRIBUTION,
+    ),
+    "rake_keywords": (q_rake_keywords, SQL_RAKE_KEYWORDS),
+    "outlink_host_hits": (q_outlink_host_hits, SQL_OUTLINK_HOST_HITS),
+    "idle_customer_balance": (
+        q_idle_customer_balance,
+        SQL_IDLE_CUSTOMER_BALANCE,
+    ),
+    "span_corruption_plan": (q_span_corruption_plan, SQL_SPAN_CORRUPTION_PLAN),
 }

@@ -99,7 +99,10 @@ def main() -> None:
                  "context_budget_plan", "truncation_artifact_detect",
                  "prompt_injection_scan", "cot_structure_detect",
                  "sft_prompt_conflicts", "trajectory_success_filter",
-                 "late_shipment_orders", "sft_split_prompt_leakage"):
+                 "late_shipment_orders", "sft_split_prompt_leakage",
+                 "cdc_chunk_dedup", "customer_order_distribution",
+                 "rake_keywords", "idle_customer_balance",
+                 "span_corruption_plan"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -665,6 +668,38 @@ def main() -> None:
                                   full["sft_prompt_conflicts"])) == 2
                    and "Join" not in full["sft_prompt_conflicts"]
                    and "partial_" in full["sft_prompt_conflicts"]))
+
+    checks.append(("CDC chunk dedup: no cartesian/nested-loop joins, "
+                   "digest ownership aggregates with map-side combine",
+                   "Cartesian" not in full["cdc_chunk_dedup"]
+                   and "BroadcastNestedLoop" not in full["cdc_chunk_dedup"]
+                   and "partial_" in full["cdc_chunk_dedup"]))
+
+    checks.append(("Q13 histogram: orders pre-aggregate per custkey with "
+                   "map-side combine BEFORE the outer join (probe is one "
+                   "row per customer), no cartesian",
+                   "partial_count" in full["customer_order_distribution"]
+                   and "Cartesian" not in full["customer_order_distribution"]))
+
+    checks.append(("RAKE: every exchange is doc_id-keyed (boundary window, "
+                   "phrase/word groups, top-K rank) — no corpus-wide "
+                   "window, no cartesian",
+                   "Cartesian" not in full["rake_keywords"]
+                   and "BroadcastNestedLoop" not in full["rake_keywords"]
+                   and full["rake_keywords"].count("hashpartitioning(")
+                   == full["rake_keywords"].count("hashpartitioning(doc_id")))
+
+    checks.append(("Q22 idle balances: NOT EXISTS decorrelates to a LEFT "
+                   "ANTI join; the only nested-loop joins are the two "
+                   "1-row threshold/cutoff broadcasts, no cartesian",
+                   "LeftAnti" in full["idle_customer_balance"]
+                   and "Cartesian" not in full["idle_customer_balance"]))
+
+    checks.append(("span corruption plan: zero-exchange scan projection, "
+                   "no joins (in-row span array, exploded next select)",
+                   len(re.findall(r"\(\d+\) Exchange",
+                                  full["span_corruption_plan"])) == 0
+                   and "Join" not in full["span_corruption_plan"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -209,6 +209,12 @@ SCALE_CLASS = {
     "trajectory_success_filter": ("shuffle", "in-row marker flags (specific-phrase + one regexp count per row) then ONE conv_id rollup with map-side combine; the final-turn lookup is a max-over-group on a turn_idx-prefixed key - no join, no window"),
     "late_shipment_orders": ("shuffle", "EXISTS decorrelated to a LEFT SEMI join on the natural l_orderkey shuffle (semi-join early-out stops probing at the first late lineitem; never materializes the duplicate-producing inner join) + two bounded priority rollups joined broadcast"),
     "sft_split_prompt_leakage": ("shuffle", "split assignment is the in-row conv_id hash (zero extra shuffle, composes with conversation_split_assign); ONE prompt-digest rollup with map-side combine; output bounded by distinct prompts"),
+    "cdc_chunk_dedup": ("shuffle", "ONE doc_id exchange serves the running boundary-count window; chunk digests aggregate on the (doc_id, chunk_idx) prefix of the same partitioning; ownership is one digest-keyed rollup with map-side combine + one digest equi-join back - content-defined boundaries re-align after insertions so dedup survives shifted offsets; no max-cut means a boundary-free run yields one long chunk (documented)"),
+    "customer_order_distribution": ("shuffle", "orders pre-aggregate per custkey with map-side combine BEFORE the outer join (join probes one row per customer, not one per order); the histogram rollup is bounded by distinct order counts - the Q13 shape whose zero bucket only the outer join produces"),
+    "rake_keywords": ("shuffle", "every exchange rides the doc_id partitioning family (boundary window, phrase/word groups, score join-back, per-doc top-K rank window); word scores are integer micro-units so phrase sums are exact BIGINTs; no corpus-wide window, no cross join"),
+    "outlink_host_hits": ("iterative", "HITS_ITERS synchronous rounds, each ONE page-keyed equi-join + host groupBy (map-side combine) and the mirror pair; L1 normalization totals are 1-row aggregates broadcast back; per-iteration localCheckpoint bounds lineage; kernel output checkpointed once (shared-subplan discipline); integer micro-units make every value summation-order-proof"),
+    "idle_customer_balance": ("shuffle", "Q22 shape - balance threshold and epoch-us recency cutoff are 1-row aggregates broadcast in; NOT EXISTS decorrelates to a LEFT ANTI join whose probe side pre-shrinks to above-threshold customers and whose build side is the DISTINCT recently-ordering custkeys (map-side combine); segment-bounded rollup"),
+    "span_corruption_plan": ("linear", "zero-shuffle scan projection - span count/lengths are exact integer arithmetic on the row's own token count, starts hash-drawn within per-span segments (never overlap by construction), array built in-row and exploded in the next select (generator cannot nest)"),
 }
 
 
