@@ -364,6 +364,11 @@ def main() -> None:
         "outlink_host_hits",
         "idle_customer_balance",
         "span_corruption_plan",
+        # round 5, fifty-first wave: Q15 top supplier, Bradley-Terry
+        # strengths, MRL truncation audit.  Excluded from the r04 subtotal.
+        "top_supplier_revenue",
+        "bradley_terry_strength",
+        "embedding_dim_truncation",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -494,6 +499,9 @@ def main() -> None:
         "outlink_host_hits",
         "idle_customer_balance",
         "span_corruption_plan",
+        "top_supplier_revenue",
+        "bradley_terry_strength",
+        "embedding_dim_truncation",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

@@ -16678,6 +16678,327 @@ FROM skipped
 
 
 # --------------------------------------------------------------------------
+# Top supplier by windowed revenue (TPC-H Q15 view + max-with-ties shape)
+# --------------------------------------------------------------------------
+
+Q15_WINDOW_DAYS = 90
+
+
+def q_top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15's shape on this schema: supplier revenue over the first
+    Q15_WINDOW_DAYS of the ship-date range, returning EVERY supplier that
+    ties the maximum (Q15's defining subtlety — `= (SELECT max(...))`,
+    not a LIMIT 1 that silently drops ties).  Two determinism recipes:
+    per-line revenue quantizes to exact integer cents (the product of
+    2-decimal price and discount scaled by 100 has ≤2 decimals, where
+    Spark's repr-rounding and DuckDB's std::round provably agree — see
+    the CLAUDE.md rounding gotcha) so the per-supplier sums and the max
+    comparison are exact BIGINTs, and the window boundary is integer
+    epoch-microsecond arithmetic from the literal NTZ epoch.
+
+    Scale shape: the date window pushes to the scan as a filter after
+    one 1-row min aggregate broadcasts in; revenue aggregates per
+    suppkey with map-side combine; the max is another 1-row broadcast;
+    the name lookup broadcasts the supplier dimension."""
+    return top_supplier_frame(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+        ),
+        _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"),
+    )
+
+
+_SHIP_EUS = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+    " l_shipdate)"
+)
+
+
+def top_supplier_frame(li: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Core of q_top_supplier_revenue over any frames."""
+    l = li.select(
+        "l_suppkey",
+        F.expr(_SHIP_EUS).cast("long").alias("eus"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        ).cast("long").alias("rev_cents"),
+    )
+    lo = l.agg(F.min("eus").alias("lo_eus"))
+    window_us = Q15_WINDOW_DAYS * 86_400 * 1_000_000
+    rev = (
+        l.crossJoin(lo)
+        .filter(F.col("eus") < F.col("lo_eus") + F.lit(window_us))
+        .groupBy("l_suppkey")
+        .agg(F.sum("rev_cents").cast("long").alias("total_cents"))
+    )
+    mx = rev.agg(F.max("total_cents").alias("max_cents"))
+    top = rev.crossJoin(mx).filter(
+        F.col("total_cents") == F.col("max_cents")
+    )
+    return top.join(
+        F.broadcast(supplier), top.l_suppkey == supplier.s_suppkey
+    ).select(
+        "s_suppkey",
+        "s_name",
+        F.col("total_cents").alias("revenue_cents"),
+        F.round(F.col("total_cents").cast("double") / 100.0, 2).alias(
+            "revenue"
+        ),
+    )
+
+
+SQL_TOP_SUPPLIER_REVENUE = f"""
+WITH l AS (
+  SELECT l_suppkey, epoch_us(l_shipdate) AS eus,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS rev_cents
+  FROM lineitem
+), lo AS (
+  SELECT min(eus) AS lo_eus FROM l
+), rev AS (
+  SELECT l_suppkey, CAST(sum(rev_cents) AS BIGINT) AS total_cents
+  FROM l, lo
+  WHERE eus < lo_eus + CAST({Q15_WINDOW_DAYS} AS BIGINT) * 86400 * 1000000
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name,
+       r.total_cents AS revenue_cents,
+       round(CAST(r.total_cents AS DOUBLE) / 100.0, 2) AS revenue
+FROM rev r JOIN supplier s ON r.l_suppkey = s.s_suppkey
+WHERE r.total_cents = (SELECT max(total_cents) FROM rev)
+"""
+
+
+# --------------------------------------------------------------------------
+# Bradley–Terry preference strengths (Hunter 2004 MM, integer micro-units)
+# --------------------------------------------------------------------------
+
+BT_SCALE = 1_000_000
+BT_ITERS = 12
+
+
+def _bt_pairs_sql(events_src: str) -> str:
+    """Shared match-extraction SQL over an events relation: consecutive
+    events per user (ts, event_id order) with different types and
+    different values form a match won by the higher value."""
+    return f"""s AS (
+  SELECT event_type, value,
+         lag(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS pt,
+         lag(value) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS pv
+  FROM {events_src}
+), m AS (
+  SELECT CASE WHEN value > pv THEN event_type ELSE pt END AS winner,
+         CASE WHEN value > pv THEN pt ELSE event_type END AS loser
+  FROM s
+  WHERE pt IS NOT NULL AND pt <> event_type
+    AND pv IS NOT NULL AND value IS NOT NULL AND pv <> value
+), wl AS (
+  SELECT winner, loser, CAST(count(*) AS BIGINT) AS n
+  FROM m GROUP BY winner, loser
+), p AS (
+  SELECT i, j, CAST(sum(n) AS BIGINT) AS n_ij FROM (
+    SELECT winner AS i, loser AS j, n FROM wl
+    UNION ALL
+    SELECT loser AS i, winner AS j, n FROM wl
+  ) GROUP BY i, j
+), wins AS (
+  SELECT i AS t,
+         CAST(coalesce((SELECT sum(n) FROM wl WHERE winner = p2.i), 0)
+              AS BIGINT) AS w,
+         CAST(sum(n_ij) AS BIGINT) AS nm
+  FROM p p2 GROUP BY i
+)"""
+
+
+def _sql_bt_iter(k: int) -> str:
+    return f"""raw{k} AS MATERIALIZED (
+  SELECT wins.t, wins.w,
+         CAST(CASE WHEN d.denom > 0 AND wins.w > 0
+              THEN (wins.w * 1000000000000) // d.denom ELSE 0 END
+              AS BIGINT) AS wv
+  FROM wins JOIN (
+    SELECT p.i AS t,
+           CAST(sum((p.n_ij * 1000000000000)
+                // greatest(wi.wv + wj.wv, 1)) AS BIGINT) AS denom
+    FROM p
+    JOIN it{k - 1} wi ON wi.t = p.i
+    JOIN it{k - 1} wj ON wj.t = p.j
+    GROUP BY p.i
+  ) d ON d.t = wins.t
+), it{k} AS MATERIALIZED (
+  SELECT t,
+         CAST((wv * (SELECT CAST(count(*) AS BIGINT) FROM wins) * 1000000)
+              // greatest((SELECT CAST(sum(wv) AS BIGINT) FROM raw{k}), 1)
+              AS BIGINT) AS wv
+  FROM raw{k}
+)"""
+
+
+def q_bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry preference-strength fitting over pairwise outcomes —
+    the model behind reward-model Elo tables and arena leaderboards —
+    via Hunter's (2004) MM algorithm on implicit matches mined from the
+    events stream (consecutive events of one user with different types:
+    the higher-valued event wins).  BT_ITERS iterations, ALL arithmetic
+    BIGINT floor division in micro-units with an L1 re-normalization to
+    n_types × BT_SCALE each round, so summation order can never flip a
+    value and the generated DuckDB CTE chain matches bit-for-bit (the
+    pagerank_frame contract).  Integer bounds: safe while per-type win
+    counts stay under ~9e6 (w·1e12 < 2^63); a larger corpus rescales.
+
+    Scale shape: match mining is ONE user-keyed lag window over the
+    events scan; everything after collapses to the (type × type) pair
+    table — bounded by the type vocabulary squared, NOT corpus size —
+    which collects to the driver for the bounded iteration (the
+    embedding_pca_power pattern: corpus-side work is one window + one
+    rollup; the solve runs on a vocabulary-bounded table)."""
+    return bradley_terry_frame(spark, _t(spark, sf_dir, "events"))
+
+
+def bradley_terry_frame(spark: SparkSession, ev: DataFrame) -> DataFrame:
+    """Core of q_bradley_terry_strength over any events-shaped frame."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type",
+        "value",
+        F.lag("event_type").over(w).alias("pt"),
+        F.lag("value").over(w).alias("pv"),
+    )
+    m = s.filter(
+        F.col("pt").isNotNull()
+        & (F.col("pt") != F.col("event_type"))
+        & F.col("pv").isNotNull()
+        & F.col("value").isNotNull()
+        & (F.col("pv") != F.col("value"))
+    ).select(
+        F.when(F.col("value") > F.col("pv"), F.col("event_type"))
+        .otherwise(F.col("pt")).alias("winner"),
+        F.when(F.col("value") > F.col("pv"), F.col("pt"))
+        .otherwise(F.col("event_type")).alias("loser"),
+    )
+    wl = m.groupBy("winner", "loser").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    rows = wl.collect()  # bounded by type-vocabulary², not corpus size
+    spark_sess = spark
+    wins: dict = {}
+    pairs: dict = {}
+    for r in rows:
+        wins[r["winner"]] = wins.get(r["winner"], 0) + r["n"]
+        wins.setdefault(r["loser"], wins.get(r["loser"], 0))
+        key = (r["winner"], r["loser"])
+        pairs[key] = pairs.get(key, 0) + r["n"]
+        rkey = (r["loser"], r["winner"])
+        pairs.setdefault(rkey, pairs.get(rkey, 0))
+    # symmetric match counts n_ij
+    n_ij: dict = {}
+    for (i, j), n in pairs.items():
+        n_ij[(i, j)] = n + pairs.get((j, i), 0)
+    types = sorted(wins)
+    nt = len(types)
+    nm = {t: sum(n for (i, _), n in n_ij.items() if i == t) for t in types}
+    wv = {t: BT_SCALE for t in types}
+    for _ in range(BT_ITERS):
+        raw = {}
+        for t in types:
+            denom = sum(
+                (n_ij[(t, j)] * 1_000_000_000_000)
+                // max(wv[t] + wv[j], 1)
+                for j in types
+                if (t, j) in n_ij
+            )
+            raw[t] = (
+                (wins[t] * 1_000_000_000_000) // denom
+                if denom > 0 and wins[t] > 0
+                else 0
+            )
+        tot = max(sum(raw.values()), 1)
+        wv = {t: (raw[t] * nt * 1_000_000) // tot for t in types}
+    out = [
+        (t, int(wins[t]), int(nm[t]), int(wv[t]))
+        for t in types
+    ]
+    return spark_sess.createDataFrame(
+        out,
+        "event_type string, n_wins long, n_matches long,"
+        " strength_micro long",
+    )
+
+
+SQL_BRADLEY_TERRY_STRENGTH = f"""
+WITH {_bt_pairs_sql("events")}, it0 AS (
+  SELECT t, CAST({BT_SCALE} AS BIGINT) AS wv FROM wins
+),
+{", ".join(_sql_bt_iter(k) for k in range(1, BT_ITERS + 1))}
+SELECT w.t AS event_type, w.w AS n_wins, w.nm AS n_matches,
+       i.wv AS strength_micro
+FROM wins w JOIN it{BT_ITERS} i USING (t)
+"""
+
+
+# --------------------------------------------------------------------------
+# Matryoshka-style dimension truncation audit (Kusupati et al. 2022 shape)
+# --------------------------------------------------------------------------
+
+MRL_DIMS = (8, 16, 32, 64)
+
+
+def q_embedding_dim_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation audit for the embedding corpus (the
+    measurement behind Matryoshka-representation storage planning): per
+    vector and prefix length k, the energy fraction ||v[:k]||²/||v||²
+    and the cosine between the truncated and full vector (= √energy) —
+    the table that says how many dims the ANN tier can drop before
+    recall pays.  Complements embedding_random_projection (JL, random
+    subspace) with the PREFIX subspace MRL training assumes.
+
+    Scale shape: a zero-shuffle linear scan — per (vector, k) the two
+    sums are in-row sequential folds (the _dot contract shared with the
+    whole ANN family), k expands from a 4-element literal array in-row."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ks = F.array(*[F.lit(k) for k in MRL_DIMS])
+    expanded = emb.select(
+        "vec_id", "embedding", F.explode(ks).alias("k")
+    )
+    pre = F.slice(F.col("embedding"), 1, F.col("k"))
+    energy = F.round(
+        _dot(pre, pre) / _dot(F.col("embedding"), F.col("embedding")), 6
+    )
+    return expanded.select(
+        "vec_id",
+        F.col("k").cast("long").alias("k"),
+        energy.alias("energy_fraction"),
+        F.round(
+            F.sqrt(
+                _dot(pre, pre) / _dot(F.col("embedding"), F.col("embedding"))
+            ),
+            6,
+        ).alias("cos_to_full"),
+    )
+
+
+SQL_EMBEDDING_DIM_TRUNCATION = f"""
+WITH ex AS (
+  SELECT vec_id, embedding, t.k
+  FROM embeddings, UNNEST([{", ".join(str(k) for k in MRL_DIMS)}]) AS t(k)
+), s AS (
+  SELECT vec_id, CAST(k AS BIGINT) AS k,
+         list_sum(list_transform(embedding[1:k],
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS e_pre,
+         list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS e_full
+  FROM ex
+)
+SELECT vec_id, k,
+       round(e_pre / e_full, 6) AS energy_fraction,
+       round(sqrt(e_pre / e_full), 6) AS cos_to_full
+FROM s
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -17118,4 +17439,16 @@ QUERIES: dict[str, tuple] = {
         SQL_IDLE_CUSTOMER_BALANCE,
     ),
     "span_corruption_plan": (q_span_corruption_plan, SQL_SPAN_CORRUPTION_PLAN),
+    "top_supplier_revenue": (
+        q_top_supplier_revenue,
+        SQL_TOP_SUPPLIER_REVENUE,
+    ),
+    "bradley_terry_strength": (
+        q_bradley_terry_strength,
+        SQL_BRADLEY_TERRY_STRENGTH,
+    ),
+    "embedding_dim_truncation": (
+        q_embedding_dim_truncation,
+        SQL_EMBEDDING_DIM_TRUNCATION,
+    ),
 }

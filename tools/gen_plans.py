@@ -102,7 +102,8 @@ def main() -> None:
                  "late_shipment_orders", "sft_split_prompt_leakage",
                  "cdc_chunk_dedup", "customer_order_distribution",
                  "rake_keywords", "idle_customer_balance",
-                 "span_corruption_plan"):
+                 "span_corruption_plan", "top_supplier_revenue",
+                 "embedding_dim_truncation"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -700,6 +701,18 @@ def main() -> None:
                    len(re.findall(r"\(\d+\) Exchange",
                                   full["span_corruption_plan"])) == 0
                    and "Join" not in full["span_corruption_plan"]))
+
+    checks.append(("Q15 top supplier: per-suppkey rollup with map-side "
+                   "combine, supplier dimension broadcasts, no cartesian",
+                   "partial_sum" in full["top_supplier_revenue"]
+                   and "BroadcastHashJoin" in full["top_supplier_revenue"]
+                   and "Cartesian" not in full["top_supplier_revenue"]))
+
+    checks.append(("MRL truncation audit: zero-exchange scan projection, "
+                   "no joins (in-row folds over the prefix slices)",
+                   len(re.findall(r"\(\d+\) Exchange",
+                                  full["embedding_dim_truncation"])) == 0
+                   and "Join" not in full["embedding_dim_truncation"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -215,6 +215,9 @@ SCALE_CLASS = {
     "outlink_host_hits": ("iterative", "HITS_ITERS synchronous rounds, each ONE page-keyed equi-join + host groupBy (map-side combine) and the mirror pair; L1 normalization totals are 1-row aggregates broadcast back; per-iteration localCheckpoint bounds lineage; kernel output checkpointed once (shared-subplan discipline); integer micro-units make every value summation-order-proof"),
     "idle_customer_balance": ("shuffle", "Q22 shape - balance threshold and epoch-us recency cutoff are 1-row aggregates broadcast in; NOT EXISTS decorrelates to a LEFT ANTI join whose probe side pre-shrinks to above-threshold customers and whose build side is the DISTINCT recently-ordering custkeys (map-side combine); segment-bounded rollup"),
     "span_corruption_plan": ("linear", "zero-shuffle scan projection - span count/lengths are exact integer arithmetic on the row's own token count, starts hash-drawn within per-span segments (never overlap by construction), array built in-row and exploded in the next select (generator cannot nest)"),
+    "top_supplier_revenue": ("shuffle", "Q15 shape - per-line revenue quantizes to exact integer cents; date-window min and the revenue max are 1-row aggregates broadcast in; per-suppkey rollup with map-side combine; the name lookup broadcasts the supplier dimension; ties at the max ALL return (the Q15 subtlety)"),
+    "bradley_terry_strength": ("iterative", "match mining is ONE user-keyed lag window over the events scan; everything after collapses to the (type x type) pair table - bounded by the type vocabulary squared, not corpus size - which collects once for the driver-side integer MM iteration (embedding_pca_power pattern); BIGINT floor division + L1 renorm each round make it summation-order-proof"),
+    "embedding_dim_truncation": ("linear", "zero-shuffle scan projection - per (vector, k) energies are in-row sequential folds (the _dot contract); k expands from a 4-element literal array in-row"),
 }
 
 
