@@ -369,6 +369,11 @@ def main() -> None:
         "top_supplier_revenue",
         "bradley_terry_strength",
         "embedding_dim_truncation",
+        # round 5, fifty-second wave: event funnel, retention cohorts,
+        # negative-sampling table.  Excluded from the r04 subtotal.
+        "event_funnel",
+        "retention_cohorts",
+        "negative_sampling_plan",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -502,6 +507,9 @@ def main() -> None:
         "top_supplier_revenue",
         "bradley_terry_strength",
         "embedding_dim_truncation",
+        "event_funnel",
+        "retention_cohorts",
+        "negative_sampling_plan",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

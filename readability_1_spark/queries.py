@@ -16999,6 +16999,263 @@ FROM s
 
 
 # --------------------------------------------------------------------------
+# Ordered-step conversion funnel over the events stream
+# --------------------------------------------------------------------------
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+_EV_EUS = (
+    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+)
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step conversion funnel (the classic product-analytics
+    query): how many users perform view → click → purchase IN ORDER,
+    each later step strictly after the user's earliest completion of the
+    previous one.  Order comparisons are integer epoch microseconds from
+    the literal NTZ epoch (timestamp ties do NOT advance the funnel —
+    documented; a tie carries no ordering evidence).  Emits per step the
+    users reached plus round-6 conversion from the previous step and
+    from the funnel start.
+
+    Scale shape: one user-keyed min-aggregation per step, each joined
+    back to the (pre-filtered to funnel types) event scan on the SAME
+    user_id key family — no windows over raw events, no self-joins wider
+    than user × step-min; the 3-row rollup is a union of 1-row counts."""
+    return event_funnel_frame(spark, _t(spark, sf_dir, "events"))
+
+
+def event_funnel_frame(spark: SparkSession, ev: DataFrame) -> DataFrame:
+    """Core of q_event_funnel over any events-shaped frame."""
+    e = ev.filter(
+        F.col("event_type").isin(*FUNNEL_STEPS)
+    ).select(
+        "user_id",
+        "event_type",
+        F.expr(_EV_EUS).cast("long").alias("eus"),
+    )
+    reached = []
+    prev = None
+    for step in FUNNEL_STEPS:
+        cur = e.filter(F.col("event_type") == step)
+        if prev is not None:
+            cur = cur.join(prev, "user_id").filter(
+                F.col("eus") > F.col("t_prev")
+            )
+        agg = cur.groupBy("user_id").agg(F.min("eus").alias("t_prev"))
+        reached.append(agg)
+        prev = agg.select("user_id", "t_prev")
+    counts = [
+        r.agg(F.count(F.lit(1)).cast("long").alias("n")).collect()[0]["n"]
+        for r in reached
+    ]
+    rows = []
+    for i, step in enumerate(FUNNEL_STEPS):
+        conv_prev = (
+            round(counts[i] / counts[i - 1], 6)
+            if i > 0 and counts[i - 1] > 0
+            else (1.0 if i == 0 else None)
+        )
+        conv_start = (
+            round(counts[i] / counts[0], 6) if counts[0] > 0 else None
+        )
+        rows.append(
+            (step, i, int(counts[i]), conv_prev, conv_start)
+        )
+    return spark.createDataFrame(
+        rows,
+        "step string, step_idx int, n_users long,"
+        " conv_from_prev double, conv_from_start double",
+    )
+
+
+def _sql_funnel_steps() -> str:
+    parts = [f"""r0 AS (
+  SELECT user_id, min(eus) AS t_prev FROM e
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+)"""]
+    for i in range(1, len(FUNNEL_STEPS)):
+        parts.append(f"""r{i} AS (
+  SELECT e.user_id, min(e.eus) AS t_prev
+  FROM e JOIN r{i - 1} p ON e.user_id = p.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[i]}' AND e.eus > p.t_prev
+  GROUP BY e.user_id
+)""")
+    return ", ".join(parts)
+
+
+SQL_EVENT_FUNNEL = f"""
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS eus
+  FROM events WHERE event_type IN ({", ".join(
+      f"'{s}'" for s in FUNNEL_STEPS)})
+), {_sql_funnel_steps()}, c AS (
+  {" UNION ALL ".join(
+      f"SELECT '{s}' AS step, {i} AS step_idx,"
+      f" (SELECT CAST(count(*) AS BIGINT) FROM r{i}) AS n_users"
+      for i, s in enumerate(FUNNEL_STEPS))}
+)
+SELECT step, CAST(step_idx AS INT) AS step_idx, n_users,
+       CASE WHEN step_idx = 0 THEN 1.0
+            WHEN lag(n_users) OVER (ORDER BY step_idx) > 0
+            THEN round(CAST(n_users AS DOUBLE)
+                       / lag(n_users) OVER (ORDER BY step_idx), 6)
+            ELSE NULL END AS conv_from_prev,
+       CASE WHEN first_value(n_users) OVER (ORDER BY step_idx) > 0
+            THEN round(CAST(n_users AS DOUBLE)
+                       / first_value(n_users) OVER (ORDER BY step_idx), 6)
+            ELSE NULL END AS conv_from_start
+FROM c
+"""
+
+
+# --------------------------------------------------------------------------
+# Retention cohort triangle over the events stream
+# --------------------------------------------------------------------------
+
+WEEK_US = 7 * 86_400 * 1_000_000
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The classic retention triangle: users cohorted by first-activity
+    epoch week, then per (cohort_week, week_offset) the distinct users
+    active that week and the round-6 retention share of the cohort.
+    Week indices are integer floor divisions of epoch microseconds —
+    absolute calendar-agnostic weeks, bit-identical cross-engine.
+
+    Scale shape: one user-keyed min for the cohort assignment, one
+    distinct over (user, week) activity, one user-keyed equi-join back,
+    and a (cohort, offset)-bounded rollup — every exchange rides user_id
+    or the bounded cohort key; output is weeks², not users."""
+    return retention_cohort_frame(_t(spark, sf_dir, "events"))
+
+
+def retention_cohort_frame(ev: DataFrame) -> DataFrame:
+    """Core of q_retention_cohorts over any events-shaped frame."""
+    act = ev.select(
+        "user_id",
+        F.expr(f"CAST(({_EV_EUS}) div {WEEK_US} AS BIGINT)").alias("wk"),
+    ).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    sizes = cohort.groupBy("cohort_wk").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_users")
+    )
+    joined = act.join(cohort, "user_id").select(
+        "cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"),
+        "user_id",
+    )
+    ret = joined.groupBy("cohort_wk", "week_offset").agg(
+        F.countDistinct("user_id").cast("long").alias("n_active")
+    )
+    return ret.join(F.broadcast(sizes), "cohort_wk").select(
+        "cohort_wk",
+        "week_offset",
+        "n_active",
+        "cohort_users",
+        F.round(
+            F.col("n_active").cast("double")
+            / F.col("cohort_users").cast("double"),
+            6,
+        ).alias("retention"),
+    )
+
+
+SQL_RETENTION_COHORTS = f"""
+WITH act AS (
+  SELECT DISTINCT user_id,
+         CAST(epoch_us(ts) // {WEEK_US} AS BIGINT) AS wk
+  FROM events
+), cohort AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY user_id
+), sizes AS (
+  SELECT cohort_wk, CAST(count(*) AS BIGINT) AS cohort_users
+  FROM cohort GROUP BY cohort_wk
+), ret AS (
+  SELECT c.cohort_wk, a.wk - c.cohort_wk AS week_offset,
+         CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+  FROM act a JOIN cohort c USING (user_id)
+  GROUP BY c.cohort_wk, a.wk - c.cohort_wk
+)
+SELECT r.cohort_wk, r.week_offset, r.n_active, s.cohort_users,
+       round(CAST(r.n_active AS DOUBLE) / CAST(s.cohort_users AS DOUBLE), 6)
+         AS retention
+FROM ret r JOIN sizes s USING (cohort_wk)
+"""
+
+
+# --------------------------------------------------------------------------
+# word2vec-style negative-sampling table (unigram^0.75, Mikolov et al. 2013)
+# --------------------------------------------------------------------------
+
+NEG_VOCAB = 512
+
+
+def q_negative_sampling_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The word2vec negative-sampling table (Mikolov et al. 2013): the
+    top-NEG_VOCAB vocabulary weighted by count^0.75 — the smoothing that
+    keeps frequent words from dominating negative draws while rare words
+    still appear.  Determinism recipe for the fractional power with NO
+    transcendentals: x^0.75 = √(x·√x) — IEEE sqrt is correctly rounded
+    and the multiply is a single correctly-rounded op, so both engines
+    produce the identical double; it then quantizes to integer
+    micro-units (round half-up of a value within 1e-4 of an integer —
+    boundary-safe) so the share denominators are exact BIGINT sums.
+
+    Scale shape: one token explode into a vocab-bounded count table with
+    map-side combine; the top-K cut is TakeOrdered (count DESC, token
+    ASC — a total order); the share total is a 1-row broadcast."""
+    docs = _t(spark, sf_dir, "documents")
+    counts = _tokens(docs).groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    top = counts.orderBy(
+        F.col("n_occurrences").desc(), F.col("tok").asc()
+    ).limit(NEG_VOCAB)
+    c = F.col("n_occurrences").cast("double")
+    w_micro = F.round(
+        F.round(F.sqrt(c * F.sqrt(c)), 6) * 1_000_000
+    ).cast("long")
+    weighted = top.withColumn("weight_micro", w_micro)
+    tot = weighted.agg(
+        F.sum("weight_micro").cast("long").alias("tot_micro")
+    )
+    return weighted.crossJoin(tot).select(
+        F.col("tok").alias("token"),
+        "n_occurrences",
+        "weight_micro",
+        F.expr("CAST((weight_micro * 1000000) div tot_micro AS BIGINT)")
+        .alias("share_micro"),
+    )
+
+
+SQL_NEGATIVE_SAMPLING_PLAN = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(regexp_split_to_array(lower(text),
+                '{TOKEN_SPLIT}'), x -> x <> '')) AS tok
+  FROM documents
+), counts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM toks GROUP BY tok
+), top AS (
+  SELECT * FROM counts
+  ORDER BY n_occurrences DESC, tok ASC LIMIT {NEG_VOCAB}
+), weighted AS (
+  SELECT tok, n_occurrences,
+         CAST(round(round(sqrt(CAST(n_occurrences AS DOUBLE)
+                    * sqrt(CAST(n_occurrences AS DOUBLE))), 6)
+               * 1000000) AS BIGINT) AS weight_micro
+  FROM top
+), tot AS (
+  SELECT CAST(sum(weight_micro) AS BIGINT) AS tot_micro FROM weighted
+)
+SELECT tok AS token, n_occurrences, weight_micro,
+       CAST((weight_micro * 1000000) // tot_micro AS BIGINT) AS share_micro
+FROM weighted, tot
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -17450,5 +17707,11 @@ QUERIES: dict[str, tuple] = {
     "embedding_dim_truncation": (
         q_embedding_dim_truncation,
         SQL_EMBEDDING_DIM_TRUNCATION,
+    ),
+    "event_funnel": (q_event_funnel, SQL_EVENT_FUNNEL),
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
+    "negative_sampling_plan": (
+        q_negative_sampling_plan,
+        SQL_NEGATIVE_SAMPLING_PLAN,
     ),
 }

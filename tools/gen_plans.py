@@ -103,7 +103,8 @@ def main() -> None:
                  "cdc_chunk_dedup", "customer_order_distribution",
                  "rake_keywords", "idle_customer_balance",
                  "span_corruption_plan", "top_supplier_revenue",
-                 "embedding_dim_truncation"):
+                 "embedding_dim_truncation", "retention_cohorts",
+                 "negative_sampling_plan"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -713,6 +714,18 @@ def main() -> None:
                    len(re.findall(r"\(\d+\) Exchange",
                                   full["embedding_dim_truncation"])) == 0
                    and "Join" not in full["embedding_dim_truncation"]))
+
+    checks.append(("retention cohorts: cohort sizes broadcast back "
+                   "(BroadcastHashJoin), no cartesian, map-side combine "
+                   "on the rollups",
+                   "BroadcastHashJoin" in full["retention_cohorts"]
+                   and "Cartesian" not in full["retention_cohorts"]
+                   and "partial_" in full["retention_cohorts"]))
+
+    checks.append(("negative-sampling table: top-K is TakeOrdered (no "
+                   "global Sort->Limit), counts combine map-side",
+                   "TakeOrderedAndProject" in full["negative_sampling_plan"]
+                   and "partial_count" in full["negative_sampling_plan"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -218,6 +218,9 @@ SCALE_CLASS = {
     "top_supplier_revenue": ("shuffle", "Q15 shape - per-line revenue quantizes to exact integer cents; date-window min and the revenue max are 1-row aggregates broadcast in; per-suppkey rollup with map-side combine; the name lookup broadcasts the supplier dimension; ties at the max ALL return (the Q15 subtlety)"),
     "bradley_terry_strength": ("iterative", "match mining is ONE user-keyed lag window over the events scan; everything after collapses to the (type x type) pair table - bounded by the type vocabulary squared, not corpus size - which collects once for the driver-side integer MM iteration (embedding_pca_power pattern); BIGINT floor division + L1 renorm each round make it summation-order-proof"),
     "embedding_dim_truncation": ("linear", "zero-shuffle scan projection - per (vector, k) energies are in-row sequential folds (the _dot contract); k expands from a 4-element literal array in-row"),
+    "event_funnel": ("shuffle", "one user-keyed min-aggregation per funnel step, each joined back on the SAME user_id key family (no windows over raw events, no self-joins wider than user x step-min); step counts are 1-row aggregates; output is |steps| rows"),
+    "retention_cohorts": ("shuffle", "one user-keyed min for cohort assignment + one (user, week) distinct + one user equi-join back + a cohort-bounded rollup; every exchange rides user_id or the bounded cohort key; output is weeks squared, not users"),
+    "negative_sampling_plan": ("shuffle", "one token explode into a vocab-bounded count with map-side combine; top-K via TakeOrdered (total order: count DESC, token ASC); x^0.75 via sqrt(x*sqrt(x)) - correctly-rounded IEEE ops only, no transcendentals - then integer micro-units so the share total is an exact BIGINT"),
 }
 
 
