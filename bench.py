@@ -374,6 +374,11 @@ def main() -> None:
         "event_funnel",
         "retention_cohorts",
         "negative_sampling_plan",
+        # round 5, fifty-third wave: Q18/Q21 shapes + host-graph
+        # components.  Excluded from the r04 subtotal.
+        "large_volume_orders",
+        "sole_late_supplier",
+        "outlink_host_components",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -510,6 +515,9 @@ def main() -> None:
         "event_funnel",
         "retention_cohorts",
         "negative_sampling_plan",
+        "large_volume_orders",
+        "sole_late_supplier",
+        "outlink_host_components",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

@@ -17256,6 +17256,219 @@ FROM weighted, tot
 
 
 # --------------------------------------------------------------------------
+# Large-volume orders (TPC-H Q18 grouped-HAVING semi-join shape)
+# --------------------------------------------------------------------------
+
+Q18_MIN_QTY = 250
+
+
+def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18's shape on this schema: orders whose TOTAL lineitem
+    quantity exceeds Q18_MIN_QTY, with the customer attached — the
+    grouped-HAVING-feeds-a-join decorrelation (the naive form computes
+    the group once per outer row).  Quantities are integer-valued
+    doubles; the sum casts to BIGINT so the threshold comparison is
+    exact.
+
+    Scale shape: the quantity rollup pre-aggregates per orderkey with
+    map-side combine and the HAVING filter shrinks it to the rare heavy
+    tail BEFORE any join; orders join on the natural orderkey shuffle;
+    the customer dimension broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    heavy = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("long").alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_MIN_QTY)
+    )
+    return (
+        orders.join(heavy, orders.o_orderkey == heavy.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("total_price"),
+            "total_qty",
+        )
+    )
+
+
+SQL_LARGE_VOLUME_ORDERS = f"""
+WITH heavy AS (
+  SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING CAST(sum(l_quantity) AS BIGINT) > {Q18_MIN_QTY}
+)
+SELECT c.c_name, o.o_orderkey, o.o_orderdate,
+       round(o.o_totalprice, 2) AS total_price, h.total_qty
+FROM orders o
+JOIN heavy h ON o.o_orderkey = h.l_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Sole-late-supplier blame table (TPC-H Q21 EXISTS/NOT-EXISTS shape)
+# --------------------------------------------------------------------------
+
+BLAME_TOPK = 20
+
+
+def q_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape on this schema: for multi-supplier orders where
+    EXACTLY ONE supplier shipped late (> LATE_SHIP_DAYS after the order
+    date), blame that supplier — Q21's double-correlated EXISTS ("another
+    supplier participated") / NOT-EXISTS ("no other supplier was late")
+    collapses into ONE per-order aggregate over distinct total and late
+    supplier counts, the decorrelation that replaces two correlated
+    probes per lineitem with one orderkey rollup.  Top-BLAME_TOPK
+    suppliers by blamed-order count (count DESC, name ASC — total order).
+
+    Scale shape: one orderkey join carries the date predicate, one
+    orderkey rollup (two countDistincts + a conditional min) classifies
+    every order in a single pass, the supplier rollup is
+    supplier-bounded, the dimension broadcasts, and the cut is
+    TakeOrdered."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_SHIP_DAYS} DAYS")
+        ).alias("late"),
+    )
+    per_order = j.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supps"
+        ),
+        F.min(F.when(F.col("late"), F.col("l_suppkey"))).alias("blame_key"),
+    )
+    blamed = per_order.filter(
+        (F.col("n_supps") >= 2) & (F.col("n_late_supps") == 1)
+    )
+    agg = blamed.groupBy("blame_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blamed_orders")
+    )
+    return (
+        agg.join(F.broadcast(sup), agg.blame_key == sup.s_suppkey)
+        .select("s_suppkey", "s_name", "n_blamed_orders")
+        .orderBy(F.desc("n_blamed_orders"), F.asc("s_name"))
+        .limit(BLAME_TOPK)
+    )
+
+
+SQL_SOLE_LATE_SUPPLIER = f"""
+WITH j AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL {LATE_SHIP_DAYS} DAY AS late
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supps,
+         count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late_supps,
+         min(CASE WHEN late THEN l_suppkey END) AS blame_key
+  FROM j GROUP BY l_orderkey
+), agg AS (
+  SELECT blame_key, CAST(count(*) AS BIGINT) AS n_blamed_orders
+  FROM per_order
+  WHERE n_supps >= 2 AND n_late_supps = 1
+  GROUP BY blame_key
+)
+SELECT s.s_suppkey, s.s_name, a.n_blamed_orders
+FROM agg a JOIN supplier s ON a.blame_key = s.s_suppkey
+ORDER BY a.n_blamed_orders DESC, s.s_name ASC
+LIMIT {BLAME_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
+# Connected components over the host co-citation graph
+# --------------------------------------------------------------------------
+
+
+def q_outlink_host_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the external-host CO-CITATION graph —
+    the site-family grouping a crawl runs before per-domain policies
+    (domain caps, blocklists, frontier budgets) so mirror/CDN host
+    clusters are budgeted as ONE property: hosts co-linked by the same
+    page join a component; cluster_id is the lexicographically smallest
+    member.  Reuses the large-star/small-star `connected_components`
+    engine (diameter-independent rounds) the dedup family runs on doc
+    ids — here over string host ids, proving the engine is key-type
+    generic.  Emits every host with its component and component size.
+
+    Scale shape: pair generation is the per-TURN self-join (bounded by
+    per-page host-set size, never corpus-quadratic, the pagerank edge
+    discipline); the kernel output is checkpointed ONCE; CC rounds are
+    groupBy/join on host keys with per-round localCheckpoint."""
+    ph = _ext_host_rows(spark, distinct_per_turn=True).localCheckpoint(
+        eager=True
+    )
+    a, b2 = ph.alias("a"), ph.alias("b2")
+    edges = (
+        a.join(
+            b2,
+            (F.col("a.conv_id") == F.col("b2.conv_id"))
+            & (F.col("a.turn_idx") == F.col("b2.turn_idx"))
+            & (F.col("a.host") < F.col("b2.host")),
+        )
+        .select(
+            F.col("a.host").alias("doc_a"), F.col("b2.host").alias("doc_b")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = ph.select("host").distinct()
+    cc = connected_components(nodes, edges, id_col="host")
+    w = Window.partitionBy("cluster_id")
+    return cc.select(
+        "host",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+    )
+
+
+SQL_OUTLINK_HOST_COMPONENTS = f"""
+WITH RECURSIVE {_SQL_LINKS_PREFIX}, ph AS MATERIALIZED (
+  SELECT DISTINCT conv_id, turn_idx, host FROM (
+    SELECT conv_id, turn_idx, unnest({_SQL_EXT_HOSTS}) AS host FROM h
+  )
+), pairs AS MATERIALIZED (
+  SELECT DISTINCT a.host AS src, b2.host AS dst
+  FROM ph a JOIN ph b2
+    ON a.conv_id = b2.conv_id AND a.turn_idx = b2.turn_idx
+   AND a.host < b2.host
+), nodes AS (
+  SELECT DISTINCT host FROM ph
+), edges2 AS (
+  SELECT src, dst FROM pairs
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM pairs
+), reach(host, r) AS (
+  SELECT host, host FROM nodes
+  UNION
+  SELECT re.host, e.dst FROM reach re JOIN edges2 e ON e.src = re.r
+), cc AS (
+  SELECT host, min(r) AS cluster_id FROM reach GROUP BY host
+)
+SELECT host, cluster_id,
+       CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         AS cluster_size
+FROM cc
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -17713,5 +17926,11 @@ QUERIES: dict[str, tuple] = {
     "negative_sampling_plan": (
         q_negative_sampling_plan,
         SQL_NEGATIVE_SAMPLING_PLAN,
+    ),
+    "large_volume_orders": (q_large_volume_orders, SQL_LARGE_VOLUME_ORDERS),
+    "sole_late_supplier": (q_sole_late_supplier, SQL_SOLE_LATE_SUPPLIER),
+    "outlink_host_components": (
+        q_outlink_host_components,
+        SQL_OUTLINK_HOST_COMPONENTS,
     ),
 }

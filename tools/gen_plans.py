@@ -104,7 +104,8 @@ def main() -> None:
                  "rake_keywords", "idle_customer_balance",
                  "span_corruption_plan", "top_supplier_revenue",
                  "embedding_dim_truncation", "retention_cohorts",
-                 "negative_sampling_plan"):
+                 "negative_sampling_plan", "large_volume_orders",
+                 "sole_late_supplier"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -726,6 +727,20 @@ def main() -> None:
                    "global Sort->Limit), counts combine map-side",
                    "TakeOrderedAndProject" in full["negative_sampling_plan"]
                    and "partial_count" in full["negative_sampling_plan"]))
+
+    checks.append(("Q18 heavy orders: quantity rollup combines map-side "
+                   "and filters BEFORE the join, customer broadcasts, "
+                   "no cartesian",
+                   "partial_sum" in full["large_volume_orders"]
+                   and "BroadcastHashJoin" in full["large_volume_orders"]
+                   and "Cartesian" not in full["large_volume_orders"]))
+
+    checks.append(("Q21 blame table: single orderkey rollup classifies "
+                   "orders (no correlated re-probes), TakeOrdered cut, "
+                   "supplier broadcasts, no cartesian",
+                   "TakeOrderedAndProject" in full["sole_late_supplier"]
+                   and "BroadcastHashJoin" in full["sole_late_supplier"]
+                   and "Cartesian" not in full["sole_late_supplier"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -221,6 +221,9 @@ SCALE_CLASS = {
     "event_funnel": ("shuffle", "one user-keyed min-aggregation per funnel step, each joined back on the SAME user_id key family (no windows over raw events, no self-joins wider than user x step-min); step counts are 1-row aggregates; output is |steps| rows"),
     "retention_cohorts": ("shuffle", "one user-keyed min for cohort assignment + one (user, week) distinct + one user equi-join back + a cohort-bounded rollup; every exchange rides user_id or the bounded cohort key; output is weeks squared, not users"),
     "negative_sampling_plan": ("shuffle", "one token explode into a vocab-bounded count with map-side combine; top-K via TakeOrdered (total order: count DESC, token ASC); x^0.75 via sqrt(x*sqrt(x)) - correctly-rounded IEEE ops only, no transcendentals - then integer micro-units so the share total is an exact BIGINT"),
+    "large_volume_orders": ("shuffle", "Q18 shape - the quantity rollup pre-aggregates per orderkey with map-side combine and the HAVING filter shrinks it to the heavy tail BEFORE any join; orders join on the natural orderkey shuffle; the customer dimension broadcasts"),
+    "sole_late_supplier": ("shuffle", "Q21 shape - the double-correlated EXISTS/NOT-EXISTS collapses into ONE orderkey rollup (two countDistincts + conditional min classify every order in a single pass); supplier rollup is supplier-bounded; dimension broadcasts; TakeOrdered cut"),
+    "outlink_host_components": ("iterative", "co-citation pairs from the per-TURN self-join (bounded by per-page host-set size, the pagerank edge discipline); kernel output checkpointed once; large-star/small-star CC rounds (diameter-independent) on host string keys with per-round localCheckpoint"),
 }
 
 
