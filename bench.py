@@ -379,6 +379,11 @@ def main() -> None:
         "large_volume_orders",
         "sole_late_supplier",
         "outlink_host_components",
+        # round 5, fifty-fourth wave: title collisions, column profile,
+        # uncertainty sampling.  Excluded from the r04 subtotal.
+        "extract_title_collisions",
+        "data_profile_orders",
+        "uncertainty_sample_topk",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -518,6 +523,9 @@ def main() -> None:
         "large_volume_orders",
         "sole_late_supplier",
         "outlink_host_components",
+        "extract_title_collisions",
+        "data_profile_orders",
+        "uncertainty_sample_topk",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

@@ -17469,6 +17469,201 @@ FROM cc
 
 
 # --------------------------------------------------------------------------
+# Extracted-title collision triage (crawl-side title dedup signal)
+# --------------------------------------------------------------------------
+
+
+def q_extract_title_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Title-collision triage over the kernel's EXTRACTED titles — the
+    cheapest near-dup signal a crawl publishes (identical normalized
+    titles flag mirror pages, template farms and re-crawls before any
+    content hashing runs).  Per normalized title (lower + trim,
+    non-empty): occurrence count, the earliest (conv_id, turn_idx) owner
+    and a collision flag.  Complements conversation_dedup /
+    dedup_exact (content digests) with the metadata-level signal.
+
+    Scale shape: the kernel output projects to one column and aggregates
+    on the title key with map-side combine; the owner is a min over the
+    tab-joined turn key (no window, no join)."""
+    ok = _ok_turns(spark).filter(
+        F.col("title").isNotNull() & (F.trim(F.col("title")) != "")
+    )
+    t = ok.select(
+        F.lower(F.trim(F.col("title"))).alias("title_norm"),
+        F.concat_ws(
+            "\t", "conv_id", F.col("turn_idx").cast("string")
+        ).alias("turn_key"),
+    )
+    return t.groupBy("title_norm").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.min("turn_key").alias("first_turn"),
+    ).withColumn("collision", F.col("n_turns") > 1)
+
+
+SQL_EXTRACT_TITLE_COLLISIONS = f"""
+WITH ok AS (
+  SELECT conv_id, turn_idx, title
+  FROM read_parquet('{GOLDENS_PQ}')
+  WHERE status = 'ok' AND title IS NOT NULL AND trim(title) <> ''
+)
+SELECT lower(trim(title)) AS title_norm,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       min(conv_id || chr(9) || CAST(turn_idx AS VARCHAR)) AS first_turn,
+       count(*) > 1 AS collision
+FROM ok GROUP BY lower(trim(title))
+"""
+
+
+# --------------------------------------------------------------------------
+# Deequ-style single-pass column profile (data-quality profiling family)
+# --------------------------------------------------------------------------
+
+_PROFILE_ORDERS_COLS = (
+    # (name, kind) — kind routes min/max to the numeric or string slot;
+    # timestamps profile as epoch micros (formatting-free, cross-engine)
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+)
+
+
+def q_data_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of the orders table — the Deequ/Great
+    Expectations-style data-quality summary a pipeline publishes before
+    trusting a new snapshot: per column, row count, NULL count, distinct
+    count, and min/max (numeric columns and epoch-microsecond timestamps
+    in the numeric slots, strings in the string slots — no value
+    formatting, so both engines compare raw values).
+
+    Scale shape: ONE aggregation computes every metric in a single scan
+    (Spark expands multi-distinct internally — one pass over the data,
+    expand factor = |columns|, the standard profiling trade); the 1-row
+    result restructures driver-side into the bounded per-column table
+    (the embedding_pca_power collect-bounded pattern)."""
+    orders = _t(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).cast("long").alias("_n")]
+    for name, kind in _PROFILE_ORDERS_COLS:
+        col = F.col(name)
+        if kind == "ts":
+            col = F.expr(
+                "timestampdiff(MICROSECOND,"
+                f" TIMESTAMP_NTZ '1970-01-01 00:00:00', {name})"
+            ).cast("long")
+        aggs.append(
+            F.sum(F.when(F.col(name).isNull(), 1).otherwise(0))
+            .cast("long").alias(f"{name}__nulls")
+        )
+        aggs.append(F.countDistinct(col).cast("long").alias(f"{name}__nd"))
+        if kind == "str":
+            aggs.append(F.min(col).alias(f"{name}__min"))
+            aggs.append(F.max(col).alias(f"{name}__max"))
+        else:
+            aggs.append(
+                F.round(F.min(col).cast("double"), 6).alias(f"{name}__min")
+            )
+            aggs.append(
+                F.round(F.max(col).cast("double"), 6).alias(f"{name}__max")
+            )
+    row = orders.agg(*aggs).collect()[0].asDict()
+    out = []
+    for name, kind in _PROFILE_ORDERS_COLS:
+        is_str = kind == "str"
+        out.append(
+            (
+                name,
+                int(row["_n"]),
+                int(row[f"{name}__nulls"]),
+                int(row[f"{name}__nd"]),
+                None if is_str else float(row[f"{name}__min"]),
+                None if is_str else float(row[f"{name}__max"]),
+                row[f"{name}__min"] if is_str else None,
+                row[f"{name}__max"] if is_str else None,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "column_name string, n_rows long, n_null long, n_distinct long,"
+        " min_num double, max_num double, min_str string, max_str string",
+    )
+
+
+def _sql_profile_branch(name: str, kind: str) -> str:
+    expr = f"epoch_us({name})" if kind == "ts" else name
+    if kind == "str":
+        mn = f"min({name})"
+        mx = f"max({name})"
+        num_mn = num_mx = "CAST(NULL AS DOUBLE)"
+        str_mn, str_mx = mn, mx
+    else:
+        str_mn = str_mx = "CAST(NULL AS VARCHAR)"
+        num_mn = f"round(CAST(min({expr}) AS DOUBLE), 6)"
+        num_mx = f"round(CAST(max({expr}) AS DOUBLE), 6)"
+    return f"""SELECT '{name}' AS column_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(count(DISTINCT {expr}) AS BIGINT) AS n_distinct,
+       {num_mn} AS min_num, {num_mx} AS max_num,
+       {str_mn} AS min_str, {str_mx} AS max_str
+FROM orders"""
+
+
+SQL_DATA_PROFILE_ORDERS = "\nUNION ALL\n".join(
+    _sql_profile_branch(n, k) for n, k in _PROFILE_ORDERS_COLS
+)
+
+
+# --------------------------------------------------------------------------
+# Uncertainty sampling over the trained quality classifier
+# --------------------------------------------------------------------------
+
+UNCERTAINTY_TOPK = 25
+
+
+def q_uncertainty_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-learning selection over the trained quality classifier: the
+    UNCERTAINTY_TOPK documents whose score sits closest to the 0.5
+    decision boundary — the batch a human-labeling loop reviews next,
+    where one label moves the boundary most.  Margin is exact integer
+    micro-units (|round(score·1e6) − 500000|) with doc_id tiebreaks, so
+    the cut is a total order.
+
+    Scale shape: rides the memoized classifier subtree (zero extra
+    training cost); the selection compiles to TakeOrdered over a
+    zero-exchange margin projection — no global sort, no window."""
+    scored = q_doc_quality_classifier(spark, sf_dir)
+    margined = scored.select(
+        "doc_id",
+        "score",
+        "label",
+        F.abs(
+            F.round(F.col("score") * 1_000_000, 0).cast("long")
+            - F.lit(500_000)
+        ).cast("long").alias("margin_micro"),
+    )
+    return margined.orderBy(
+        F.col("margin_micro").asc(), F.col("doc_id").asc()
+    ).limit(UNCERTAINTY_TOPK)
+
+
+SQL_UNCERTAINTY_SAMPLE_TOPK = f"""
+WITH {_sql_qc_chain()},
+scored AS (
+  SELECT doc_id, score, y AS label FROM final
+)
+SELECT doc_id, score, label,
+       CAST(abs(CAST(round(score * 1000000, 0) AS BIGINT) - 500000)
+            AS BIGINT) AS margin_micro
+FROM scored
+ORDER BY margin_micro ASC, doc_id ASC
+LIMIT {UNCERTAINTY_TOPK}
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -17932,5 +18127,14 @@ QUERIES: dict[str, tuple] = {
     "outlink_host_components": (
         q_outlink_host_components,
         SQL_OUTLINK_HOST_COMPONENTS,
+    ),
+    "extract_title_collisions": (
+        q_extract_title_collisions,
+        SQL_EXTRACT_TITLE_COLLISIONS,
+    ),
+    "data_profile_orders": (q_data_profile_orders, SQL_DATA_PROFILE_ORDERS),
+    "uncertainty_sample_topk": (
+        q_uncertainty_sample_topk,
+        SQL_UNCERTAINTY_SAMPLE_TOPK,
     ),
 }

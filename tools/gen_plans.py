@@ -105,7 +105,8 @@ def main() -> None:
                  "span_corruption_plan", "top_supplier_revenue",
                  "embedding_dim_truncation", "retention_cohorts",
                  "negative_sampling_plan", "large_volume_orders",
-                 "sole_late_supplier"):
+                 "sole_late_supplier", "extract_title_collisions",
+                 "uncertainty_sample_topk"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -741,6 +742,16 @@ def main() -> None:
                    "TakeOrderedAndProject" in full["sole_late_supplier"]
                    and "BroadcastHashJoin" in full["sole_late_supplier"]
                    and "Cartesian" not in full["sole_late_supplier"]))
+
+    checks.append(("title collisions: title-keyed rollup with map-side "
+                   "combine, no joins beyond the kernel pipeline",
+                   "partial_" in full["extract_title_collisions"]
+                   and "Cartesian" not in full["extract_title_collisions"]))
+
+    checks.append(("uncertainty sampling: TakeOrdered over the margin "
+                   "projection (no global Sort, no Window)",
+                   "TakeOrderedAndProject" in full["uncertainty_sample_topk"]
+                   and "Window" not in full["uncertainty_sample_topk"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -224,6 +224,9 @@ SCALE_CLASS = {
     "large_volume_orders": ("shuffle", "Q18 shape - the quantity rollup pre-aggregates per orderkey with map-side combine and the HAVING filter shrinks it to the heavy tail BEFORE any join; orders join on the natural orderkey shuffle; the customer dimension broadcasts"),
     "sole_late_supplier": ("shuffle", "Q21 shape - the double-correlated EXISTS/NOT-EXISTS collapses into ONE orderkey rollup (two countDistincts + conditional min classify every order in a single pass); supplier rollup is supplier-bounded; dimension broadcasts; TakeOrdered cut"),
     "outlink_host_components": ("iterative", "co-citation pairs from the per-TURN self-join (bounded by per-page host-set size, the pagerank edge discipline); kernel output checkpointed once; large-star/small-star CC rounds (diameter-independent) on host string keys with per-round localCheckpoint"),
+    "extract_title_collisions": ("shuffle", "kernel output projects to the title column and aggregates on the title key with map-side combine; the owner is a min over the tab-joined turn key - no window, no join; output bounded by distinct titles"),
+    "data_profile_orders": ("linear", "ONE aggregation computes every metric in a single scan (multi-distinct expands in-engine, expand factor = |columns| - the standard profiling trade); the 1-row result restructures driver-side into the bounded per-column table"),
+    "uncertainty_sample_topk": ("shuffle", "rides the memoized classifier subtree (zero extra training); selection is TakeOrdered over a zero-exchange margin projection with integer micro-unit margins + doc_id tiebreaks - no global sort, no window"),
 }
 
 
