@@ -384,6 +384,11 @@ def main() -> None:
         "extract_title_collisions",
         "data_profile_orders",
         "uncertainty_sample_topk",
+        # round 5, fifty-fifth wave: nDCG eval, rate anomaly flags,
+        # length-bias audit.  Excluded from the r04 subtotal.
+        "ndcg_eval",
+        "event_rate_anomaly",
+        "preference_length_bias",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -526,6 +531,9 @@ def main() -> None:
         "extract_title_collisions",
         "data_profile_orders",
         "uncertainty_sample_topk",
+        "ndcg_eval",
+        "event_rate_anomaly",
+        "preference_length_bias",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

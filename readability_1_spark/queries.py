@@ -17664,6 +17664,351 @@ LIMIT {UNCERTAINTY_TOPK}
 
 
 # --------------------------------------------------------------------------
+# nDCG@10 of the LSH index vs the exact baseline (rank-weighted recall)
+# --------------------------------------------------------------------------
+
+# Integer micro-unit DCG discounts round(1e6 / log2(i+1)) for ranks 1..10,
+# precomputed ONCE in this process and embedded as literals in BOTH engines'
+# plans — neither engine evaluates a transcendental, so libm differences
+# cannot matter.
+NDCG_K = 10
+NDCG_DISCOUNTS = tuple(
+    int(__import__("decimal").Decimal(repr(1_000_000 / math.log2(i + 1)))
+        .quantize(__import__("decimal").Decimal(1),
+                  rounding=__import__("decimal").ROUND_HALF_UP))
+    for i in range(1, NDCG_K + 1)
+)
+_NDCG_CUM = tuple(
+    sum(NDCG_DISCOUNTS[: i + 1]) for i in range(NDCG_K)
+)
+
+
+def q_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 of the multi-probe LSH index against the exact cosine
+    baseline — the rank-WEIGHTED companion to ann_recall_eval (recall
+    treats a hit at rank 1 and rank 10 alike; nDCG pays log-discounted
+    credit, the metric retrieval evals actually report).  Binary
+    relevance: a returned vector is relevant iff it is in the exact
+    top-10.  DCG sums integer micro-unit discounts (module constants —
+    no engine-side transcendentals), IDCG is the prefix sum at
+    min(n_exact, 10), nDCG rounds to 6.
+
+    Scale shape: both inputs are bounded per-query top-K tables; the
+    eval is one (query_id, vec_id) equi-join, a rank→discount literal
+    array lookup, and a per-query rollup of exact BIGINTs."""
+    exact = q_ann_cosine_topk(spark, sf_dir).select(
+        "query_id", "vec_id"
+    ).withColumn("rel", F.lit(1))
+    approx = q_ann_lsh_topk(spark, sf_dir).select(
+        "query_id", "vec_id", "rank"
+    )
+    darr = F.array(*[F.lit(d).cast("long") for d in NDCG_DISCOUNTS])
+    carr = F.array(*[F.lit(c).cast("long") for c in _NDCG_CUM])
+    scored = approx.join(exact, ["query_id", "vec_id"], "left").select(
+        "query_id",
+        (
+            F.coalesce("rel", F.lit(0))
+            * F.element_at(darr, F.col("rank").cast("int"))
+        ).alias("gain"),
+    )
+    dcg = scored.groupBy("query_id").agg(
+        F.sum("gain").cast("long").alias("dcg_micro")
+    )
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_exact")
+    )
+    return (
+        n_exact.join(dcg, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("dcg_micro", F.lit(0)).cast("long").alias(
+                "dcg_micro"
+            ),
+            F.element_at(
+                carr, F.least(F.col("n_exact"), F.lit(NDCG_K)).cast("int")
+            ).alias("idcg_micro"),
+        )
+        .withColumn(
+            "ndcg",
+            F.round(
+                F.col("dcg_micro").cast("double")
+                / F.col("idcg_micro").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+SQL_NDCG_EVAL = f"""
+WITH exact AS (
+  SELECT query_id, vec_id FROM ({SQL_ANN_COSINE_TOPK}) x
+), approx AS (
+  SELECT query_id, vec_id, rank FROM ({SQL_ANN_LSH_TOPK}) y
+), d(rank, disc) AS (
+  VALUES {", ".join(f"({i + 1}, {v})" for i, v in enumerate(NDCG_DISCOUNTS))}
+), c(n, cum) AS (
+  VALUES {", ".join(f"({i + 1}, {v})" for i, v in enumerate(_NDCG_CUM))}
+), dcg AS (
+  SELECT a.query_id,
+         CAST(sum(CASE WHEN e.vec_id IS NOT NULL THEN d.disc ELSE 0 END)
+              AS BIGINT) AS dcg_micro
+  FROM approx a
+  JOIN d ON d.rank = a.rank
+  LEFT JOIN exact e ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+  GROUP BY a.query_id
+), ne AS (
+  SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact
+  FROM exact GROUP BY query_id
+)
+SELECT ne.query_id, ne.n_exact,
+       CAST(coalesce(dcg.dcg_micro, 0) AS BIGINT) AS dcg_micro,
+       CAST(c.cum AS BIGINT) AS idcg_micro,
+       round(CAST(coalesce(dcg.dcg_micro, 0) AS DOUBLE)
+             / CAST(c.cum AS DOUBLE), 6) AS ndcg
+FROM ne
+JOIN c ON c.n = least(ne.n_exact, {NDCG_K})
+LEFT JOIN dcg ON dcg.query_id = ne.query_id
+"""
+
+
+# --------------------------------------------------------------------------
+# Event-rate anomaly flags (z-score over exact integer moments)
+# --------------------------------------------------------------------------
+
+HOUR_US = 3600 * 1_000_000
+ANOMALY_Z_MICRO = 3_000_000  # |z| >= 3.0
+
+
+def q_event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(event_type, hour) volume anomaly flags — the ops-monitoring
+    pass a streaming ingest runs over its own rates: hourly counts
+    including EMPTY hours (a dead hour IS the anomaly a count-only rollup
+    silently drops), z-scored against the event type's own hourly
+    distribution.  The z fold is the group_advantage_normalize recipe:
+    exact BIGINT moments S1=Σc, S2=Σc², z = (n·c − S1)/√(n·S2 − S1²) in
+    micro-units — one correctly-rounded sqrt of an exact integer + one
+    rounded division, zero summation-order risk.  Degenerate types
+    (n<2 hours or zero variance) emit z=0 explicitly.
+
+    Scale shape: one (type, hour) rollup with map-side combine; the full
+    hour grid expands in-row from a 1-row min/max broadcast (bounded by
+    the time range, not the corpus); moments ride ONE type-keyed
+    exchange shared by the stats join-back."""
+    ev = _t(spark, sf_dir, "events")
+    cnt = (
+        ev.select(
+            "event_type",
+            F.expr(f"CAST(({_EV_EUS}) div {HOUR_US} AS BIGINT)").alias("hr"),
+        )
+        .groupBy("event_type", "hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    rng = cnt.agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    )
+    types = cnt.select("event_type").distinct()
+    grid = (
+        types.crossJoin(rng)
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("hr"),
+        )
+    )
+    full = grid.join(cnt, ["event_type", "hr"], "left").select(
+        "event_type",
+        "hr",
+        F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+    )
+    mom = full.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    z = (
+        full.join(mom, "event_type")
+        .withColumn(
+            "z_micro",
+            F.when(
+                (F.col("n") >= 2)
+                & (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1") > 0),
+                F.round(
+                    (F.col("n") * F.col("c") - F.col("s1")).cast("double")
+                    * 1_000_000.0
+                    / F.sqrt(
+                        (
+                            F.col("n") * F.col("s2")
+                            - F.col("s1") * F.col("s1")
+                        ).cast("double")
+                    ),
+                    0,
+                ).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )
+    return z.select(
+        "event_type",
+        "hr",
+        F.col("c").alias("n_events"),
+        "z_micro",
+        (F.abs(F.col("z_micro")) >= ANOMALY_Z_MICRO).alias("is_anomaly"),
+    )
+
+
+SQL_EVENT_RATE_ANOMALY = f"""
+WITH cnt AS (
+  SELECT event_type, CAST(epoch_us(ts) // {HOUR_US} AS BIGINT) AS hr,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY event_type, CAST(epoch_us(ts) // {HOUR_US} AS BIGINT)
+), rng AS (
+  SELECT min(hr) AS lo, max(hr) AS hi FROM cnt
+), grid AS (
+  SELECT t.event_type, g.hr
+  FROM (SELECT DISTINCT event_type FROM cnt) t, rng,
+       UNNEST(generate_series(rng.lo, rng.hi)) AS g(hr)
+), full_grid AS (
+  SELECT g.event_type, g.hr,
+         CAST(coalesce(c.c, 0) AS BIGINT) AS c
+  FROM grid g LEFT JOIN cnt c
+    ON c.event_type = g.event_type AND c.hr = g.hr
+), mom AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM full_grid GROUP BY event_type
+)
+SELECT event_type, hr, n_events, z_micro,
+       abs(z_micro) >= {ANOMALY_Z_MICRO} AS is_anomaly
+FROM (
+  SELECT f.event_type, f.hr, f.c AS n_events,
+         CASE WHEN m.n >= 2 AND m.n * m.s2 - m.s1 * m.s1 > 0
+              THEN CAST(round(CAST(m.n * f.c - m.s1 AS DOUBLE) * 1000000.0
+                   / sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)), 0)
+                   AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS z_micro
+  FROM full_grid f JOIN mom m USING (event_type)
+) s
+"""
+
+
+# --------------------------------------------------------------------------
+# Preference length-bias audit (reward-hacking signal over mined pairs)
+# --------------------------------------------------------------------------
+
+
+# Supplementary literal fixture so EVERY branch of the audit (chosen
+# longer / rejected longer / equal-length) occurs under external
+# attestation — the smoke corpus's single usable pair is equal-length.
+# One Python constant feeds both the Spark frame and the SQL VALUES.
+LENBIAS_FIXTURE: list[tuple] = [
+    # chosen (final) longer than the rejected retry
+    ("lb-longer", 0, "user", "question one"),
+    ("lb-longer", 1, "assistant", "short"),
+    ("lb-longer", 2, "user", "try again please"),
+    ("lb-longer", 3, "assistant", "a much longer and fuller final answer"),
+    # rejected retry longer than the chosen final
+    ("lb-shorter", 0, "user", "question two"),
+    ("lb-shorter", 1, "assistant", "a very long rambling first attempt here"),
+    ("lb-shorter", 2, "user", "shorter please"),
+    ("lb-shorter", 3, "assistant", "done"),
+]
+
+
+def _lenbias_fixture_values() -> str:
+    return ", ".join(
+        "('{}', {}, '{}', {})".format(
+            c, i, r, "NULL" if x is None else f"'{x}'"
+        )
+        for c, i, r, x in PREF_FIXTURE + LENBIAS_FIXTURE
+    )
+
+
+def q_preference_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bias audit over the mined preference pairs — THE
+    reward-model sanity check (RLHF reward models notoriously prefer
+    longer responses; a preference corpus where the longer side wins
+    far above 50% will train that bias in).  Over the usable pairs of
+    preference_pair_mining's corpus (smoke transcripts + the shared
+    literal fixture): chosen-longer / rejected-longer / equal-length
+    counts, the round-6 longer-wins rate over the decided pairs, and
+    exact-integer mean lengths of both sides.
+
+    Scale shape: rides the pair miner's conv_id-keyed subtree; the audit
+    itself is ONE 1-row aggregation of exact BIGINTs."""
+    base = spark.read.parquet(TRANSCRIPTS_PQ).select(
+        "conv_id", "turn_idx", "role", "text"
+    )
+    fixture = spark.createDataFrame(
+        PREF_FIXTURE + LENBIAS_FIXTURE,
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    pairs = preference_pair_frame(base.unionByName(fixture)).filter(
+        F.col("usable")
+    )
+    m = pairs.select(
+        F.col("chosen_chars").alias("cl"),
+        F.col("rejected_chars").alias("rl"),
+    )
+    return m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.when(F.col("cl") > F.col("rl"), 1).otherwise(0))
+        .cast("long").alias("n_chosen_longer"),
+        F.sum(F.when(F.col("cl") < F.col("rl"), 1).otherwise(0))
+        .cast("long").alias("n_rejected_longer"),
+        F.sum(F.when(F.col("cl") == F.col("rl"), 1).otherwise(0))
+        .cast("long").alias("n_equal"),
+        F.sum("cl").cast("long").alias("chosen_chars"),
+        F.sum("rl").cast("long").alias("rejected_chars"),
+    ).select(
+        "*",
+        F.round(
+            F.try_divide(
+                F.col("n_chosen_longer").cast("double"),
+                (F.col("n_chosen_longer") + F.col("n_rejected_longer"))
+                .cast("double"),
+            ),
+            6,
+        ).alias("longer_win_rate"),
+    )
+
+
+# The pair-mining subquery with the supplementary fixture spliced into
+# its VALUES list (module-load-time string substitution of one literal
+# for another — both generated from the same Python constants).
+_SQL_PAIRS_WITH_LENBIAS = SQL_PREFERENCE_PAIR_MINING.replace(
+    _pref_fixture_values(), _lenbias_fixture_values(), 1
+)
+
+SQL_PREFERENCE_LENGTH_BIAS = f"""
+WITH pairs AS (
+  SELECT * FROM ({_SQL_PAIRS_WITH_LENBIAS}) p WHERE usable
+), m AS (
+  SELECT CAST(chosen_chars AS BIGINT) AS cl,
+         CAST(rejected_chars AS BIGINT) AS rl
+  FROM pairs
+), agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(CASE WHEN cl > rl THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_chosen_longer,
+         CAST(sum(CASE WHEN cl < rl THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rejected_longer,
+         CAST(sum(CASE WHEN cl = rl THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_equal,
+         CAST(sum(cl) AS BIGINT) AS chosen_chars,
+         CAST(sum(rl) AS BIGINT) AS rejected_chars
+  FROM m
+)
+SELECT *,
+       round(CAST(n_chosen_longer AS DOUBLE)
+             / nullif(CAST(n_chosen_longer + n_rejected_longer AS DOUBLE),
+                      0.0), 6)
+         AS longer_win_rate
+FROM agg
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -18136,5 +18481,11 @@ QUERIES: dict[str, tuple] = {
     "uncertainty_sample_topk": (
         q_uncertainty_sample_topk,
         SQL_UNCERTAINTY_SAMPLE_TOPK,
+    ),
+    "ndcg_eval": (q_ndcg_eval, SQL_NDCG_EVAL),
+    "event_rate_anomaly": (q_event_rate_anomaly, SQL_EVENT_RATE_ANOMALY),
+    "preference_length_bias": (
+        q_preference_length_bias,
+        SQL_PREFERENCE_LENGTH_BIAS,
     ),
 }

@@ -106,7 +106,8 @@ def main() -> None:
                  "embedding_dim_truncation", "retention_cohorts",
                  "negative_sampling_plan", "large_volume_orders",
                  "sole_late_supplier", "extract_title_collisions",
-                 "uncertainty_sample_topk"):
+                 "uncertainty_sample_topk", "event_rate_anomaly",
+                 "preference_length_bias"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -752,6 +753,16 @@ def main() -> None:
                    "projection (no global Sort, no Window)",
                    "TakeOrderedAndProject" in full["uncertainty_sample_topk"]
                    and "Window" not in full["uncertainty_sample_topk"]))
+
+    checks.append(("event-rate anomaly: rollups combine map-side, the "
+                   "only nested-loop join is the 1-row hour-range "
+                   "broadcast, no cartesian",
+                   "partial_" in full["event_rate_anomaly"]
+                   and "Cartesian" not in full["event_rate_anomaly"]))
+
+    checks.append(("length-bias audit: 1-row final aggregation, no "
+                   "cartesian",
+                   "Cartesian" not in full["preference_length_bias"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

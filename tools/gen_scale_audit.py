@@ -227,6 +227,9 @@ SCALE_CLASS = {
     "extract_title_collisions": ("shuffle", "kernel output projects to the title column and aggregates on the title key with map-side combine; the owner is a min over the tab-joined turn key - no window, no join; output bounded by distinct titles"),
     "data_profile_orders": ("linear", "ONE aggregation computes every metric in a single scan (multi-distinct expands in-engine, expand factor = |columns| - the standard profiling trade); the 1-row result restructures driver-side into the bounded per-column table"),
     "uncertainty_sample_topk": ("shuffle", "rides the memoized classifier subtree (zero extra training); selection is TakeOrdered over a zero-exchange margin projection with integer micro-unit margins + doc_id tiebreaks - no global sort, no window"),
+    "ndcg_eval": ("shuffle", "both inputs are bounded per-query top-K tables (attested on their own entries); the eval is one (query, vec) equi-join + a rank->discount literal-array lookup + a per-query rollup of exact BIGINTs; discounts precomputed in-process, no engine-side transcendentals"),
+    "event_rate_anomaly": ("shuffle", "one (type, hour) rollup with map-side combine; the full hour grid (empty hours included - a dead hour IS the anomaly) expands in-row from a 1-row min/max broadcast; z = (n*c - S1)/sqrt(n*S2 - S1^2) over exact BIGINT moments (group_advantage recipe) - one sqrt + one rounded division"),
+    "preference_length_bias": ("shuffle", "rides the pair miner's conv_id-keyed subtree (plus the branch-coverage literal fixture); the audit itself is ONE 1-row aggregation of exact BIGINTs with a null-safe win-rate division"),
 }
 
 
