@@ -389,6 +389,11 @@ def main() -> None:
         "ndcg_eval",
         "event_rate_anomaly",
         "preference_length_bias",
+        # round 5, fifty-sixth wave: Poisson bootstrap CI, per-tool error
+        # rates, classifier ECE.  Excluded from the r04 subtotal.
+        "bootstrap_mean_ci",
+        "tool_error_rate_by_tool",
+        "classifier_ece",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -534,6 +539,9 @@ def main() -> None:
         "ndcg_eval",
         "event_rate_anomaly",
         "preference_length_bias",
+        "bootstrap_mean_ci",
+        "tool_error_rate_by_tool",
+        "classifier_ece",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

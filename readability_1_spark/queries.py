@@ -18009,6 +18009,241 @@ FROM agg
 
 
 # --------------------------------------------------------------------------
+# Deterministic Poisson bootstrap CI over a corpus metric
+# --------------------------------------------------------------------------
+
+BOOT_B = 32  # bootstrap replicates
+# Poisson(1) inverse-CDF thresholds in micro-units of the [0,1e6) uniform,
+# precomputed ONCE here and embedded as literals in both engines (the
+# NDCG-discount discipline: no engine-side transcendentals).  A hash
+# uniform below threshold k draws weight k; above the last it caps at 5.
+_POIS1_CDF_MICRO = (367879, 735759, 919699, 981012, 996340)
+BOOT_W_CAP = len(_POIS1_CDF_MICRO)
+
+
+def q_bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic POISSON bootstrap (the scale implementation of the
+    bootstrap — Chamandy et al., Google 2012) of the corpus mean document
+    length: every document contributes to each of BOOT_B replicates with
+    a Poisson(1)-distributed integer weight drawn from its content hash,
+    so resampling-with-replacement runs in ONE pass with no RNG state
+    and a re-run never changes the CI.  Emits each replicate's effective
+    n and weighted mean; the replicate spread IS the sampling
+    distribution an eval quotes as its confidence interval.
+
+    Determinism: the Poisson(1) inverse CDF is five micro-unit literals
+    (module constants); weights are exact ints from the shared md5
+    polynomial; replicate means are exact BIGINT ratios rounded at the
+    end.
+
+    Scale shape: the B replicate weights expand in-row (one sequence
+    explode, B× rows into a 32-group rollup with map-side combine) — a
+    single pass and a single bounded exchange regardless of corpus
+    size."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ex = docs.select(
+        "doc_id",
+        "n_chars",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(BOOT_B - 1))
+        ).alias("b"),
+    )
+    u = _md5_bucket(
+        F.concat(
+            F.col("doc_id").cast("string"),
+            F.lit(":boot:"),
+            F.col("b").cast("string"),
+        ),
+        1_000_000,
+    )
+    w = F.lit(BOOT_W_CAP).cast("long")
+    for k in range(len(_POIS1_CDF_MICRO) - 1, -1, -1):
+        w = F.when(u < _POIS1_CDF_MICRO[k], F.lit(k).cast("long")).otherwise(
+            w
+        )
+    weighted = ex.withColumn("w", w)
+    return (
+        weighted.groupBy("b")
+        .agg(
+            F.sum("w").cast("long").alias("n_eff"),
+            F.sum(F.col("w") * F.col("n_chars")).cast("long").alias(
+                "mass"
+            ),
+        )
+        .select(
+            F.col("b").cast("long").alias("b"),
+            "n_eff",
+            F.round(
+                F.col("mass").cast("double") / F.col("n_eff").cast("double"),
+                6,
+            ).alias("mean_len"),
+        )
+    )
+
+
+def _sql_pois_weight(u: str) -> str:
+    expr = f"CAST({BOOT_W_CAP} AS BIGINT)"
+    for k in range(len(_POIS1_CDF_MICRO) - 1, -1, -1):
+        expr = (
+            f"CASE WHEN {u} < {_POIS1_CDF_MICRO[k]} "
+            f"THEN CAST({k} AS BIGINT) ELSE {expr} END"
+        )
+    return expr
+
+
+SQL_BOOTSTRAP_MEAN_CI = f"""
+WITH ex AS (
+  SELECT doc_id, n_chars, t.b,
+         md5(CAST(doc_id AS VARCHAR) || ':boot:' || CAST(t.b AS VARCHAR))
+           AS h
+  FROM documents, UNNEST(generate_series(0, {BOOT_B - 1})) AS t(b)
+), weighted AS (
+  SELECT b, n_chars,
+         {_sql_pois_weight(f"({_sql_md5_poly('h')}) % 1000000")} AS w
+  FROM ex
+)
+SELECT CAST(b AS BIGINT) AS b,
+       CAST(sum(w) AS BIGINT) AS n_eff,
+       round(CAST(sum(w * n_chars) AS DOUBLE)
+             / CAST(sum(w) AS DOUBLE), 6) AS mean_len
+FROM weighted GROUP BY b
+"""
+
+
+# --------------------------------------------------------------------------
+# Per-tool failure-rate triage on the transcript corpus
+# --------------------------------------------------------------------------
+
+
+def q_tool_error_rate_by_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-TOOL failure-rate triage — the agent-ops table that says which
+    tool is breaking: over tool turns, exact hits on the trajectory
+    hard-failure battery (tracebacks, command-not-found, nonzero exit
+    statuses — the trajectory_success_filter markers, so the two
+    operators agree by construction) rolled up per tool name with
+    conversation reach and the round-6 error rate.
+
+    Scale shape: in-row marker flags then ONE tool-keyed rollup with
+    map-side combine; output bounded by the tool vocabulary."""
+    return tool_error_frame(spark.read.parquet(TRANSCRIPTS_PQ))
+
+
+def tool_error_frame(t: DataFrame) -> DataFrame:
+    """Core of q_tool_error_rate_by_tool over any transcript frame."""
+    low = F.lower(F.col("text"))
+    err = F.size(
+        F.regexp_extract_all(low, F.lit(TRAJ_STATUS_RE), 0)
+    ) > 0
+    for m in TRAJ_ERROR_MARKERS:
+        err = err | (F.instr(low, m) > 0)
+    tool_turns = t.filter(
+        (F.col("role") == "tool")
+        & F.col("tool").isNotNull()
+        & F.col("text").isNotNull()
+    )
+    return (
+        tool_turns.select("tool", "conv_id", err.alias("err"))
+        .groupBy("tool")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_calls"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            F.sum(F.when(F.col("err"), 1).otherwise(0)).cast("long").alias(
+                "n_error_calls"
+            ),
+        )
+        .withColumn(
+            "error_rate",
+            F.round(
+                F.col("n_error_calls").cast("double")
+                / F.col("n_calls").cast("double"),
+                6,
+            ),
+        )
+    )
+
+
+_SQL_TOOL_ERR = " OR ".join(
+    [f"length(regexp_extract(lower(text), '{TRAJ_STATUS_RE}')) > 0"]
+    + [
+        f"position('{m}' IN lower(text)) > 0"
+        for m in TRAJ_ERROR_MARKERS
+    ]
+)
+
+SQL_TOOL_ERROR_RATE_BY_TOOL = f"""
+WITH tt AS (
+  SELECT tool, conv_id,
+         ({_SQL_TOOL_ERR}) AS err
+  FROM read_parquet('{TRANSCRIPTS_PQ}')
+  WHERE role = 'tool' AND tool IS NOT NULL AND text IS NOT NULL
+)
+SELECT tool,
+       CAST(count(*) AS BIGINT) AS n_calls,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(sum(CASE WHEN err THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_error_calls,
+       round(CAST(sum(CASE WHEN err THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE), 6) AS error_rate
+FROM tt GROUP BY tool
+"""
+
+
+# --------------------------------------------------------------------------
+# Expected calibration error of the trained quality classifier
+# --------------------------------------------------------------------------
+
+
+def q_classifier_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected calibration error (ECE) of the trained quality
+    classifier — the single scalar the reliability diagram
+    (quality_calibration_bins) summarizes to: Σ_b (n_b/N)·|pos_rate_b −
+    mean_score_b| over the same fixed-width deciles.  Both per-bin rates
+    are round-6 on both engines, so their micro-unit integers make the
+    weighted sum an exact BIGINT before the single final division.
+
+    Scale shape: rides the attested calibration-bin subtree (bounded 10
+    rows); the fold is a 1-row aggregation."""
+    bins = q_quality_calibration_bins(spark, sf_dir)
+    m = bins.select(
+        "n_docs",
+        (
+            F.abs(
+                F.round(F.col("pos_rate") * 1_000_000, 0).cast("long")
+                - F.round(F.col("mean_score") * 1_000_000, 0).cast("long")
+            )
+            * F.col("n_docs")
+        ).alias("gap_mass"),
+    )
+    return m.agg(
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.round(
+            F.sum("gap_mass").cast("double")
+            / (F.sum("n_docs").cast("double") * 1_000_000.0),
+            6,
+        ).alias("ece"),
+    )
+
+
+SQL_CLASSIFIER_ECE = f"""
+WITH bins AS (
+  {SQL_QUALITY_CALIBRATION_BINS}
+), m AS (
+  SELECT n_docs,
+         abs(CAST(round(pos_rate * 1000000, 0) AS BIGINT)
+             - CAST(round(mean_score * 1000000, 0) AS BIGINT))
+           * n_docs AS gap_mass
+  FROM bins
+)
+SELECT CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       round(CAST(sum(gap_mass) AS DOUBLE)
+             / (CAST(sum(n_docs) AS DOUBLE) * 1000000.0), 6) AS ece
+FROM m
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -18488,4 +18723,10 @@ QUERIES: dict[str, tuple] = {
         q_preference_length_bias,
         SQL_PREFERENCE_LENGTH_BIAS,
     ),
+    "bootstrap_mean_ci": (q_bootstrap_mean_ci, SQL_BOOTSTRAP_MEAN_CI),
+    "tool_error_rate_by_tool": (
+        q_tool_error_rate_by_tool,
+        SQL_TOOL_ERROR_RATE_BY_TOOL,
+    ),
+    "classifier_ece": (q_classifier_ece, SQL_CLASSIFIER_ECE),
 }

@@ -107,7 +107,8 @@ def main() -> None:
                  "negative_sampling_plan", "large_volume_orders",
                  "sole_late_supplier", "extract_title_collisions",
                  "uncertainty_sample_topk", "event_rate_anomaly",
-                 "preference_length_bias"):
+                 "preference_length_bias", "bootstrap_mean_ci",
+                 "tool_error_rate_by_tool"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -763,6 +764,17 @@ def main() -> None:
     checks.append(("length-bias audit: 1-row final aggregation, no "
                    "cartesian",
                    "Cartesian" not in full["preference_length_bias"]))
+
+    checks.append(("Poisson bootstrap: single pass, ONE exchange (the "
+                   "32-group rollup with map-side combine), no joins",
+                   len(re.findall(r"\(\d+\) Exchange",
+                                  full["bootstrap_mean_ci"])) == 1
+                   and "Join" not in full["bootstrap_mean_ci"]
+                   and "partial_" in full["bootstrap_mean_ci"]))
+
+    checks.append(("tool error rates: ONE tool-keyed rollup, no joins",
+                   "Join" not in full["tool_error_rate_by_tool"]
+                   and "partial_" in full["tool_error_rate_by_tool"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

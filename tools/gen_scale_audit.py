@@ -230,6 +230,9 @@ SCALE_CLASS = {
     "ndcg_eval": ("shuffle", "both inputs are bounded per-query top-K tables (attested on their own entries); the eval is one (query, vec) equi-join + a rank->discount literal-array lookup + a per-query rollup of exact BIGINTs; discounts precomputed in-process, no engine-side transcendentals"),
     "event_rate_anomaly": ("shuffle", "one (type, hour) rollup with map-side combine; the full hour grid (empty hours included - a dead hour IS the anomaly) expands in-row from a 1-row min/max broadcast; z = (n*c - S1)/sqrt(n*S2 - S1^2) over exact BIGINT moments (group_advantage recipe) - one sqrt + one rounded division"),
     "preference_length_bias": ("shuffle", "rides the pair miner's conv_id-keyed subtree (plus the branch-coverage literal fixture); the audit itself is ONE 1-row aggregation of exact BIGINTs with a null-safe win-rate division"),
+    "bootstrap_mean_ci": ("shuffle", "Poisson bootstrap (Chamandy et al.): B replicate weights expand in-row from the content hash (inverse-CDF micro-unit literals, no RNG state), B x rows into a 32-group rollup with map-side combine - ONE pass and ONE bounded exchange regardless of corpus size"),
+    "tool_error_rate_by_tool": ("shuffle", "in-row marker flags (the trajectory_success_filter battery, shared constants) then ONE tool-keyed rollup with map-side combine; output bounded by the tool vocabulary"),
+    "classifier_ece": ("shuffle", "rides the attested calibration-bin subtree (bounded 10 rows); ECE folds in exact micro-unit integers with a single final division - a 1-row aggregation"),
 }
 
 
