@@ -394,6 +394,11 @@ def main() -> None:
         "bootstrap_mean_ci",
         "tool_error_rate_by_tool",
         "classifier_ece",
+        # round 5, fifty-seventh wave: tool-chain mining, error recovery,
+        # citation grounding.  Excluded from the r04 subtotal.
+        "tool_chain_topk",
+        "agent_error_recovery",
+        "citation_url_check",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -542,6 +547,9 @@ def main() -> None:
         "bootstrap_mean_ci",
         "tool_error_rate_by_tool",
         "classifier_ece",
+        "tool_chain_topk",
+        "agent_error_recovery",
+        "citation_url_check",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

@@ -18244,6 +18244,371 @@ FROM m
 
 
 # --------------------------------------------------------------------------
+# Agent tool-chain mining, error recovery, citation grounding
+# --------------------------------------------------------------------------
+
+CHAIN_CAP = 8    # first tool calls kept in a conversation's chain
+CHAIN_TOPK = 20  # most common chains reported
+
+# Shared crafted fixture for the agent-analytics trio: the smoke corpus is
+# single-tool ('browser', one call per conversation) and its assistant
+# turns cite no URLs, so every interesting branch — multi-tool chains,
+# same-tool recovery vs different-tool non-recovery, grounded vs
+# unsupported vs later-echoed citations, NULL-text call drops — is pinned
+# INSIDE the oracle comparison by these rows (the PREF_FIXTURE pattern).
+# No single quotes in text (the rows embed in a SQL VALUES list).
+AGENT_FIXTURE: list[tuple] = [
+    # recovered: py errors at 1, the SAME tool succeeds at 3
+    ("agent-fix-1", 0, "user", "run the tests", None),
+    ("agent-fix-1", 1, "tool",
+     "Traceback (most recent call last): boom", "py"),
+    ("agent-fix-1", 2, "tool", "ls output fine", "sh"),
+    ("agent-fix-1", 3, "tool", "3 passed", "py"),
+    ("agent-fix-1", 4, "assistant",
+     "fixed; see https://ci.example/run/1 and https://docs.example/a",
+     None),
+    # unresolved: sh errors; the only later success is a DIFFERENT tool
+    ("agent-fix-2", 0, "user", "deploy it", None),
+    ("agent-fix-2", 1, "tool", "bash: deploy: command not found", "sh"),
+    ("agent-fix-2", 2, "tool", "page loaded", "browser"),
+    ("agent-fix-2", 3, "assistant",
+     "deploy failed, docs at https://docs.example/deploy", None),
+    # clean chain + GROUNDED citation (tool turn 1 carries the URL)
+    ("agent-fix-3", 0, "user", "summarize the page", None),
+    ("agent-fix-3", 1, "tool",
+     "content at https://news.example/item?id=7 ok", "browser"),
+    ("agent-fix-3", 2, "tool", "grep found 2 hits", "sh"),
+    ("agent-fix-3", 3, "assistant",
+     "summary cites https://news.example/item?id=7", None),
+    # strictly-earlier rule: the assistant cites at 1, the tool only
+    # echoes the URL at 2 -> NOT grounded; duplicate URL in one turn
+    # collapses to one citation
+    ("agent-fix-4", 0, "user", "find the spec", None),
+    ("agent-fix-4", 1, "assistant",
+     "try https://spec.example/v2 or https://spec.example/v2", None),
+    ("agent-fix-4", 2, "tool", "fetched https://spec.example/v2",
+     "browser"),
+    # NULL-text tool call: counts in the chain, drops from recovery;
+    # the status-regex error has no later sh success -> unresolved
+    ("agent-fix-5", 0, "user", "noop", None),
+    ("agent-fix-5", 1, "tool", None, "sh"),
+    ("agent-fix-5", 2, "tool", "exited with status 2", "sh"),
+]
+
+
+def _agent_fixture_values() -> str:
+    return ", ".join(
+        "('{}', {}, '{}', {}, {})".format(
+            c,
+            i,
+            r,
+            "NULL" if x is None else f"'{x}'",
+            "NULL" if t is None else f"'{t}'",
+        )
+        for c, i, r, x, t in AGENT_FIXTURE
+    )
+
+
+def _agent_corpus(spark: SparkSession) -> DataFrame:
+    base = spark.read.parquet(TRANSCRIPTS_PQ).select(
+        "conv_id", "turn_idx", "role", "text", "tool"
+    )
+    fixture = spark.createDataFrame(
+        AGENT_FIXTURE,
+        "conv_id string, turn_idx int, role string, text string,"
+        " tool string",
+    )
+    return base.unionByName(fixture)
+
+
+_SQL_AGENT_CORPUS = f"""SELECT conv_id, turn_idx, role, text, tool
+  FROM read_parquet('{TRANSCRIPTS_PQ}')
+  UNION ALL
+  SELECT * FROM (VALUES {{values}})
+    v(conv_id, turn_idx, role, text, tool)"""
+
+
+def tool_chain_frame(df: DataFrame) -> DataFrame:
+    """Per-conversation ordered tool-call CHAIN (tool names of tool turns
+    under stable turn ordering, first CHAIN_CAP calls — a NULL-text call
+    is still a call), rolled up to the CHAIN_TOPK most common chains
+    with conversation counts and how many of those hit the cap (count
+    DESC, chain ASC tiebreak — deterministic cross-engine)."""
+    calls = df.filter(
+        (F.col("role") == "tool") & F.col("tool").isNotNull()
+    ).select("conv_id", "turn_idx", "tool")
+    per = calls.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_calls"),
+        F.array_sort(F.collect_list(F.struct("turn_idx", "tool"))).alias(
+            "seq"
+        ),
+    )
+    chain = F.concat_ws(
+        ">",
+        F.slice(
+            F.transform(F.col("seq"), lambda s: s["tool"]), 1, CHAIN_CAP
+        ),
+    )
+    convs = per.select(
+        chain.alias("chain"),
+        (F.col("n_calls") > CHAIN_CAP).alias("truncated"),
+    )
+    agg = convs.groupBy("chain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_convs"),
+        F.sum(F.when(F.col("truncated"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_truncated"),
+    )
+    return agg.orderBy(F.desc("n_convs"), F.asc("chain")).limit(CHAIN_TOPK)
+
+
+def q_tool_chain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-call sequence mining over the agent corpus (smoke transcripts
+    + the shared fixture): the CHAIN_TOPK most common per-conversation
+    tool chains — the workflow fingerprint an agent-data curator reads
+    before deciding which trajectory shapes to train on (see
+    tool_chain_frame).
+
+    Scale shape: one conv_id rollup (per-conversation state bounded by
+    CHAIN_CAP after the slice), one chain-keyed rollup with map-side
+    combine, then TakeOrdered for the top K — no global sort, no
+    joins."""
+    return tool_chain_frame(_agent_corpus(spark))
+
+
+SQL_TOOL_CHAIN_TOPK = f"""
+WITH t AS (
+  {_SQL_AGENT_CORPUS.format(values=_agent_fixture_values())}
+), calls AS (
+  SELECT conv_id, turn_idx, tool FROM t
+  WHERE role = 'tool' AND tool IS NOT NULL
+), per AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_calls,
+         list_slice(list(tool ORDER BY turn_idx), 1, {CHAIN_CAP}) AS seq
+  FROM calls GROUP BY conv_id
+), convs AS (
+  SELECT array_to_string(seq, '>') AS chain,
+         n_calls > {CHAIN_CAP} AS truncated
+  FROM per
+)
+SELECT chain, CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(sum(CASE WHEN truncated THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_truncated
+FROM convs GROUP BY chain
+ORDER BY n_convs DESC, chain ASC LIMIT {CHAIN_TOPK}
+"""
+
+
+def error_recovery_frame(df: DataFrame) -> DataFrame:
+    """Per-conversation tool-error RECOVERY accounting: an errored tool
+    call (the trajectory hard-failure battery) counts as recovered when
+    a STRICTLY LATER call of the SAME tool in the same conversation
+    succeeds — a different tool succeeding does not clear it.  NULL-text
+    calls drop (same rule as tool_error_frame).  Every conversation
+    keeps a coverage row; verdict is clean / recovered (all errors
+    cleared) / unresolved."""
+    low = F.lower(F.col("text"))
+    err = F.size(F.regexp_extract_all(low, F.lit(TRAJ_STATUS_RE), 0)) > 0
+    for m in TRAJ_ERROR_MARKERS:
+        err = err | (F.instr(low, m) > 0)
+    calls = df.filter(
+        (F.col("role") == "tool")
+        & F.col("tool").isNotNull()
+        & F.col("text").isNotNull()
+    ).select("conv_id", "turn_idx", "tool", err.alias("err"))
+    wf = (
+        Window.partitionBy("conv_id", "tool")
+        .orderBy("turn_idx")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    later_ok = F.coalesce(
+        F.max(F.when(~F.col("err"), 1).otherwise(0)).over(wf), F.lit(0)
+    )
+    flagged = calls.withColumn(
+        "recovered", F.col("err") & (later_ok == 1)
+    )
+    per = flagged.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tool_calls"),
+        F.sum(F.when(F.col("err"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_errors"),
+        F.sum(F.when(F.col("recovered"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_recovered"),
+    )
+    convs = df.select("conv_id").distinct()
+    n_err = F.coalesce(F.col("n_errors"), F.lit(0)).cast("long")
+    n_rec = F.coalesce(F.col("n_recovered"), F.lit(0)).cast("long")
+    return convs.join(per, "conv_id", "left").select(
+        "conv_id",
+        F.coalesce(F.col("n_tool_calls"), F.lit(0))
+        .cast("long")
+        .alias("n_tool_calls"),
+        n_err.alias("n_errors"),
+        n_rec.alias("n_recovered"),
+        F.when(n_err == 0, F.lit("clean"))
+        .when(n_rec == n_err, F.lit("recovered"))
+        .otherwise(F.lit("unresolved"))
+        .alias("verdict"),
+    )
+
+
+def q_agent_error_recovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-recovery triage over the agent corpus (see
+    error_recovery_frame) — the SFT-curation split between trajectories
+    that demonstrate recovery (high-value training data) and ones that
+    end on an unresolved failure (rejection-sampling discards).
+
+    Scale shape: in-row marker flags, ONE (conv_id, tool) window
+    (per-key state bounded by conversation length), a conv_id rollup,
+    and a conv_id-keyed coverage left join — every wide operation keys
+    on the conversation."""
+    return error_recovery_frame(_agent_corpus(spark))
+
+
+SQL_AGENT_ERROR_RECOVERY = f"""
+WITH t AS (
+  {_SQL_AGENT_CORPUS.format(values=_agent_fixture_values())}
+), calls AS (
+  SELECT conv_id, turn_idx, tool, ({_SQL_TOOL_ERR}) AS err
+  FROM t WHERE role = 'tool' AND tool IS NOT NULL AND text IS NOT NULL
+), flagged AS (
+  SELECT conv_id, err,
+         err AND coalesce(max(CASE WHEN NOT err THEN 1 ELSE 0 END) OVER (
+           PARTITION BY conv_id, tool ORDER BY turn_idx
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) = 1
+           AS recovered
+  FROM calls
+), per AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_tool_calls,
+         CAST(sum(CASE WHEN err THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
+         CAST(sum(CASE WHEN recovered THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_recovered
+  FROM flagged GROUP BY conv_id
+), convs AS (SELECT DISTINCT conv_id FROM t)
+SELECT convs.conv_id,
+       CAST(coalesce(n_tool_calls, 0) AS BIGINT) AS n_tool_calls,
+       CAST(coalesce(n_errors, 0) AS BIGINT) AS n_errors,
+       CAST(coalesce(n_recovered, 0) AS BIGINT) AS n_recovered,
+       CASE WHEN coalesce(n_errors, 0) = 0 THEN 'clean'
+            WHEN coalesce(n_recovered, 0) = coalesce(n_errors, 0)
+              THEN 'recovered'
+            ELSE 'unresolved' END AS verdict
+FROM convs LEFT JOIN per USING (conv_id)
+"""
+
+
+# Plain-text URL token: scheme to the first whitespace/quote/bracket.
+# Java regex (Spark) and RE2 (DuckDB) read this class identically.
+CITE_URL_RE = "https?://[^\\s\"'<>)\\]]+"
+
+
+def citation_frame(df: DataFrame) -> DataFrame:
+    """Per-conversation citation-grounding audit: every URL an assistant
+    turn cites (distinct within the turn) is grounded iff some STRICTLY
+    EARLIER tool turn of the same conversation carried the same URL —
+    the hallucinated-link check an agent-SFT corpus runs before
+    training on browsing trajectories.  Every conversation keeps a
+    coverage row."""
+    urls = F.array_distinct(
+        F.regexp_extract_all(F.col("text"), F.lit(CITE_URL_RE), 0)
+    )
+    cites = (
+        df.filter((F.col("role") == "assistant") & F.col("text").isNotNull())
+        .select(
+            "conv_id", F.col("turn_idx").alias("a_idx"), urls.alias("urls")
+        )
+        .select("conv_id", "a_idx", F.explode("urls").alias("url"))
+    )
+    seen = (
+        df.filter((F.col("role") == "tool") & F.col("text").isNotNull())
+        .select("conv_id", "turn_idx", urls.alias("urls"))
+        .select("conv_id", "turn_idx", F.explode("urls").alias("url"))
+        .groupBy("conv_id", "url")
+        .agg(F.min("turn_idx").alias("first_tool_idx"))
+    )
+    grounded = F.coalesce(
+        F.col("first_tool_idx") < F.col("a_idx"), F.lit(False)
+    )
+    per = (
+        cites.join(seen, ["conv_id", "url"], "left")
+        .select("conv_id", grounded.alias("grounded"))
+        .groupBy("conv_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_citations"),
+            F.sum(F.when(F.col("grounded"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_grounded"),
+        )
+    )
+    convs = df.select("conv_id").distinct()
+    n_cit = F.coalesce(F.col("n_citations"), F.lit(0)).cast("long")
+    n_gr = F.coalesce(F.col("n_grounded"), F.lit(0)).cast("long")
+    return convs.join(per, "conv_id", "left").select(
+        "conv_id",
+        n_cit.alias("n_citations"),
+        n_gr.alias("n_grounded"),
+        (n_cit - n_gr).alias("n_unsupported"),
+        ((n_cit - n_gr) > 0).alias("unsupported_citation"),
+    )
+
+
+def q_citation_url_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Citation-grounding audit over the agent corpus (see
+    citation_frame).
+
+    Scale shape: in-row URL extraction (no per-row Python), one
+    (conv_id, url) rollup on the tool side, one (conv_id, url) equi-join
+    (never a broadcast of the tool-URL universe), one conv_id rollup +
+    coverage join — all wide operations key on the conversation or the
+    (conversation, url) pair."""
+    return citation_frame(_agent_corpus(spark))
+
+
+_SQL_CITE_RE = CITE_URL_RE.replace("'", "''")
+
+SQL_CITATION_URL_CHECK = f"""
+WITH t AS (
+  {_SQL_AGENT_CORPUS.format(values=_agent_fixture_values())}
+), a AS (
+  SELECT conv_id, turn_idx AS a_idx,
+         list_distinct(regexp_extract_all(text, '{_SQL_CITE_RE}')) AS urls
+  FROM t WHERE role = 'assistant' AND text IS NOT NULL
+), cites AS (
+  SELECT conv_id, a_idx, u.url FROM a, UNNEST(a.urls) AS u(url)
+), turls AS (
+  SELECT s.conv_id, s.turn_idx, u.url
+  FROM (SELECT conv_id, turn_idx,
+               list_distinct(regexp_extract_all(text, '{_SQL_CITE_RE}'))
+                 AS urls
+        FROM t WHERE role = 'tool' AND text IS NOT NULL) s,
+       UNNEST(s.urls) AS u(url)
+), seen AS (
+  SELECT conv_id, url, min(turn_idx) AS first_tool_idx
+  FROM turls GROUP BY conv_id, url
+), pc AS (
+  SELECT c.conv_id,
+         coalesce(s.first_tool_idx < c.a_idx, false) AS grounded
+  FROM cites c LEFT JOIN seen s
+    ON c.conv_id = s.conv_id AND c.url = s.url
+), per AS (
+  SELECT conv_id, CAST(count(*) AS BIGINT) AS n_citations,
+         CAST(sum(CASE WHEN grounded THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_grounded
+  FROM pc GROUP BY conv_id
+), convs AS (SELECT DISTINCT conv_id FROM t)
+SELECT convs.conv_id,
+       CAST(coalesce(n_citations, 0) AS BIGINT) AS n_citations,
+       CAST(coalesce(n_grounded, 0) AS BIGINT) AS n_grounded,
+       CAST(coalesce(n_citations, 0) - coalesce(n_grounded, 0) AS BIGINT)
+         AS n_unsupported,
+       coalesce(n_citations, 0) - coalesce(n_grounded, 0) > 0
+         AS unsupported_citation
+FROM convs LEFT JOIN per USING (conv_id)
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -18729,4 +19094,10 @@ QUERIES: dict[str, tuple] = {
         SQL_TOOL_ERROR_RATE_BY_TOOL,
     ),
     "classifier_ece": (q_classifier_ece, SQL_CLASSIFIER_ECE),
+    "tool_chain_topk": (q_tool_chain_topk, SQL_TOOL_CHAIN_TOPK),
+    "agent_error_recovery": (
+        q_agent_error_recovery,
+        SQL_AGENT_ERROR_RECOVERY,
+    ),
+    "citation_url_check": (q_citation_url_check, SQL_CITATION_URL_CHECK),
 }

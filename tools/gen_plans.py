@@ -108,7 +108,8 @@ def main() -> None:
                  "sole_late_supplier", "extract_title_collisions",
                  "uncertainty_sample_topk", "event_rate_anomaly",
                  "preference_length_bias", "bootstrap_mean_ci",
-                 "tool_error_rate_by_tool"):
+                 "tool_error_rate_by_tool", "tool_chain_topk",
+                 "agent_error_recovery", "citation_url_check"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -775,6 +776,20 @@ def main() -> None:
     checks.append(("tool error rates: ONE tool-keyed rollup, no joins",
                    "Join" not in full["tool_error_rate_by_tool"]
                    and "partial_" in full["tool_error_rate_by_tool"]))
+
+    checks.append(("tool chains: top-K via TakeOrdered (no global sort), "
+                   "no joins",
+                   "TakeOrderedAndProject" in full["tool_chain_topk"]
+                   and "Join" not in full["tool_chain_topk"]))
+
+    checks.append(("error recovery: conv-keyed window + rollup, "
+                   "no cartesian",
+                   "Cartesian" not in full["agent_error_recovery"]
+                   and "Window" in full["agent_error_recovery"]))
+
+    checks.append(("citation grounding: (conv, url) equi-joins only, "
+                   "no cartesian",
+                   "Cartesian" not in full["citation_url_check"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -233,6 +233,9 @@ SCALE_CLASS = {
     "bootstrap_mean_ci": ("shuffle", "Poisson bootstrap (Chamandy et al.): B replicate weights expand in-row from the content hash (inverse-CDF micro-unit literals, no RNG state), B x rows into a 32-group rollup with map-side combine - ONE pass and ONE bounded exchange regardless of corpus size"),
     "tool_error_rate_by_tool": ("shuffle", "in-row marker flags (the trajectory_success_filter battery, shared constants) then ONE tool-keyed rollup with map-side combine; output bounded by the tool vocabulary"),
     "classifier_ece": ("shuffle", "rides the attested calibration-bin subtree (bounded 10 rows); ECE folds in exact micro-unit integers with a single final division - a 1-row aggregation"),
+    "tool_chain_topk": ("shuffle", "one conv_id rollup (per-conversation state bounded by CHAIN_CAP after the slice) then one chain-keyed rollup with map-side combine; top-K via TakeOrdered, no global sort, no joins"),
+    "agent_error_recovery": ("shuffle", "in-row marker flags (shared trajectory battery), ONE (conv_id, tool) window with per-key state bounded by conversation length, a conv_id rollup and a conv_id-keyed coverage left join - every wide op keys on the conversation"),
+    "citation_url_check": ("shuffle", "in-row URL extraction (JVM regex, no per-row Python), a (conv_id, url) rollup on the tool side, a (conv_id, url) equi-join (never broadcasting the tool-URL universe), a conv_id rollup + coverage join"),
 }
 
 
