@@ -399,6 +399,11 @@ def main() -> None:
         "tool_chain_topk",
         "agent_error_recovery",
         "citation_url_check",
+        # round 5, fifty-eighth wave: Q5 local-supplier volume, Q14 promo
+        # share, canned-response audit.  Excluded from the r04 subtotal.
+        "local_supplier_volume",
+        "promo_revenue_share",
+        "assistant_canned_responses",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -550,6 +555,9 @@ def main() -> None:
         "tool_chain_topk",
         "agent_error_recovery",
         "citation_url_check",
+        "local_supplier_volume",
+        "promo_revenue_share",
+        "assistant_canned_responses",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

@@ -18608,6 +18608,201 @@ FROM convs LEFT JOIN per USING (conv_id)
 """
 
 
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — local-supplier volume: revenue from lineitems
+    where the CUSTOMER's nation equals the SUPPLIER's nation (the
+    correlated c_nationkey = s_nationkey equality that distinguishes Q5
+    from a plain star rollup), scoped to one region and one order year,
+    grouped by nation.  (Reference parity: a relational capability query;
+    the reference engine's own test queries cover this join family.)
+
+    Determinism: revenue is a round-2 sum over exact 2-decimal inputs
+    (the q1/nation_revenue recipe); n_name is unique per group so no
+    order ambiguity survives the driver's sorted compare.
+
+    Scale shape: two fact-side equi-join shuffles (lineitem⋈orders on
+    orderkey, ⋈customer on custkey — both key-partitioned, AQE handles
+    skew), then supplier/nation/region broadcast with the Q5 nation
+    equality folded into the supplier join condition; the region and
+    date filters push to their scans.  One bounded groupBy(n_name)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(sup),
+            (li.l_suppkey == sup.s_suppkey)
+            & (cust.c_nationkey == sup.s_nationkey),
+        )
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    return j.groupBy("n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+GROUP BY n_name
+"""
+
+
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promotion-revenue share per ship month over one
+    year: what fraction of revenue came from PROMO-type parts.
+
+    Determinism: promo and total revenue are round-2 sums (the
+    established recipe); the share divides the two ALREADY-ROUNDED sums
+    and rounds to 6 — identical IEEE ops on identical inputs on both
+    engines.  ship_month casts to INT on both sides (DuckDB month() is
+    BIGINT — dtype-kind parity).
+
+    Scale shape: the year filter pushes to the lineitem scan; part is
+    the broadcast dimension (the classic Q14 plan); ONE bounded
+    12-group aggregation with map-side combine."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        F.month("l_shipdate").cast("int").alias("ship_month"),
+        rev.alias("rev"),
+        (F.col("p_type") == "PROMO").alias("promo"),
+    )
+    agg = j.groupBy("ship_month").agg(
+        F.round(
+            F.sum(F.when(F.col("promo"), F.col("rev")).otherwise(F.lit(0.0))),
+            2,
+        ).alias("promo_revenue"),
+        F.round(F.sum("rev"), 2).alias("total_revenue"),
+    )
+    return agg.select(
+        "ship_month",
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            100.0 * F.col("promo_revenue") / F.col("total_revenue"), 6
+        ).alias("promo_share_pct"),
+    )
+
+
+SQL_PROMO_REVENUE_SHARE = """
+WITH j AS (
+  SELECT CAST(month(l_shipdate) AS INT) AS ship_month,
+         l_extendedprice * (1 - l_discount) AS rev,
+         p_type = 'PROMO' AS promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+), agg AS (
+  SELECT ship_month,
+         round(sum(CASE WHEN promo THEN rev ELSE 0 END), 2)
+           AS promo_revenue,
+         round(sum(rev), 2) AS total_revenue
+  FROM j GROUP BY ship_month
+)
+SELECT ship_month, promo_revenue, total_revenue,
+       round(100.0 * promo_revenue / total_revenue, 6) AS promo_share_pct
+FROM agg
+"""
+
+
+# A normalized assistant output repeated across this many DISTINCT
+# conversations is flagged as canned.
+CANNED_MIN_CONVS = 3
+
+
+def canned_response_frame(df: DataFrame) -> DataFrame:
+    """Cross-conversation assistant-output repetition audit: per
+    normalized (lower + trim) assistant text digest, turn and distinct-
+    conversation counts — the canned-response / response-diversity
+    check an SFT corpus runs BEFORE training (a reply pasted into many
+    conversations teaches the template, not the task).  Distinct from
+    agent_loop_detect, which only sees repeats WITHIN one conversation.
+    NULL and whitespace-only outputs drop; n_chars is constant within a
+    digest group (same normalized string), so min() is exact."""
+    norm = F.lower(F.trim(F.col("text")))
+    a = df.filter(
+        (F.col("role") == "assistant")
+        & F.col("text").isNotNull()
+        & (F.length(F.trim(F.col("text"))) > 0)
+    ).select(
+        "conv_id",
+        F.md5(norm).alias("resp_digest"),
+        F.length(norm).cast("long").alias("n_chars"),
+    )
+    return (
+        a.groupBy("resp_digest")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.countDistinct("conv_id").cast("long").alias("n_convs"),
+            F.min("n_chars").alias("n_chars"),
+        )
+        .withColumn("canned", F.col("n_convs") >= F.lit(CANNED_MIN_CONVS))
+    )
+
+
+def q_assistant_canned_responses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canned-response audit over the agent corpus (see
+    canned_response_frame).  The smoke corpus's template-generated
+    replies exercise canned=true; the crafted fixture's unique replies
+    exercise false.
+
+    Scale shape: in-row normalization + md5, then ONE digest-keyed
+    rollup with map-side combine (countDistinct(conv_id) expands to the
+    standard two-phase distinct aggregation on the same digest key) —
+    no joins, no windows."""
+    return canned_response_frame(_agent_corpus(spark))
+
+
+SQL_ASSISTANT_CANNED_RESPONSES = f"""
+WITH t AS (
+  {_SQL_AGENT_CORPUS.format(values=_agent_fixture_values())}
+), a AS (
+  SELECT conv_id, md5(lower(trim(text))) AS resp_digest,
+         CAST(length(lower(trim(text))) AS BIGINT) AS n_chars
+  FROM t
+  WHERE role = 'assistant' AND text IS NOT NULL
+    AND length(trim(text)) > 0
+)
+SELECT resp_digest,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+       CAST(min(n_chars) AS BIGINT) AS n_chars,
+       count(DISTINCT conv_id) >= {CANNED_MIN_CONVS} AS canned
+FROM a GROUP BY resp_digest
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -19100,4 +19295,13 @@ QUERIES: dict[str, tuple] = {
         SQL_AGENT_ERROR_RECOVERY,
     ),
     "citation_url_check": (q_citation_url_check, SQL_CITATION_URL_CHECK),
+    "local_supplier_volume": (
+        q_local_supplier_volume,
+        SQL_LOCAL_SUPPLIER_VOLUME,
+    ),
+    "promo_revenue_share": (q_promo_revenue_share, SQL_PROMO_REVENUE_SHARE),
+    "assistant_canned_responses": (
+        q_assistant_canned_responses,
+        SQL_ASSISTANT_CANNED_RESPONSES,
+    ),
 }

@@ -109,7 +109,9 @@ def main() -> None:
                  "uncertainty_sample_topk", "event_rate_anomaly",
                  "preference_length_bias", "bootstrap_mean_ci",
                  "tool_error_rate_by_tool", "tool_chain_topk",
-                 "agent_error_recovery", "citation_url_check"):
+                 "agent_error_recovery", "citation_url_check",
+                 "local_supplier_volume", "promo_revenue_share",
+                 "assistant_canned_responses"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -790,6 +792,25 @@ def main() -> None:
     checks.append(("citation grounding: (conv, url) equi-joins only, "
                    "no cartesian",
                    "Cartesian" not in full["citation_url_check"]))
+
+    checks.append(("Q5: supplier/nation/region broadcast, date filter "
+                   "pushed to the orders scan",
+                   full["local_supplier_volume"].count("BroadcastExchange")
+                   >= 3
+                   and "1996" in full["local_supplier_volume"][
+                       full["local_supplier_volume"].find("PushedFilters"):]
+                   and "Cartesian" not in full["local_supplier_volume"]))
+
+    checks.append(("Q14: part broadcasts, year filter pushed to the "
+                   "lineitem scan, single bounded agg",
+                   "BroadcastExchange" in full["promo_revenue_share"]
+                   and "PushedFilters: [IsNotNull(l_shipdate)"
+                   in full["promo_revenue_share"]
+                   and "partial_" in full["promo_revenue_share"]))
+
+    checks.append(("canned responses: ONE digest-keyed rollup, no joins",
+                   "Join" not in full["assistant_canned_responses"]
+                   and "partial_" in full["assistant_canned_responses"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -236,6 +236,9 @@ SCALE_CLASS = {
     "tool_chain_topk": ("shuffle", "one conv_id rollup (per-conversation state bounded by CHAIN_CAP after the slice) then one chain-keyed rollup with map-side combine; top-K via TakeOrdered, no global sort, no joins"),
     "agent_error_recovery": ("shuffle", "in-row marker flags (shared trajectory battery), ONE (conv_id, tool) window with per-key state bounded by conversation length, a conv_id rollup and a conv_id-keyed coverage left join - every wide op keys on the conversation"),
     "citation_url_check": ("shuffle", "in-row URL extraction (JVM regex, no per-row Python), a (conv_id, url) rollup on the tool side, a (conv_id, url) equi-join (never broadcasting the tool-URL universe), a conv_id rollup + coverage join"),
+    "local_supplier_volume": ("broadcast", "TPC-H Q5: two fact-side equi-join shuffles (lineitem-orders on orderkey, -customer on custkey, AQE skew-safe), supplier/nation/region broadcast with the Q5 c_nationkey=s_nationkey equality folded into the supplier join; region + date filters push to the scans; one bounded nation groupBy"),
+    "promo_revenue_share": ("broadcast", "TPC-H Q14: year filter pushed to the lineitem scan, part broadcast (the classic Q14 dimension plan), ONE bounded 12-group aggregation with map-side combine; the share divides the two already-rounded sums in the final projection"),
+    "assistant_canned_responses": ("shuffle", "in-row normalization + md5, ONE digest-keyed rollup (countDistinct expands to the standard two-phase distinct agg on the same key) - no joins, no windows; output bounded by distinct assistant outputs"),
 }
 
 
