@@ -404,6 +404,11 @@ def main() -> None:
         "local_supplier_volume",
         "promo_revenue_share",
         "assistant_canned_responses",
+        # round 5, fifty-ninth wave: Q7 volume shipping, Q10 returned-item
+        # revenue, JSONL ingestion audit.  Excluded from the r04 subtotal.
+        "volume_shipping_pairs",
+        "returned_item_revenue",
+        "jsonl_transcript_ingest",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -558,6 +563,9 @@ def main() -> None:
         "local_supplier_volume",
         "promo_revenue_share",
         "assistant_canned_responses",
+        "volume_shipping_pairs",
+        "returned_item_revenue",
+        "jsonl_transcript_ingest",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

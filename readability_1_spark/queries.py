@@ -18803,6 +18803,226 @@ FROM a GROUP BY resp_digest
 """
 
 
+def q_volume_shipping_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — volume shipping between a nation pair: revenue
+    flowing supplier-nation → customer-nation per ship year, both
+    directions of one fixed pair (the classic disjunctive pair filter).
+
+    Determinism: round-2 revenue sums (the established recipe); the
+    (supp_nation, cust_nation, ship_year) group key is unique per row.
+
+    Scale shape: the two-year ship-date filter pushes to the lineitem
+    scan; orders/customer join on their keys (AQE skew-safe);
+    supplier and BOTH nation roles broadcast; the pair filter prunes
+    before the bounded 4-group aggregation."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n1_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_18")
+        & (F.col("cust_nation") == "NATION_19")
+    ) | (
+        (F.col("supp_nation") == "NATION_19")
+        & (F.col("cust_nation") == "NATION_18")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n1), sup.s_nationkey == F.col("n1_key"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
+        .filter(pair)
+    )
+    return j.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("ship_year")
+    ).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SQL_VOLUME_SHIPPING_PAIRS = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS ship_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+       OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
+  AND l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+GROUP BY n1.n_name, n2.n_name, CAST(year(l_shipdate) AS INT)
+"""
+
+
+def q_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item revenue: the top 20 customers by
+    revenue lost to returned lineitems (l_returnflag = 'R'), with their
+    nation — the churn-triage report.
+
+    Determinism: round-2 revenue + c_custkey ASC tiebreak makes the
+    top-20 cut exact on both engines.
+
+    Scale shape: the returnflag filter pushes to the lineitem scan;
+    orders/customer join on their keys; nation broadcasts; top-20 via
+    TakeOrderedAndProject after a custkey-bounded rollup — no global
+    sort materialization."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    nat = _t(spark, sf_dir, "nation")
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    )
+    agg = j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_returned_items"),
+    )
+    return agg.orderBy(F.desc("revenue"), F.asc("c_custkey")).limit(20)
+
+
+SQL_RETURNED_ITEM_REVENUE = """
+SELECT c_custkey, c_name, c_acctbal, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_returned_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+"""
+
+
+# Committed JSONL ingestion fixture (tools/gen_jsonl_fixture.py):
+# 36 corpus turns + 1 duplicate-key line + 4 malformed lines.
+TRANSCRIPTS_JSONL = os.path.join(
+    REPO, "tests", "goldens", "transcripts_sample.jsonl"
+)
+
+
+def jsonl_ingest_stats_frame(lines: DataFrame) -> DataFrame:
+    """Ingest-health rollup over raw JSONL transcript lines — the
+    validation report a 100 TB JSONL drop gets before any row is
+    trusted: line/valid/malformed counts, conversations seen, duplicate
+    (conv_id, turn_idx) keys, HTML-bearing turns, max turn index.  A
+    line is VALID iff it parses as JSON AND carries a conv_id AND an
+    integer-castable turn_idx (get_json_object returns NULL on
+    malformed JSON, so validity is expressible identically on both
+    engines).  One row out."""
+    conv_id = F.get_json_object("value", "$.conv_id")
+    turn_idx = F.expr("try_cast(get_json_object(value, '$.turn_idx') AS INT)")
+    text = F.get_json_object("value", "$.text")
+    p = lines.select(
+        conv_id.alias("conv_id"),
+        turn_idx.alias("turn_idx"),
+        text.alias("text"),
+    ).withColumn(
+        "valid", F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull()
+    )
+    v = F.col("valid")
+    key = F.when(
+        v, F.concat_ws("#", F.col("conv_id"), F.col("turn_idx"))
+    )
+    html = (
+        v
+        & F.col("text").isNotNull()
+        & (F.instr(F.col("text"), "<") > 0)
+    )
+    return p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(F.when(v, 1).otherwise(0)).cast("long").alias("n_valid"),
+        F.sum(F.when(v, 0).otherwise(1)).cast("long").alias("n_malformed"),
+        F.countDistinct(F.when(v, F.col("conv_id")))
+        .cast("long")
+        .alias("n_convs"),
+        (
+            F.sum(F.when(v, 1).otherwise(0)) - F.countDistinct(key)
+        )
+        .cast("long")
+        .alias("n_dup_keys"),
+        F.sum(F.when(html, 1).otherwise(0)).cast("long").alias("n_html_turns"),
+        F.max(F.when(v, F.col("turn_idx"))).cast("long").alias("max_turn_idx"),
+    )
+
+
+def q_jsonl_transcript_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL transcript-source ingestion audit over the committed
+    fixture (see jsonl_ingest_stats_frame) — the line-delimited-JSON
+    source surface: lines read as raw text, fields extracted with
+    get_json_object (NULL on malformed JSON — the PERMISSIVE contract),
+    validity and duplicate-key accounting rolled up.
+
+    Scale shape: the text source splits by line across partitions;
+    parsing is in-row JVM JSON-path extraction (no per-row Python);
+    the rollup is ONE aggregation (the two countDistincts expand to
+    standard two-phase distinct aggs) — no joins, no windows."""
+    return jsonl_ingest_stats_frame(spark.read.text(TRANSCRIPTS_JSONL))
+
+
+SQL_JSONL_TRANSCRIPT_INGEST = f"""
+WITH l AS (
+  SELECT value
+  FROM read_csv('{TRANSCRIPTS_JSONL}',
+                columns={{'value': 'VARCHAR'}}, header=false,
+                delim=e'\\x01', quote='', escape='')
+), p AS (
+  SELECT
+    CASE WHEN json_valid(value)
+         THEN json_extract_string(value, '$.conv_id') END AS conv_id,
+    TRY_CAST(CASE WHEN json_valid(value)
+                  THEN json_extract_string(value, '$.turn_idx') END
+             AS INT) AS turn_idx,
+    CASE WHEN json_valid(value)
+         THEN json_extract_string(value, '$.text') END AS text
+  FROM l
+), v AS (
+  SELECT *, conv_id IS NOT NULL AND turn_idx IS NOT NULL AS valid FROM p
+)
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+       CAST(sum(CASE WHEN valid THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_malformed,
+       CAST(count(DISTINCT CASE WHEN valid THEN conv_id END) AS BIGINT)
+         AS n_convs,
+       CAST(sum(CASE WHEN valid THEN 1 ELSE 0 END)
+            - count(DISTINCT CASE WHEN valid
+                             THEN conv_id || '#' || turn_idx END)
+         AS BIGINT) AS n_dup_keys,
+       CAST(sum(CASE WHEN valid AND text IS NOT NULL
+                     AND instr(text, '<') > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_html_turns,
+       CAST(max(CASE WHEN valid THEN turn_idx END) AS BIGINT)
+         AS max_turn_idx
+FROM v
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -19303,5 +19523,17 @@ QUERIES: dict[str, tuple] = {
     "assistant_canned_responses": (
         q_assistant_canned_responses,
         SQL_ASSISTANT_CANNED_RESPONSES,
+    ),
+    "volume_shipping_pairs": (
+        q_volume_shipping_pairs,
+        SQL_VOLUME_SHIPPING_PAIRS,
+    ),
+    "returned_item_revenue": (
+        q_returned_item_revenue,
+        SQL_RETURNED_ITEM_REVENUE,
+    ),
+    "jsonl_transcript_ingest": (
+        q_jsonl_transcript_ingest,
+        SQL_JSONL_TRANSCRIPT_INGEST,
     ),
 }

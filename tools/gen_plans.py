@@ -111,7 +111,8 @@ def main() -> None:
                  "tool_error_rate_by_tool", "tool_chain_topk",
                  "agent_error_recovery", "citation_url_check",
                  "local_supplier_volume", "promo_revenue_share",
-                 "assistant_canned_responses"):
+                 "assistant_canned_responses", "volume_shipping_pairs",
+                 "returned_item_revenue", "jsonl_transcript_ingest"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -811,6 +812,25 @@ def main() -> None:
     checks.append(("canned responses: ONE digest-keyed rollup, no joins",
                    "Join" not in full["assistant_canned_responses"]
                    and "partial_" in full["assistant_canned_responses"]))
+
+    checks.append(("Q7: supplier + both nation roles broadcast, ship-date "
+                   "window pushed to the lineitem scan",
+                   full["volume_shipping_pairs"].count("BroadcastExchange")
+                   >= 3
+                   and "PushedFilters: [IsNotNull(l_shipdate)"
+                   in full["volume_shipping_pairs"]
+                   and "Cartesian" not in full["volume_shipping_pairs"]))
+
+    checks.append(("Q10: returnflag pushed to the lineitem scan, top-20 "
+                   "via TakeOrdered (no global sort)",
+                   "EqualTo(l_returnflag,R)" in full["returned_item_revenue"]
+                   and "TakeOrderedAndProject"
+                   in full["returned_item_revenue"]))
+
+    checks.append(("JSONL ingest: ONE rollup over the text source, "
+                   "no joins",
+                   "Join" not in full["jsonl_transcript_ingest"]
+                   and "partial_" in full["jsonl_transcript_ingest"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

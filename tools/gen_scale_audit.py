@@ -239,6 +239,9 @@ SCALE_CLASS = {
     "local_supplier_volume": ("broadcast", "TPC-H Q5: two fact-side equi-join shuffles (lineitem-orders on orderkey, -customer on custkey, AQE skew-safe), supplier/nation/region broadcast with the Q5 c_nationkey=s_nationkey equality folded into the supplier join; region + date filters push to the scans; one bounded nation groupBy"),
     "promo_revenue_share": ("broadcast", "TPC-H Q14: year filter pushed to the lineitem scan, part broadcast (the classic Q14 dimension plan), ONE bounded 12-group aggregation with map-side combine; the share divides the two already-rounded sums in the final projection"),
     "assistant_canned_responses": ("shuffle", "in-row normalization + md5, ONE digest-keyed rollup (countDistinct expands to the standard two-phase distinct agg on the same key) - no joins, no windows; output bounded by distinct assistant outputs"),
+    "volume_shipping_pairs": ("broadcast", "TPC-H Q7: two-year ship-date filter pushed to the lineitem scan, orders/customer key joins (AQE skew-safe), supplier + BOTH nation roles broadcast, pair filter prunes before a bounded 4-group agg"),
+    "returned_item_revenue": ("broadcast", "TPC-H Q10: returnflag filter pushed to the lineitem scan, orders/customer key joins, nation broadcast, custkey-bounded rollup then top-20 via TakeOrderedAndProject - no global sort materialization"),
+    "jsonl_transcript_ingest": ("linear", "text source splits by line across partitions; JSON-path extraction is in-row JVM work; ONE rollup (two-phase distinct aggs for the conv/key counts) - no joins, no windows"),
 }
 
 
