@@ -19023,6 +19023,225 @@ FROM v
 """
 
 
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: of all ECONOMY-part
+    revenue sold to EUROPE-region customers over two order years, what
+    share was supplied by NATION_18, per year.  (Reference parity: a
+    relational capability query; the reference engine's own test
+    queries cover this join family.)
+
+    Determinism: nation and total revenue are round-2 sums (the
+    established recipe); the share divides the two ALREADY-ROUNDED sums
+    and rounds to 6 (the Q14 recipe) — identical IEEE ops on identical
+    inputs on both engines.  order_year casts to INT on both sides.
+
+    Scale shape: the two-year order filter pushes to the orders scan
+    and the part-type filter to the part scan; lineitem⋈orders and
+    ⋈customer are the two fact shuffles (key-partitioned, AQE skew
+    handles hot custkeys); part, supplier, both nation roles, and
+    region all broadcast; ONE bounded 2-group aggregation with
+    map-side combine."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n_cust = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"),
+        F.col("n_regionkey").alias("cn_region"),
+    )
+    n_supp = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), cust.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(reg), F.col("cn_region") == reg.r_regionkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(n_supp), sup.s_nationkey == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("order_year"),
+            rev.alias("rev"),
+            (F.col("supp_nation") == "NATION_18").alias("target"),
+        )
+    )
+    agg = j.groupBy("order_year").agg(
+        F.round(
+            F.sum(F.when(F.col("target"), F.col("rev")).otherwise(F.lit(0.0))),
+            2,
+        ).alias("nation_revenue"),
+        F.round(F.sum("rev"), 2).alias("total_revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    return agg.select(
+        "order_year",
+        "nation_revenue",
+        "total_revenue",
+        "n_items",
+        F.round(
+            F.col("nation_revenue") / F.col("total_revenue"), 6
+        ).alias("market_share"),
+    )
+
+
+SQL_NATION_MARKET_SHARE = """
+WITH j AS (
+  SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+         l_extendedprice * (1 - l_discount) AS rev,
+         n2.n_name = 'NATION_18' AS target
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+    AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+), agg AS (
+  SELECT order_year,
+         round(sum(CASE WHEN target THEN rev ELSE 0 END), 2)
+           AS nation_revenue,
+         round(sum(rev), 2) AS total_revenue,
+         count(*) AS n_items
+  FROM j GROUP BY order_year
+)
+SELECT order_year, nation_revenue, total_revenue, n_items,
+       round(nation_revenue / total_revenue, 6) AS market_share
+FROM agg
+"""
+
+
+def q_disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — revenue under an OR of three conjunct groups,
+    each a (p_brand, p_size range, l_quantity range) triple.  The
+    classic disjunctive-predicate plan test: the OR cannot be pushed as
+    a single range but the per-branch conjuncts still prune after the
+    join.  Branches are made mutually exclusive by disjoint p_size
+    ranges so a per-branch rollup is well-defined.
+
+    Determinism: round-2 revenue sums; branch is a unique small-int
+    group key.
+
+    Scale shape: part is the broadcast dimension (the Q19 plan);
+    branch assignment is a JVM-side CASE over broadcast-joined rows;
+    ONE bounded 3-group aggregation with map-side combine."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    b1 = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 10)
+        & q.between(1, 20)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#22")
+        & F.col("p_size").between(11, 25)
+        & q.between(10, 35)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#25")
+        & F.col("p_size").between(26, 50)
+        & q.between(25, 50)
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(b1 | b2 | b3)
+        .select(
+            F.when(b1, 1).when(b2, 2).otherwise(3).alias("branch"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev"
+            ),
+        )
+    )
+    return j.groupBy("branch").agg(
+        F.round(F.sum("rev"), 2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SQL_DISJUNCTIVE_PART_REVENUE = """
+WITH j AS (
+  SELECT CASE
+           WHEN p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+                AND l_quantity BETWEEN 1 AND 20 THEN 1
+           WHEN p_brand = 'Brand#22' AND p_size BETWEEN 11 AND 25
+                AND l_quantity BETWEEN 10 AND 35 THEN 2
+           ELSE 3
+         END AS branch,
+         l_extendedprice * (1 - l_discount) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 10
+         AND l_quantity BETWEEN 1 AND 20)
+     OR (p_brand = 'Brand#22' AND p_size BETWEEN 11 AND 25
+         AND l_quantity BETWEEN 10 AND 35)
+     OR (p_brand = 'Brand#25' AND p_size BETWEEN 26 AND 50
+         AND l_quantity BETWEEN 25 AND 50)
+)
+SELECT branch, round(sum(rev), 2) AS revenue, count(*) AS n_items
+FROM j GROUP BY branch
+"""
+
+
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — forecast revenue change: the revenue that would
+    have been earned (sum of l_extendedprice * l_discount) had
+    mid-range discounts been eliminated on small-quantity 1996
+    shipments.  The canonical full-pushdown probe: every predicate is a
+    scan-level filter, no join at all.
+
+    Determinism: one round-2 sum; single output row.
+
+    Scale shape: ALL three predicates (shipdate range, discount range,
+    quantity cap) push to the parquet scan (PushedFilters), the scan
+    reads only 4 columns, and the single-row aggregate is a map-side
+    partial + 1-row exchange."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+        ).alias("forecast_revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SQL_FORECAST_REVENUE_CHANGE = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS forecast_revenue,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -19535,5 +19754,17 @@ QUERIES: dict[str, tuple] = {
     "jsonl_transcript_ingest": (
         q_jsonl_transcript_ingest,
         SQL_JSONL_TRANSCRIPT_INGEST,
+    ),
+    "nation_market_share": (
+        q_nation_market_share,
+        SQL_NATION_MARKET_SHARE,
+    ),
+    "disjunctive_part_revenue": (
+        q_disjunctive_part_revenue,
+        SQL_DISJUNCTIVE_PART_REVENUE,
+    ),
+    "forecast_revenue_change": (
+        q_forecast_revenue_change,
+        SQL_FORECAST_REVENUE_CHANGE,
     ),
 }

@@ -242,6 +242,9 @@ SCALE_CLASS = {
     "volume_shipping_pairs": ("broadcast", "TPC-H Q7: two-year ship-date filter pushed to the lineitem scan, orders/customer key joins (AQE skew-safe), supplier + BOTH nation roles broadcast, pair filter prunes before a bounded 4-group agg"),
     "returned_item_revenue": ("broadcast", "TPC-H Q10: returnflag filter pushed to the lineitem scan, orders/customer key joins, nation broadcast, custkey-bounded rollup then top-20 via TakeOrderedAndProject - no global sort materialization"),
     "jsonl_transcript_ingest": ("linear", "text source splits by line across partitions; JSON-path extraction is in-row JVM work; ONE rollup (two-phase distinct aggs for the conv/key counts) - no joins, no windows"),
+    "nation_market_share": ("broadcast", "TPC-H Q8: order-year filter pushed to the orders scan and part-type filter to the part scan, lineitem/orders/customer key joins (AQE skew-safe), part + supplier + both nation roles + region broadcast, ONE bounded 2-group agg; share divides already-rounded sums"),
+    "disjunctive_part_revenue": ("broadcast", "TPC-H Q19: part broadcast, OR-of-conjuncts filter evaluated JVM-side after the join (per-branch conjuncts prune), ONE bounded 3-group agg with map-side combine"),
+    "forecast_revenue_change": ("linear", "TPC-H Q6: ALL predicates (shipdate/discount/quantity) push to the parquet scan, 4-column ReadSchema, single-row agg = map-side partial + 1-row exchange"),
 }
 
 
