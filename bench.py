@@ -409,6 +409,15 @@ def main() -> None:
         "volume_shipping_pairs",
         "returned_item_revenue",
         "jsonl_transcript_ingest",
+        # round 5, sixtieth wave: Q8 market share, Q19 disjunctive revenue,
+        # Q6 pushdown probe.  Excluded from the r04 subtotal.
+        "nation_market_share",
+        "disjunctive_part_revenue",
+        "forecast_revenue_change",
+        # round 5, sixty-first wave: PDF round-trip extraction (the north
+        # rule's PDF/layout-parse clause).  Excluded from the r04 subtotal.
+        "pdf_text_extract",
+        "pdf_page_stats",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -566,6 +575,11 @@ def main() -> None:
         "volume_shipping_pairs",
         "returned_item_revenue",
         "jsonl_transcript_ingest",
+        "nation_market_share",
+        "disjunctive_part_revenue",
+        "forecast_revenue_change",
+        "pdf_text_extract",
+        "pdf_page_stats",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

@@ -19242,6 +19242,105 @@ WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
 """
 
 
+def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction end-to-end (the north rule's "PDF/layout
+    parse" clause): the documents corpus is rendered to real PDFs
+    (deterministic char pagination, Flate-compressed content streams)
+    and parsed BACK by the from-scratch extractor in pdf.py — object
+    scan, page-tree walk, FlateDecode, content-stream text interpreter.
+    The oracle computes the same stats directly from the source text,
+    so equality attests the ENTIRE writer+parser round trip per
+    document: page count, span count, char count, and the md5 of the
+    extracted text.
+
+    Determinism: the pagination contract (400-char pages, 80-char
+    lines) is pure integer arithmetic on both engines; md5 hex matches
+    between hashlib (kernel) and DuckDB md5(VARCHAR) on UTF-8 text.
+
+    Scale shape: encode and decode are two chained mapInPandas kernels
+    over Arrow batches — narrow maps, ZERO exchanges end-to-end (the
+    plan is scan → project → two MapInPandas); per-doc cost is linear
+    in document bytes."""
+    from .pdf import pdf_corpus, pdf_features
+
+    docs = _t(spark, sf_dir, "documents")
+    return pdf_features(pdf_corpus(docs))
+
+
+SQL_PDF_TEXT_EXTRACT = """
+SELECT doc_id,
+       'ok' AS status,
+       CAST(greatest(1, CAST(ceil(length(text) / 400.0) AS BIGINT)) AS INT)
+         AS n_pages,
+       CAST(greatest(1, CAST(ceil(length(text) / 80.0) AS BIGINT)) AS INT)
+         AS n_spans,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       md5(text) AS text_digest
+FROM documents
+"""
+
+
+def q_pdf_page_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-PAGE extraction stats from the same PDF round trip: one row
+    per (doc, page) with the page's char count and md5 — the
+    layout-parse half (page reconstruction) attested at page
+    granularity.  The DuckDB twin regenerates the pagination with
+    substr arithmetic over a LATERAL range, so a page-boundary bug on
+    EITHER side (writer, parser, or span→page assignment) breaks the
+    hash.
+
+    Scale shape: same zero-exchange chained-kernel plan as
+    pdf_text_extract; the per-page explode happens inside the Arrow
+    kernel (bounded by doc length / 400)."""
+    import hashlib as _hashlib
+
+    from .pdf import decode_pdf, encode_pdf, page_texts, paginate
+    from .pipeline import ensure_worker_imports
+
+    docs = _t(spark, sf_dir, "documents")
+    ensure_worker_imports(spark)
+
+    def kernel(batches):
+        import pandas as pd
+
+        for batch in batches:
+            rows = []
+            for doc_id, text in zip(batch["doc_id"], batch["text"]):
+                dec = decode_pdf(encode_pdf(paginate(text or "")))
+                for page_idx, page in enumerate(
+                    page_texts(dec["spans"], dec["n_pages"])
+                ):
+                    rows.append(
+                        {
+                            "doc_id": doc_id,
+                            "page_idx": page_idx,
+                            "page_chars": len(page),
+                            "page_digest": _hashlib.md5(
+                                page.encode("utf-8")
+                            ).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        kernel,
+        "doc_id long, page_idx int, page_chars long, page_digest string",
+    )
+
+
+SQL_PDF_PAGE_STATS = """
+SELECT doc_id,
+       CAST(i AS INT) AS page_idx,
+       CAST(length(substr(text, CAST(i * 400 + 1 AS INT), 400)) AS BIGINT)
+         AS page_chars,
+       md5(substr(text, CAST(i * 400 + 1 AS INT), 400)) AS page_digest
+FROM documents,
+     UNNEST(range(greatest(1::BIGINT,
+                           CAST(ceil(length(text) / 400.0) AS BIGINT))))
+       AS t(i)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -19767,4 +19866,6 @@ QUERIES: dict[str, tuple] = {
         q_forecast_revenue_change,
         SQL_FORECAST_REVENUE_CHANGE,
     ),
+    "pdf_text_extract": (q_pdf_text_extract, SQL_PDF_TEXT_EXTRACT),
+    "pdf_page_stats": (q_pdf_page_stats, SQL_PDF_PAGE_STATS),
 }

@@ -245,6 +245,8 @@ SCALE_CLASS = {
     "nation_market_share": ("broadcast", "TPC-H Q8: order-year filter pushed to the orders scan and part-type filter to the part scan, lineitem/orders/customer key joins (AQE skew-safe), part + supplier + both nation roles + region broadcast, ONE bounded 2-group agg; share divides already-rounded sums"),
     "disjunctive_part_revenue": ("broadcast", "TPC-H Q19: part broadcast, OR-of-conjuncts filter evaluated JVM-side after the join (per-branch conjuncts prune), ONE bounded 3-group agg with map-side combine"),
     "forecast_revenue_change": ("linear", "TPC-H Q6: ALL predicates (shipdate/discount/quantity) push to the parquet scan, 4-column ReadSchema, single-row agg = map-side partial + 1-row exchange"),
+    "pdf_text_extract": ("linear", "PDF round trip: encode + decode are two chained mapInPandas Arrow kernels - narrow maps, ZERO exchanges end-to-end; per-doc cost linear in document bytes; oracle equality attests writer+parser per document"),
+    "pdf_page_stats": ("linear", "same zero-exchange chained-kernel plan; the per-page explode happens inside the Arrow kernel (bounded by doc_len/400); DuckDB twin regenerates pagination with substr arithmetic"),
 }
 
 
