@@ -418,6 +418,11 @@ def main() -> None:
         # rule's PDF/layout-parse clause).  Excluded from the r04 subtotal.
         "pdf_text_extract",
         "pdf_page_stats",
+        # round 5, sixty-second wave: source concentration, distinct-n
+        # diversity, cross-source dup matrix.  Excluded from the r04 subtotal.
+        "source_concentration",
+        "corpus_distinct_ngrams",
+        "cross_source_dup_matrix",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -580,6 +585,9 @@ def main() -> None:
         "forecast_revenue_change",
         "pdf_text_extract",
         "pdf_page_stats",
+        "source_concentration",
+        "corpus_distinct_ngrams",
+        "cross_source_dup_matrix",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

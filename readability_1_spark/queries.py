@@ -19341,6 +19341,247 @@ FROM documents,
 """
 
 
+def q_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus source-concentration report: HHI, top-1/top-3 token
+    share, and the Gini coefficient of the per-source token mass — the
+    dataset-card numbers that say whether one snapshot/domain dominates
+    the mix (the hidden failure mode of a naively-unioned 100 TB
+    corpus).
+
+    Determinism: every statistic is computed from INTEGER token sums
+    (Σx, Σx², Σrank·x) with ONE final double division, round-6.  Gini
+    uses the rank-sum identity G = (2·Σi·xᵢ)/(n·Σx) − (n+1)/n over
+    ASC-sorted mass, rewritten on the DESC rank j as
+    Σi·x = (n+1)·Σx − Σj·x so a single DESC row_number serves both the
+    top-k shares and Gini; equal-mass ties cannot flip any sum.
+
+    Scale shape: ONE groupBy(source) with map-side combine collapses
+    the corpus to a bounded source table; the window and final
+    aggregate run on that bounded table only."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(
+            F.split(F.lower(F.col("text")), TOKEN_SPLIT),
+            lambda x: x != "",
+        )
+    )
+    by_src = (
+        docs.select("source", toks.alias("n_toks"))
+        .groupBy("source")
+        .agg(F.sum("n_toks").alias("toks"))
+    )
+    w = Window.orderBy(F.desc("toks"), F.asc("source"))
+    ranked = by_src.select(
+        "toks", F.row_number().over(w).alias("j")
+    )
+    agg = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("toks").alias("total"),
+        F.sum(F.col("toks") * F.col("toks")).alias("sum_sq"),
+        F.sum(F.col("j") * F.col("toks")).alias("sum_jx"),
+        F.sum(F.when(F.col("j") == 1, F.col("toks")).otherwise(F.lit(0))).alias(
+            "top1"
+        ),
+        F.sum(F.when(F.col("j") <= 3, F.col("toks")).otherwise(F.lit(0))).alias(
+            "top3"
+        ),
+    )
+    n = F.col("n").cast("double")
+    total = F.col("total").cast("double")
+    return agg.select(
+        F.col("n").alias("n_sources"),
+        F.col("total").alias("total_tokens"),
+        F.round(F.col("sum_sq").cast("double") / (total * total), 6).alias(
+            "hhi"
+        ),
+        F.round(F.col("top1").cast("double") / total, 6).alias("top1_share"),
+        F.round(F.col("top3").cast("double") / total, 6).alias("top3_share"),
+        F.round(
+            (
+                2.0
+                * (
+                    (F.col("n") + 1) * F.col("total") - F.col("sum_jx")
+                ).cast("double")
+            )
+            / (n * total)
+            - (n + 1) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+SQL_SOURCE_CONCENTRATION = f"""
+WITH s AS (
+  SELECT source,
+         sum(length(list_filter(regexp_split_to_array(lower(text),
+                                                      '{TOKEN_SPLIT}'),
+                                x -> x <> ''))) AS toks
+  FROM documents GROUP BY source
+), r AS (
+  SELECT toks, row_number() OVER (ORDER BY toks DESC, source ASC) AS j
+  FROM s
+), a AS (
+  SELECT count(*) AS n, sum(toks) AS total, sum(toks * toks) AS sum_sq,
+         sum(j * toks) AS sum_jx,
+         sum(CASE WHEN j = 1 THEN toks ELSE 0 END) AS top1,
+         sum(CASE WHEN j <= 3 THEN toks ELSE 0 END) AS top3
+  FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_sources,
+       CAST(total AS BIGINT) AS total_tokens,
+       round(CAST(sum_sq AS DOUBLE)
+             / (CAST(total AS DOUBLE) * CAST(total AS DOUBLE)), 6) AS hhi,
+       round(CAST(top1 AS DOUBLE) / CAST(total AS DOUBLE), 6) AS top1_share,
+       round(CAST(top3 AS DOUBLE) / CAST(total AS DOUBLE), 6) AS top3_share,
+       round(2.0 * CAST((n + 1) * total - sum_jx AS DOUBLE)
+             / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+             - (CAST(n AS DOUBLE) + 1) / CAST(n AS DOUBLE), 6) AS gini
+FROM a
+"""
+
+
+def q_corpus_distinct_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level distinct-n ratios (distinct-1/2/3, Li et al. 2016):
+    distinct n-grams over total n-grams for n ∈ {1,2,3} — the standard
+    generation-diversity metric, here applied to the corpus itself
+    (template-heavy or boilerplate-dominated corpora show collapsed
+    distinct-2/3).  Complements per-doc lexical_diversity (TTR family)
+    and per-doc doc_ngram_novelty: this is the single corpus-wide
+    diversity row a dataset card reports.
+
+    Determinism: integer counts + one round-6 ratio; n is the unique
+    3-row group key.
+
+    Scale shape: n-gram arrays are built IN-ROW with slice/zip_with
+    (no window, no self-join), then ONE explode feeds a 3-group
+    count/countDistinct (two-phase distinct agg on the gram key)."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.filter(
+        F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != ""
+    )
+    base = docs.select(t.alias("t"))
+    sz = F.size("t")
+    empty = F.array().cast("array<string>")
+    bi = F.when(
+        sz >= 2,
+        F.zip_with(
+            F.slice("t", 1, sz - 1),
+            F.slice("t", 2, sz - 1),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+    ).otherwise(empty)
+    tri = F.when(
+        sz >= 3,
+        F.zip_with(
+            F.zip_with(
+                F.slice("t", 1, sz - 2),
+                F.slice("t", 2, sz - 2),
+                lambda x, y: F.concat_ws(" ", x, y),
+            ),
+            F.slice("t", 3, sz - 2),
+            lambda x, y: F.concat_ws(" ", x, y),
+        ),
+    ).otherwise(empty)
+    grams = (
+        base.select(F.lit(1).alias("n"), F.explode("t").alias("gram"))
+        .unionAll(base.select(F.lit(2).alias("n"), F.explode(bi).alias("gram")))
+        .unionAll(
+            base.select(F.lit(3).alias("n"), F.explode(tri).alias("gram"))
+        )
+    )
+    agg = grams.groupBy("n").agg(
+        F.count(F.lit(1)).alias("total_ngrams"),
+        F.countDistinct("gram").alias("distinct_ngrams"),
+    )
+    return agg.select(
+        "n",
+        "total_ngrams",
+        "distinct_ngrams",
+        F.round(
+            F.col("distinct_ngrams").cast("double")
+            / F.col("total_ngrams").cast("double"),
+            6,
+        ).alias("distinct_ratio"),
+    )
+
+
+SQL_CORPUS_DISTINCT_NGRAMS = f"""
+WITH toks AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                     x -> x <> '') AS t
+  FROM documents
+), g AS (
+  SELECT 1 AS n, unnest(t) AS gram FROM toks
+  UNION ALL
+  SELECT 2 AS n,
+         unnest(list_transform(range(1, greatest(length(t), 1)),
+                               i -> t[i] || ' ' || t[i+1])) AS gram
+  FROM toks
+  UNION ALL
+  SELECT 3 AS n,
+         unnest(list_transform(range(1, greatest(length(t) - 1, 1)),
+                               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+           AS gram
+  FROM toks
+), a AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS total_ngrams,
+         CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams
+  FROM g GROUP BY n
+)
+SELECT n, total_ngrams, distinct_ngrams,
+       round(CAST(distinct_ngrams AS DOUBLE)
+             / CAST(total_ngrams AS DOUBLE), 6) AS distinct_ratio
+FROM a
+"""
+
+
+def q_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplicate attribution: MinHash-LSH candidate
+    pairs (the production dedup plan, _minhash_pairs) attributed to
+    unordered (source_a ≤ source_b) pairs — the triage matrix that
+    says WHICH snapshots/domains duplicate each other before a
+    multi-source merge (diagonal = within-source template noise,
+    off-diagonal = crawl overlap).
+
+    Determinism: pair counts only; least/greatest makes the pair key
+    order-free.
+
+    Scale shape: candidates come from the banded-signature bucket plan
+    (never all-pairs); the two doc_id→source hash joins shuffle on
+    doc_id; the output is bounded by |sources|²."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _minhash_pairs(docs)
+    src = docs.select("doc_id", "source")
+    a = src.select(
+        F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+    )
+    b = src.select(
+        F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    )
+
+
+SQL_CROSS_SOURCE_DUP_MATRIX = f"""
+WITH pairs AS ({SQL_DEDUP_MINHASH_LSH})
+SELECT least(da.source, db.source) AS source_a,
+       greatest(da.source, db.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_dup_pairs
+FROM pairs
+JOIN documents da ON doc_a = da.doc_id
+JOIN documents db ON doc_b = db.doc_id
+GROUP BY least(da.source, db.source), greatest(da.source, db.source)
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -19868,4 +20109,16 @@ QUERIES: dict[str, tuple] = {
     ),
     "pdf_text_extract": (q_pdf_text_extract, SQL_PDF_TEXT_EXTRACT),
     "pdf_page_stats": (q_pdf_page_stats, SQL_PDF_PAGE_STATS),
+    "source_concentration": (
+        q_source_concentration,
+        SQL_SOURCE_CONCENTRATION,
+    ),
+    "corpus_distinct_ngrams": (
+        q_corpus_distinct_ngrams,
+        SQL_CORPUS_DISTINCT_NGRAMS,
+    ),
+    "cross_source_dup_matrix": (
+        q_cross_source_dup_matrix,
+        SQL_CROSS_SOURCE_DUP_MATRIX,
+    ),
 }

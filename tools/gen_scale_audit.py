@@ -247,6 +247,9 @@ SCALE_CLASS = {
     "forecast_revenue_change": ("linear", "TPC-H Q6: ALL predicates (shipdate/discount/quantity) push to the parquet scan, 4-column ReadSchema, single-row agg = map-side partial + 1-row exchange"),
     "pdf_text_extract": ("linear", "PDF round trip: encode + decode are two chained mapInPandas Arrow kernels - narrow maps, ZERO exchanges end-to-end; per-doc cost linear in document bytes; oracle equality attests writer+parser per document"),
     "pdf_page_stats": ("linear", "same zero-exchange chained-kernel plan; the per-page explode happens inside the Arrow kernel (bounded by doc_len/400); DuckDB twin regenerates pagination with substr arithmetic"),
+    "source_concentration": ("shuffle", "ONE groupBy(source) with map-side combine collapses the corpus to a bounded source table; the DESC row_number window and final agg run on that bounded table only; all stats from integer sums with one final round-6 division"),
+    "corpus_distinct_ngrams": ("shuffle", "n-gram arrays built IN-ROW with slice/zip_with (no window/self-join); ONE explode feeds a 3-group count/countDistinct (two-phase distinct agg on the gram key)"),
+    "cross_source_dup_matrix": ("bucketed", "candidates from the banded-signature bucket plan (never all-pairs); two doc_id-keyed source joins; output bounded by |sources|^2"),
 }
 
 
