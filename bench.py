@@ -423,6 +423,11 @@ def main() -> None:
         "source_concentration",
         "corpus_distinct_ngrams",
         "cross_source_dup_matrix",
+        # round 5, sixty-third wave: TPC-H Q2/Q9/Q12 shapes.  Excluded
+        # from the r04 subtotal.
+        "min_cost_supplier",
+        "product_type_profit",
+        "shipment_priority_classes",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -588,6 +593,9 @@ def main() -> None:
         "source_concentration",
         "corpus_distinct_ngrams",
         "cross_source_dup_matrix",
+        "min_cost_supplier",
+        "product_type_profit",
+        "shipment_priority_classes",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

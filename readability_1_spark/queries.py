@@ -19582,6 +19582,339 @@ GROUP BY least(da.source, db.source), greatest(da.source, db.source)
 """
 
 
+# Q2-shape part filter and supplier region.
+MINCOST_PART_TYPE = "STANDARD"
+MINCOST_MAX_SIZE = 25
+MINCOST_REGION = "ASIA"
+
+
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — minimum-cost supplier per part: for every
+    STANDARD-type part up to size 25, the ASIA-resident supplier
+    offering the lowest observed unit price.  This schema has no
+    partsupp table, so the part↔supplier offer relation is the one
+    lineitem attests: unit price = l_extendedprice / l_quantity per
+    observed (part, supplier) pair.  Q2's correlated MIN subquery
+    (ps_supplycost = MIN over suppliers in the region) decorrelates to
+    a per-part min aggregate joined back on (partkey, cost) — the
+    classic decorrelation plan lesson — with a min-suppkey tiebreak so
+    cost ties cannot produce two rows per part.
+
+    Determinism: unit prices round-6 BEFORE any min (IEEE division of
+    identical doubles on both engines, then the established round-6
+    recipe); every later comparison operates on those quantized values,
+    and the final tiebreak is an integer min.
+
+    Scale shape: the part filter broadcasts into the offer scan FIRST
+    (only qualifying parts' lineitems survive the scan-side join);
+    offers collapse via ONE groupBy(partkey, suppkey) with map-side
+    combine; the region-resident supplier set broadcasts; the per-part
+    min and join-back shuffle on partkey only (bounded by |part|)."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_type") == MINCOST_PART_TYPE)
+            & (F.col("p_size") <= MINCOST_MAX_SIZE)
+        )
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(
+        F.col("r_name") == MINCOST_REGION
+    )
+    sup_r = (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 6).alias(
+            "unit_cost"
+        ),
+    )
+    offers = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup_r), li.l_suppkey == sup_r.s_suppkey)
+        .groupBy("p_partkey", "l_suppkey")
+        .agg(F.min("unit_cost").alias("cost"))
+    )
+    # The per-part min joins back onto offers (a self-join on the same
+    # lineage): rename the key on the aggregate side so the equality is
+    # unambiguous.
+    minc = (
+        offers.groupBy("p_partkey")
+        .agg(F.min("cost").alias("min_cost"))
+        .select(F.col("p_partkey").alias("mpk"), "min_cost")
+    )
+    winner = (
+        offers.join(
+            minc,
+            (offers.p_partkey == F.col("mpk"))
+            & (offers.cost == F.col("min_cost")),
+        )
+        .groupBy("p_partkey", "min_cost")
+        .agg(F.min("l_suppkey").alias("s_suppkey"))
+    )
+    # Fresh aliases for the final dimension joins: part/sup_r already
+    # feed the offers lineage, and reusing the same Dataset columns
+    # would be ambiguous.
+    part_dim = part.select(
+        F.col("p_partkey").alias("pk"), "p_brand", "p_size"
+    )
+    sup_dim = sup_r.select(
+        F.col("s_suppkey").alias("sk"),
+        "s_name",
+        F.col("n_name").alias("supplier_nation"),
+    )
+    return (
+        winner.join(F.broadcast(part_dim), winner.p_partkey == part_dim.pk)
+        .join(F.broadcast(sup_dim), winner.s_suppkey == sup_dim.sk)
+        .select(
+            "p_partkey",
+            "p_brand",
+            "p_size",
+            "min_cost",
+            "s_suppkey",
+            "s_name",
+            "supplier_nation",
+        )
+    )
+
+
+SQL_MIN_COST_SUPPLIER = f"""
+WITH part_f AS (
+  SELECT p_partkey, p_brand, p_size FROM part
+  WHERE p_type = '{MINCOST_PART_TYPE}' AND p_size <= {MINCOST_MAX_SIZE}
+), sup_r AS (
+  SELECT s_suppkey, s_name, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = '{MINCOST_REGION}'
+), offers AS (
+  SELECT p_partkey, l_suppkey,
+         min(round(l_extendedprice / l_quantity, 6)) AS cost
+  FROM lineitem
+  JOIN part_f ON l_partkey = p_partkey
+  JOIN sup_r ON l_suppkey = s_suppkey
+  GROUP BY p_partkey, l_suppkey
+), minc AS (
+  SELECT p_partkey, min(cost) AS min_cost FROM offers GROUP BY p_partkey
+), winner AS (
+  SELECT o.p_partkey, m.min_cost, min(o.l_suppkey) AS s_suppkey
+  FROM offers o
+  JOIN minc m ON o.p_partkey = m.p_partkey AND o.cost = m.min_cost
+  GROUP BY o.p_partkey, m.min_cost
+)
+SELECT w.p_partkey, p.p_brand, p.p_size, w.min_cost,
+       CAST(w.s_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+       s.n_name AS supplier_nation
+FROM winner w
+JOIN part_f p ON w.p_partkey = p.p_partkey
+JOIN sup_r s ON w.s_suppkey = s.s_suppkey
+"""
+
+
+# Q9-shape: cost model on this schema (no ps_supplycost) — a fixed 60%
+# of the part's retail price per unit supplied.
+PROFIT_COST_PCT = 60
+PROFIT_PART_TYPE = "ECONOMY"
+
+
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-type profit by supplier nation and
+    order year: profit = revenue − supply cost for one part type,
+    rolled up over the full 4-table fact join (lineitem ⋈ orders ⋈
+    part ⋈ supplier ⋈ nation).  This schema has no ps_supplycost, so
+    the cost model is PROFIT_COST_PCT% of p_retailprice per unit —
+    the join/rollup shape (two broadcast dims folded into a fact-fact
+    orderkey join, then a bounded nation × year rollup) is the Q9
+    lesson, not the cost constant.
+
+    Determinism: profit is an EXACT BIGINT in 1e-4-dollar units —
+    extendedprice/retailprice are 2-decimal and discount·100 /
+    quantity are integer-valued, so
+    profit_e4 = ext_cents·(100 − disc100) − PCT·retail_cents·qty
+    is integer arithmetic with zero summation-order risk; ONE final
+    division round-2.
+
+    Scale shape: the part-type filter broadcasts into the lineitem
+    scan; supplier/nation broadcast; the only big shuffle is the
+    lineitem ⋈ orders orderkey equi-join (both key-partitioned, AQE
+    skew-safe); final rollup is bounded (nations × years) with
+    map-side combine."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == PROFIT_PART_TYPE)
+        .select(
+            "p_partkey",
+            F.round(F.col("p_retailprice") * 100, 0)
+            .cast("long")
+            .alias("retail_cents"),
+        )
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("ext_cents"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("disc100"),
+        F.round(F.col("l_quantity"), 0).cast("long").alias("qty"),
+    )
+    j = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+    )
+    profit_e4 = F.col("ext_cents") * (100 - F.col("disc100")) - (
+        F.lit(PROFIT_COST_PCT) * F.col("retail_cents") * F.col("qty")
+    )
+    agg = j.groupBy("n_name", "o_year").agg(
+        F.sum(profit_e4).alias("profit_e4"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+    return agg.select(
+        F.col("n_name").alias("nation"),
+        "o_year",
+        F.round(F.col("profit_e4").cast("double") / 10000.0, 2).alias(
+            "profit"
+        ),
+        "n_items",
+    )
+
+
+SQL_PRODUCT_TYPE_PROFIT = f"""
+WITH li AS (
+  SELECT l_orderkey, l_partkey, l_suppkey,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS ext_cents,
+         CAST(round(l_discount * 100) AS BIGINT) AS disc100,
+         CAST(round(l_quantity) AS BIGINT) AS qty
+  FROM lineitem
+), j AS (
+  SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year,
+         ext_cents * (100 - disc100)
+           - {PROFIT_COST_PCT}
+             * CAST(round(p_retailprice * 100) AS BIGINT) * qty
+           AS profit_e4
+  FROM li
+  JOIN part ON l_partkey = p_partkey AND p_type = '{PROFIT_PART_TYPE}'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON l_orderkey = o_orderkey
+)
+SELECT n_name AS nation, o_year,
+       round(CAST(sum(profit_e4) AS DOUBLE) / 10000.0, 2) AS profit,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM j GROUP BY n_name, o_year
+"""
+
+
+# Q12-shape: a lineitem shipped more than this many days after its
+# order date counts as slow (this schema has no commit/receipt dates
+# or shipmode; l_returnflag plays the grouping role shipmode plays in
+# the published Q12).
+SLOW_SHIP_DAYS = 90
+SLOW_SHIP_YEAR = 1996
+
+
+def q_shipment_priority_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — priority-class counts for slow shipments: per
+    l_returnflag (standing in for l_shipmode, which this schema lacks),
+    among lineitems shipped more than SLOW_SHIP_DAYS after their order
+    date within one ship year, how many belong to HIGH-priority orders
+    (1-URGENT / 2-HIGH) vs lower — the conditional-CASE-sum-after-join
+    aggregation Q12 teaches.  Complements late_shipment_orders (Q4),
+    which counts ORDERS with ≥1 late line via a semi join; this counts
+    LINES and splits them by order priority, so it needs the real inner
+    join.
+
+    Determinism: pure integer counts; l_returnflag is the unique
+    3-row group key.
+
+    Scale shape: the ship-year filter pushes to the lineitem scan; ONE
+    fact-fact equi-join on the natural orderkey shuffle (both sides
+    key-partitioned, AQE skew-safe); the non-equi lateness predicate
+    rides the join; bounded 3-group rollup with map-side combine.
+    Interval arithmetic is wall-clock (timestamp-NTZ safe)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= f"{SLOW_SHIP_YEAR}-01-01")
+            & (F.col("l_shipdate") < f"{SLOW_SHIP_YEAR + 1}-01-01")
+        )
+        .select("l_orderkey", "l_returnflag", "l_shipdate")
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(
+        orders,
+        (li.l_orderkey == orders.o_orderkey)
+        & (
+            li.l_shipdate
+            > orders.o_orderdate + F.expr(f"INTERVAL {SLOW_SHIP_DAYS} DAYS")
+        ),
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    agg = j.groupBy("l_returnflag").agg(
+        F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+            "high_priority_lines"
+        ),
+        F.sum(F.when(high, 0).otherwise(1)).cast("long").alias(
+            "low_priority_lines"
+        ),
+    )
+    return agg.select(
+        "l_returnflag",
+        "high_priority_lines",
+        "low_priority_lines",
+        F.round(
+            F.col("high_priority_lines").cast("double")
+            / (
+                F.col("high_priority_lines") + F.col("low_priority_lines")
+            ).cast("double"),
+            6,
+        ).alias("high_share"),
+    )
+
+
+SQL_SHIPMENT_PRIORITY_CLASSES = f"""
+WITH j AS (
+  SELECT l_returnflag,
+         CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+              THEN 1 ELSE 0 END AS hi
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+   AND l_shipdate > o_orderdate + INTERVAL {SLOW_SHIP_DAYS} DAY
+  WHERE l_shipdate >= '{SLOW_SHIP_YEAR}-01-01'
+    AND l_shipdate < '{SLOW_SHIP_YEAR + 1}-01-01'
+), agg AS (
+  SELECT l_returnflag,
+         CAST(sum(hi) AS BIGINT) AS high_priority_lines,
+         CAST(sum(1 - hi) AS BIGINT) AS low_priority_lines
+  FROM j GROUP BY l_returnflag
+)
+SELECT l_returnflag, high_priority_lines, low_priority_lines,
+       round(CAST(high_priority_lines AS DOUBLE)
+             / CAST(high_priority_lines + low_priority_lines AS DOUBLE),
+             6) AS high_share
+FROM agg
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -20120,5 +20453,14 @@ QUERIES: dict[str, tuple] = {
     "cross_source_dup_matrix": (
         q_cross_source_dup_matrix,
         SQL_CROSS_SOURCE_DUP_MATRIX,
+    ),
+    "min_cost_supplier": (q_min_cost_supplier, SQL_MIN_COST_SUPPLIER),
+    "product_type_profit": (
+        q_product_type_profit,
+        SQL_PRODUCT_TYPE_PROFIT,
+    ),
+    "shipment_priority_classes": (
+        q_shipment_priority_classes,
+        SQL_SHIPMENT_PRIORITY_CLASSES,
     ),
 }

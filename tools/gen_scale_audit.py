@@ -250,6 +250,9 @@ SCALE_CLASS = {
     "source_concentration": ("shuffle", "ONE groupBy(source) with map-side combine collapses the corpus to a bounded source table; the DESC row_number window and final agg run on that bounded table only; all stats from integer sums with one final round-6 division"),
     "corpus_distinct_ngrams": ("shuffle", "n-gram arrays built IN-ROW with slice/zip_with (no window/self-join); ONE explode feeds a 3-group count/countDistinct (two-phase distinct agg on the gram key)"),
     "cross_source_dup_matrix": ("bucketed", "candidates from the banded-signature bucket plan (never all-pairs); two doc_id-keyed source joins; output bounded by |sources|^2"),
+    "min_cost_supplier": ("shuffle", "TPC-H Q2 decorrelation: part filter + region-resident suppliers broadcast into the offer scan; offers collapse via ONE groupBy(part,supp) with map-side combine; per-part min + join-back shuffle on partkey only (bounded by |part|); min-suppkey tiebreak kills cost-tie dup rows"),
+    "product_type_profit": ("shuffle", "TPC-H Q9: part/supplier/nation broadcast; the only big shuffle is the lineitem-orders orderkey equi-join (AQE skew-safe); profit is an exact BIGINT e4 sum (zero summation-order risk) with a bounded nation x year rollup"),
+    "shipment_priority_classes": ("shuffle", "TPC-H Q12: ship-year filter pushes to the lineitem scan; ONE fact-fact orderkey equi-join carrying the non-equi lateness predicate; bounded 3-group CASE-sum rollup with map-side combine"),
 }
 
 
