@@ -428,6 +428,11 @@ def main() -> None:
         "min_cost_supplier",
         "product_type_profit",
         "shipment_priority_classes",
+        # round 5, sixty-fourth wave: TPC-H Q11/Q16/Q20 shapes.  Excluded
+        # from the r04 subtotal.
+        "important_part_stock",
+        "supplier_part_counts",
+        "excess_stock_suppliers",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -596,6 +601,9 @@ def main() -> None:
         "min_cost_supplier",
         "product_type_profit",
         "shipment_priority_classes",
+        "important_part_stock",
+        "supplier_part_counts",
+        "excess_stock_suppliers",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

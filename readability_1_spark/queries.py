@@ -19915,6 +19915,269 @@ FROM agg
 """
 
 
+# Q11-shape: a part is "important" when its supplied value exceeds
+# 1/IMPORTANT_STOCK_DENOM of the nation's total supplied value.
+IMPORTANT_STOCK_DENOM = 1000
+IMPORTANT_STOCK_NATION_RANGE = (0, 5)  # s_nationkey in [0, 5)
+
+
+def q_important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — important stock: parts whose supplied value
+    within one supplier-nation group exceeds a fixed fraction of that
+    group's TOTAL supplied value (the HAVING-against-a-global-scalar
+    plan lesson: the threshold is a 1-row aggregate broadcast into the
+    filter, not a per-group expression).  This schema has no partsupp,
+    so supplied value per part = Σ l_extendedprice over lineitems whose
+    supplier sits in the nation window.
+
+    Determinism: values are exact BIGINT cent sums; the threshold
+    comparison cross-multiplies integers
+    (value_cents · DENOM > total_cents) so no float ever decides
+    membership; share is one final round-6 division for reporting.
+
+    Scale shape: the supplier window broadcasts into the lineitem scan;
+    ONE groupBy(partkey) with map-side combine; the grand total is a
+    1-row aggregate of the bounded per-part table, broadcast back via
+    crossJoin(1 row) — the Q11 scalar plan."""
+    lo, hi = IMPORTANT_STOCK_NATION_RANGE
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .filter((F.col("s_nationkey") >= lo) & (F.col("s_nationkey") < hi))
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("ext_cents"),
+    )
+    per_part = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(
+            F.sum("ext_cents").alias("value_cents"),
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+        )
+    )
+    total = per_part.agg(
+        F.sum("value_cents").alias("total_cents")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_cents") * F.lit(IMPORTANT_STOCK_DENOM)
+            > F.col("total_cents")
+        )
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("value_cents").cast("double") / 100.0, 2).alias(
+                "supplied_value"
+            ),
+            "n_lines",
+            F.round(
+                F.col("value_cents").cast("double")
+                / F.col("total_cents").cast("double"),
+                6,
+            ).alias("value_share"),
+        )
+    )
+
+
+SQL_IMPORTANT_PART_STOCK = f"""
+WITH per_part AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents,
+         CAST(count(*) AS BIGINT) AS n_lines
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey >= {IMPORTANT_STOCK_NATION_RANGE[0]}
+    AND s_nationkey < {IMPORTANT_STOCK_NATION_RANGE[1]}
+  GROUP BY l_partkey
+), total AS (
+  SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents FROM per_part
+)
+SELECT l_partkey AS p_partkey,
+       round(CAST(value_cents AS DOUBLE) / 100.0, 2) AS supplied_value,
+       n_lines,
+       round(CAST(value_cents AS DOUBLE) / CAST(total_cents AS DOUBLE), 6)
+         AS value_share
+FROM per_part, total
+WHERE value_cents * {IMPORTANT_STOCK_DENOM} > total_cents
+"""
+
+
+# Q16-shape exclusions: brands/types the buyer is NOT interested in,
+# and "complaint" suppliers (negative account balance) excluded NOT-IN
+# style.
+PARTCOUNT_EXCL_BRAND = "Brand#1"
+PARTCOUNT_EXCL_TYPE = "PROMO"
+
+
+def q_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — how many DISTINCT suppliers can deliver each
+    (brand, type, size) part class, excluding one brand, one type, and
+    every "complaint" supplier (here: negative account balance) — the
+    NOT-IN anti-join + count-distinct-after-join lesson.  This schema
+    has no partsupp, so the part↔supplier relation is the distinct
+    (l_partkey, l_suppkey) pairs lineitem attests.
+
+    Determinism: integer distinct counts; the (brand, type, size)
+    triple is the unique group key.
+
+    Scale shape: the complaint-supplier set is a bounded broadcast
+    anti-join (NOT IN with non-null keys ≡ left anti); pairs collapse
+    via ONE distinct on (partkey, suppkey) with partial aggregation;
+    part attributes broadcast; final rollup is bounded by the attribute
+    cross-product with a two-phase count-distinct."""
+    bad_sup = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != PARTCOUNT_EXCL_BRAND)
+            & (F.col("p_type") != PARTCOUNT_EXCL_TYPE)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    pairs = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(
+            F.broadcast(bad_sup),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+    )
+    return (
+        pairs.join(F.broadcast(part), F.col("l_partkey") == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+SQL_SUPPLIER_PART_COUNTS = f"""
+WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+  WHERE l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+)
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM pairs
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> '{PARTCOUNT_EXCL_BRAND}' AND p_type <> '{PARTCOUNT_EXCL_TYPE}'
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# Q20-shape: a supplier "dominates" a part's flow when it shipped more
+# than 1/EXCESS_STOCK_DENOM of that part's total quantity in the year.
+EXCESS_STOCK_DENOM = 5
+EXCESS_STOCK_YEAR = 1996
+
+
+def q_excess_stock_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — suppliers holding excess stock: suppliers who,
+    within one ship year, shipped more than 1/EXCESS_STOCK_DENOM of
+    some part's TOTAL shipped quantity (this schema has no
+    ps_availqty, so the "stock > half the year's orders" predicate
+    becomes supplier-share-of-part-flow).  Q20's nested
+    aggregate-inside-IN decorrelates into a per-part total join-back
+    plus a DISTINCT supplier projection — the double-aggregate
+    semi-join plan lesson.
+
+    Determinism: quantities are exact integer-valued doubles → BIGINT
+    sums; the dominance test cross-multiplies integers; per-supplier
+    dominant-part counts are exact.
+
+    Scale shape: year filter pushes to the scan; ONE
+    groupBy(part, supp) with map-side combine; the per-part total is a
+    second bounded rollup joined back on partkey; supplier dimension
+    broadcasts for the name/nation decoration."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= f"{EXCESS_STOCK_YEAR}-01-01")
+            & (F.col("l_shipdate") < f"{EXCESS_STOCK_YEAR + 1}-01-01")
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.round(F.col("l_quantity"), 0).cast("long").alias("qty"),
+        )
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qty").alias("sup_qty")
+    )
+    per_part = per_ps.groupBy("l_partkey").agg(
+        F.sum("sup_qty").alias("part_qty")
+    ).select(F.col("l_partkey").alias("ppk"), "part_qty")
+    dominant = per_ps.join(
+        per_part, per_ps.l_partkey == F.col("ppk")
+    ).filter(
+        F.col("sup_qty") * F.lit(EXCESS_STOCK_DENOM) > F.col("part_qty")
+    )
+    per_sup = dominant.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dominant_parts"),
+        F.sum("sup_qty").alias("dominant_qty"),
+    )
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        per_sup.join(
+            F.broadcast(sup), per_sup.l_suppkey == sup.s_suppkey
+        )
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("n_name").alias("supplier_nation"),
+            "n_dominant_parts",
+            "dominant_qty",
+        )
+    )
+
+
+SQL_EXCESS_STOCK_SUPPLIERS = f"""
+WITH li AS (
+  SELECT l_partkey, l_suppkey, CAST(round(l_quantity) AS BIGINT) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= '{EXCESS_STOCK_YEAR}-01-01'
+    AND l_shipdate < '{EXCESS_STOCK_YEAR + 1}-01-01'
+), per_ps AS (
+  SELECT l_partkey, l_suppkey, CAST(sum(qty) AS BIGINT) AS sup_qty
+  FROM li GROUP BY l_partkey, l_suppkey
+), per_part AS (
+  SELECT l_partkey, CAST(sum(sup_qty) AS BIGINT) AS part_qty
+  FROM per_ps GROUP BY l_partkey
+), dominant AS (
+  SELECT s.l_suppkey, s.sup_qty
+  FROM per_ps s
+  JOIN per_part p ON s.l_partkey = p.l_partkey
+  WHERE s.sup_qty * {EXCESS_STOCK_DENOM} > p.part_qty
+), per_sup AS (
+  SELECT l_suppkey,
+         CAST(count(*) AS BIGINT) AS n_dominant_parts,
+         CAST(sum(sup_qty) AS BIGINT) AS dominant_qty
+  FROM dominant GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, n_name AS supplier_nation,
+       n_dominant_parts, dominant_qty
+FROM per_sup
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -20462,5 +20725,17 @@ QUERIES: dict[str, tuple] = {
     "shipment_priority_classes": (
         q_shipment_priority_classes,
         SQL_SHIPMENT_PRIORITY_CLASSES,
+    ),
+    "important_part_stock": (
+        q_important_part_stock,
+        SQL_IMPORTANT_PART_STOCK,
+    ),
+    "supplier_part_counts": (
+        q_supplier_part_counts,
+        SQL_SUPPLIER_PART_COUNTS,
+    ),
+    "excess_stock_suppliers": (
+        q_excess_stock_suppliers,
+        SQL_EXCESS_STOCK_SUPPLIERS,
     ),
 }

@@ -253,6 +253,9 @@ SCALE_CLASS = {
     "min_cost_supplier": ("shuffle", "TPC-H Q2 decorrelation: part filter + region-resident suppliers broadcast into the offer scan; offers collapse via ONE groupBy(part,supp) with map-side combine; per-part min + join-back shuffle on partkey only (bounded by |part|); min-suppkey tiebreak kills cost-tie dup rows"),
     "product_type_profit": ("shuffle", "TPC-H Q9: part/supplier/nation broadcast; the only big shuffle is the lineitem-orders orderkey equi-join (AQE skew-safe); profit is an exact BIGINT e4 sum (zero summation-order risk) with a bounded nation x year rollup"),
     "shipment_priority_classes": ("shuffle", "TPC-H Q12: ship-year filter pushes to the lineitem scan; ONE fact-fact orderkey equi-join carrying the non-equi lateness predicate; bounded 3-group CASE-sum rollup with map-side combine"),
+    "important_part_stock": ("shuffle", "TPC-H Q11: supplier window broadcasts into the scan; ONE groupBy(partkey) with map-side combine; grand total = 1-row agg of the bounded per-part table crossJoin-broadcast back; membership decided by integer cross-multiplication"),
+    "supplier_part_counts": ("shuffle", "TPC-H Q16: complaint suppliers = bounded broadcast anti-join; ONE distinct on (partkey, suppkey) with partial agg; part attrs broadcast; bounded two-phase count-distinct rollup"),
+    "excess_stock_suppliers": ("shuffle", "TPC-H Q20 decorrelation: year filter pushes to scan; groupBy(part,supp) with map-side combine; per-part total joined back on partkey (bounded); dominance = integer cross-multiply; supplier/nation broadcast decoration"),
 }
 
 
