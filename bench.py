@@ -433,6 +433,11 @@ def main() -> None:
         "important_part_stock",
         "supplier_part_counts",
         "excess_stock_suppliers",
+        # round 5, sixty-fifth wave: backoff LM, df spectrum, RI audit.
+        # Excluded from the r04 subtotal.
+        "trigram_backoff_score",
+        "shingle_df_spectrum",
+        "referential_integrity_audit",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -604,6 +609,9 @@ def main() -> None:
         "important_part_stock",
         "supplier_part_counts",
         "excess_stock_suppliers",
+        "trigram_backoff_score",
+        "shingle_df_spectrum",
+        "referential_integrity_audit",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

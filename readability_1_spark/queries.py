@@ -20178,6 +20178,432 @@ JOIN nation ON s_nationkey = n_nationkey
 """
 
 
+# Stupid-backoff discount (Brants et al. 2007 use 0.4).
+BACKOFF_ALPHA = 0.4
+
+
+def q_trigram_backoff_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stupid-backoff trigram LM score (Brants et al.
+    2007, "Large Language Models in Machine Translation" — the
+    web-scale LM recipe that skips normalization so counts shard
+    trivially): the model trains on the TRAIN hash split only and
+    scores EVERY document position-by-position, backing off
+    trigram → bigram → unigram with a fixed 0.4 discount per level and
+    a hard 0 for OOV words.  Complements lm_perplexity_heldout (Laplace
+    bigram, per-split rollup) with longer context, the production
+    backoff rule, and per-document output — the third LM the quality
+    stack can ensemble.
+
+    Determinism: every ratio is a division of exact BIGINT counts,
+    round-6 BEFORE the discount multiply, round-6 after; per-position
+    scores quantize to integer micro-units so the per-doc mean is an
+    exact integer sum with one final division — zero summation-order
+    risk (the established micro-unit recipe).
+
+    Scale shape: the corpus collapses to (doc, trigram, k) /
+    (doc, bigram, k) count tables with map-side combine (the trigram
+    table is localCheckpoint'ed — it feeds train counts AND scoring);
+    train count tables join back on the gram keys (vocabulary-bounded);
+    the token total is a 1-row broadcast; final rollup is one
+    groupBy(doc_id)."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = _md5_bucket(F.col("doc_id").cast("string"))
+    split = (
+        F.when(bucket < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    ws = F.filter(F.split(F.lower("text"), TOKEN_SPLIT), lambda x: x != "")
+    toked = docs.select(
+        "doc_id", split.alias("split"), ws.alias("ws")
+    ).localCheckpoint()
+
+    def gram_at(arr, n):
+        return lambda i: F.concat_ws(
+            " ", *[F.element_at(arr, i + j) for j in range(n)]
+        )
+
+    def grams(n):
+        # sequence(1, 0) DESCENDS — guard short docs.
+        return F.when(
+            F.size("ws") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size("ws") - (n - 1)),
+                gram_at(F.col("ws"), n),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    # (doc, trigram, k) — feeds the train trigram counts AND scoring.
+    trik = (
+        toked.select("doc_id", "split", F.explode(grams(3)).alias("g"))
+        .groupBy("doc_id", "split", "g")
+        .agg(F.count(F.lit(1)).alias("k"))
+        .localCheckpoint()
+    )
+    tr_bg = toked.filter(F.col("split") == "train").select(
+        F.explode(grams(2)).alias("b")
+    )
+    c3 = (
+        trik.filter(F.col("split") == "train")
+        .groupBy("g")
+        .agg(F.sum("k").alias("c3"))
+        .select(F.col("g").alias("g3"), "c3")
+    )
+    c2 = tr_bg.groupBy("b").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = (
+        toked.filter(F.col("split") == "train")
+        .select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    tot = c1.agg(F.sum("c1").alias("t_toks"))
+
+    pos = trik.select(
+        "doc_id",
+        "split",
+        "g",
+        "k",
+        F.concat_ws(
+            " ",
+            F.split_part(F.col("g"), F.lit(" "), F.lit(1)),
+            F.split_part(F.col("g"), F.lit(" "), F.lit(2)),
+        ).alias("h2"),
+        F.concat_ws(
+            " ",
+            F.split_part(F.col("g"), F.lit(" "), F.lit(2)),
+            F.split_part(F.col("g"), F.lit(" "), F.lit(3)),
+        ).alias("b23"),
+        F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
+        F.split_part(F.col("g"), F.lit(" "), F.lit(3)).alias("w3"),
+    )
+    hist = c2.select(F.col("b").alias("hb"), F.col("c2").alias("c_hist"))
+    num = c2.select(F.col("b").alias("nb"), F.col("c2").alias("c_b23"))
+    c1w2 = c1.select(F.col("w").alias("u2"), F.col("c1").alias("c_w2"))
+    c1w3 = c1.select(F.col("w").alias("u3"), F.col("c1").alias("c_w3"))
+    j = (
+        pos.join(c3, pos.g == c3.g3, "left")
+        .join(hist, pos.h2 == F.col("hb"), "left")
+        .join(num, pos.b23 == F.col("nb"), "left")
+        .join(c1w2, pos.w2 == F.col("u2"), "left")
+        .join(c1w3, pos.w3 == F.col("u3"), "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    a = F.lit(BACKOFF_ALPHA)
+    s = (
+        F.when(
+            F.col("c3").isNotNull(),
+            F.round(
+                F.col("c3").cast("double") / F.col("c_hist").cast("double"),
+                6,
+            ),
+        )
+        .when(
+            F.col("c_b23").isNotNull(),
+            F.round(
+                a
+                * F.round(
+                    F.col("c_b23").cast("double")
+                    / F.col("c_w2").cast("double"),
+                    6,
+                ),
+                6,
+            ),
+        )
+        .when(
+            F.col("c_w3").isNotNull(),
+            F.round(
+                a
+                * a
+                * F.round(
+                    F.col("c_w3").cast("double")
+                    / F.col("t_toks").cast("double"),
+                    6,
+                ),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    scored = j.select(
+        "doc_id",
+        "split",
+        "k",
+        F.round(s * 1000000, 0).cast("long").alias("s_micro"),
+        F.when(F.col("c3").isNull(), F.col("k")).otherwise(F.lit(0)).alias(
+            "bk"
+        ),
+    ).groupBy("doc_id", "split").agg(
+        F.sum("k").cast("long").alias("n_positions"),
+        F.sum(F.col("k") * F.col("s_micro")).alias("sum_micro"),
+        F.sum("bk").cast("long").alias("backoff_k"),
+    )
+    base = toked.select("doc_id", "split")
+    # Half-up INTEGER mean in micro-units — F.round on the chained
+    # double division ties at exact half-micro rationals that are not
+    # binary-representable (Spark's repr-decimal rounds up, DuckDB's
+    # multiply-then-std::round lands just below .5 and rounds down);
+    # (2s + n) div (2n) sidesteps the float boundary entirely.
+    return base.join(scored, ["doc_id", "split"], "left").select(
+        "doc_id",
+        "split",
+        F.coalesce("n_positions", F.lit(0)).cast("long").alias(
+            "n_positions"
+        ),
+        (
+            F.expr(
+                "(2 * sum_micro + n_positions) div (2 * n_positions)"
+            ).cast("double")
+            / 1000000.0
+        ).alias("mean_prob"),
+        (
+            F.expr(
+                "(2 * 1000000 * backoff_k + n_positions)"
+                " div (2 * n_positions)"
+            ).cast("double")
+            / 1000000.0
+        ).alias("backoff_frac"),
+    )
+
+
+SQL_TRIGRAM_BACKOFF_SCORE = f"""
+WITH hx AS (
+  SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+), sp AS (
+  SELECT doc_id,
+         CASE WHEN {_sql_md5_poly('h')} % {SPLIT_BUCKETS} < {SPLIT_TRAIN_LT}
+              THEN 'train'
+              WHEN {_sql_md5_poly('h')} % {SPLIT_BUCKETS} < {SPLIT_VAL_LT}
+              THEN 'val' ELSE 'test' END AS split
+  FROM hx
+), toked AS (
+  SELECT d.doc_id, sp.split,
+         list_filter(regexp_split_to_array(lower(d.text), '{TOKEN_SPLIT}'),
+                     x -> x <> '') AS ws
+  FROM documents d JOIN sp ON d.doc_id = sp.doc_id
+), tri AS (
+  SELECT doc_id, split,
+         unnest(list_transform(generate_series(1, len(ws) - 2),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+  FROM toked WHERE len(ws) >= 3
+), trik AS (
+  SELECT doc_id, split, g, CAST(count(*) AS BIGINT) AS k
+  FROM tri GROUP BY doc_id, split, g
+), c3 AS (
+  SELECT g, CAST(sum(k) AS BIGINT) AS c3 FROM trik
+  WHERE split = 'train' GROUP BY g
+), bg AS (
+  SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                i -> ws[i] || ' ' || ws[i+1])) AS b
+  FROM toked WHERE split = 'train' AND len(ws) >= 2
+), c2 AS (
+  SELECT b, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY b
+), c1 AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(ws) AS w FROM toked WHERE split = 'train')
+  GROUP BY w
+), tot AS (
+  SELECT CAST(sum(c1) AS BIGINT) AS t_toks FROM c1
+), pos AS (
+  SELECT doc_id, split, g, k,
+         split_part(g, ' ', 1) || ' ' || split_part(g, ' ', 2) AS h2,
+         split_part(g, ' ', 2) || ' ' || split_part(g, ' ', 3) AS b23,
+         split_part(g, ' ', 2) AS w2,
+         split_part(g, ' ', 3) AS w3
+  FROM trik
+), j AS (
+  SELECT p.doc_id, p.split, p.k,
+         CASE
+           WHEN c3.c3 IS NOT NULL THEN
+             round(CAST(c3.c3 AS DOUBLE) / CAST(h.c2 AS DOUBLE), 6)
+           WHEN n.c2 IS NOT NULL THEN
+             round({BACKOFF_ALPHA}
+                   * round(CAST(n.c2 AS DOUBLE) / CAST(u2.c1 AS DOUBLE), 6),
+                   6)
+           WHEN u3.c1 IS NOT NULL THEN
+             round({BACKOFF_ALPHA} * {BACKOFF_ALPHA}
+                   * round(CAST(u3.c1 AS DOUBLE)
+                           / CAST(tot.t_toks AS DOUBLE), 6), 6)
+           ELSE 0.0
+         END AS s,
+         CASE WHEN c3.c3 IS NULL THEN p.k ELSE 0 END AS bk
+  FROM pos p
+  LEFT JOIN c3 ON p.g = c3.g
+  LEFT JOIN c2 h ON p.h2 = h.b
+  LEFT JOIN c2 n ON p.b23 = n.b
+  LEFT JOIN c1 u2 ON p.w2 = u2.w
+  LEFT JOIN c1 u3 ON p.w3 = u3.w
+  CROSS JOIN tot
+), scored AS (
+  SELECT doc_id, split,
+         CAST(sum(k) AS BIGINT) AS n_positions,
+         CAST(sum(k * CAST(round(s * 1000000) AS BIGINT)) AS BIGINT)
+           AS sum_micro,
+         CAST(sum(bk) AS BIGINT) AS backoff_k
+  FROM j GROUP BY doc_id, split
+)
+SELECT t.doc_id, t.split,
+       CAST(coalesce(s.n_positions, 0) AS BIGINT) AS n_positions,
+       CAST((2 * s.sum_micro + s.n_positions)
+            // (2 * s.n_positions) AS DOUBLE) / 1000000.0 AS mean_prob,
+       CAST((2 * 1000000 * s.backoff_k + s.n_positions)
+            // (2 * s.n_positions) AS DOUBLE) / 1000000.0 AS backoff_frac
+FROM toked t LEFT JOIN scored s
+  ON t.doc_id = s.doc_id AND t.split = s.split
+"""
+
+
+def q_shingle_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency spectrum: the power-of-two histogram
+    of how many documents each distinct 3-word shingle appears in — the
+    tuning curve every shingle-based dedup stage (minhash banding,
+    prefix filtering, containment) reads before picking thresholds
+    (a fat high-df tail means boilerplate shingles that should be
+    df-capped; prefix filtering already orders by this rarity).
+
+    Determinism: ALL-INTEGER — the bucket is length(bin(df)) (the
+    doclen-sketch bit-length contract, no log2 ulp risk), bounds are
+    integer shifts, counts exact.
+
+    Scale shape: in-row shingle arrays → ONE explode + distinct on
+    (doc, shingle) (two-phase), ONE shingle-keyed df rollup with
+    map-side combine, then a ≤64-row bucket rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.lower("text"), TOKEN_SPLIT), lambda x: x != "")
+    base = docs.select("doc_id", t.alias("ws"))
+
+    def gram_at(arr):
+        return lambda i: F.concat_ws(
+            " ",
+            F.element_at(arr, i),
+            F.element_at(arr, i + 1),
+            F.element_at(arr, i + 2),
+        )
+
+    tri = F.when(
+        F.size("ws") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 2), gram_at(F.col("ws"))
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ds = base.select("doc_id", F.explode(tri).alias("sh")).distinct()
+    df_t = ds.groupBy("sh").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    spec = df_t.select(
+        F.length(F.bin(F.col("df"))).cast("int").alias("df_bucket"), "df"
+    ).groupBy("df_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingles"),
+        F.sum("df").cast("long").alias("total_doc_hits"),
+    )
+    return spec.select(
+        "df_bucket",
+        F.expr("CAST(shiftleft(CAST(1 AS BIGINT), df_bucket - 1) AS BIGINT)")
+        .alias("df_lo"),
+        F.expr(
+            "CAST(shiftleft(CAST(1 AS BIGINT), df_bucket) - 1 AS BIGINT)"
+        ).alias("df_hi"),
+        "n_shingles",
+        "total_doc_hits",
+    )
+
+
+SQL_SHINGLE_DF_SPECTRUM = f"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                     x -> x <> '') AS ws
+  FROM documents
+), ds AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(generate_series(1, len(ws) - 2),
+                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+  FROM toked WHERE len(ws) >= 3
+), dft AS (
+  SELECT sh, CAST(count(*) AS BIGINT) AS df FROM ds GROUP BY sh
+)
+SELECT CAST(length(bin(df)) AS INT) AS df_bucket,
+       CAST(1::BIGINT << (CAST(length(bin(df)) AS INT) - 1) AS BIGINT)
+         AS df_lo,
+       CAST((1::BIGINT << CAST(length(bin(df)) AS INT)) - 1 AS BIGINT)
+         AS df_hi,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(df) AS BIGINT) AS total_doc_hits
+FROM dft
+GROUP BY 1, 2, 3
+"""
+
+
+# Foreign-key relations of the star schema, child -> parent.
+RI_RELATIONS = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def q_referential_integrity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Referential-integrity audit over the star schema: for every
+    foreign-key relation, the child row count and the number of ORPHAN
+    child rows (FK value absent from the parent, NULLs counted as
+    orphans) — the ingest-gate data-quality report a lake runs before
+    trusting joins (an orphan fact row silently vanishes from every
+    inner join downstream).
+
+    Determinism: exact integer counts; the relation string is the
+    unique group key.
+
+    Scale shape: per relation, ONE left join of the child's FK column
+    against the parent's DISTINCT key (parent keys are the bounded
+    side; the big children shuffle on their natural join key — the
+    same exchange the production joins pay) folded straight into a
+    1-row aggregate with map-side combine; 7 bounded rows union."""
+    parts = []
+    for child, ck, parent, pk in RI_RELATIONS:
+        c = _t(spark, sf_dir, child).select(F.col(ck).alias("ck"))
+        p = (
+            _t(spark, sf_dir, parent)
+            .select(F.col(pk).alias("pk"))
+            .distinct()
+        )
+        j = c.join(p, F.col("ck") == F.col("pk"), "left")
+        parts.append(
+            j.agg(
+                F.count(F.lit(1)).cast("long").alias("n_child"),
+                F.sum(
+                    F.when(F.col("pk").isNull(), 1).otherwise(0)
+                ).cast("long").alias("n_orphans"),
+            ).select(
+                F.lit(f"{child}.{ck} -> {parent}.{pk}").alias("relation"),
+                "n_child",
+                "n_orphans",
+                (F.col("n_orphans") == 0).alias("intact"),
+            )
+        )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionAll(p_)
+    return out
+
+
+SQL_REFERENTIAL_INTEGRITY_AUDIT = "\nUNION ALL\n".join(
+    f"""
+SELECT '{child}.{ck} -> {parent}.{pk}' AS relation,
+       CAST(count(*) AS BIGINT) AS n_child,
+       CAST(sum(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_orphans,
+       sum(CASE WHEN p.pk IS NULL THEN 1 ELSE 0 END) = 0 AS intact
+FROM {child} c
+LEFT JOIN (SELECT DISTINCT {pk} AS pk FROM {parent}) p
+  ON c.{ck} = p.pk
+"""
+    for child, ck, parent, pk in RI_RELATIONS
+)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -20737,5 +21163,17 @@ QUERIES: dict[str, tuple] = {
     "excess_stock_suppliers": (
         q_excess_stock_suppliers,
         SQL_EXCESS_STOCK_SUPPLIERS,
+    ),
+    "trigram_backoff_score": (
+        q_trigram_backoff_score,
+        SQL_TRIGRAM_BACKOFF_SCORE,
+    ),
+    "shingle_df_spectrum": (
+        q_shingle_df_spectrum,
+        SQL_SHINGLE_DF_SPECTRUM,
+    ),
+    "referential_integrity_audit": (
+        q_referential_integrity_audit,
+        SQL_REFERENTIAL_INTEGRITY_AUDIT,
     ),
 }

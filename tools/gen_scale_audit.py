@@ -256,6 +256,9 @@ SCALE_CLASS = {
     "important_part_stock": ("shuffle", "TPC-H Q11: supplier window broadcasts into the scan; ONE groupBy(partkey) with map-side combine; grand total = 1-row agg of the bounded per-part table crossJoin-broadcast back; membership decided by integer cross-multiplication"),
     "supplier_part_counts": ("shuffle", "TPC-H Q16: complaint suppliers = bounded broadcast anti-join; ONE distinct on (partkey, suppkey) with partial agg; part attrs broadcast; bounded two-phase count-distinct rollup"),
     "excess_stock_suppliers": ("shuffle", "TPC-H Q20 decorrelation: year filter pushes to scan; groupBy(part,supp) with map-side combine; per-part total joined back on partkey (bounded); dominance = integer cross-multiply; supplier/nation broadcast decoration"),
+    "trigram_backoff_score": ("shuffle", "stupid backoff (Brants 2007, the web-scale LM that shards counts without normalization): corpus collapses to (doc, gram, k) tables with map-side combine (trigram table checkpointed once - feeds train counts AND scoring); train count tables join back on vocab-bounded gram keys; per-doc mean is an exact integer half-up division (no float-boundary round)"),
+    "shingle_df_spectrum": ("shuffle", "in-row shingle arrays -> ONE explode+distinct on (doc, shingle) -> shingle-keyed df rollup with map-side combine -> <=64-row bit-length bucket rollup (the doclen-sketch all-integer contract)"),
+    "referential_integrity_audit": ("shuffle", "per FK relation: child FK column left-joins the parent DISTINCT key and folds straight into a 1-row aggregate (children shuffle on their natural join keys - the same exchange production joins pay); 7-row union output"),
 }
 
 
