@@ -438,6 +438,10 @@ def main() -> None:
         "trigram_backoff_score",
         "shingle_df_spectrum",
         "referential_integrity_audit",
+        # round 5, sixty-sixth wave: hard-negative mining, tool output
+        # stats.  Excluded from the r04 subtotal.
+        "embedding_hard_negatives",
+        "tool_output_stats",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -612,6 +616,8 @@ def main() -> None:
         "trigram_backoff_score",
         "shingle_df_spectrum",
         "referential_integrity_audit",
+        "embedding_hard_negatives",
+        "tool_output_stats",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

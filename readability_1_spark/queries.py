@@ -20604,6 +20604,175 @@ LEFT JOIN (SELECT DISTINCT {pk} AS pk FROM {parent}) p
 )
 
 
+HARDNEG_N_QUERIES = 5
+HARDNEG_TOPK = 3
+
+
+def q_embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for embedding-model training (the ANCE /
+    SimCSE-style negative selection): for each query vector, the top-K
+    most-cosine-similar vectors that sit in a DIFFERENT kmeans cluster —
+    near the anchor in raw space but semantically apart per the coarse
+    clustering, exactly the negatives that teach a contrastive model the
+    boundary (random negatives are too easy; same-cluster ones risk
+    false negatives).  Complements contrastive_pair_mining (text-bucket
+    negatives) with embedding-space selection over the trained
+    quantizer.
+
+    Determinism: the kmeans recipe's own round-6 distances and
+    centroid_id/vec_id tiebreaks; cosine round-6; rank window ordered
+    (cosine DESC, vec_id ASC).
+
+    Scale shape: training is the shared Lloyd loop (broadcast
+    assignment, checkpointed); the assignment table materializes ONCE
+    (localCheckpoint — it feeds the query side AND the corpus side);
+    queries broadcast, so candidate generation is a bounded crossJoin
+    (K query rows), never corpus × corpus; ONE query-partitioned rank
+    window."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    cent = _kmeans_centroids(spark, sf_dir)
+    assigned = (
+        _kmeans_assign(emb, cent)
+        .select("vec_id", "embedding", "centroid_id")
+        .localCheckpoint()
+    )
+    queries = assigned.filter(F.col("vec_id") < HARDNEG_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("centroid_id").alias("q_centroid"),
+    )
+    pairs = assigned.crossJoin(F.broadcast(queries)).filter(
+        F.col("centroid_id") != F.col("q_centroid")
+    )
+    cosine = F.round(
+        _dot(F.col("q_emb"), F.col("embedding"))
+        / (
+            F.sqrt(_dot(F.col("q_emb"), F.col("q_emb")))
+            * F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+        ),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        pairs.withColumn("cosine", cosine)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HARDNEG_TOPK)
+        .select(
+            "query_id",
+            "q_centroid",
+            "rank",
+            F.col("vec_id").alias("neg_id"),
+            F.col("centroid_id").alias("neg_centroid"),
+            "cosine",
+        )
+    )
+
+
+SQL_EMBEDDING_HARD_NEGATIVES = f"""
+WITH c0 AS (
+  SELECT vec_id AS centroid_id,
+         list_transform(embedding, x -> round(CAST(x AS DOUBLE), 6)) AS c_emb
+  FROM embeddings WHERE vec_id < {KMEANS_K}
+),
+{", ".join(_sql_kmeans_iter(n) for n in range(1, KMEANS_ITERS + 1))},
+d AS (
+  SELECT e.vec_id, e.embedding, c.centroid_id,
+         row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           {_sql_kmeans_dist('c')} ASC, c.centroid_id ASC) AS rn
+  FROM embeddings e, c{KMEANS_ITERS} c
+), a AS (
+  SELECT vec_id, embedding, centroid_id FROM d WHERE rn = 1
+), q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb,
+         centroid_id AS q_centroid
+  FROM a WHERE vec_id < {HARDNEG_N_QUERIES}
+), pairs AS (
+  SELECT q.query_id, q.q_centroid, a.vec_id, a.centroid_id,
+         round(
+           list_sum(list_transform(generate_series(1, len(a.embedding)),
+             i -> CAST(q.q_emb[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(q.q_emb,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(a.embedding,
+                x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS cosine
+  FROM a, q
+  WHERE a.centroid_id <> q.q_centroid
+), ranked AS (
+  SELECT query_id, q_centroid, vec_id, centroid_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM pairs
+)
+SELECT query_id, q_centroid, CAST(rank AS BIGINT) AS rank,
+       vec_id AS neg_id, centroid_id AS neg_centroid, cosine
+FROM ranked WHERE rank <= {HARDNEG_TOPK}
+"""
+
+
+def q_tool_output_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool output-size budget table over the agent corpus: call
+    counts, conversations touched, NULL-output calls, total/max chars
+    and the integer half-up mean — the context-budget planning numbers
+    an agent-SFT pipeline reads before deciding which tool outputs to
+    truncate (one oversized tool dominates the token budget long before
+    any model sees it).  Complements tool_error_rate_by_tool (failure
+    markers) and tool_chain_topk (sequence mining) with the SIZE axis.
+
+    Determinism: exact integer counts/sums; mean via the
+    (2s + n) div (2n) half-up integer recipe (no float boundary).
+
+    Scale shape: role filter pushes to the scan; ONE bounded
+    groupBy(tool) with map-side combine (countDistinct two-phase)."""
+    t = _agent_corpus(spark).filter(F.col("role") == "tool")
+    g = t.groupBy("tool").agg(
+        F.count(F.lit(1)).cast("long").alias("n_calls"),
+        F.countDistinct("conv_id").cast("long").alias("n_convs"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_outputs"),
+        F.sum(F.coalesce(F.length("text"), F.lit(0)))
+        .cast("long")
+        .alias("total_chars"),
+        F.max(F.coalesce(F.length("text"), F.lit(0)))
+        .cast("long")
+        .alias("max_chars"),
+    )
+    return g.select(
+        "tool",
+        "n_calls",
+        "n_convs",
+        "n_null_outputs",
+        "total_chars",
+        "max_chars",
+        F.expr("(2 * total_chars + n_calls) div (2 * n_calls)")
+        .cast("long")
+        .alias("mean_chars"),
+    )
+
+
+SQL_TOOL_OUTPUT_STATS = f"""
+WITH t AS (
+  {_SQL_AGENT_CORPUS.format(values=_agent_fixture_values())}
+), g AS (
+  SELECT tool,
+         CAST(count(*) AS BIGINT) AS n_calls,
+         CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs,
+         CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_null_outputs,
+         CAST(sum(coalesce(length(text), 0)) AS BIGINT) AS total_chars,
+         CAST(max(coalesce(length(text), 0)) AS BIGINT) AS max_chars
+  FROM t WHERE role = 'tool' GROUP BY tool
+)
+SELECT tool, n_calls, n_convs, n_null_outputs, total_chars, max_chars,
+       CAST((2 * total_chars + n_calls) // (2 * n_calls) AS BIGINT)
+         AS mean_chars
+FROM g
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -21176,4 +21345,9 @@ QUERIES: dict[str, tuple] = {
         q_referential_integrity_audit,
         SQL_REFERENTIAL_INTEGRITY_AUDIT,
     ),
+    "embedding_hard_negatives": (
+        q_embedding_hard_negatives,
+        SQL_EMBEDDING_HARD_NEGATIVES,
+    ),
+    "tool_output_stats": (q_tool_output_stats, SQL_TOOL_OUTPUT_STATS),
 }

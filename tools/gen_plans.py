@@ -112,7 +112,8 @@ def main() -> None:
                  "agent_error_recovery", "citation_url_check",
                  "local_supplier_volume", "promo_revenue_share",
                  "assistant_canned_responses", "volume_shipping_pairs",
-                 "returned_item_revenue", "jsonl_transcript_ingest"):
+                 "returned_item_revenue", "jsonl_transcript_ingest",
+                 "embedding_hard_negatives", "tool_output_stats"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -831,6 +832,19 @@ def main() -> None:
                    "no joins",
                    "Join" not in full["jsonl_transcript_ingest"]
                    and "partial_" in full["jsonl_transcript_ingest"]))
+
+    checks.append(("hard negatives: kmeans assignment materializes ONCE "
+                   "(no parquet re-scan), query side broadcasts, "
+                   "no cartesian",
+                   "Scan parquet" not in full["embedding_hard_negatives"]
+                   and "Broadcast" in full["embedding_hard_negatives"]
+                   and "CartesianProduct"
+                   not in full["embedding_hard_negatives"]))
+
+    checks.append(("tool output stats: ONE bounded tool rollup with "
+                   "map-side combine, no joins",
+                   "Join" not in full["tool_output_stats"]
+                   and "partial_" in full["tool_output_stats"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

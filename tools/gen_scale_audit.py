@@ -259,6 +259,8 @@ SCALE_CLASS = {
     "trigram_backoff_score": ("shuffle", "stupid backoff (Brants 2007, the web-scale LM that shards counts without normalization): corpus collapses to (doc, gram, k) tables with map-side combine (trigram table checkpointed once - feeds train counts AND scoring); train count tables join back on vocab-bounded gram keys; per-doc mean is an exact integer half-up division (no float-boundary round)"),
     "shingle_df_spectrum": ("shuffle", "in-row shingle arrays -> ONE explode+distinct on (doc, shingle) -> shingle-keyed df rollup with map-side combine -> <=64-row bit-length bucket rollup (the doclen-sketch all-integer contract)"),
     "referential_integrity_audit": ("shuffle", "per FK relation: child FK column left-joins the parent DISTINCT key and folds straight into a 1-row aggregate (children shuffle on their natural join keys - the same exchange production joins pay); 7-row union output"),
+    "embedding_hard_negatives": ("broadcast", "kmeans training is the shared checkpointed Lloyd loop; the assignment table materializes ONCE (feeds query + corpus sides); the 5-row query set broadcasts so candidate generation is corpus x K (bounded crossJoin), never corpus x corpus; ONE query-partitioned rank window over K bounded groups"),
+    "tool_output_stats": ("linear", "role filter pushes to the scan; ONE bounded groupBy(tool) with map-side combine (countDistinct two-phase on the same key); half-up integer mean, no float boundary"),
 }
 
 
