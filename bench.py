@@ -442,6 +442,11 @@ def main() -> None:
         # stats.  Excluded from the r04 subtotal.
         "embedding_hard_negatives",
         "tool_output_stats",
+        # round 5, sixty-seventh wave: ROUGE pair verification, robots
+        # meta flags, TextRank keywords.  Excluded from the r04 subtotal.
+        "rouge_overlap_pairs",
+        "robots_meta_flags",
+        "textrank_keywords",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -618,6 +623,9 @@ def main() -> None:
         "referential_integrity_audit",
         "embedding_hard_negatives",
         "tool_output_stats",
+        "rouge_overlap_pairs",
+        "robots_meta_flags",
+        "textrank_keywords",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

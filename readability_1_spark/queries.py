@@ -20773,6 +20773,381 @@ FROM g
 """
 
 
+def q_rouge_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1/ROUGE-2 overlap verification of the minhash-LSH candidate
+    pairs — the summarization-style CLIPPED-count overlap (per n-gram,
+    min of the two occurrence counts) that set measures (Jaccard,
+    containment) blur for repetitive text: a doc that repeats a phrase
+    10x and one that has it once share the full phrase set but only one
+    clipped occurrence.  Candidates come from _minhash_pairs (never
+    all-pairs).  recall = ov/n_a, precision = ov/n_b, and F1 reduces to
+    the Dice identity 2*ov/(n_a+n_b) — so every metric is a round-6
+    integer quotient, which Spark and DuckDB round identically
+    (CLAUDE.md integer-quotient note); no rounded-of-rounded floats.
+    Zero-overlap candidate pairs keep a row (ov 0) so banding noise is
+    visible.  Candidate docs always have >= 3 tokens (no shingles
+    otherwise), so no zero denominators.
+
+    Scale shape: the candidate table materializes ONCE (localCheckpoint
+    — it feeds the unigram AND bigram overlap joins); per-doc n-gram
+    count tables build with map-side combine and are checkpointed (each
+    feeds both pair sides); overlap joins are candidate-bounded
+    (cand x tokens-per-doc), never corpus x corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = _minhash_pairs(docs).localCheckpoint(eager=True)
+    toks = docs.select(
+        "doc_id",
+        F.filter(
+            F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != ""
+        ).alias("ws"),
+    )
+    uni = (
+        toks.select("doc_id", F.explode("ws").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    bg = F.when(
+        F.size("ws") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at("ws", i), F.element_at("ws", i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = (
+        toks.select("doc_id", F.explode(bg).alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    st = toks.select(
+        "doc_id",
+        F.size("ws").cast("long").alias("n1"),
+        F.greatest(F.size("ws") - 1, F.lit(0)).cast("long").alias("n2"),
+    )
+
+    def _overlap(counts: DataFrame, name: str) -> DataFrame:
+        a = counts.select(
+            F.col("doc_id").alias("doc_a"), "g", F.col("c").alias("ca")
+        )
+        b = counts.select(
+            F.col("doc_id").alias("doc_b"), "g", F.col("c").alias("cb")
+        )
+        return (
+            cand.join(a, "doc_a")
+            .join(b, ["doc_b", "g"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.least("ca", "cb")).cast("long").alias(name))
+        )
+
+    sa = st.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n1").alias("n1_a"),
+        F.col("n2").alias("n2_a"),
+    )
+    sb = st.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n1").alias("n1_b"),
+        F.col("n2").alias("n2_b"),
+    )
+    m = (
+        cand.join(_overlap(uni, "ov1"), ["doc_a", "doc_b"], "left")
+        .join(_overlap(bi, "ov2"), ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("ov1", F.lit(0)).alias("ov1"),
+            F.coalesce("ov2", F.lit(0)).alias("ov2"),
+            "n1_a",
+            "n1_b",
+            "n2_a",
+            "n2_b",
+        )
+    )
+    return m.select(
+        "doc_a",
+        "doc_b",
+        "ov1",
+        "ov2",
+        "n1_a",
+        "n1_b",
+        "n2_a",
+        "n2_b",
+        F.round(F.col("ov1") / F.col("n1_a"), 6).alias("rouge1_r"),
+        F.round(F.col("ov1") / F.col("n1_b"), 6).alias("rouge1_p"),
+        F.round(2 * F.col("ov1") / (F.col("n1_a") + F.col("n1_b")), 6).alias(
+            "rouge1_f"
+        ),
+        F.round(2 * F.col("ov2") / (F.col("n2_a") + F.col("n2_b")), 6).alias(
+            "rouge2_f"
+        ),
+    )
+
+
+SQL_ROUGE_OVERLAP_PAIRS = (
+    _SHINGLES_SQL
+    + f"""
+  , minhashes AS (
+    SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minh
+    FROM shingles, UNNEST(generate_series(0, {N_MINHASH - 1})) AS s(seed)
+    GROUP BY doc_id, seed
+  ),
+  bands AS (
+    SELECT doc_id, CAST(seed // {N_MINHASH // N_BANDS} AS INT) AS band,
+           md5(string_agg(minh, ',' ORDER BY seed)) AS sig
+    FROM minhashes GROUP BY doc_id, CAST(seed // {N_MINHASH // N_BANDS} AS INT)
+  ),
+  cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  ),
+  u AS (
+    SELECT doc_id, ws[i] AS g
+    FROM toks, UNNEST(generate_series(1, len(ws))) AS t(i)
+  ),
+  uc AS (
+    SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM u
+    GROUP BY doc_id, g
+  ),
+  bg AS (
+    SELECT doc_id, ws[i] || ' ' || ws[i+1] AS g
+    FROM toks, UNNEST(generate_series(1, greatest(len(ws) - 1, 0))) AS t(i)
+  ),
+  bc AS (
+    SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c FROM bg
+    GROUP BY doc_id, g
+  ),
+  st AS (
+    SELECT doc_id, CAST(len(ws) AS BIGINT) AS n1,
+           CAST(greatest(len(ws) - 1, 0) AS BIGINT) AS n2
+    FROM toks
+  ),
+  o1 AS (
+    SELECT c.doc_a, c.doc_b, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov1
+    FROM cand c JOIN uc a ON a.doc_id = c.doc_a
+    JOIN uc b ON b.doc_id = c.doc_b AND b.g = a.g
+    GROUP BY c.doc_a, c.doc_b
+  ),
+  o2 AS (
+    SELECT c.doc_a, c.doc_b, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov2
+    FROM cand c JOIN bc a ON a.doc_id = c.doc_a
+    JOIN bc b ON b.doc_id = c.doc_b AND b.g = a.g
+    GROUP BY c.doc_a, c.doc_b
+  ),
+  m AS (
+    SELECT c.doc_a, c.doc_b,
+           coalesce(o1.ov1, 0) AS ov1, coalesce(o2.ov2, 0) AS ov2,
+           sa.n1 AS n1_a, sb.n1 AS n1_b, sa.n2 AS n2_a, sb.n2 AS n2_b
+    FROM cand c
+    LEFT JOIN o1 ON o1.doc_a = c.doc_a AND o1.doc_b = c.doc_b
+    LEFT JOIN o2 ON o2.doc_a = c.doc_a AND o2.doc_b = c.doc_b
+    JOIN st sa ON sa.doc_id = c.doc_a
+    JOIN st sb ON sb.doc_id = c.doc_b
+  )
+SELECT doc_a, doc_b, ov1, ov2, n1_a, n1_b, n2_a, n2_b,
+       round(ov1 / n1_a, 6) AS rouge1_r,
+       round(ov1 / n1_b, 6) AS rouge1_p,
+       round(2 * ov1 / (n1_a + n1_b), 6) AS rouge1_f,
+       round(2 * ov2 / (n2_a + n2_b), 6) AS rouge2_f
+FROM m
+"""
+)
+
+
+def q_robots_meta_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-compliance extraction over raw transcript HTML: per turn,
+    the meta-robots directives (noindex / nofollow — the pages a
+    compliant corpus must exclude from indexing/link-graph passes) and
+    the rel=canonical link target (the publisher's own dedup key, the
+    cheapest duplicate signal a crawl pipeline gets — CommonCrawl-class
+    pipelines cluster on it before any content hashing).  Documented
+    matching contract, identical in the twin: a meta tag counts as a
+    robots tag when it contains the substring 'robots' (lowercased), a
+    link tag as canonical when it contains 'canonical'; the canonical
+    href is the first such tag's href in document order, original case
+    preserved.  NULL-text turns keep a coverage row (flags false,
+    counts 0, url NULL).
+
+    Scale shape: a zero-exchange scan projection — every column is a
+    JVM-side regexp/array expression over the row's own text (the
+    turn_html_stats discipline)."""
+    return robots_meta_frame(spark.read.parquet(TRANSCRIPTS_PQ))
+
+
+def robots_meta_frame(t: DataFrame) -> DataFrame:
+    """Core of q_robots_meta_flags over any transcript-shaped frame."""
+    txt = F.coalesce(F.col("text"), F.lit(""))
+    rob = F.filter(
+        F.regexp_extract_all(F.lower(txt), F.lit("<meta[^>]*>"), 0),
+        lambda m: m.contains("robots"),
+    )
+    canon = F.filter(
+        F.regexp_extract_all(txt, F.lit("(?i)<link[^>]*>"), 0),
+        lambda l: F.lower(l).contains("canonical"),
+    )
+    href = F.nullif(
+        F.regexp_extract(
+            F.get(canon, 0), "(?i)href\\s*=\\s*[\"']?([^\"' >]+)", 1
+        ),
+        F.lit(""),
+    )
+    return t.select(
+        "conv_id",
+        "turn_idx",
+        F.size(rob).cast("long").alias("n_robots_meta"),
+        F.exists(rob, lambda m: m.contains("noindex")).alias("noindex"),
+        F.exists(rob, lambda m: m.contains("nofollow")).alias("nofollow"),
+        F.size(canon).cast("long").alias("n_canonical"),
+        href.alias("canonical_url"),
+    )
+
+
+SQL_ROBOTS_META_FLAGS = f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, coalesce(text, '') AS txt
+  FROM read_parquet('{TRANSCRIPTS_PQ}')
+), s AS (
+  SELECT conv_id, turn_idx,
+         list_filter(regexp_extract_all(lower(txt), '<meta[^>]*>'),
+                     m -> contains(m, 'robots')) AS rob,
+         list_filter(regexp_extract_all(txt, '(?i)<link[^>]*>'),
+                     l -> contains(lower(l), 'canonical')) AS canon
+  FROM t
+)
+SELECT conv_id, turn_idx,
+       CAST(len(rob) AS BIGINT) AS n_robots_meta,
+       len(list_filter(rob, m -> contains(m, 'noindex'))) > 0 AS noindex,
+       len(list_filter(rob, m -> contains(m, 'nofollow'))) > 0 AS nofollow,
+       CAST(len(canon) AS BIGINT) AS n_canonical,
+       nullif(regexp_extract(canon[1],
+                '(?i)href\\s*=\\s*["'']?([^"'' >]+)', 1), '')
+         AS canonical_url
+FROM s
+"""
+
+
+TEXTRANK_TOPK = 30
+
+
+def q_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword mining (Mihalcea & Tarau 2004) over the CORPUS
+    word co-occurrence graph: stopwords drop in-row, edges are the
+    distinct bidirectional window-2 adjacencies of the filtered token
+    stream (self-loops excluded), ranks come from the committed integer
+    micro-unit PageRank (pagerank_frame: damping 0.85, 10 iterations,
+    BIGINT floor division throughout so summation order can never flip
+    a value), top-{TEXTRANK_TOPK} by (pr DESC, token ASC) — a total
+    order, so the selected set is deterministic.  Complements
+    tfidf_top_terms (per-doc frequency keywords) and rake_keywords
+    (phrase co-occurrence scores) with the graph-centrality axis.
+
+    Scale shape: edge extraction is linear in the corpus with an
+    in-row window build; the graph itself is VOCAB-bounded (nodes =
+    distinct tokens), so the 10 iterations run on a table orders of
+    magnitude smaller than the corpus — the same host-graph economics
+    as outlink_host_pagerank; edges and the node table checkpoint once
+    and feed every iteration; top-K via TakeOrdered (no global sort)."""
+    docs = _t(spark, sf_dir, "documents")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    toks = docs.select(
+        F.filter(
+            F.filter(
+                F.split(F.lower(F.col("text")), TOKEN_SPLIT),
+                lambda x: x != "",
+            ),
+            lambda x: ~F.array_contains(stop_arr, x),
+        ).alias("wf")
+    )
+    adj = F.when(
+        F.size("wf") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("wf") - 1),
+            lambda i: F.struct(
+                F.element_at("wf", i).alias("x"),
+                F.element_at("wf", i + 1).alias("y"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+    pairs = (
+        toks.select(F.explode(adj).alias("p"))
+        .select("p.x", "p.y")
+        .filter(F.col("x") != F.col("y"))
+    )
+    edges = (
+        pairs.select(F.col("x").alias("src"), F.col("y").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("y").alias("src"), F.col("x").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = toks.select(F.explode("wf").alias("host")).distinct()
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    nd = (
+        nodes.join(outdeg, nodes.host == outdeg.src, "left")
+        .select("host", F.coalesce("outdeg", F.lit(0)).alias("outdeg"))
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nd.count()
+    pr = pagerank_frame(nd, edges, n_nodes)
+    return (
+        pr.select(
+            F.col("host").alias("token"),
+            F.col("outdeg").cast("long").alias("outdeg"),
+            F.col("pr").alias("pr_units"),
+        )
+        .orderBy(F.col("pr_units").desc(), F.col("token").asc())
+        .limit(TEXTRANK_TOPK)
+    )
+
+
+SQL_TEXTRANK_KEYWORDS = f"""
+WITH toks AS (
+  SELECT list_filter(
+           list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                       x -> x <> ''),
+           x -> x NOT IN {STOPWORDS}) AS wf
+  FROM documents
+), e0 AS (
+  SELECT wf[i] AS x, wf[i+1] AS y
+  FROM toks, UNNEST(generate_series(1, greatest(len(wf) - 1, 0))) AS t(i)
+  WHERE wf[i] <> wf[i+1]
+), edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT x AS src, y AS dst FROM e0
+    UNION ALL SELECT y AS src, x AS dst FROM e0
+  )
+), nodes AS (
+  SELECT DISTINCT wf[i] AS host
+  FROM toks, UNNEST(generate_series(1, len(wf))) AS t(i)
+), consts AS MATERIALIZED (
+  SELECT n, (15 * {PAGERANK_SCALE}) // (100 * n) AS base,
+         {PAGERANK_SCALE} // n AS init
+  FROM (SELECT count(*) AS n FROM nodes)
+), nd AS MATERIALIZED (
+  SELECT nodes.host, coalesce(o.outdeg, 0) AS outdeg
+  FROM nodes LEFT JOIN (
+    SELECT src AS host, count(*) AS outdeg FROM edges GROUP BY src
+  ) o USING (host)
+), p0 AS MATERIALIZED (
+  SELECT host, outdeg, CAST((SELECT init FROM consts) AS BIGINT) AS pr
+  FROM nd
+), dang0 AS (
+  SELECT CAST(coalesce(sum(pr), 0) AS BIGINT) AS dang FROM p0
+  WHERE outdeg = 0
+),
+{", ".join(_sql_pagerank_iter(k) for k in range(1, PAGERANK_ITERS + 1))}
+SELECT host AS token, CAST(outdeg AS BIGINT) AS outdeg, pr AS pr_units
+FROM p{PAGERANK_ITERS}
+ORDER BY pr DESC, host ASC LIMIT {TEXTRANK_TOPK}
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -21350,4 +21725,7 @@ QUERIES: dict[str, tuple] = {
         SQL_EMBEDDING_HARD_NEGATIVES,
     ),
     "tool_output_stats": (q_tool_output_stats, SQL_TOOL_OUTPUT_STATS),
+    "rouge_overlap_pairs": (q_rouge_overlap_pairs, SQL_ROUGE_OVERLAP_PAIRS),
+    "robots_meta_flags": (q_robots_meta_flags, SQL_ROBOTS_META_FLAGS),
+    "textrank_keywords": (q_textrank_keywords, SQL_TEXTRANK_KEYWORDS),
 }

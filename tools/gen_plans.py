@@ -113,7 +113,9 @@ def main() -> None:
                  "local_supplier_volume", "promo_revenue_share",
                  "assistant_canned_responses", "volume_shipping_pairs",
                  "returned_item_revenue", "jsonl_transcript_ingest",
-                 "embedding_hard_negatives", "tool_output_stats"):
+                 "embedding_hard_negatives", "tool_output_stats",
+                 "rouge_overlap_pairs", "robots_meta_flags",
+                 "textrank_keywords"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -845,6 +847,21 @@ def main() -> None:
                    "map-side combine, no joins",
                    "Join" not in full["tool_output_stats"]
                    and "partial_" in full["tool_output_stats"]))
+
+    checks.append(("rouge pairs: candidates + n-gram counts come from "
+                   "checkpoints (at most the two per-doc total scans "
+                   "re-read parquet), no cartesian",
+                   full["rouge_overlap_pairs"].count("Scan parquet") <= 4
+                   and "CartesianProduct" not in full["rouge_overlap_pairs"]))
+
+    checks.append(("robots meta: zero-exchange scan projection",
+                   "Exchange" not in full["robots_meta_flags"]
+                   and "Join" not in full["robots_meta_flags"]))
+
+    checks.append(("textrank: final rank table is checkpointed (no "
+                   "parquet re-scan), top-K via TakeOrdered",
+                   "Scan parquet" not in full["textrank_keywords"]
+                   and "TakeOrderedAndProject" in full["textrank_keywords"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

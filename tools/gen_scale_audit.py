@@ -261,6 +261,9 @@ SCALE_CLASS = {
     "referential_integrity_audit": ("shuffle", "per FK relation: child FK column left-joins the parent DISTINCT key and folds straight into a 1-row aggregate (children shuffle on their natural join keys - the same exchange production joins pay); 7-row union output"),
     "embedding_hard_negatives": ("broadcast", "kmeans training is the shared checkpointed Lloyd loop; the assignment table materializes ONCE (feeds query + corpus sides); the 5-row query set broadcasts so candidate generation is corpus x K (bounded crossJoin), never corpus x corpus; ONE query-partitioned rank window over K bounded groups"),
     "tool_output_stats": ("linear", "role filter pushes to the scan; ONE bounded groupBy(tool) with map-side combine (countDistinct two-phase on the same key); half-up integer mean, no float boundary"),
+    "rouge_overlap_pairs": ("bucketed", "candidates from minhash LSH (checkpointed ONCE - feeds the unigram AND bigram overlap joins), never all-pairs; per-doc n-gram count tables build with map-side combine and checkpoint (each feeds both pair sides); every metric is a round-6 integer quotient (F1 via the Dice identity 2ov/(na+nb))"),
+    "robots_meta_flags": ("linear", "zero-exchange scan projection - every column is a JVM-side regexp/array expression over the row's own text (the turn_html_stats discipline); NULL-text turns keep coverage rows"),
+    "textrank_keywords": ("shuffle", "edge extraction linear in the corpus (in-row window-2 adjacency of the stopword-filtered stream); the graph is VOCAB-bounded so the 10 integer PageRank iterations run on a table orders of magnitude smaller than the corpus (host-graph economics); edges/nodes checkpoint once; top-K via TakeOrdered"),
 }
 
 
