@@ -447,6 +447,12 @@ def main() -> None:
         "rouge_overlap_pairs",
         "robots_meta_flags",
         "textrank_keywords",
+        # round 5, sixty-eighth wave: robots.txt politeness, digest
+        # birthday audit, label-noise flags.  Excluded from the r04
+        # subtotal.
+        "robots_txt_frontier_filter",
+        "digest_collision_audit",
+        "label_noise_flags",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -626,6 +632,9 @@ def main() -> None:
         "rouge_overlap_pairs",
         "robots_meta_flags",
         "textrank_keywords",
+        "robots_txt_frontier_filter",
+        "digest_collision_audit",
+        "label_noise_flags",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

@@ -21148,6 +21148,343 @@ ORDER BY pr DESC, host ASC LIMIT {TEXTRANK_TOPK}
 """
 
 
+# robots.txt fixture for the crawl-politeness filter: REAL hosts from the
+# fixture corpus's own link frontier, with directive files that exercise
+# every branch of the documented matching contract (non-star groups
+# skipped, comments, empty Disallow dropped, longest-prefix wins,
+# Allow beats Disallow at equal length, Disallow: / blocks everything).
+ROBOTS_TXT_FIXTURE: list[tuple] = [
+    (
+        "www.teara.govt.nz",
+        "# site robots\n"
+        "User-agent: archiver\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: *\n"
+        "Disallow: /en/1966/\n"
+        "Allow: /en/1966/trade\n"
+        "Disallow:   # empty rule, dropped\n"
+        "Disallow: /private\n",
+    ),
+    (
+        "web.archive.org",
+        "User-agent: *\nDisallow: /web/2013\n",
+    ),
+    (
+        "stevenhgm.pixnet.net",
+        "User-agent: *\nDisallow: /album/\nAllow: /album/photo/\n",
+    ),
+    (
+        "www.youtube.com",
+        "User-agent: *\nDisallow: /\n",
+    ),
+]
+
+# Literal-prefix REP subset (documented contract, identical in the twin):
+# the FIRST `User-agent: *` group's Allow/Disallow lines, comments
+# stripped by the token charset, no wildcard/anchor support.
+ROBOTS_BLOCK_RE = r"(?is)user-agent:[ \t]*\*[ \t]*\n(.*?)(?:user-agent:|$)"
+ROBOTS_RULE_RE = r"(?im)^[ \t]*(allow|disallow):[ \t]*([^ \t\r\n#]*)"
+
+
+def _robots_fixture_values() -> str:
+    return ", ".join(
+        "('" + h + "', '" + txt.replace("'", "''") + "')"
+        for h, txt in ROBOTS_TXT_FIXTURE
+    )
+
+
+def q_robots_txt_frontier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level crawl politeness — the other half of robots_meta_flags
+    (page-level directives): every distinct canonical frontier URL is
+    adjudicated against its host's robots.txt under the REP
+    longest-match rule with Google tie semantics (most-specific literal
+    prefix wins; Allow beats Disallow at equal length).  Parsing IS the
+    operator and runs identically in both engines: the first
+    `User-agent: *` group is cut out with one regexp, its Allow/Disallow
+    lines extracted positionally, empty rules dropped.  Hosts without a
+    robots.txt (or with no matching rule) default to allowed — the REP
+    default.  The fixture files cover real frontier hosts so every
+    verdict path has real URL rows.
+
+    Scale shape: the URL set is the frontier's distinct-canonical table
+    (the one shuffle it already pays); the parsed rule table is tiny and
+    broadcasts into a (host, prefix-match) join bounded by
+    rules-per-host; ONE url-partitioned rank window picks the winning
+    rule."""
+    ex = _ok_turns(spark)
+    webs = F.filter(
+        _hrefs_expr(F.col("content")),
+        lambda x: _url_scheme(x).isin("http", "https"),
+    )
+    urls = (
+        ex.select(
+            F.explode(
+                F.array_distinct(F.transform(webs, _canon_url_expr))
+            ).alias("url")
+        )
+        .select("url", _url_host(F.col("url")).alias("host"))
+        .filter((F.col("host") != BASE_HOST) & (F.col("host") != ""))
+        .distinct()
+    )
+    up = urls.withColumn(
+        "path", F.regexp_replace("url", "^[a-z]+://[^/]*", "")
+    )
+    rb = spark.createDataFrame(
+        ROBOTS_TXT_FIXTURE, "host string, robots string"
+    )
+    blk = rb.select(
+        "host", F.regexp_extract("robots", ROBOTS_BLOCK_RE, 1).alias("b")
+    )
+    zz = blk.select(
+        "host",
+        F.regexp_extract_all("b", F.lit(ROBOTS_RULE_RE), 1).alias("rts"),
+        F.regexp_extract_all("b", F.lit(ROBOTS_RULE_RE), 2).alias("rps"),
+    )
+    exploded = zz.select(
+        "host", "rps", F.posexplode("rts").alias("pos", "rt_raw")
+    )
+    rules = exploded.select(
+        "host",
+        F.lower("rt_raw").alias("rtype"),
+        F.element_at("rps", F.col("pos") + 1).alias("rpath"),
+    ).filter(F.col("rpath") != "")
+    matched = (
+        up.join(
+            F.broadcast(rules),
+            (up.host == rules.host)
+            & F.col("path").startswith(F.col("rpath")),
+        )
+        .select("url", "rtype", "rpath")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("url").orderBy(
+                    F.length("rpath").desc(),
+                    F.col("rtype").asc(),
+                    F.col("rpath").asc(),
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+    )
+    return up.join(matched, "url", "left").select(
+        "url",
+        "host",
+        F.when(F.col("rtype") == "disallow", F.lit("disallowed"))
+        .otherwise(F.lit("allowed"))
+        .alias("verdict"),
+        F.col("rtype").alias("rule_type"),
+        F.col("rpath").alias("rule_path"),
+    )
+
+
+SQL_ROBOTS_TXT_FRONTIER_FILTER = f"""
+WITH {_SQL_LINKS_PREFIX}, urls AS (
+  SELECT DISTINCT url, {_sql_url_host('url')} AS host FROM (
+    SELECT unnest(list_distinct(
+      list_transform(webs, x -> {_sql_canon_url('x')}))) AS url
+    FROM h
+  )
+  WHERE {_sql_url_host('url')} <> '{BASE_HOST}'
+    AND {_sql_url_host('url')} <> ''
+), up AS (
+  SELECT url, host, regexp_replace(url, '^[a-z]+://[^/]*', '') AS path
+  FROM urls
+), rb AS (
+  SELECT * FROM (VALUES {_robots_fixture_values()}) v(host, robots)
+), blk AS (
+  SELECT host, regexp_extract(robots, '{ROBOTS_BLOCK_RE}', 1) AS b FROM rb
+), zz AS (
+  SELECT host,
+         unnest(regexp_extract_all(b, '{ROBOTS_RULE_RE}', 1)) AS rt_raw,
+         unnest(regexp_extract_all(b, '{ROBOTS_RULE_RE}', 2)) AS rpath
+  FROM blk
+), rules AS (
+  SELECT host, lower(rt_raw) AS rtype, rpath FROM zz WHERE rpath <> ''
+), matched AS (
+  SELECT url, rtype, rpath FROM (
+    SELECT u.url, r.rtype, r.rpath,
+           row_number() OVER (PARTITION BY u.url ORDER BY
+             length(r.rpath) DESC, r.rtype ASC, r.rpath ASC) AS rn
+    FROM up u JOIN rules r
+      ON r.host = u.host AND starts_with(u.path, r.rpath)
+  ) WHERE rn = 1
+)
+SELECT u.url, u.host,
+       CASE WHEN m.rtype = 'disallow' THEN 'disallowed'
+            ELSE 'allowed' END AS verdict,
+       m.rtype AS rule_type, m.rpath AS rule_path
+FROM up u LEFT JOIN matched m USING (url)
+"""
+
+
+COLLISION_PREFIX_LENS = (2, 4, 8, 16, 32)
+
+
+def q_digest_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-digest birthday audit over the corpus digest space: for
+    each md5 hex-prefix length, the distinct-prefix count, the ACTUAL
+    collision count (docs minus distinct prefixes) and the birthday
+    expectation n(n-1)/2 / 16^k — the table that justifies full-width
+    digests in every dedup key: at 10^12 documents an 8-hex (32-bit) key
+    is ~10^8 expected collisions while 32-hex stays ~1e-14.  The short
+    prefixes (2, 4 hex) collide ALREADY at test scale, so the audit's
+    arithmetic is exercised with real nonzero counts.
+
+    Determinism: counts are exact integers; 16^k is a power of two
+    (exactly representable double), so the expectation is an exact
+    integer-times-power-of-two scaling before the one round-6.
+
+    Scale shape: one digest scan exploded x{len(COLLISION_PREFIX_LENS)}
+    prefix lengths, ONE (k, prefix) exchange with map-side combine for
+    the two-phase distinct, then a {len(COLLISION_PREFIX_LENS)}-group
+    rollup."""
+    docs = _t(spark, sf_dir, "documents").select(F.md5("text").alias("d"))
+    pref = docs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        F.substring("d", 1, k).alias("p"),
+                    )
+                    for k in COLLISION_PREFIX_LENS
+                ]
+            )
+        ).alias("s")
+    ).select("s.k", "s.p")
+    per = pref.groupBy("k").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("p").cast("long").alias("n_distinct"),
+    )
+    return per.select(
+        F.col("k").cast("int").alias("prefix_hex"),
+        (F.col("k") * 4).cast("int").alias("bits"),
+        "n_docs",
+        "n_distinct",
+        (F.col("n_docs") - F.col("n_distinct")).alias("n_collisions"),
+        F.round(
+            F.col("n_docs").cast("double")
+            * (F.col("n_docs") - 1)
+            / (F.lit(2.0) * F.pow(F.lit(16.0), F.col("k"))),
+            6,
+        ).alias("expected_collisions"),
+    )
+
+
+SQL_DIGEST_COLLISION_AUDIT = f"""
+WITH d AS (
+  SELECT md5(text) AS d FROM documents
+), pref AS (
+  SELECT t.k, substr(d, 1, t.k) AS p
+  FROM d, UNNEST([{", ".join(str(k) for k in COLLISION_PREFIX_LENS)}]) AS t(k)
+), per AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT p) AS BIGINT) AS n_distinct
+  FROM pref GROUP BY k
+)
+SELECT CAST(k AS INT) AS prefix_hex, CAST(k * 4 AS INT) AS bits,
+       n_docs, n_distinct, n_docs - n_distinct AS n_collisions,
+       round(CAST(n_docs AS DOUBLE) * (n_docs - 1)
+             / (2.0 * power(16.0, k)), 6) AS expected_collisions
+FROM per
+"""
+
+
+def q_label_noise_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confident-learning label-noise mining (Northcutt et al. 2021)
+    over the trained quality classifier: per-class self-confidence
+    thresholds t_j = mean predicted score of class-j-labeled docs, then
+    a doc is flagged as likely-mislabeled when its score clears the
+    OTHER class's threshold (label 0 with score >= t1 -> noise_to_1;
+    label 1 with score <= t0 -> noise_to_0) — the off-diagonal of the
+    confident joint, the standard audit before trusting rule-gate
+    labels as training targets.
+
+    Determinism: scores are the classifier's round-6 values mapped to
+    integer micro-units; thresholds use the half-up integer mean
+    recipe (2s+n) div (2n); every comparison is integer vs integer.
+
+    Scale shape: training is the memoized _qc_train (checkpointed
+    feature frame); scoring is zero-exchange; thresholds are ONE 1-row
+    aggregation broadcast back (crossJoin of a scalar row)."""
+    sc = q_doc_quality_classifier(spark, sf_dir).select(
+        "doc_id",
+        "score",
+        "label",
+        F.expr("CAST(round(score * 1000000, 0) AS BIGINT)").alias("s_mu"),
+    )
+    th = sc.agg(
+        F.sum(F.when(F.col("label") == 1, F.col("s_mu"))).alias("s1"),
+        F.count(F.when(F.col("label") == 1, 1)).alias("n1"),
+        F.sum(F.when(F.col("label") == 0, F.col("s_mu"))).alias("s0"),
+        F.count(F.when(F.col("label") == 0, 1)).alias("n0"),
+    ).select(
+        F.expr(
+            "CASE WHEN n1 > 0 THEN (2 * s1 + n1) div (2 * n1) END"
+        )
+        .cast("long")
+        .alias("t1_mu"),
+        F.expr(
+            "CASE WHEN n0 > 0 THEN (2 * s0 + n0) div (2 * n0) END"
+        )
+        .cast("long")
+        .alias("t0_mu"),
+    )
+    return sc.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "label",
+        "score",
+        "s_mu",
+        "t1_mu",
+        "t0_mu",
+        F.when(
+            (F.col("label") == 0)
+            & F.col("t1_mu").isNotNull()
+            & (F.col("s_mu") >= F.col("t1_mu")),
+            F.lit("noise_to_1"),
+        )
+        .when(
+            (F.col("label") == 1)
+            & F.col("t0_mu").isNotNull()
+            & (F.col("s_mu") <= F.col("t0_mu")),
+            F.lit("noise_to_0"),
+        )
+        .otherwise(F.lit("ok"))
+        .alias("flag"),
+    )
+
+
+SQL_LABEL_NOISE_FLAGS = f"""
+WITH {_sql_qc_chain()}, s2 AS (
+  SELECT doc_id, y AS label, score,
+         CAST(round(score * 1000000) AS BIGINT) AS s_mu
+  FROM final
+), th AS (
+  SELECT
+    CASE WHEN count(CASE WHEN label = 1 THEN 1 END) > 0 THEN
+      CAST((2 * sum(CASE WHEN label = 1 THEN s_mu END)
+            + count(CASE WHEN label = 1 THEN 1 END))
+        // (2 * count(CASE WHEN label = 1 THEN 1 END)) AS BIGINT)
+    END AS t1_mu,
+    CASE WHEN count(CASE WHEN label = 0 THEN 1 END) > 0 THEN
+      CAST((2 * sum(CASE WHEN label = 0 THEN s_mu END)
+            + count(CASE WHEN label = 0 THEN 1 END))
+        // (2 * count(CASE WHEN label = 0 THEN 1 END)) AS BIGINT)
+    END AS t0_mu
+  FROM s2
+)
+SELECT doc_id, label, score, s_mu, t1_mu, t0_mu,
+       CASE WHEN label = 0 AND t1_mu IS NOT NULL AND s_mu >= t1_mu
+              THEN 'noise_to_1'
+            WHEN label = 1 AND t0_mu IS NOT NULL AND s_mu <= t0_mu
+              THEN 'noise_to_0'
+            ELSE 'ok' END AS flag
+FROM s2, th
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -21728,4 +22065,13 @@ QUERIES: dict[str, tuple] = {
     "rouge_overlap_pairs": (q_rouge_overlap_pairs, SQL_ROUGE_OVERLAP_PAIRS),
     "robots_meta_flags": (q_robots_meta_flags, SQL_ROBOTS_META_FLAGS),
     "textrank_keywords": (q_textrank_keywords, SQL_TEXTRANK_KEYWORDS),
+    "robots_txt_frontier_filter": (
+        q_robots_txt_frontier_filter,
+        SQL_ROBOTS_TXT_FRONTIER_FILTER,
+    ),
+    "digest_collision_audit": (
+        q_digest_collision_audit,
+        SQL_DIGEST_COLLISION_AUDIT,
+    ),
+    "label_noise_flags": (q_label_noise_flags, SQL_LABEL_NOISE_FLAGS),
 }

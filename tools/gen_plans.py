@@ -115,7 +115,8 @@ def main() -> None:
                  "returned_item_revenue", "jsonl_transcript_ingest",
                  "embedding_hard_negatives", "tool_output_stats",
                  "rouge_overlap_pairs", "robots_meta_flags",
-                 "textrank_keywords"):
+                 "textrank_keywords", "robots_txt_frontier_filter",
+                 "digest_collision_audit", "label_noise_flags"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -862,6 +863,22 @@ def main() -> None:
                    "parquet re-scan), top-K via TakeOrdered",
                    "Scan parquet" not in full["textrank_keywords"]
                    and "TakeOrderedAndProject" in full["textrank_keywords"]))
+
+    checks.append(("robots.txt filter: parsed rule table broadcasts, "
+                   "no cartesian",
+                   "BroadcastHashJoin" in full["robots_txt_frontier_filter"]
+                   and "CartesianProduct"
+                   not in full["robots_txt_frontier_filter"]))
+
+    checks.append(("digest collision audit: two-phase distinct with "
+                   "map-side partial aggregation",
+                   "partial_" in full["digest_collision_audit"]))
+
+    checks.append(("label noise: scores come from the checkpointed "
+                   "feature frame (no parquet re-scan), thresholds "
+                   "broadcast",
+                   "Scan parquet" not in full["label_noise_flags"]
+                   and "Broadcast" in full["label_noise_flags"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -264,6 +264,9 @@ SCALE_CLASS = {
     "rouge_overlap_pairs": ("bucketed", "candidates from minhash LSH (checkpointed ONCE - feeds the unigram AND bigram overlap joins), never all-pairs; per-doc n-gram count tables build with map-side combine and checkpoint (each feeds both pair sides); every metric is a round-6 integer quotient (F1 via the Dice identity 2ov/(na+nb))"),
     "robots_meta_flags": ("linear", "zero-exchange scan projection - every column is a JVM-side regexp/array expression over the row's own text (the turn_html_stats discipline); NULL-text turns keep coverage rows"),
     "textrank_keywords": ("shuffle", "edge extraction linear in the corpus (in-row window-2 adjacency of the stopword-filtered stream); the graph is VOCAB-bounded so the 10 integer PageRank iterations run on a table orders of magnitude smaller than the corpus (host-graph economics); edges/nodes checkpoint once; top-K via TakeOrdered"),
+    "robots_txt_frontier_filter": ("broadcast", "frontier URL set = the one distinct-canonical shuffle the crawl already pays; the parsed robots rule table is tiny and BROADCASTS into a (host, prefix) join bounded by rules-per-host; ONE url-partitioned rank window picks the longest-match rule (Google tie semantics)"),
+    "digest_collision_audit": ("shuffle", "one digest scan exploded x5 prefix lengths -> ONE (k, prefix) exchange with map-side combine for the two-phase distinct -> 5-group rollup; expectation is integer-times-power-of-two scaling (exact) before the single round-6"),
+    "label_noise_flags": ("broadcast", "scoring reuses the memoized checkpointed classifier feature frame (zero parquet re-scan); per-class thresholds are ONE 1-row aggregation broadcast back; integer micro-unit comparisons (half-up mean recipe), no float boundary"),
 }
 
 
