@@ -453,6 +453,12 @@ def main() -> None:
         "robots_txt_frontier_filter",
         "digest_collision_audit",
         "label_noise_flags",
+        # round 5, sixty-ninth wave: MLM masking plan, HLL pairwise
+        # intersections, tool runtime stats.  Excluded from the r04
+        # subtotal.
+        "mlm_masking_plan",
+        "hll_intersection_estimate",
+        "tool_runtime_stats",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -635,6 +641,9 @@ def main() -> None:
         "robots_txt_frontier_filter",
         "digest_collision_audit",
         "label_noise_flags",
+        "mlm_masking_plan",
+        "hll_intersection_estimate",
+        "tool_runtime_stats",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

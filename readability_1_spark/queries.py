@@ -21485,6 +21485,401 @@ FROM s2, th
 """
 
 
+def _md5_poly_expr(col_str):
+    """The shared base-31 md5-hex polynomial as a raw BIGINT (no modulus)
+    — for call sites whose modulus is a COLUMN (e.g. vocab size)."""
+    hexs = F.md5(col_str.cast("binary"))
+    h = F.lit(0).cast("long")
+    for i in range(8):
+        h = h * 31 + F.ascii(F.substring(hexs, i + 1, 1))
+    return h
+
+
+MLM_SEL_PCT = 15  # BERT: 15% of positions are prediction targets
+MLM_MASK_LT = 8   # of selected, buckets 0-7 -> [MASK] (80%)
+MLM_RAND_EQ = 8   # bucket 8 -> random vocab token (10%); 9 -> keep (10%)
+
+
+def q_mlm_masking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BERT-style masked-LM corruption PLAN (Devlin et al. 2019 §3.1):
+    15% of token positions become prediction targets; of those, 80%
+    emit [MASK], 10% a corpus-vocab random token, 10% keep the original
+    — complementing span_corruption_plan (the T5 recipe) with the MLM
+    recipe.  Everything is content-stable hashing (the shared md5
+    base-31 polynomial), so the plan is reproducible from nothing:
+    selection hashes (doc, pos, token), the 80/10/10 role and the
+    replacement draw hash (doc, pos) under distinct salts.  Only
+    selected positions emit rows — the plan IS the target list.
+
+    Determinism: integer hash buckets end-to-end; the random
+    replacement indexes a sorted distinct vocab by polynomial mod
+    vocab-size.
+
+    Scale shape: in-row explode + hash expressions (linear); the vocab
+    index is a VOCAB-bounded table built with one window and broadcast
+    into the (ridx = idx) equi-join that only the ~1.5% random-branch
+    rows take."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.lower("text"), TOKEN_SPLIT), lambda x: x != "")
+    pos = (
+        docs.select("doc_id", F.posexplode(ws).alias("p0", "token"))
+        .select(
+            "doc_id", (F.col("p0") + 1).cast("int").alias("pos"), "token"
+        )
+    )
+    sel_b = _md5_bucket(
+        F.concat_ws(
+            ":", F.col("doc_id"), F.col("pos"), F.col("token")
+        ),
+        100,
+    )
+    role_b = _md5_bucket(
+        F.concat_ws(":", F.lit("r"), F.col("doc_id"), F.col("pos")), 10
+    )
+    selected = (
+        pos.withColumn("sel_b", sel_b)
+        .filter(F.col("sel_b") < MLM_SEL_PCT)
+        .withColumn("role_b", role_b)
+        .withColumn(
+            "action",
+            F.when(F.col("role_b") < MLM_MASK_LT, "mask")
+            .when(F.col("role_b") == MLM_RAND_EQ, "random")
+            .otherwise("keep"),
+        )
+    )
+    vocab = (
+        pos.select("token").distinct().select(
+            F.col("token").alias("vtok"),
+            (
+                F.row_number().over(Window.orderBy(F.col("token"))) - 1
+            ).alias("idx"),
+        )
+    )
+    nv = vocab.agg(F.count(F.lit(1)).alias("n_vocab"))
+    withidx = selected.crossJoin(F.broadcast(nv)).withColumn(
+        "ridx",
+        F.when(
+            F.col("action") == "random",
+            F.pmod(
+                _md5_poly_expr(
+                    F.concat_ws(
+                        ":", F.lit("v"), F.col("doc_id"), F.col("pos")
+                    )
+                ),
+                F.col("n_vocab"),
+            ),
+        ),
+    )
+    joined = withidx.join(
+        F.broadcast(vocab), withidx.ridx == vocab.idx, "left"
+    )
+    return joined.select(
+        "doc_id",
+        "pos",
+        "token",
+        "action",
+        F.when(F.col("action") == "mask", F.lit("[MASK]"))
+        .when(F.col("action") == "random", F.col("vtok"))
+        .otherwise(F.col("token"))
+        .alias("replacement"),
+    )
+
+
+SQL_MLM_MASKING_PLAN = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                     x -> x <> '') AS ws
+  FROM documents
+), pos AS (
+  SELECT doc_id, CAST(t.i AS INT) AS pos, ws[t.i] AS token
+  FROM toks, UNNEST(generate_series(1, len(ws))) AS t(i)
+), hx AS (
+  SELECT doc_id, pos, token,
+         md5(CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)
+             || ':' || token) AS hs,
+         md5('r:' || CAST(doc_id AS VARCHAR) || ':'
+             || CAST(pos AS VARCHAR)) AS hr,
+         md5('v:' || CAST(doc_id AS VARCHAR) || ':'
+             || CAST(pos AS VARCHAR)) AS hv
+  FROM pos
+), sel AS (
+  SELECT doc_id, pos, token, hv,
+         {_sql_md5_poly('hr')} % 10 AS role_b
+  FROM hx
+  WHERE {_sql_md5_poly('hs')} % 100 < {MLM_SEL_PCT}
+), act AS (
+  SELECT doc_id, pos, token, hv,
+         CASE WHEN role_b < {MLM_MASK_LT} THEN 'mask'
+              WHEN role_b = {MLM_RAND_EQ} THEN 'random'
+              ELSE 'keep' END AS action
+  FROM sel
+), vocab AS (
+  SELECT token AS vtok,
+         row_number() OVER (ORDER BY token) - 1 AS idx
+  FROM (SELECT DISTINCT token FROM pos)
+), nv AS (
+  SELECT count(*) AS n_vocab FROM vocab
+)
+SELECT a.doc_id, a.pos, a.token, a.action,
+       CASE WHEN a.action = 'mask' THEN '[MASK]'
+            WHEN a.action = 'random' THEN v.vtok
+            ELSE a.token END AS replacement
+FROM act a
+CROSS JOIN nv
+LEFT JOIN vocab v
+  ON a.action = 'random'
+ AND v.idx = {_sql_md5_poly('a.hv')} % nv.n_vocab
+"""
+
+
+def q_hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap triage by HLL inclusion-exclusion:
+    |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union estimate comes
+    from max-merging the two sources' register sets — the sketch-only
+    answer to 'which snapshots overlap' that needs NO re-scan of either
+    source once per-source registers exist (the operational form:
+    per-shard sketches roll up for free).  Complements
+    source_overlap_minhash (Jaccard from signatures) with the
+    cardinality-space estimator, and every row carries the EXACT
+    distinct-shingle counts alongside so the sketch error self-reports
+    (the dedup_bloom_membership discipline).
+
+    Scale shape: the distinct (source, shingle) table materializes ONCE
+    (localCheckpoint — it feeds registers, exact counts, and the exact
+    pair intersection); registers are ≤2^{HLL_P} rows per source and
+    checkpoint once (per-source estimates + pair union merges); the
+    source-pair table is tiny and broadcasts.  The exact-intersection
+    rider is an equi-join on shingle — at 100 TB the rider is the
+    validation twin, the sketch path is the product."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.filter(
+            F.split(F.lower(F.col("text")), TOKEN_SPLIT), lambda x: x != ""
+        ).alias("ws"),
+    )
+    sd = (
+        toks.select("source", F.explode(_shingle_array_expr()).alias("shingle"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    regs = hll_registers(sd, "shingle", ["source"]).localCheckpoint(
+        eager=True
+    )
+    est_s = hll_estimate_from_registers(regs, ["source"])
+    srcs = sd.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("sa"))
+        .crossJoin(srcs.select(F.col("source").alias("sb")))
+        .filter(F.col("sa") < F.col("sb"))
+    )
+    pa = pairs.join(regs, pairs.sa == regs.source).select(
+        "sa", "sb", "bucket", "m"
+    )
+    pb = pairs.join(regs, pairs.sb == regs.source).select(
+        "sa", "sb", "bucket", "m"
+    )
+    pregs = (
+        pa.unionByName(pb).groupBy("sa", "sb", "bucket").agg(
+            F.max("m").alias("m")
+        )
+    )
+    est_u = hll_estimate_from_registers(pregs, ["sa", "sb"]).select(
+        "sa", "sb", F.col("hll_estimate").alias("est_union")
+    )
+    nc = sd.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    a2, b2 = sd.alias("ia"), sd.alias("ib")
+    inter = (
+        a2.join(
+            b2,
+            (F.col("ia.shingle") == F.col("ib.shingle"))
+            & (F.col("ia.source") < F.col("ib.source")),
+        )
+        .groupBy(
+            F.col("ia.source").alias("sa"), F.col("ib.source").alias("sb")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    ea = est_s.select(
+        F.col("source").alias("sa"), F.col("hll_estimate").alias("est_a")
+    )
+    eb = est_s.select(
+        F.col("source").alias("sb"), F.col("hll_estimate").alias("est_b")
+    )
+    na = nc.select(F.col("source").alias("sa"), F.col("n").alias("exact_a"))
+    nb = nc.select(F.col("source").alias("sb"), F.col("n").alias("exact_b"))
+    return (
+        pairs.join(ea, "sa")
+        .join(eb, "sb")
+        .join(est_u, ["sa", "sb"])
+        .join(na, "sa")
+        .join(nb, "sb")
+        .join(inter, ["sa", "sb"], "left")
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "est_a",
+            "est_b",
+            "est_union",
+            F.round(
+                F.col("est_a") + F.col("est_b") - F.col("est_union"), 3
+            ).alias("est_intersection"),
+            "exact_a",
+            "exact_b",
+            F.coalesce("exact_inter", F.lit(0)).alias("exact_intersection"),
+            (
+                F.col("exact_a")
+                + F.col("exact_b")
+                - F.coalesce("exact_inter", F.lit(0))
+            ).alias("exact_union"),
+        )
+    )
+
+
+SQL_HLL_INTERSECTION_ESTIMATE = f"""
+WITH sd AS MATERIALIZED (
+  SELECT DISTINCT source, shingle FROM (
+    SELECT source, ws[t.i] || ' ' || ws[t.i+1] || ' ' || ws[t.i+2] AS shingle
+    FROM (
+      SELECT source,
+             list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                         x -> x <> '') AS ws
+      FROM documents
+    ), UNNEST(generate_series(1, greatest(len(ws) - 2, 0))) AS t(i)
+  )
+), hashed AS (
+  SELECT source, md5(shingle) AS h FROM sd
+), ranked AS (
+  SELECT source, r.bucket, r.rank FROM (
+    {_sql_hll_rank()}, source FROM hashed
+  ) r
+), regs AS MATERIALIZED (
+  SELECT source, bucket, max(rank) AS m FROM ranked GROUP BY source, bucket
+), src_sums AS (
+  SELECT source, sum(power(2.0, -m)) AS sum_pow,
+         count(*) AS n_registers_hit
+  FROM regs GROUP BY source
+), src_est AS (
+{_sql_hll_est("source,")}
+  FROM src_sums
+), srcs AS (
+  SELECT DISTINCT source FROM sd
+), pairs AS (
+  SELECT a.source AS sa, b.source AS sb
+  FROM srcs a, srcs b WHERE a.source < b.source
+), pregs AS (
+  SELECT p.sa, p.sb, r.bucket, max(r.m) AS m
+  FROM pairs p JOIN regs r ON r.source = p.sa OR r.source = p.sb
+  GROUP BY p.sa, p.sb, r.bucket
+), pair_sums AS (
+  SELECT sa, sb, sum(power(2.0, -m)) AS sum_pow,
+         count(*) AS n_registers_hit
+  FROM pregs GROUP BY sa, sb
+), pair_est AS (
+{_sql_hll_est("sa, sb,")}
+  FROM pair_sums
+), nc AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n FROM sd GROUP BY source
+), inter AS (
+  SELECT a.source AS sa, b.source AS sb,
+         CAST(count(*) AS BIGINT) AS exact_inter
+  FROM sd a JOIN sd b
+    ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT p.sa AS source_a, p.sb AS source_b,
+       ea.hll_estimate AS est_a, eb.hll_estimate AS est_b,
+       pe.hll_estimate AS est_union,
+       round(ea.hll_estimate + eb.hll_estimate - pe.hll_estimate, 3)
+         AS est_intersection,
+       na.n AS exact_a, nb.n AS exact_b,
+       coalesce(i.exact_inter, 0) AS exact_intersection,
+       na.n + nb.n - coalesce(i.exact_inter, 0) AS exact_union
+FROM pairs p
+JOIN src_est ea ON ea.source = p.sa
+JOIN src_est eb ON eb.source = p.sb
+JOIN pair_est pe ON pe.sa = p.sa AND pe.sb = p.sb
+JOIN nc na ON na.source = p.sa
+JOIN nc nb ON nb.source = p.sb
+LEFT JOIN inter i ON i.sa = p.sa AND i.sb = p.sb
+"""
+
+
+def q_tool_runtime_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool wall-clock budget over the agent transcripts — the TIME
+    axis that tool_output_stats (size) and tool_error_rate_by_tool
+    (failures) don't cover: a tool call's runtime is the timestamp gap
+    to the NEXT turn in the conversation (the turn that could only be
+    appended once the call returned); a trailing tool call has no next
+    turn and stays untimed (counted, NULL runtime).  The table an
+    agent-SFT pipeline reads to decide which tools need caching or
+    timeouts before scaling collection.
+
+    Determinism: integer second deltas; half-up integer mean; the
+    transcripts' per-conversation ts monotonicity is separately
+    attested by transcript_integrity_check.
+
+    Scale shape: ONE conv_id window (lead) + ONE bounded groupBy(tool)
+    with map-side combine."""
+    t = spark.read.parquet(TRANSCRIPTS_PQ)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    calls = (
+        t.withColumn("next_ts", F.lead("ts").over(w))
+        .filter((F.col("role") == "tool") & F.col("tool").isNotNull())
+        .select(
+            "tool",
+            F.timestamp_diff("SECOND", F.col("ts"), F.col("next_ts")).alias(
+                "rt"
+            ),
+        )
+    )
+    g = calls.groupBy("tool").agg(
+        F.count(F.lit(1)).cast("long").alias("n_calls"),
+        F.count("rt").cast("long").alias("n_timed"),
+        F.sum("rt").cast("long").alias("total_sec"),
+        F.min("rt").cast("long").alias("min_sec"),
+        F.max("rt").cast("long").alias("max_sec"),
+    )
+    return g.select(
+        "tool",
+        "n_calls",
+        "n_timed",
+        "total_sec",
+        "min_sec",
+        "max_sec",
+        F.expr(
+            "CASE WHEN n_timed > 0 THEN"
+            " CAST((2 * total_sec + n_timed) div (2 * n_timed) AS BIGINT)"
+            " END"
+        ).alias("mean_sec"),
+    )
+
+
+SQL_TOOL_RUNTIME_STATS = f"""
+WITH w AS (
+  SELECT conv_id, turn_idx, role, tool, ts,
+         lead(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_ts
+  FROM read_parquet('{TRANSCRIPTS_PQ}')
+), c AS (
+  SELECT tool, CAST(date_diff('second', ts, next_ts) AS BIGINT) AS rt
+  FROM w WHERE role = 'tool' AND tool IS NOT NULL
+), g AS (
+  SELECT tool, CAST(count(*) AS BIGINT) AS n_calls,
+         CAST(count(rt) AS BIGINT) AS n_timed,
+         CAST(sum(rt) AS BIGINT) AS total_sec,
+         CAST(min(rt) AS BIGINT) AS min_sec,
+         CAST(max(rt) AS BIGINT) AS max_sec
+  FROM c GROUP BY tool
+)
+SELECT tool, n_calls, n_timed, total_sec, min_sec, max_sec,
+       CASE WHEN n_timed > 0 THEN
+         CAST((2 * total_sec + n_timed) // (2 * n_timed) AS BIGINT)
+       END AS mean_sec
+FROM g
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -22074,4 +22469,10 @@ QUERIES: dict[str, tuple] = {
         SQL_DIGEST_COLLISION_AUDIT,
     ),
     "label_noise_flags": (q_label_noise_flags, SQL_LABEL_NOISE_FLAGS),
+    "mlm_masking_plan": (q_mlm_masking_plan, SQL_MLM_MASKING_PLAN),
+    "hll_intersection_estimate": (
+        q_hll_intersection_estimate,
+        SQL_HLL_INTERSECTION_ESTIMATE,
+    ),
+    "tool_runtime_stats": (q_tool_runtime_stats, SQL_TOOL_RUNTIME_STATS),
 }

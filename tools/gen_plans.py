@@ -116,7 +116,9 @@ def main() -> None:
                  "embedding_hard_negatives", "tool_output_stats",
                  "rouge_overlap_pairs", "robots_meta_flags",
                  "textrank_keywords", "robots_txt_frontier_filter",
-                 "digest_collision_audit", "label_noise_flags"):
+                 "digest_collision_audit", "label_noise_flags",
+                 "mlm_masking_plan", "hll_intersection_estimate",
+                 "tool_runtime_stats"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -879,6 +881,20 @@ def main() -> None:
                    "broadcast",
                    "Scan parquet" not in full["label_noise_flags"]
                    and "Broadcast" in full["label_noise_flags"]))
+
+    checks.append(("mlm plan: vocab index broadcasts into the "
+                   "random-branch join, no cartesian",
+                   "BroadcastHashJoin" in full["mlm_masking_plan"]
+                   and "CartesianProduct" not in full["mlm_masking_plan"]))
+
+    checks.append(("hll intersection: registers and shingle table come "
+                   "from checkpoints (no parquet re-scan)",
+                   "Scan parquet" not in full["hll_intersection_estimate"]))
+
+    checks.append(("tool runtime: one window + one bounded rollup, "
+                   "no joins",
+                   "Join" not in full["tool_runtime_stats"]
+                   and "partial_" in full["tool_runtime_stats"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

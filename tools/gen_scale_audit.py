@@ -267,6 +267,9 @@ SCALE_CLASS = {
     "robots_txt_frontier_filter": ("broadcast", "frontier URL set = the one distinct-canonical shuffle the crawl already pays; the parsed robots rule table is tiny and BROADCASTS into a (host, prefix) join bounded by rules-per-host; ONE url-partitioned rank window picks the longest-match rule (Google tie semantics)"),
     "digest_collision_audit": ("shuffle", "one digest scan exploded x5 prefix lengths -> ONE (k, prefix) exchange with map-side combine for the two-phase distinct -> 5-group rollup; expectation is integer-times-power-of-two scaling (exact) before the single round-6"),
     "label_noise_flags": ("broadcast", "scoring reuses the memoized checkpointed classifier feature frame (zero parquet re-scan); per-class thresholds are ONE 1-row aggregation broadcast back; integer micro-unit comparisons (half-up mean recipe), no float boundary"),
+    "mlm_masking_plan": ("broadcast", "in-row posexplode + content-stable hash buckets (linear); the vocab index is VOCAB-bounded (one bounded window) and BROADCASTS into the replacement equi-join that only the ~1.5% random-branch rows take; only selected positions emit rows"),
+    "hll_intersection_estimate": ("bucketed", "distinct (source, shingle) table checkpoints ONCE (feeds registers + exact counts + exact pair intersections); registers are <=2^11 rows/source and checkpoint once; the source-pair table broadcasts; pair union = register max-merge (rows = pairs x registers-hit, corpus never re-scanned); the exact rider is a shingle equi-join self-reporting sketch error"),
+    "tool_runtime_stats": ("shuffle", "ONE conv_id window (lead) + ONE bounded groupBy(tool) with map-side combine; integer second deltas, half-up integer mean"),
 }
 
 
