@@ -459,6 +459,11 @@ def main() -> None:
         "mlm_masking_plan",
         "hll_intersection_estimate",
         "tool_runtime_stats",
+        # round 5, seventieth wave: triangle counts, burstiness,
+        # canonical agreement.  Excluded from the r04 subtotal.
+        "host_triangle_counts",
+        "term_burstiness",
+        "canonical_content_agreement",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -644,6 +649,9 @@ def main() -> None:
         "mlm_masking_plan",
         "hll_intersection_estimate",
         "tool_runtime_stats",
+        "host_triangle_counts",
+        "term_burstiness",
+        "canonical_content_agreement",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

@@ -21880,6 +21880,291 @@ FROM g
 """
 
 
+def q_host_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the host
+    CO-CITATION graph — the community-density metric that separates
+    genuinely interlinked topical neighborhoods from star-shaped link
+    farms (PageRank ranks; triangles tell you whether the neighborhood
+    is a clique or a hub).  Algorithm: the MapReduce-classic
+    degree-ordered compact-forward count (Suri & Vassilvitskii 2011) —
+    every undirected edge orients from its (degree, host)-smaller
+    endpoint, wedges join on the shared low vertex, and a wedge is a
+    triangle iff its closing pair is itself an oriented edge; the
+    orientation bounds wedge fan-out by the LOW endpoint's degree, the
+    property that keeps the join tractable on power-law graphs.
+    Isolated hosts (never co-cited) keep a coverage row (degree 0,
+    clustering NULL; degree 1 likewise NULL).
+
+    Determinism: integer counts; clustering = 2T/(d(d-1)) is an
+    integer-quotient round-6; (degree, host) is a total order so the
+    orientation is unique.
+
+    Scale shape: pair generation is the turn-key self-join bounded by
+    per-page host-set size; the oriented edge table checkpoints ONCE
+    and feeds both wedge sides AND the closing-edge join; all joins are
+    equi-joins on host keys."""
+    ph = _ext_host_rows(spark, distinct_per_turn=True).localCheckpoint(
+        eager=True
+    )
+    a, b2 = ph.alias("a"), ph.alias("b2")
+    und = (
+        a.join(
+            b2,
+            (F.col("a.conv_id") == F.col("b2.conv_id"))
+            & (F.col("a.turn_idx") == F.col("b2.turn_idx"))
+            & (F.col("a.host") < F.col("b2.host")),
+        )
+        .select(F.col("a.host").alias("u"), F.col("b2.host").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = ph.select("host").distinct()
+    ed = (
+        und.select(F.col("u").alias("host"))
+        .unionByName(und.select(F.col("v").alias("host")))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    deg = (
+        nodes.join(ed, "host", "left")
+        .select("host", F.coalesce("degree", F.lit(0)).alias("degree"))
+        .localCheckpoint(eager=True)
+    )
+    du = deg.select(F.col("host").alias("u"), F.col("degree").alias("deg_u"))
+    dv = deg.select(F.col("host").alias("v"), F.col("degree").alias("deg_v"))
+    e = und.join(du, "u").join(dv, "v")
+    lo_first = F.struct(
+        F.col("deg_u").alias("d"), F.col("u").alias("h")
+    ) < F.struct(F.col("deg_v").alias("d"), F.col("v").alias("h"))
+    o = (
+        e.select(
+            F.when(lo_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+            F.when(lo_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+            F.when(lo_first, F.col("deg_v"))
+            .otherwise(F.col("deg_u"))
+            .alias("deg_hi"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    o1 = o.select(
+        F.col("lo").alias("a0"),
+        F.col("hi").alias("b"),
+        F.col("deg_hi").alias("deg_b"),
+    )
+    o2 = o.select(
+        F.col("lo").alias("a0"),
+        F.col("hi").alias("c"),
+        F.col("deg_hi").alias("deg_c"),
+    )
+    wedges = o1.join(o2, "a0").filter(
+        F.struct(F.col("deg_b").alias("d"), F.col("b").alias("h"))
+        < F.struct(F.col("deg_c").alias("d"), F.col("c").alias("h"))
+    )
+    closing = o.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).select("a0", "b", "c")
+    per = (
+        tri.select(F.explode(F.array("a0", "b", "c")).alias("host"))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return (
+        deg.join(per, "host", "left")
+        .select(
+            "host",
+            "degree",
+            F.coalesce("n_triangles", F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    F.lit(2.0)
+                    * F.coalesce("n_triangles", F.lit(0))
+                    / (F.col("degree") * (F.col("degree") - 1)),
+                    6,
+                ),
+            ).alias("clustering"),
+        )
+    )
+
+
+SQL_HOST_TRIANGLE_COUNTS = f"""
+WITH {_SQL_LINKS_PREFIX}, ph AS MATERIALIZED (
+  SELECT DISTINCT conv_id, turn_idx, host FROM (
+    SELECT conv_id, turn_idx, unnest({_SQL_EXT_HOSTS}) AS host FROM h
+  )
+), und AS MATERIALIZED (
+  SELECT DISTINCT a.host AS u, b2.host AS v
+  FROM ph a JOIN ph b2
+    ON a.conv_id = b2.conv_id AND a.turn_idx = b2.turn_idx
+   AND a.host < b2.host
+), nodes AS (
+  SELECT DISTINCT host FROM ph
+), ed AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS degree FROM (
+    SELECT u AS host FROM und UNION ALL SELECT v AS host FROM und
+  ) GROUP BY host
+), deg AS MATERIALIZED (
+  SELECT nodes.host, coalesce(ed.degree, 0) AS degree
+  FROM nodes LEFT JOIN ed USING (host)
+), o AS MATERIALIZED (
+  SELECT CASE WHEN (du.degree, und.u) < (dv.degree, und.v)
+              THEN und.u ELSE und.v END AS lo,
+         CASE WHEN (du.degree, und.u) < (dv.degree, und.v)
+              THEN und.v ELSE und.u END AS hi,
+         CASE WHEN (du.degree, und.u) < (dv.degree, und.v)
+              THEN dv.degree ELSE du.degree END AS deg_hi
+  FROM und
+  JOIN deg du ON du.host = und.u
+  JOIN deg dv ON dv.host = und.v
+), tri AS (
+  SELECT o1.lo AS a0, o1.hi AS b, o2.hi AS c
+  FROM o o1
+  JOIN o o2 ON o1.lo = o2.lo
+           AND (o1.deg_hi, o1.hi) < (o2.deg_hi, o2.hi)
+  JOIN o o3 ON o3.lo = o1.hi AND o3.hi = o2.hi
+), per AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+    SELECT a0 AS host FROM tri
+    UNION ALL SELECT b AS host FROM tri
+    UNION ALL SELECT c AS host FROM tri
+  ) GROUP BY host
+)
+SELECT d.host, d.degree,
+       coalesce(p.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN round(2.0 * coalesce(p.n_triangles, 0)
+                       / (d.degree * (d.degree - 1)), 6)
+       END AS clustering
+FROM deg d LEFT JOIN per p USING (host)
+"""
+
+
+BURST_MIN_DF = 5
+BURST_TOPK = 50
+
+
+def q_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term burstiness (Church & Gale 1995): mean occurrences per
+    CONTAINING document, tf/df — the dispersion statistic that
+    separates topical terms (bursty: rare across docs, repeated within
+    them) from function words (even spread), which frequency lists and
+    idf alone conflate.  Top-{BURST_TOPK} terms at df >= {BURST_MIN_DF}
+    by (burstiness DESC, term ASC) — a total order.
+
+    Determinism: integer tf/df; burstiness is an integer-quotient
+    round-6.
+
+    Scale shape: ONE (doc, term) exchange with map-side combine, ONE
+    term rollup, top-K via TakeOrdered (no global sort)."""
+    docs = _t(spark, sf_dir, "documents")
+    dt = (
+        _tokens(docs)
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    per = dt.groupBy("tok").agg(
+        F.sum("c").cast("long").alias("tf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+    )
+    return (
+        per.filter(F.col("df") >= BURST_MIN_DF)
+        .select(
+            F.col("tok").alias("term"),
+            "tf",
+            "df",
+            F.round(F.col("tf") / F.col("df"), 6).alias("burstiness"),
+        )
+        .orderBy(F.col("burstiness").desc(), F.col("term").asc())
+        .limit(BURST_TOPK)
+    )
+
+
+SQL_TERM_BURSTINESS = f"""
+WITH u AS (
+  SELECT doc_id, unnest(list_filter(
+           regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+           x -> x <> '')) AS tok
+  FROM documents
+), dt AS (
+  SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c
+  FROM u GROUP BY doc_id, tok
+), per AS (
+  SELECT tok, CAST(sum(c) AS BIGINT) AS tf,
+         CAST(count(*) AS BIGINT) AS df
+  FROM dt GROUP BY tok
+)
+SELECT tok AS term, tf, df, round(tf / df, 6) AS burstiness
+FROM per WHERE df >= {BURST_MIN_DF}
+ORDER BY burstiness DESC, term ASC LIMIT {BURST_TOPK}
+"""
+
+
+def q_canonical_content_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-URL vs content agreement — the crawl-dedup audit that
+    joins two committed primitives: the publisher's own rel=canonical
+    claim (robots_meta_frame) against the extraction kernel's
+    text_content digest.  Per canonical target: how many turns claim
+    it and whether their extracted content agrees (one digest) — a
+    canonical pointing at N turns with N digests is either a template
+    miscanonicalization or canonical abuse, and trusting it would
+    merge DISTINCT content at dedup time; agreement means the
+    canonical is a free exact-dup key.
+
+    Determinism: md5 digests, integer counts.
+
+    Scale shape: the canonical extraction is a zero-exchange scan
+    projection; one (conv_id, turn_idx) equi-join against the kernel
+    output; ONE bounded groupBy(canonical_url)."""
+    meta = (
+        robots_meta_frame(spark.read.parquet(TRANSCRIPTS_PQ))
+        .filter(F.col("canonical_url").isNotNull())
+        .select("conv_id", "turn_idx", "canonical_url")
+    )
+    ex = _ok_turns(spark).select(
+        "conv_id",
+        "turn_idx",
+        F.md5(F.coalesce(F.col("text_content"), F.lit(""))).alias("digest"),
+    )
+    return (
+        meta.join(ex, ["conv_id", "turn_idx"])
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_turns"),
+            F.countDistinct("digest").cast("long").alias("n_digests"),
+        )
+        .withColumn("consistent", F.col("n_digests") == 1)
+    )
+
+
+SQL_CANONICAL_CONTENT_AGREEMENT = f"""
+WITH t AS (
+  SELECT conv_id, turn_idx, coalesce(text, '') AS txt
+  FROM read_parquet('{TRANSCRIPTS_PQ}')
+), s AS (
+  SELECT conv_id, turn_idx,
+         list_filter(regexp_extract_all(txt, '(?i)<link[^>]*>'),
+                     l -> contains(lower(l), 'canonical')) AS canon
+  FROM t
+), meta AS (
+  SELECT conv_id, turn_idx,
+         nullif(regexp_extract(canon[1],
+                  '(?i)href\\s*=\\s*["'']?([^"'' >]+)', 1), '')
+           AS canonical_url
+  FROM s
+), ex AS (
+  SELECT conv_id, turn_idx, md5(coalesce(text_content, '')) AS digest
+  FROM read_parquet('{GOLDENS_PQ}') WHERE status = 'ok'
+)
+SELECT m.canonical_url,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(count(DISTINCT e.digest) AS BIGINT) AS n_digests,
+       count(DISTINCT e.digest) = 1 AS consistent
+FROM meta m
+JOIN ex e ON e.conv_id = m.conv_id AND e.turn_idx = m.turn_idx
+WHERE m.canonical_url IS NOT NULL
+GROUP BY m.canonical_url
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -22475,4 +22760,13 @@ QUERIES: dict[str, tuple] = {
         SQL_HLL_INTERSECTION_ESTIMATE,
     ),
     "tool_runtime_stats": (q_tool_runtime_stats, SQL_TOOL_RUNTIME_STATS),
+    "host_triangle_counts": (
+        q_host_triangle_counts,
+        SQL_HOST_TRIANGLE_COUNTS,
+    ),
+    "term_burstiness": (q_term_burstiness, SQL_TERM_BURSTINESS),
+    "canonical_content_agreement": (
+        q_canonical_content_agreement,
+        SQL_CANONICAL_CONTENT_AGREEMENT,
+    ),
 }

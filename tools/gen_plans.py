@@ -118,7 +118,8 @@ def main() -> None:
                  "textrank_keywords", "robots_txt_frontier_filter",
                  "digest_collision_audit", "label_noise_flags",
                  "mlm_masking_plan", "hll_intersection_estimate",
-                 "tool_runtime_stats"):
+                 "tool_runtime_stats", "host_triangle_counts",
+                 "term_burstiness", "canonical_content_agreement"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -895,6 +896,17 @@ def main() -> None:
                    "no joins",
                    "Join" not in full["tool_runtime_stats"]
                    and "partial_" in full["tool_runtime_stats"]))
+
+    checks.append(("triangles: oriented edges come from checkpoints "
+                   "(no parquet re-scan), no cartesian",
+                   "Scan parquet" not in full["host_triangle_counts"]
+                   and "CartesianProduct"
+                   not in full["host_triangle_counts"]))
+
+    checks.append(("burstiness: map-side combine + TakeOrdered "
+                   "(no global sort)",
+                   "partial_" in full["term_burstiness"]
+                   and "TakeOrderedAndProject" in full["term_burstiness"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -270,6 +270,9 @@ SCALE_CLASS = {
     "mlm_masking_plan": ("broadcast", "in-row posexplode + content-stable hash buckets (linear); the vocab index is VOCAB-bounded (one bounded window) and BROADCASTS into the replacement equi-join that only the ~1.5% random-branch rows take; only selected positions emit rows"),
     "hll_intersection_estimate": ("bucketed", "distinct (source, shingle) table checkpoints ONCE (feeds registers + exact counts + exact pair intersections); registers are <=2^11 rows/source and checkpoint once; the source-pair table broadcasts; pair union = register max-merge (rows = pairs x registers-hit, corpus never re-scanned); the exact rider is a shingle equi-join self-reporting sketch error"),
     "tool_runtime_stats": ("shuffle", "ONE conv_id window (lead) + ONE bounded groupBy(tool) with map-side combine; integer second deltas, half-up integer mean"),
+    "host_triangle_counts": ("shuffle", "degree-ordered compact-forward triangle count (Suri & Vassilvitskii): orientation from the (degree, host)-smaller endpoint bounds wedge fan-out by the LOW endpoint's degree (the power-law-graph property); the oriented edge table checkpoints ONCE and feeds both wedge sides + the closing-edge equi-join; all host-keyed equi-joins"),
+    "term_burstiness": ("shuffle", "ONE (doc, term) exchange with map-side combine -> ONE term rollup -> TakeOrdered top-K; burstiness = tf/df integer-quotient round-6"),
+    "canonical_content_agreement": ("shuffle", "canonical extraction is a zero-exchange scan projection; one (conv, turn) equi-join against the kernel output; ONE bounded groupBy(canonical_url) with two-phase countDistinct"),
 }
 
 
