@@ -464,6 +464,11 @@ def main() -> None:
         "host_triangle_counts",
         "term_burstiness",
         "canonical_content_agreement",
+        # round 5, seventy-first wave: 1-bit minhash, split balance,
+        # length bias.  Excluded from the r04 subtotal.
+        "bbit_minhash_estimate",
+        "split_balance_audit",
+        "quality_length_bias",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -652,6 +657,9 @@ def main() -> None:
         "host_triangle_counts",
         "term_burstiness",
         "canonical_content_agreement",
+        "bbit_minhash_estimate",
+        "split_balance_audit",
+        "quality_length_bias",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

@@ -22165,6 +22165,391 @@ GROUP BY m.canonical_url
 """
 
 
+_HEX_ODD = ("1", "3", "5", "7", "9", "b", "d", "f")
+
+
+def q_bbit_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """b-bit minhash (Li & Konig 2010, b=1): store only the LOWEST bit
+    of each of the {N_MINHASH} minhash components — a {N_MINHASH}-bit
+    packed integer instead of {N_MINHASH} hex strings (64x storage cut)
+    — and estimate Jaccard from bit agreement: E[agree] = (1+J)/2 for a
+    large universe, so J1 = (n - 2*hamming)/n.  Per LSH candidate pair
+    the table shows the full-signature estimate, the 1-bit estimate,
+    the EXACT shingle Jaccard and both absolute errors — the
+    storage-vs-accuracy trade a 10^12-document signature store decides
+    on.  The low bit of a lexicographic-min HEX minhash is the parity
+    of its last hex char.
+
+    Determinism: packed signatures are exact integers; hamming via
+    bit_count(xor); every estimate is an integer quotient (multiples
+    of 1/{N_MINHASH} are exactly representable) round-6.
+
+    Scale shape: the shingle table checkpoints ONCE (signatures +
+    candidates + exact verify, the minhash_estimate_error discipline);
+    the packed comparison is one BIGINT xor per candidate pair."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = _shingles(docs).localCheckpoint()
+    pairs = _minhash_pairs(docs, sh=sh)
+    signed = sh.groupBy("doc_id").agg(
+        *[
+            F.min(
+                F.md5(F.concat_ws(":", F.lit(seed), F.col("shingle")))
+            ).alias(f"mh{seed}")
+            for seed in range(N_MINHASH)
+        ]
+    )
+    parity = [
+        F.when(
+            F.substring(F.col(f"mh{s}"), 32, 1).isin(*_HEX_ODD),
+            F.lit(1 << s).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for s in range(N_MINHASH)
+    ]
+    packed = signed.select(
+        "doc_id",
+        sum(parity[1:], parity[0]).alias("packed"),
+        *[F.col(f"mh{s}") for s in range(N_MINHASH)],
+    )
+    sa = packed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("packed").alias("pk_a"),
+        *[F.col(f"mh{s}").alias(f"a{s}") for s in range(N_MINHASH)],
+    )
+    sb = packed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("packed").alias("pk_b"),
+        *[F.col(f"mh{s}").alias(f"b{s}") for s in range(N_MINHASH)],
+    )
+    n_eq = sum(
+        F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0)
+        for s in range(N_MINHASH)
+    )
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    common = (
+        pairs.join(
+            sh.select(F.col("doc_id").alias("doc_a"), "shingle"), "doc_a"
+        )
+        .join(
+            sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+            ["doc_b", "shingle"],
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    ham = F.bit_count(F.col("pk_a").bitwiseXOR(F.col("pk_b")))
+    scored = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming_1bit", ham.cast("long"))
+        .withColumn("n_eq", F.lit(0) + n_eq)
+        .join(common, ["doc_a", "doc_b"], "left")
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")
+            ),
+            "doc_b",
+        )
+        .withColumn("n_common", F.coalesce("n_common", F.lit(0)))
+        .withColumn(
+            "j_est_1bit",
+            F.round(
+                (F.lit(N_MINHASH) - 2 * F.col("hamming_1bit")) / N_MINHASH,
+                6,
+            ),
+        )
+        .withColumn("j_est_full", F.round(F.col("n_eq") / N_MINHASH, 6))
+        .withColumn(
+            "j_exact",
+            F.round(
+                F.col("n_common")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+                6,
+            ),
+        )
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "hamming_1bit",
+        "j_est_1bit",
+        "j_est_full",
+        "j_exact",
+        F.round(F.abs(F.col("j_est_1bit") - F.col("j_exact")), 6).alias(
+            "err_1bit"
+        ),
+        F.round(F.abs(F.col("j_est_full") - F.col("j_exact")), 6).alias(
+            "err_full"
+        ),
+    )
+
+
+_SQL_HEX_ODD = ", ".join(f"'{c}'" for c in _HEX_ODD)
+
+SQL_BBIT_MINHASH_ESTIMATE = (
+    _SHINGLES_SQL
+    + f"""
+  , shc AS MATERIALIZED (SELECT doc_id, shingle FROM shingles),
+  minhashes AS MATERIALIZED (
+    SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minh
+    FROM shc, UNNEST(generate_series(0, {N_MINHASH - 1})) AS s(seed)
+    GROUP BY doc_id, seed
+  ),
+  bands AS (
+    SELECT doc_id, CAST(seed // {N_MINHASH // N_BANDS} AS INT) AS band,
+           md5(string_agg(minh, ',' ORDER BY seed)) AS sig
+    FROM minhashes GROUP BY doc_id, CAST(seed // {N_MINHASH // N_BANDS} AS INT)
+  ),
+  cand AS MATERIALIZED (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  ),
+  packed AS MATERIALIZED (
+    SELECT doc_id,
+           CAST(sum(CASE WHEN substr(minh, 32, 1) IN ({_SQL_HEX_ODD})
+                         THEN CAST(1 AS BIGINT) << seed ELSE 0 END)
+                AS BIGINT) AS pk
+    FROM minhashes GROUP BY doc_id
+  ),
+  eq AS (
+    SELECT c.doc_a, c.doc_b,
+           CAST(sum(CASE WHEN ma.minh = mb.minh THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_eq
+    FROM cand c
+    JOIN minhashes ma ON ma.doc_id = c.doc_a
+    JOIN minhashes mb ON mb.doc_id = c.doc_b AND mb.seed = ma.seed
+    GROUP BY c.doc_a, c.doc_b
+  ),
+  sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+            FROM shc GROUP BY doc_id),
+  common AS (
+    SELECT c.doc_a, c.doc_b, CAST(count(*) AS BIGINT) AS n_common
+    FROM cand c
+    JOIN shc a2 ON a2.doc_id = c.doc_a
+    JOIN shc b2 ON b2.doc_id = c.doc_b AND b2.shingle = a2.shingle
+    GROUP BY c.doc_a, c.doc_b
+  ),
+  scored AS (
+    SELECT e.doc_a, e.doc_b,
+           CAST(bit_count(xor(pa.pk, pb.pk)) AS BIGINT) AS hamming_1bit,
+           round(({N_MINHASH} - 2 * bit_count(xor(pa.pk, pb.pk)))
+                 / {N_MINHASH}, 6) AS j_est_1bit,
+           round(e.n_eq / {N_MINHASH}, 6) AS j_est_full,
+           round(coalesce(cm.n_common, 0)
+                 / (za.sz + zb.sz - coalesce(cm.n_common, 0)), 6) AS j_exact
+    FROM eq e
+    JOIN packed pa ON pa.doc_id = e.doc_a
+    JOIN packed pb ON pb.doc_id = e.doc_b
+    LEFT JOIN common cm ON cm.doc_a = e.doc_a AND cm.doc_b = e.doc_b
+    JOIN sizes za ON za.doc_id = e.doc_a
+    JOIN sizes zb ON zb.doc_id = e.doc_b
+  )
+SELECT doc_a, doc_b, hamming_1bit, j_est_1bit, j_est_full, j_exact,
+       round(abs(j_est_1bit - j_exact), 6) AS err_1bit,
+       round(abs(j_est_full - j_exact), 6) AS err_full
+FROM scored
+"""
+)
+
+
+def q_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratification audit of the content-hash train/val/test split:
+    the full source x split contingency table — observed counts,
+    expected counts under independence in micro-units, and each cell's
+    chi-square contribution — including ZERO-observed cells (a source
+    missing from val IS the imbalance signal a sampling audit must
+    show).  The hash split is provably source-blind only in
+    expectation; this is the table that checks a real corpus landed
+    close enough for per-source eval slices to be trustworthy.
+
+    Determinism: expected = (1e6 * n_source * n_split) // n integer
+    floor; the contribution (o*1e6 - e_mu)^2 / (e_mu * 1e6) is an
+    integer-over-integer quotient round-6 (NULL when e_mu = 0).
+
+    Scale shape: one (source, split) groupBy with map-side combine;
+    margins are bounded tables cross-joined (broadcast) to build the
+    complete grid."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = _md5_bucket(F.col("doc_id").cast("string"))
+    split = (
+        F.when(bucket < SPLIT_TRAIN_LT, F.lit("train"))
+        .when(bucket < SPLIT_VAL_LT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    cells = (
+        docs.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    )
+    src_m = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_source")
+    )
+    spl_m = (
+        docs.select(split.alias("split"))
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_split"))
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    grid = (
+        src_m.crossJoin(F.broadcast(spl_m))
+        .crossJoin(F.broadcast(tot))
+        .join(cells, ["source", "split"], "left")
+        .withColumn("observed", F.coalesce("observed", F.lit(0)))
+        .withColumn(
+            "expected_mu",
+            F.expr("(1000000 * n_source * n_split) div n_total").cast(
+                "long"
+            ),
+        )
+    )
+    num = (F.col("observed") * 1000000 - F.col("expected_mu"))
+    return grid.select(
+        "source",
+        "split",
+        "observed",
+        "n_source",
+        "n_split",
+        "expected_mu",
+        F.when(
+            F.col("expected_mu") > 0,
+            F.round(num * num / (F.col("expected_mu") * 1000000.0), 6),
+        ).alias("chi2_contrib"),
+    )
+
+
+SQL_SPLIT_BALANCE_AUDIT = f"""
+WITH b AS (
+  SELECT source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+), s AS (
+  SELECT source,
+         CASE WHEN {_sql_md5_poly('h')} % {SPLIT_BUCKETS} < {SPLIT_TRAIN_LT}
+                THEN 'train'
+              WHEN {_sql_md5_poly('h')} % {SPLIT_BUCKETS} < {SPLIT_VAL_LT}
+                THEN 'val'
+              ELSE 'test' END AS split
+  FROM b
+), cells AS (
+  SELECT source, split, CAST(count(*) AS BIGINT) AS observed
+  FROM s GROUP BY source, split
+), src_m AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_source FROM s GROUP BY source
+), spl_m AS (
+  SELECT split, CAST(count(*) AS BIGINT) AS n_split FROM s GROUP BY split
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_total FROM s
+), grid AS (
+  SELECT sm.source, pm.split, coalesce(c.observed, 0) AS observed,
+         sm.n_source, pm.n_split,
+         CAST((1000000 * sm.n_source * pm.n_split) // t.n_total AS BIGINT)
+           AS expected_mu
+  FROM src_m sm
+  CROSS JOIN spl_m pm
+  CROSS JOIN tot t
+  LEFT JOIN cells c ON c.source = sm.source AND c.split = pm.split
+)
+SELECT source, split, observed, n_source, n_split, expected_mu,
+       CASE WHEN expected_mu > 0 THEN
+         round((observed * 1000000 - expected_mu)
+               * (observed * 1000000 - expected_mu)
+               / (expected_mu * 1000000.0), 6)
+       END AS chi2_contrib
+FROM grid
+"""
+
+
+def q_quality_length_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bias audit of the trained quality classifier — the
+    classifier-side analogue of preference_length_bias: the Pearson
+    correlation (and regression slope) between document length and the
+    model's score, the number every model-filtered dataset card should
+    report because linear quality models notoriously proxy length.
+    One row: n, mean length, mean score (micro), r and slope round-6.
+
+    Determinism: ALL five regression sums are exact integer sums of
+    (n_chars, score-micro-unit) products — summation-order-proof, the
+    token_zipf_fit discipline — and only the final r/slope expressions
+    touch doubles (same single expression both engines).
+
+    Scale shape: scoring reuses the memoized checkpointed classifier
+    frame joined to the documents' length column; ONE aggregation job
+    collapsing to a single row."""
+    sc = q_doc_quality_classifier(spark, sf_dir).select(
+        "doc_id",
+        F.expr("CAST(round(score * 1000000, 0) AS BIGINT)").alias("y"),
+    )
+    lens = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("x")
+    )
+    j = sc.join(lens, "doc_id")
+    sums = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return sums.select(
+        "n",
+        F.expr("(2 * sx + n) div (2 * n)").cast("long").alias("mean_len"),
+        F.expr("(2 * sy + n) div (2 * n)").cast("long").alias(
+            "mean_score_mu"
+        ),
+        F.when(
+            (var_x > 0) & (var_y > 0),
+            F.round(
+                cov_n
+                / F.sqrt(var_x.cast("double") * var_y.cast("double")),
+                6,
+            ),
+        ).alias("pearson_r"),
+        F.when(var_x > 0, F.round(cov_n / var_x, 6)).alias(
+            "slope_mu_per_char"
+        ),
+    )
+
+
+SQL_QUALITY_LENGTH_BIAS = f"""
+WITH {_sql_qc_chain()}, sc AS (
+  SELECT doc_id, CAST(round(score * 1000000) AS BIGINT) AS y FROM final
+), j AS (
+  SELECT sc.y, CAST(length(d.text) AS BIGINT) AS x
+  FROM sc JOIN documents d USING (doc_id)
+), sums AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(x) AS BIGINT) AS sx,
+         CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy,
+         CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM j
+)
+SELECT n,
+       CAST((2 * sx + n) // (2 * n) AS BIGINT) AS mean_len,
+       CAST((2 * sy + n) // (2 * n) AS BIGINT) AS mean_score_mu,
+       CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         round((n * sxy - sx * sy)
+               / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                      * CAST(n * syy - sy * sy AS DOUBLE)), 6)
+       END AS pearson_r,
+       CASE WHEN n * sxx - sx * sx > 0 THEN
+         round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+       END AS slope_mu_per_char
+FROM sums
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -22769,4 +23154,10 @@ QUERIES: dict[str, tuple] = {
         q_canonical_content_agreement,
         SQL_CANONICAL_CONTENT_AGREEMENT,
     ),
+    "bbit_minhash_estimate": (
+        q_bbit_minhash_estimate,
+        SQL_BBIT_MINHASH_ESTIMATE,
+    ),
+    "split_balance_audit": (q_split_balance_audit, SQL_SPLIT_BALANCE_AUDIT),
+    "quality_length_bias": (q_quality_length_bias, SQL_QUALITY_LENGTH_BIAS),
 }

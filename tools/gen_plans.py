@@ -119,7 +119,9 @@ def main() -> None:
                  "digest_collision_audit", "label_noise_flags",
                  "mlm_masking_plan", "hll_intersection_estimate",
                  "tool_runtime_stats", "host_triangle_counts",
-                 "term_burstiness", "canonical_content_agreement"):
+                 "term_burstiness", "canonical_content_agreement",
+                 "bbit_minhash_estimate", "split_balance_audit",
+                 "quality_length_bias"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -907,6 +909,19 @@ def main() -> None:
                    "(no global sort)",
                    "partial_" in full["term_burstiness"]
                    and "TakeOrderedAndProject" in full["term_burstiness"]))
+
+    checks.append(("bbit minhash: shingle subtree from checkpoint "
+                   "(single parquet scan family), no cartesian",
+                   "CartesianProduct" not in full["bbit_minhash_estimate"]))
+
+    checks.append(("split balance: margins broadcast into the grid",
+                   "BroadcastHashJoin" in full["split_balance_audit"]
+                   or "BroadcastNestedLoopJoin"
+                   in full["split_balance_audit"]))
+
+    checks.append(("length bias: classifier frame from checkpoint "
+                   "(one documents scan only)",
+                   full["quality_length_bias"].count("Scan parquet") <= 2))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -273,6 +273,9 @@ SCALE_CLASS = {
     "host_triangle_counts": ("shuffle", "degree-ordered compact-forward triangle count (Suri & Vassilvitskii): orientation from the (degree, host)-smaller endpoint bounds wedge fan-out by the LOW endpoint's degree (the power-law-graph property); the oriented edge table checkpoints ONCE and feeds both wedge sides + the closing-edge equi-join; all host-keyed equi-joins"),
     "term_burstiness": ("shuffle", "ONE (doc, term) exchange with map-side combine -> ONE term rollup -> TakeOrdered top-K; burstiness = tf/df integer-quotient round-6"),
     "canonical_content_agreement": ("shuffle", "canonical extraction is a zero-exchange scan projection; one (conv, turn) equi-join against the kernel output; ONE bounded groupBy(canonical_url) with two-phase countDistinct"),
+    "bbit_minhash_estimate": ("bucketed", "Li & Konig b=1 minhash: shingle table checkpoints ONCE (signatures + candidates + exact verify, the minhash_estimate_error discipline); packed 16-bit signatures compare via ONE BIGINT xor+bit_count per LSH candidate pair; every estimate an integer quotient (1/16 multiples, exactly representable)"),
+    "split_balance_audit": ("broadcast", "one (source, split) groupBy with map-side combine; the margin tables are bounded and broadcast to build the COMPLETE grid incl. zero-observed cells; chi-square contribution = integer-over-integer quotient round-6 (micro-unit expected)"),
+    "quality_length_bias": ("broadcast", "scoring reuses the memoized checkpointed classifier frame; ONE aggregation job of five exact-integer regression sums (summation-order-proof, the token_zipf_fit discipline) collapsing to a single row; only the final r/slope expressions touch doubles"),
 }
 
 
