@@ -22550,6 +22550,304 @@ FROM sums
 """
 
 
+AFFINITY_MIN_CO = 2
+AFFINITY_TOPK = 50
+
+
+def q_part_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity mining over the order->part bipartite
+    (the classic co-purchase / co-occurrence lift table, the relational
+    analogue of PMI collocations): for the top-K part pairs by
+    co-occurring order count, support, directional confidence and lift.
+    A pair's lift > 1 means the parts appear together more often than
+    independence predicts — the signal a recommender / bundling report
+    reads.
+
+    Determinism: all counts are exact integers from DISTINCT
+    (order, part) rows; support/confidence/lift are integer-over-
+    integer quotients round-6; top-K order is (co_orders DESC,
+    part_a ASC, part_b ASC) — fully tiebroken.
+
+    Scale shape: the DISTINCT collapse is one (order, part) exchange;
+    the pair expansion self-joins ON THE ORDER KEY, so the blowup per
+    order is C(parts_per_order, 2) — bounded by basket size, never
+    corpus-quadratic; the pair rollup has map-side combine; per-part
+    counts hash-join back on the part key; top-K is TakeOrdered."""
+    op = (
+        _t(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+        )
+        .distinct()
+    )
+    tot = op.agg(F.countDistinct("ok").cast("long").alias("n_orders"))
+    pc = op.groupBy("pk").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    a = op.toDF("ok", "pa")
+    b = op.toDF("ok", "pb")
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("co_orders"))
+        .where(F.col("co_orders") >= AFFINITY_MIN_CO)
+    )
+    res = (
+        pairs.join(pc.toDF("pa", "cnt_a"), "pa")
+        .join(pc.toDF("pb", "cnt_b"), "pb")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            "co_orders",
+            "cnt_a",
+            "cnt_b",
+            "n_orders",
+            F.round(F.col("co_orders") / F.col("n_orders"), 6).alias(
+                "support"
+            ),
+            F.round(F.col("co_orders") / F.col("cnt_a"), 6).alias(
+                "conf_a_to_b"
+            ),
+            F.round(
+                (F.col("co_orders") * F.col("n_orders"))
+                / (F.col("cnt_a") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return res.orderBy(
+        F.col("co_orders").desc(), "part_a", "part_b"
+    ).limit(AFFINITY_TOPK)
+
+
+SQL_PART_AFFINITY_LIFT = f"""
+WITH op AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+), tot AS (
+  SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM op
+), pc AS (
+  SELECT pk, CAST(count(*) AS BIGINT) AS cnt FROM op GROUP BY pk
+), pairs AS (
+  SELECT a.pk AS pa, b.pk AS pb, CAST(count(*) AS BIGINT) AS co_orders
+  FROM op a JOIN op b USING (ok)
+  WHERE a.pk < b.pk
+  GROUP BY 1, 2
+  HAVING count(*) >= {AFFINITY_MIN_CO}
+)
+SELECT p.pa AS part_a, p.pb AS part_b, p.co_orders,
+       ca.cnt AS cnt_a, cb.cnt AS cnt_b, t.n_orders,
+       round(p.co_orders / t.n_orders, 6) AS support,
+       round(p.co_orders / ca.cnt, 6) AS conf_a_to_b,
+       round((p.co_orders * t.n_orders) / (ca.cnt * cb.cnt), 6) AS lift
+FROM pairs p
+JOIN pc ca ON ca.pk = p.pa
+JOIN pc cb ON cb.pk = p.pb
+CROSS JOIN tot t
+ORDER BY p.co_orders DESC, part_a, part_b
+LIMIT {AFFINITY_TOPK}
+"""
+
+
+def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space class-separation audit: the pairwise cosine
+    similarity between per-label centroid vectors (labels whose
+    centroids are near-parallel are the classes a linear probe or an
+    IVF index will confuse — the confusion-matrix-shaped health check
+    run before trusting label-conditioned sampling).
+
+    Determinism: per-element micro-unit quantization BEFORE summation
+    (the pca_power recipe) makes the per-(label, dim) sums exact
+    integers under any aggregation order; the centroid component is a
+    HALF-UP integer mean via the non-negative shift trick
+    (2*(s + K*n) + n) div (2*n) - K with K = 1e6 (both engines'
+    integer division truncates identically on non-negative operands —
+    the shift makes the numerator provably non-negative since
+    |mean| <= 0.5e6 < K); dot products and norms are exact BIGINT sums
+    of centroid micro-units (<= 64 * (1e6)^2 per label pair — no
+    overflow); only the final cosine touches doubles, round-6.
+
+    Scale shape: corpus-sized work is ONE (label, dim) rollup with
+    map-side combine (posexplode is in-row); everything downstream
+    operates on the bounded #labels x EMB_DIM centroid table."""
+    emb = _t(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.col("label").cast("long").alias("label"),
+        F.posexplode("embedding").alias("p", "v"),
+    ).select(
+        "label",
+        (F.col("p") + 1).cast("long").alias("i"),
+        F.round(F.col("v").cast("double") * 1e6, 0)
+        .cast("bigint")
+        .alias("v_mu"),
+    )
+    cent = (
+        x.groupBy("label", "i")
+        .agg(
+            F.sum("v_mu").alias("s"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select(
+            "label",
+            "i",
+            "n",
+            (
+                F.expr("(2 * (s + 1000000 * n) + n) div (2 * n)")
+                - F.lit(1000000)
+            )
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    nrm = cent.groupBy("label").agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("nsq"),
+        F.max("n").cast("long").alias("n_vecs"),
+    )
+    a = cent.select(
+        F.col("label").alias("la"), "i", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("lb"), "i", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, "i")
+        .where(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(F.sum(F.col("ca") * F.col("cb")).cast("long").alias("dot"))
+    )
+    return (
+        dots.join(nrm.toDF("la", "nsq_a", "n_a"), "la")
+        .join(nrm.toDF("lb", "nsq_b", "n_b"), "lb")
+        .select(
+            F.col("la").alias("label_a"),
+            F.col("lb").alias("label_b"),
+            "n_a",
+            "n_b",
+            F.when(
+                (F.col("nsq_a") > 0) & (F.col("nsq_b") > 0),
+                F.round(
+                    F.col("dot")
+                    / F.sqrt(
+                        F.col("nsq_a").cast("double")
+                        * F.col("nsq_b").cast("double")
+                    ),
+                    6,
+                ),
+            ).alias("cosine"),
+        )
+    )
+
+
+SQL_LABEL_CENTROID_SIMILARITY = f"""
+WITH x AS (
+  SELECT CAST(label AS BIGINT) AS label, CAST(d.i AS BIGINT) AS i,
+         CAST(round(CAST(embedding[d.i] AS DOUBLE) * 1e6, 0) AS BIGINT)
+           AS v_mu
+  FROM embeddings, UNNEST(generate_series(1, {EMB_DIM})) AS d(i)
+), cent AS (
+  SELECT label, i, CAST(count(*) AS BIGINT) AS n,
+         CAST((2 * (CAST(sum(v_mu) AS BIGINT) + 1000000 * count(*))
+               + count(*)) // (2 * count(*)) - 1000000 AS BIGINT) AS c
+  FROM x GROUP BY label, i
+), nrm AS (
+  SELECT label, CAST(sum(c * c) AS BIGINT) AS nsq,
+         CAST(max(n) AS BIGINT) AS n_vecs
+  FROM cent GROUP BY label
+), dots AS (
+  SELECT a.label AS la, b.label AS lb,
+         CAST(sum(a.c * b.c) AS BIGINT) AS dot
+  FROM cent a JOIN cent b USING (i)
+  WHERE a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT d.la AS label_a, d.lb AS label_b,
+       na.n_vecs AS n_a, nb.n_vecs AS n_b,
+       CASE WHEN na.nsq > 0 AND nb.nsq > 0 THEN
+         round(d.dot / sqrt(CAST(na.nsq AS DOUBLE)
+                            * CAST(nb.nsq AS DOUBLE)), 6)
+       END AS cosine
+FROM dots d
+JOIN nrm na ON na.label = d.la
+JOIN nrm nb ON nb.label = d.lb
+"""
+
+
+def q_quality_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Wilson 95% confidence interval of the trained quality
+    classifier's pass rate — the uncertainty-aware version of the
+    per-source pass-rate table a dataset card quotes (a source with
+    8/10 passing and a source with 8000/10000 have the same rate and
+    very different evidence; Wilson is the standard small-n-safe
+    interval).
+
+    Determinism: (k, n) are exact integers; the interval is computed
+    in ONE double expression written with the identical association
+    order on both engines (every step an IEEE correctly-rounded op on
+    identical inputs -> bit-identical), round-6.  z = 1.96, z^2 =
+    3.8416 as decimal literals both sides.
+
+    Scale shape: scoring reuses the memoized checkpointed classifier
+    frame; one doc_id hash join to the source column; ONE bounded
+    groupBy(source) rollup with map-side combine."""
+    sc = q_doc_quality_classifier(spark, sf_dir).select("doc_id", "pred")
+    src = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    agg = (
+        sc.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("pred").cast("long").alias("k"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("k").cast("double") / nd
+    zsq = F.lit(3.8416)
+    center = p + zsq / (F.lit(2.0) * nd)
+    den = F.lit(1.0) + zsq / nd
+    half = F.lit(1.96) * F.sqrt(
+        p * (F.lit(1.0) - p) / nd + zsq / (F.lit(4.0) * nd * nd)
+    )
+    return agg.select(
+        "source",
+        "n",
+        "k",
+        F.round(p, 6).alias("pass_rate"),
+        F.round((center - half) / den, 6).alias("wilson_lo"),
+        F.round((center + half) / den, 6).alias("wilson_hi"),
+    )
+
+
+SQL_QUALITY_WILSON_CI = f"""
+WITH {{qc_chain}}, sc AS (
+  SELECT doc_id, CASE WHEN score >= 0.5 THEN 1 ELSE 0 END AS pred
+  FROM final
+), agg AS (
+  SELECT d.source, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(sc.pred) AS BIGINT) AS k
+  FROM sc JOIN documents d USING (doc_id)
+  GROUP BY d.source
+)
+SELECT source, n, k,
+       round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pass_rate,
+       round(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+               + 3.8416 / (2.0 * CAST(n AS DOUBLE)))
+              - 1.96 * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                            * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                            / CAST(n AS DOUBLE)
+                            + 3.8416 / (4.0 * CAST(n AS DOUBLE)
+                                        * CAST(n AS DOUBLE))))
+             / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 6) AS wilson_lo,
+       round(((CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+               + 3.8416 / (2.0 * CAST(n AS DOUBLE)))
+              + 1.96 * sqrt(CAST(k AS DOUBLE) / CAST(n AS DOUBLE)
+                            * (1.0 - CAST(k AS DOUBLE) / CAST(n AS DOUBLE))
+                            / CAST(n AS DOUBLE)
+                            + 3.8416 / (4.0 * CAST(n AS DOUBLE)
+                                        * CAST(n AS DOUBLE))))
+             / (1.0 + 3.8416 / CAST(n AS DOUBLE)), 6) AS wilson_hi
+FROM agg
+""".format(qc_chain=_sql_qc_chain())
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -23160,4 +23458,10 @@ QUERIES: dict[str, tuple] = {
     ),
     "split_balance_audit": (q_split_balance_audit, SQL_SPLIT_BALANCE_AUDIT),
     "quality_length_bias": (q_quality_length_bias, SQL_QUALITY_LENGTH_BIAS),
+    "part_affinity_lift": (q_part_affinity_lift, SQL_PART_AFFINITY_LIFT),
+    "label_centroid_similarity": (
+        q_label_centroid_similarity,
+        SQL_LABEL_CENTROID_SIMILARITY,
+    ),
+    "quality_wilson_ci": (q_quality_wilson_ci, SQL_QUALITY_WILSON_CI),
 }

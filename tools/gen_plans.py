@@ -121,7 +121,8 @@ def main() -> None:
                  "tool_runtime_stats", "host_triangle_counts",
                  "term_burstiness", "canonical_content_agreement",
                  "bbit_minhash_estimate", "split_balance_audit",
-                 "quality_length_bias"):
+                 "quality_length_bias", "part_affinity_lift",
+                 "label_centroid_similarity", "quality_wilson_ci"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -922,6 +923,23 @@ def main() -> None:
     checks.append(("length bias: classifier frame from checkpoint "
                    "(one documents scan only)",
                    full["quality_length_bias"].count("Scan parquet") <= 2))
+
+    checks.append(("part affinity: pair rollup map-side combine + "
+                   "TakeOrdered top-K (no global sort), no cartesian",
+                   "partial_" in full["part_affinity_lift"]
+                   and "TakeOrderedAndProject" in full["part_affinity_lift"]
+                   and "CartesianProduct"
+                   not in full["part_affinity_lift"]))
+
+    checks.append(("label centroids: (label, dim) rollup map-side "
+                   "combine; no cartesian product",
+                   "partial_" in full["label_centroid_similarity"]
+                   and "CartesianProduct"
+                   not in full["label_centroid_similarity"]))
+
+    checks.append(("wilson ci: classifier frame from checkpoint "
+                   "(one documents scan only)",
+                   full["quality_wilson_ci"].count("Scan parquet") <= 2))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -276,6 +276,9 @@ SCALE_CLASS = {
     "bbit_minhash_estimate": ("bucketed", "Li & Konig b=1 minhash: shingle table checkpoints ONCE (signatures + candidates + exact verify, the minhash_estimate_error discipline); packed 16-bit signatures compare via ONE BIGINT xor+bit_count per LSH candidate pair; every estimate an integer quotient (1/16 multiples, exactly representable)"),
     "split_balance_audit": ("broadcast", "one (source, split) groupBy with map-side combine; the margin tables are bounded and broadcast to build the COMPLETE grid incl. zero-observed cells; chi-square contribution = integer-over-integer quotient round-6 (micro-unit expected)"),
     "quality_length_bias": ("broadcast", "scoring reuses the memoized checkpointed classifier frame; ONE aggregation job of five exact-integer regression sums (summation-order-proof, the token_zipf_fit discipline) collapsing to a single row; only the final r/slope expressions touch doubles"),
+    "part_affinity_lift": ("shuffle", "DISTINCT (order, part) = one exchange; pair expansion self-joins ON the order key so blowup is C(basket, 2) per order (bounded by basket size, never corpus-quadratic); pair rollup has map-side combine; per-part counts hash-join back; top-K via TakeOrdered; all metrics integer-quotient round-6"),
+    "label_centroid_similarity": ("shuffle", "corpus-sized work is ONE (label, dim) rollup with map-side combine over micro-unit-quantized terms (summation-order-proof, the pca_power recipe); centroid components are shifted half-up integer means; every downstream join/dot operates on the bounded #labels x EMB_DIM centroid table"),
+    "quality_wilson_ci": ("broadcast", "scoring reuses the memoized checkpointed classifier frame; one doc_id hash join to the source column; ONE bounded groupBy(source) rollup; the Wilson interval is a single identical-association double expression on exact (k, n) integers, round-6"),
 }
 
 
