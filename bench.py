@@ -469,6 +469,27 @@ def main() -> None:
         "bbit_minhash_estimate",
         "split_balance_audit",
         "quality_length_bias",
+        # round 5, waves 72-76 (this session): market-basket affinity,
+        # centroid separation, Wilson CI, dup-graph degrees, dow
+        # seasonality, RFM, crawl budget, revision distance, reorder
+        # cadence, latency anomalies, fulfillment lag, norm outliers,
+        # language confusion, band occupancy, context growth.  Excluded
+        # from the r04 subtotal.
+        "part_affinity_lift",
+        "label_centroid_similarity",
+        "quality_wilson_ci",
+        "dup_graph_degree_stats",
+        "event_dow_seasonality",
+        "customer_rfm_scores",
+        "host_crawl_budget",
+        "turn_revision_distance",
+        "order_reorder_interval",
+        "tool_latency_anomaly",
+        "supplier_fulfillment_lag",
+        "embedding_norm_outliers",
+        "doc_language_confusion",
+        "minhash_band_occupancy",
+        "conversation_context_growth",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -660,6 +681,21 @@ def main() -> None:
         "bbit_minhash_estimate",
         "split_balance_audit",
         "quality_length_bias",
+        "part_affinity_lift",
+        "label_centroid_similarity",
+        "quality_wilson_ci",
+        "dup_graph_degree_stats",
+        "event_dow_seasonality",
+        "customer_rfm_scores",
+        "host_crawl_budget",
+        "turn_revision_distance",
+        "order_reorder_interval",
+        "tool_latency_anomaly",
+        "supplier_fulfillment_lag",
+        "embedding_norm_outliers",
+        "doc_language_confusion",
+        "minhash_band_occupancy",
+        "conversation_context_growth",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

@@ -1050,17 +1050,11 @@ WHERE greatest(contain_a, contain_b) >= {CONTAIN_MIN}
 )
 
 
-def _minhash_pairs(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
-    """MinHash + LSH banding near-dup candidate pairs over a (doc_id, text)
-    DataFrame: shingle → 16 md5-seeded min-hashes → 4 bands of 4 → bucket
-    group on band signature → (doc_a, doc_b) with doc_a < doc_b, distinct.
-
-    Spark-first shape: explode shingles once, then compute ALL 16 min-hashes
-    as aggregate expressions in a single groupBy(doc_id) — one shuffle of
-    |docs|×|distinct shingles| rows (not ×16 as a seed cross join would) and
-    every expression stays inside whole-stage codegen.  Callers that also
-    need the shingle table for their own joins pass a (possibly
-    checkpointed) `sh` so the explode runs once for every consumer."""
+def _minhash_bands(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
+    """(doc_id, band, sig) LSH band-signature rows over a (doc_id, text)
+    DataFrame: shingle → 16 md5-seeded min-hashes → 4 bands of 4 — the
+    shared first half of _minhash_pairs, exposed for bucket-occupancy
+    audits."""
     if sh is None:
         sh = _shingles(docs)
     signed = sh.groupBy("doc_id").agg(
@@ -1083,9 +1077,23 @@ def _minhash_pairs(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
         )
         for band in range(N_BANDS)
     ]
-    bands = signed.select(
+    return signed.select(
         "doc_id", F.explode(F.array(*band_rows)).alias("b")
     ).select("doc_id", F.col("b.band").alias("band"), F.col("b.sig").alias("sig"))
+
+
+def _minhash_pairs(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
+    """MinHash + LSH banding near-dup candidate pairs over a (doc_id, text)
+    DataFrame: shingle → 16 md5-seeded min-hashes → 4 bands of 4 → bucket
+    group on band signature → (doc_a, doc_b) with doc_a < doc_b, distinct.
+
+    Spark-first shape: explode shingles once, then compute ALL 16 min-hashes
+    as aggregate expressions in a single groupBy(doc_id) — one shuffle of
+    |docs|×|distinct shingles| rows (not ×16 as a seed cross join would) and
+    every expression stays inside whole-stage codegen.  Callers that also
+    need the shingle table for their own joins pass a (possibly
+    checkpointed) `sh` so the explode runs once for every consumer."""
+    bands = _minhash_bands(docs, sh)
     # Bucket-group-and-pair instead of a self-join: the expensive
     # shingle+minhash subtree is computed ONCE (a self-join materializes it
     # on both sides — the round-1 plan showed two identical scans), one
@@ -1119,9 +1127,7 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(_t(spark, sf_dir, "documents"))
 
 
-SQL_DEDUP_MINHASH_LSH = (
-    _SHINGLES_SQL
-    + f"""
+_SQL_BAND_CTES = f"""
   , minhashes AS (
     SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS minh
     FROM shingles, UNNEST(generate_series(0, {N_MINHASH - 1})) AS s(seed)
@@ -1133,6 +1139,12 @@ SQL_DEDUP_MINHASH_LSH = (
            md5(string_agg(minh, ',' ORDER BY seed)) AS sig
     FROM minhashes GROUP BY doc_id, CAST(seed // {N_MINHASH // N_BANDS} AS INT)
   )
+"""
+
+SQL_DEDUP_MINHASH_LSH = (
+    _SHINGLES_SQL
+    + _SQL_BAND_CTES
+    + """
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
@@ -22848,6 +22860,1041 @@ FROM agg
 """.format(qc_chain=_sql_qc_chain())
 
 
+def q_dup_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the MinHash-LSH candidate graph — the dedup-
+    graph health table a near-dup run publishes before clustering: a
+    heavy tail of high-degree hubs means template/boilerplate documents
+    (every hub pair costs verification work and a giant CC), while a
+    graph that is almost all degree 0 means banding is too strict.
+    One row per degree INCLUDING degree 0 (docs in no candidate pair),
+    so sum(n_docs) provably equals the corpus size.
+
+    Determinism: pure integer counts over the DISTINCT candidate set.
+
+    Scale shape: candidates come from the bucketed LSH subtree (never
+    all-pairs); the degree rollup is one doc_id exchange with map-side
+    combine; the histogram groupBy is bounded by max degree; the
+    degree-0 row comes from a left join against the doc table (linear,
+    no extra corpus shuffle beyond the join key)."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = _minhash_pairs(docs)
+    ends = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    alldeg = (
+        docs.select("doc_id")
+        .join(deg, "doc_id", "left")
+        .select(F.coalesce("degree", F.lit(0)).cast("long").alias("degree"))
+    )
+    return alldeg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+SQL_DUP_GRAPH_DEGREE_STATS = f"""
+WITH pairs AS ({SQL_DEDUP_MINHASH_LSH}),
+ends AS (
+  SELECT doc_a AS doc_id FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_id FROM pairs
+), deg AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS degree
+  FROM ends GROUP BY doc_id
+), alldeg AS (
+  SELECT CAST(coalesce(g.degree, 0) AS BIGINT) AS degree
+  FROM documents d LEFT JOIN deg g USING (doc_id)
+)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_docs
+FROM alldeg GROUP BY degree
+"""
+
+
+def q_event_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality profile per event type — the weekly-
+    rhythm audit next to event_rate_anomaly's daily z-scores: the
+    complete event_type x dow grid (dow 1 = Sunday .. 7 = Saturday,
+    Spark's dayofweek convention; zero-observed cells KEPT) with each
+    cell's observed count, the type's uniform expectation in
+    micro-units, and the chi-square contribution against a flat week.
+    A type whose mass concentrates on weekdays (signups) vs flat
+    (errors) separates organic from mechanical traffic.
+
+    Determinism: expected_mu = (1e6 * n_type) // 7 integer floor; the
+    contribution is an integer-over-integer quotient round-6 (the
+    split_balance_audit recipe).
+
+    Scale shape: one bounded (event_type, dow) groupBy with map-side
+    combine; the complete grid is built by an IN-ROW sequence explode
+    on the bounded type-margin table (no extra scan, no cross join of
+    corpus-sized inputs)."""
+    ev = _t(spark, sf_dir, "events")
+    obs = (
+        ev.select("event_type", F.dayofweek("ts").cast("long").alias("dow"))
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    )
+    types = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_type")
+    )
+    grid = types.select(
+        "event_type",
+        "n_type",
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("dow"),
+    ).select(
+        "event_type", "n_type", F.col("dow").cast("long").alias("dow")
+    )
+    j = (
+        grid.join(obs, ["event_type", "dow"], "left")
+        .withColumn("observed", F.coalesce("observed", F.lit(0)))
+        .withColumn(
+            "expected_mu",
+            F.expr("(1000000 * n_type) div 7").cast("long"),
+        )
+    )
+    num = F.col("observed") * 1000000 - F.col("expected_mu")
+    return j.select(
+        "event_type",
+        "dow",
+        "observed",
+        "n_type",
+        "expected_mu",
+        F.when(
+            F.col("expected_mu") > 0,
+            F.round(num * num / (F.col("expected_mu") * 1000000.0), 6),
+        ).alias("chi2_contrib"),
+    )
+
+
+SQL_EVENT_DOW_SEASONALITY = """
+WITH obs AS (
+  SELECT event_type, CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+         CAST(count(*) AS BIGINT) AS observed
+  FROM events GROUP BY 1, 2
+), types AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_type
+  FROM events GROUP BY 1
+), grid AS (
+  SELECT t.event_type, t.n_type, CAST(d.dow AS BIGINT) AS dow
+  FROM types t, UNNEST(generate_series(1, 7)) AS d(dow)
+), j AS (
+  SELECT g.event_type, g.dow, coalesce(o.observed, 0) AS observed,
+         g.n_type,
+         CAST((1000000 * g.n_type) // 7 AS BIGINT) AS expected_mu
+  FROM grid g LEFT JOIN obs o
+    ON o.event_type = g.event_type AND o.dow = g.dow
+)
+SELECT event_type, dow, observed, n_type, expected_mu,
+       CASE WHEN expected_mu > 0 THEN
+         round((observed * 1000000 - expected_mu)
+               * (observed * 1000000 - expected_mu)
+               / (expected_mu * 1000000.0), 6)
+       END AS chi2_contrib
+FROM j
+"""
+
+
+def q_customer_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency / frequency / monetary) customer segmentation, the
+    classic marketing-analytics scoring: per customer the days since
+    their last order (anchored at the corpus max order date), their
+    order count, and lifetime spend in exact cents; each dimension
+    scored 1-5 by WITHIN-MARKET-SEGMENT quintile (5 = most recent /
+    most frequent / highest spend).  Customers with no orders are out
+    of scope by definition (customers_without_orders covers them).
+
+    Determinism: monetary is an exact integer cent sum; quintiles are
+    ntile(5) over fully tiebroken orders (metric, c_custkey) — both
+    engines assign remainder rows to the leading buckets identically.
+
+    Scale shape: one custkey rollup over the fact table (map-side
+    combine) joined to the customer dim on its key; the three ntile
+    windows share ONE exchange partitioned by the bounded mktsegment
+    key — never a single-partition global sort; the 1-row max-date
+    aggregate broadcasts."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    anchor = orders.agg(F.max("o_orderdate").alias("max_date"))
+    per = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_date"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("monetary_cents"),
+    )
+    base = (
+        per.crossJoin(F.broadcast(anchor))
+        .join(cust, "custkey")
+        .select(
+            "custkey",
+            "c_mktsegment",
+            F.datediff("max_date", "last_date")
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    seg = Window.partitionBy("c_mktsegment")
+    r_sc = 6 - F.ntile(5).over(
+        seg.orderBy(F.col("recency_days").asc(), F.col("custkey").asc())
+    )
+    f_sc = F.ntile(5).over(
+        seg.orderBy(F.col("frequency").asc(), F.col("custkey").asc())
+    )
+    m_sc = F.ntile(5).over(
+        seg.orderBy(F.col("monetary_cents").asc(), F.col("custkey").asc())
+    )
+    return base.select(
+        "custkey",
+        "c_mktsegment",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        r_sc.cast("long").alias("r_score"),
+        f_sc.cast("long").alias("f_score"),
+        m_sc.cast("long").alias("m_score"),
+    ).withColumn(
+        "rfm_cell",
+        (
+            F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")
+        ).cast("long"),
+    )
+
+
+SQL_CUSTOMER_RFM_SCORES = """
+WITH anchor AS (
+  SELECT max(o_orderdate) AS max_date FROM orders
+), per AS (
+  SELECT o_custkey AS custkey,
+         max(o_orderdate) AS last_date,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY 1
+), base AS (
+  SELECT p.custkey, c.c_mktsegment,
+         CAST(date_diff('day', p.last_date, a.max_date) AS BIGINT)
+           AS recency_days,
+         p.frequency, p.monetary_cents
+  FROM per p
+  CROSS JOIN anchor a
+  JOIN customer c ON c.c_custkey = p.custkey
+), scored AS (
+  SELECT custkey, c_mktsegment, recency_days, frequency, monetary_cents,
+         CAST(6 - ntile(5) OVER (PARTITION BY c_mktsegment
+                                 ORDER BY recency_days, custkey)
+              AS BIGINT) AS r_score,
+         CAST(ntile(5) OVER (PARTITION BY c_mktsegment
+                             ORDER BY frequency, custkey)
+              AS BIGINT) AS f_score,
+         CAST(ntile(5) OVER (PARTITION BY c_mktsegment
+                             ORDER BY monetary_cents, custkey)
+              AS BIGINT) AS m_score
+  FROM base
+)
+SELECT *, CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT) AS rfm_cell
+FROM scored
+"""
+
+
+CRAWL_BUDGET_MULT = 4  # crawl budget = 4x the known frontier URL count
+CRAWL_HOST_CAP = 8  # per-host cap = 8x the host's known URLs (politeness)
+
+
+def q_host_crawl_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-budget allocation across frontier hosts — the planning
+    table between crawl_frontier_topk (which URL first) and
+    robots_txt_frontier_filter (may we fetch it): a global page budget
+    (CRAWL_BUDGET_MULT x known distinct URLs) split proportionally to
+    host PageRank mass with a per-host politeness cap
+    (CRAWL_HOST_CAP x the host's known URLs), plus ONE redistribution
+    round of the cap overflow to uncapped hosts — the standard
+    practical compromise between proportional fairness and iterative
+    waterfilling.
+
+    Determinism + overflow safety: the proportional share goes through
+    a micro-unit SHARE first — share_mu = (pr_units * 1e6) div
+    total_pr (bounded by 1e6), then pages = (share_mu * budget) div
+    1e6 — so neither product exceeds max(pr_units * 1e6, budget * 1e6)
+    (the direct budget * pr_units product would overflow BIGINT at web
+    scale, and a budget-side micro-rate floors to ZERO whenever
+    total_pr > budget * 1e6); hosts below a millionth of the rank mass
+    round to 0 pages by construction.  Every operand is non-negative
+    so both engines' integer division agrees.
+
+    Scale shape: the kernel/link subtree is shared and checkpointed
+    (crawl_frontier discipline); everything after the per-host rollup
+    operates on the bounded host table with two 1-row scalar
+    aggregates broadcast back."""
+    ex = _ok_turns(spark).select(
+        "conv_id", "turn_idx", "content"
+    ).localCheckpoint(eager=True)
+    webs = F.filter(
+        _hrefs_expr(F.col("content")),
+        lambda x: _url_scheme(x).isin("http", "https"),
+    )
+    urls = (
+        ex.select(
+            F.explode(
+                F.array_distinct(F.transform(webs, _canon_url_expr))
+            ).alias("url")
+        )
+        .select("url", _url_host(F.col("url")).alias("host"))
+        .filter((F.col("host") != BASE_HOST) & (F.col("host") != ""))
+        .distinct()
+    )
+    hu = urls.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls")
+    )
+    ph = _ext_host_rows_from(ex, distinct_per_turn=True).localCheckpoint(
+        eager=True
+    )
+    pr = _host_pagerank_from(ph).select(
+        F.col("host").alias("pr_host"), "pr_units"
+    )
+    j = (
+        hu.join(pr, hu.host == pr.pr_host)
+        .select(
+            "host",
+            "n_urls",
+            "pr_units",
+            (F.lit(CRAWL_HOST_CAP) * F.col("n_urls"))
+            .cast("long")
+            .alias("cap_pages"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tot = j.agg(
+        (F.sum("n_urls") * CRAWL_BUDGET_MULT).cast("long").alias("budget"),
+        F.sum("pr_units").cast("long").alias("t_pr"),
+    )
+    r1 = j.crossJoin(F.broadcast(tot)).select(
+        "host",
+        "n_urls",
+        "pr_units",
+        "cap_pages",
+        "budget",
+        F.expr(
+            "(((pr_units * 1000000) div t_pr) * budget) div 1000000"
+        )
+        .cast("long")
+        .alias("prop_pages"),
+    )
+    a1 = r1.withColumn(
+        "alloc1", F.least("cap_pages", "prop_pages").cast("long")
+    ).localCheckpoint(eager=True)
+    t2 = a1.agg(
+        (F.max("budget") - F.sum("alloc1")).cast("long").alias("leftover"),
+        F.sum(
+            F.when(F.col("alloc1") < F.col("cap_pages"), F.col("pr_units"))
+            .otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("pr2"),
+    )
+    fin = a1.crossJoin(F.broadcast(t2)).withColumn(
+        "alloc_pages",
+        F.when(
+            (F.col("alloc1") >= F.col("cap_pages")) | (F.col("pr2") <= 0),
+            F.col("alloc1"),
+        )
+        .otherwise(
+            F.least(
+                F.col("cap_pages"),
+                F.col("alloc1")
+                + F.expr(
+                    "(((pr_units * 1000000) div pr2) * leftover) div 1000000"
+                ),
+            )
+        )
+        .cast("long"),
+    )
+    return fin.select(
+        "host",
+        "n_urls",
+        "pr_units",
+        "cap_pages",
+        "prop_pages",
+        "alloc_pages",
+        (F.col("alloc_pages") >= F.col("cap_pages")).alias("capped"),
+    )
+
+
+SQL_HOST_CRAWL_BUDGET = f"""
+WITH {_SQL_LINKS_PREFIX}, {_SQL_PAGERANK_CTES}, urls AS (
+  SELECT DISTINCT url, {_sql_url_host('url')} AS host FROM (
+    SELECT unnest(list_distinct(
+      list_transform(webs, x -> {_sql_canon_url('x')}))) AS url
+    FROM h
+  )
+  WHERE {_sql_url_host('url')} <> '{BASE_HOST}'
+    AND {_sql_url_host('url')} <> ''
+), hu AS (
+  SELECT host, CAST(count(*) AS BIGINT) AS n_urls FROM urls GROUP BY host
+), j AS MATERIALIZED (
+  SELECT hu.host, hu.n_urls, p.pr AS pr_units,
+         CAST({CRAWL_HOST_CAP} * hu.n_urls AS BIGINT) AS cap_pages
+  FROM hu JOIN p{PAGERANK_ITERS} p ON p.host = hu.host
+), tot AS (
+  SELECT CAST(sum(n_urls) * {CRAWL_BUDGET_MULT} AS BIGINT) AS budget,
+         CAST(sum(pr_units) AS BIGINT) AS t_pr
+  FROM j
+), a1 AS MATERIALIZED (
+  SELECT j.host, j.n_urls, j.pr_units, j.cap_pages, t.budget,
+         CAST((((j.pr_units * 1000000) // t.t_pr) * t.budget) // 1000000
+              AS BIGINT) AS prop_pages,
+         CAST(least(j.cap_pages,
+                    (((j.pr_units * 1000000) // t.t_pr) * t.budget)
+                    // 1000000) AS BIGINT) AS alloc1
+  FROM j, tot t
+), t2 AS (
+  SELECT CAST(any_value(budget) - sum(alloc1) AS BIGINT) AS leftover,
+         CAST(sum(CASE WHEN alloc1 < cap_pages THEN pr_units
+                       ELSE 0 END) AS BIGINT) AS pr2
+  FROM a1
+), fin AS (
+  SELECT a.host, a.n_urls, a.pr_units, a.cap_pages, a.prop_pages,
+         CAST(CASE WHEN a.alloc1 >= a.cap_pages OR t.pr2 <= 0
+                   THEN a.alloc1
+              ELSE least(a.cap_pages,
+                         a.alloc1 + (((a.pr_units * 1000000) // t.pr2)
+                                     * t.leftover) // 1000000)
+              END AS BIGINT) AS alloc_pages
+  FROM a1 a, t2 t
+)
+SELECT host, n_urls, pr_units, cap_pages, prop_pages, alloc_pages,
+       alloc_pages >= cap_pages AS capped
+FROM fin
+"""
+
+
+REV_BAND = 64  # length-diff prefilter + banded-DP cap (chars)
+REV_NEAR = 16  # lev <= REV_NEAR flags a near-identical re-answer
+
+
+def revision_frame(df: DataFrame) -> DataFrame:
+    """Core of q_turn_revision_distance over any transcript-shaped frame
+    (conv_id, turn_idx, role, text): per conversation, every ADJACENT
+    turn pair under stable turn ordering with a banded Levenshtein
+    distance between the two texts, keyed by the (role_a, role_b)
+    transition."""
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    t = (
+        df.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "text",
+            F.lag("turn_idx").over(w).alias("prev_idx"),
+            F.lag("role").over(w).alias("prev_role"),
+            F.lag("text").over(w).alias("prev_text"),
+        )
+        .filter(F.col("prev_idx").isNotNull())
+        .select(
+            "conv_id",
+            F.col("prev_idx").cast("long").alias("turn_a"),
+            F.col("turn_idx").cast("long").alias("turn_b"),
+            F.col("prev_role").alias("role_a"),
+            F.col("role").alias("role_b"),
+            F.length("prev_text").cast("long").alias("len_a"),
+            F.length("text").cast("long").alias("len_b"),
+            "prev_text",
+            "text",
+        )
+    )
+    within = (
+        F.col("len_a").isNotNull()
+        & F.col("len_b").isNotNull()
+        & (F.abs(F.col("len_a") - F.col("len_b")) <= REV_BAND)
+    )
+    t = t.withColumn("within_band", within).withColumn(
+        "lev_raw",
+        F.when(
+            F.col("within_band"),
+            F.levenshtein("prev_text", "text", REV_BAND),
+        ),
+    )
+    lev = F.when(F.col("lev_raw") >= 0, F.col("lev_raw")).cast("long")
+    return t.select(
+        "conv_id",
+        "turn_a",
+        "turn_b",
+        "role_a",
+        "role_b",
+        "len_a",
+        "len_b",
+        "within_band",
+        lev.alias("lev"),
+        (lev.isNotNull() & (lev <= REV_NEAR)).alias("is_revision"),
+    )
+
+
+def q_turn_revision_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-turn echo / self-revision mining over the north-rule
+    transcript shape — the NEAR-repeat layer agent_loop_detect's
+    exact-match counter blurs: for every ADJACENT turn pair in a
+    conversation, a banded character Levenshtein distance.  Same-role
+    pairs with a small positive distance (<= REV_NEAR) are the
+    retry-with-tweak signature (the same answer regenerated with a
+    one-word fix); cross-role near-repeats are the echo signature (an
+    assistant turn largely copying the preceding tool output — content
+    that double-counts in the training loss).  Every adjacent pair
+    keeps a coverage row with its (role_a, role_b) transition.
+
+    Determinism: integer lengths and distances only; pairs outside the
+    length band (Levenshtein lower bound) or over the DP cap carry
+    lev = NULL with within_band = false / true respectively (the
+    dedup_editdistance recipe — the oracle computes the full distance
+    and applies the identical <= REV_BAND cut, so surviving integers
+    agree exactly).
+
+    Scale shape: ONE conv_id window (lag) — no self-join; the per-pair
+    DP is constant-bounded by the band."""
+    return revision_frame(spark.read.parquet(TRANSCRIPTS_PQ))
+
+
+SQL_TURN_REVISION_DISTANCE = f"""
+WITH a AS (
+  SELECT conv_id, turn_idx, role, text,
+         lag(turn_idx) OVER w AS prev_idx,
+         lag(role) OVER w AS prev_role,
+         lag(text) OVER w AS prev_text
+  FROM read_parquet('{TRANSCRIPTS_PQ}')
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+), t AS (
+  SELECT conv_id,
+         CAST(prev_idx AS BIGINT) AS turn_a,
+         CAST(turn_idx AS BIGINT) AS turn_b,
+         prev_role AS role_a,
+         role AS role_b,
+         CAST(length(prev_text) AS BIGINT) AS len_a,
+         CAST(length(text) AS BIGINT) AS len_b,
+         prev_text, text
+  FROM a WHERE prev_idx IS NOT NULL
+), b AS (
+  SELECT *,
+         (len_a IS NOT NULL AND len_b IS NOT NULL
+          AND abs(len_a - len_b) <= {REV_BAND}) AS within_band
+  FROM t
+), l AS (
+  SELECT *,
+         CASE WHEN within_band
+              THEN CAST(levenshtein(prev_text, text) AS BIGINT) END
+           AS lev_full
+  FROM b
+)
+SELECT conv_id, turn_a, turn_b, role_a, role_b, len_a, len_b, within_band,
+       CASE WHEN lev_full <= {REV_BAND} THEN lev_full END AS lev,
+       (CASE WHEN lev_full <= {REV_BAND} THEN lev_full END IS NOT NULL
+        AND CASE WHEN lev_full <= {REV_BAND} THEN lev_full END
+            <= {REV_NEAR}) AS is_revision
+FROM l
+"""
+
+
+def q_order_reorder_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase cadence per customer — the inter-order-interval
+    table next to customer_rfm_scores' recency snapshot: for every
+    customer with >= 2 orders, the number of orders, and the min /
+    max / half-up-mean gap in days between CONSECUTIVE orders (ordered
+    by date with o_orderkey tiebreak so same-day orders contribute
+    deterministic 0-day gaps).
+
+    Determinism: integer day gaps; the mean is the exact half-up
+    integer (2*sum + n) div (2*n) on non-negative operands.
+
+    Scale shape: ONE custkey window for lag + one custkey rollup with
+    map-side combine — both on the same key, one exchange total."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # keep the o_custkey name through the rollup: the groupBy's required
+    # hashpartitioning(o_custkey) is then satisfied by the window's
+    # exchange (an alias breaks canonicalization -> a second shuffle)
+    g = (
+        o.select(
+            "o_custkey",
+            "o_orderdate",
+            F.lag("o_orderdate").over(w).alias("prev_date"),
+        )
+        .filter(F.col("prev_date").isNotNull())
+        .select(
+            "o_custkey",
+            F.datediff("o_orderdate", "prev_date").cast("long").alias("gap"),
+        )
+    )
+    return (
+        g.groupBy("o_custkey")
+        .agg(
+            (F.count(F.lit(1)) + 1).cast("long").alias("n_orders"),
+            F.min("gap").cast("long").alias("min_gap_days"),
+            F.max("gap").cast("long").alias("max_gap_days"),
+            F.expr("(2 * sum(gap) + count(1)) div (2 * count(1))")
+            .cast("long")
+            .alias("mean_gap_days"),
+        )
+        .withColumnRenamed("o_custkey", "custkey")
+    )
+
+
+SQL_ORDER_REORDER_INTERVAL = """
+WITH l AS (
+  SELECT o_custkey AS custkey, o_orderdate,
+         lag(o_orderdate) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate, o_orderkey) AS prev_date
+  FROM orders
+), g AS (
+  SELECT custkey,
+         CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT) AS gap
+  FROM l WHERE prev_date IS NOT NULL
+)
+SELECT custkey,
+       CAST(count(*) + 1 AS BIGINT) AS n_orders,
+       CAST(min(gap) AS BIGINT) AS min_gap_days,
+       CAST(max(gap) AS BIGINT) AS max_gap_days,
+       CAST((2 * sum(gap) + count(*)) // (2 * count(*)) AS BIGINT)
+         AS mean_gap_days
+FROM g GROUP BY custkey
+"""
+
+
+def q_tool_latency_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-call latency anomaly flags over the agent transcripts — the
+    outlier pass next to tool_runtime_stats' per-tool budget table: each
+    timed tool call z-scored against its OWN tool's runtime
+    distribution (a 40 s web_search among 2 s ones is a hung call the
+    collection infra should timeout; a systematically slow tool is
+    visible in the stats table instead).  Untimed trailing calls keep a
+    coverage row with NULL z.
+
+    Determinism: the event_rate_anomaly z fold — exact BIGINT moments
+    S1 = sum(rt), S2 = sum(rt^2), z_micro = round((n*rt - S1) * 1e6 /
+    sqrt(n*S2 - S1^2), 0) — one correctly-rounded sqrt of an exact
+    integer + one rounded division; degenerate tools (n < 2 timed
+    calls or zero variance) emit z_micro = 0 explicitly.
+
+    Scale shape: ONE conv_id window (lead) for runtimes; moments are a
+    bounded groupBy(tool) broadcast-joined back to the calls."""
+    t = spark.read.parquet(TRANSCRIPTS_PQ)
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    calls = (
+        t.withColumn("next_ts", F.lead("ts").over(w))
+        .filter((F.col("role") == "tool") & F.col("tool").isNotNull())
+        .select(
+            "conv_id",
+            F.col("turn_idx").cast("long").alias("turn_idx"),
+            "tool",
+            F.timestamp_diff("SECOND", F.col("ts"), F.col("next_ts"))
+            .cast("long")
+            .alias("runtime_sec"),
+        )
+    )
+    mom = calls.filter(F.col("runtime_sec").isNotNull()).groupBy("tool").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("runtime_sec").cast("long").alias("s1"),
+        F.sum(F.col("runtime_sec") * F.col("runtime_sec"))
+        .cast("long")
+        .alias("s2"),
+    )
+    j = calls.join(F.broadcast(mom), "tool", "left")
+    var_n = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    z = F.when(
+        F.col("runtime_sec").isNotNull(),
+        F.when(
+            (F.col("n") >= 2) & (var_n > 0),
+            F.round(
+                (F.col("n") * F.col("runtime_sec") - F.col("s1")).cast(
+                    "double"
+                )
+                * 1_000_000.0
+                / F.sqrt(var_n.cast("double")),
+                0,
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return j.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        "runtime_sec",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n_timed"),
+        z.alias("z_micro"),
+        (z.isNotNull() & (F.abs(z) >= ANOMALY_Z_MICRO)).alias("is_anomaly"),
+    )
+
+
+SQL_TOOL_LATENCY_ANOMALY = f"""
+WITH calls AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx, tool,
+         CAST(date_diff('second', ts, next_ts) AS BIGINT) AS runtime_sec
+  FROM (
+    SELECT conv_id, turn_idx, role, tool, ts,
+           lead(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS next_ts
+    FROM read_parquet('{TRANSCRIPTS_PQ}')
+  )
+  WHERE role = 'tool' AND tool IS NOT NULL
+), mom AS (
+  SELECT tool, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(runtime_sec) AS BIGINT) AS s1,
+         CAST(sum(runtime_sec * runtime_sec) AS BIGINT) AS s2
+  FROM calls WHERE runtime_sec IS NOT NULL GROUP BY tool
+), j AS (
+  SELECT c.conv_id, c.turn_idx, c.tool, c.runtime_sec,
+         m.n, m.s1, m.s2,
+         CASE WHEN c.runtime_sec IS NOT NULL THEN
+           CASE WHEN m.n >= 2 AND m.n * m.s2 - m.s1 * m.s1 > 0 THEN
+             CAST(round(CAST(m.n * c.runtime_sec - m.s1 AS DOUBLE)
+                        * 1000000.0
+                        / sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)),
+                        0) AS BIGINT)
+           ELSE CAST(0 AS BIGINT) END
+         END AS z_micro
+  FROM calls c LEFT JOIN mom m ON m.tool = c.tool
+)
+SELECT conv_id, turn_idx, tool, runtime_sec,
+       CAST(coalesce(n, 0) AS BIGINT) AS n_timed, z_micro,
+       (z_micro IS NOT NULL AND abs(z_micro) >= {ANOMALY_Z_MICRO})
+         AS is_anomaly
+FROM j
+"""
+
+
+FULFILL_LATE_DAYS = 60  # matches late_shipment_orders' lateness predicate
+
+
+def q_supplier_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-supplier fulfillment-lag profile — the supplier-side rollup
+    of the order-to-ship interval whose per-order tail
+    late_shipment_orders flags: items shipped, min / max / half-up-mean
+    days from order date to ship date, and the fraction of items over
+    the shared {FULFILL_LATE_DAYS}-day lateness bar (strict >).
+
+    Determinism: integer day gaps; half-up integer mean; late_frac is
+    an integer-over-integer quotient round-6.
+
+    Scale shape: one orderkey hash join (fact-to-fact, both sides
+    pre-projected to 2-3 columns) + one bounded groupBy(suppkey) with
+    map-side combine; the supplier dim broadcast-joins the name."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    j = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("l_suppkey").alias("suppkey"),
+        F.datediff("l_shipdate", "o_orderdate").cast("long").alias("lag"),
+    )
+    g = j.groupBy("suppkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.min("lag").cast("long").alias("min_lag_days"),
+        F.max("lag").cast("long").alias("max_lag_days"),
+        F.expr("(2 * sum(lag) + count(1)) div (2 * count(1))")
+        .cast("long")
+        .alias("mean_lag_days"),
+        F.sum(
+            F.when(F.col("lag") > FULFILL_LATE_DAYS, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_late"),
+    )
+    return g.join(F.broadcast(sup), g.suppkey == sup.s_suppkey).select(
+        "suppkey",
+        "s_name",
+        "n_items",
+        "min_lag_days",
+        "max_lag_days",
+        "mean_lag_days",
+        "n_late",
+        F.round(F.col("n_late") / F.col("n_items"), 6).alias("late_frac"),
+    )
+
+
+SQL_SUPPLIER_FULFILLMENT_LAG = f"""
+WITH j AS (
+  SELECT l.l_suppkey AS suppkey,
+         CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT)
+           AS lag
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+), g AS (
+  SELECT suppkey,
+         CAST(count(*) AS BIGINT) AS n_items,
+         CAST(min(lag) AS BIGINT) AS min_lag_days,
+         CAST(max(lag) AS BIGINT) AS max_lag_days,
+         CAST((2 * sum(lag) + count(*)) // (2 * count(*)) AS BIGINT)
+           AS mean_lag_days,
+         CAST(sum(CASE WHEN lag > {FULFILL_LATE_DAYS} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_late
+  FROM j GROUP BY suppkey
+)
+SELECT g.suppkey, s.s_name, g.n_items, g.min_lag_days, g.max_lag_days,
+       g.mean_lag_days, g.n_late,
+       round(g.n_late / g.n_items, 6) AS late_frac
+FROM g JOIN supplier s ON s.s_suppkey = g.suppkey
+"""
+
+
+def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-norm outlier flags — the vector-health triage next to
+    embedding_norms' raw table: each vector's L2 norm z-scored against
+    the corpus norm distribution (a near-zero norm is a collapsed/
+    zeroed embedding, a huge norm breaks dot-product-based ANN scoring;
+    both poison cosine-free inner-product indexes).
+
+    Determinism + overflow safety: the squared norm is an exact BIGINT
+    in-row fold of micro-unit terms (the pca_power quantization); the
+    norm itself is quantized to MILLI-units via one correctly-rounded
+    sqrt + round(.., 0) (identical in both engines), so the corpus
+    moments S1 = sum(norm_k), S2 = sum(norm_k^2) stay within BIGINT to
+    ~1e12 vectors; z_micro is the event_rate_anomaly fold; zero-
+    variance / tiny corpora emit z_micro = 0 explicitly.
+
+    Scale shape: the per-vector work is an IN-ROW array fold (zero
+    exchange); the moments are ONE 1-row aggregate broadcast back."""
+    emb = _t(spark, sf_dir, "embeddings")
+    nsq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc
+        + F.round(v.cast("double") * 1e6, 0).cast("long")
+        * F.round(v.cast("double") * 1e6, 0).cast("long"),
+    )
+    # materialize ONCE: base feeds both the moments aggregate and the
+    # output join (the shared-subplan audit discipline)
+    base = emb.select(
+        "vec_id",
+        F.round(F.sqrt(nsq.cast("double")) / 1000.0, 0)
+        .cast("long")
+        .alias("norm_k"),
+    ).localCheckpoint(eager=True)
+    mom = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("norm_k").cast("long").alias("s1"),
+        F.sum(F.col("norm_k") * F.col("norm_k")).cast("long").alias("s2"),
+    )
+    j = base.crossJoin(F.broadcast(mom))
+    var_n = F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")
+    z = F.when(
+        (F.col("n") >= 2) & (var_n > 0),
+        F.round(
+            (F.col("n") * F.col("norm_k") - F.col("s1")).cast("double")
+            * 1_000_000.0
+            / F.sqrt(var_n.cast("double")),
+            0,
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return j.select(
+        "vec_id",
+        "norm_k",
+        z.alias("z_micro"),
+        (F.abs(z) >= ANOMALY_Z_MICRO).alias("is_outlier"),
+    )
+
+
+SQL_EMBEDDING_NORM_OUTLIERS = f"""
+WITH x AS (
+  SELECT vec_id, CAST(d.i AS BIGINT) AS i,
+         CAST(round(CAST(embedding[d.i] AS DOUBLE) * 1e6, 0) AS BIGINT)
+           AS v_mu
+  FROM embeddings, UNNEST(generate_series(1, {EMB_DIM})) AS d(i)
+), nsq AS (
+  SELECT vec_id, CAST(sum(v_mu * v_mu) AS BIGINT) AS nsq
+  FROM x GROUP BY vec_id
+), base AS (
+  SELECT vec_id,
+         CAST(round(sqrt(CAST(nsq AS DOUBLE)) / 1000.0, 0) AS BIGINT)
+           AS norm_k
+  FROM nsq
+), mom AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(norm_k) AS BIGINT) AS s1,
+         CAST(sum(norm_k * norm_k) AS BIGINT) AS s2
+  FROM base
+), j AS (
+  SELECT b.vec_id, b.norm_k,
+         CASE WHEN m.n >= 2 AND m.n * m.s2 - m.s1 * m.s1 > 0 THEN
+           CAST(round(CAST(m.n * b.norm_k - m.s1 AS DOUBLE) * 1000000.0
+                      / sqrt(CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)),
+                      0) AS BIGINT)
+         ELSE CAST(0 AS BIGINT) END AS z_micro
+  FROM base b, mom m
+)
+SELECT vec_id, norm_k, z_micro,
+       abs(z_micro) >= {ANOMALY_Z_MICRO} AS is_outlier
+FROM j
+"""
+
+
+def q_doc_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-vote language heuristic against
+    the corpus's own language labels — the eval that turns lang_id from
+    a black box into a calibrated router (which labels it misroutes,
+    and into what): per observed (label, guess) cell the count, the
+    label's row total, the round-6 row share, and the diagonal flag.
+    Per-label recall is the diagonal share; off-diagonal mass shows
+    which stopword sets collide.
+
+    Determinism: integer counts; share is an integer-over-integer
+    quotient round-6.
+
+    Scale shape: the heuristic is per-row expressions (linear); one
+    bounded (lang, guess) groupBy with map-side combine; the row
+    margin is a window over the bounded cell table."""
+    li = q_lang_id(spark, sf_dir).select("lang", "guessed_lang")
+    cells = li.groupBy("lang", "guessed_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wr = Window.partitionBy("lang")
+    return cells.select(
+        F.col("lang").alias("lang_label"),
+        "guessed_lang",
+        "n",
+        F.sum("n").over(wr).cast("long").alias("n_label"),
+        F.round(F.col("n") / F.sum("n").over(wr), 6).alias("share"),
+        (F.col("lang") == F.col("guessed_lang")).alias("is_diagonal"),
+    )
+
+
+SQL_DOC_LANGUAGE_CONFUSION = f"""
+WITH li AS (
+  SELECT lang, guessed_lang FROM ({SQL_LANG_ID})
+), cells AS (
+  SELECT lang, guessed_lang, CAST(count(*) AS BIGINT) AS n
+  FROM li GROUP BY lang, guessed_lang
+)
+SELECT lang AS lang_label, guessed_lang, n,
+       CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS n_label,
+       round(n / sum(n) OVER (PARTITION BY lang), 6) AS share,
+       lang = guessed_lang AS is_diagonal
+FROM cells
+"""
+
+
+def q_minhash_band_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-occupancy audit of the MinHash-LSH index, per band — the
+    sizing table that explains dup_graph_degree_stats' candidate
+    volume: per band the bucket count, documents hashed, the largest
+    bucket, how many buckets actually collide (size >= 2), and the
+    exact number of candidate pairs the band generates
+    (sum of C(size, 2)).  A band whose max bucket explodes is the
+    degenerate-signature hot spot that quadratic-blowup guards watch.
+
+    Determinism: pure integer counts; size*(size-1) is always even so
+    the // 2 is exact.
+
+    Scale shape: one (band, sig) groupBy with map-side combine (the
+    same universe the LSH join shuffles on), then a 4-row band
+    rollup."""
+    docs = _t(spark, sf_dir, "documents")
+    sizes = (
+        _minhash_bands(docs)
+        .groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+    )
+    return sizes.groupBy("band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+        F.sum("sz").cast("long").alias("n_docs"),
+        F.max("sz").cast("long").alias("max_bucket"),
+        F.sum(F.when(F.col("sz") >= 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n_collision_buckets"),
+        F.sum(F.expr("(sz * (sz - 1)) div 2")).cast("long").alias(
+            "candidate_pairs"
+        ),
+    )
+
+
+SQL_MINHASH_BAND_OCCUPANCY = (
+    _SHINGLES_SQL
+    + _SQL_BAND_CTES
+    + """
+, sizes AS (
+  SELECT band, sig, CAST(count(*) AS BIGINT) AS sz
+  FROM bands GROUP BY band, sig
+)
+SELECT CAST(band AS INT) AS band,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(sz) AS BIGINT) AS n_docs,
+       CAST(max(sz) AS BIGINT) AS max_bucket,
+       CAST(sum(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_collision_buckets,
+       CAST(sum((sz * (sz - 1)) // 2) AS BIGINT) AS candidate_pairs
+FROM sizes GROUP BY band
+"""
+)
+
+
+def q_conversation_context_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context replay cost per conversation — the quadratic-cost budget
+    table an agent-SFT pipeline reads before deciding between
+    per-turn examples (full history replayed every turn) and packed
+    single-pass training: per conversation the turn count, total
+    whitespace tokens, the REPLAY cost (sum over turns of the running
+    context including that turn — what per-turn examples actually
+    tokenize), the peak context, and the half-up mean context per
+    turn.  replay/total is the duplication factor conversation length
+    buys.
+
+    Determinism: exact integer token counts and prefix sums; half-up
+    integer mean.
+
+    Scale shape: ONE conv_id window (running sum) + one conv_id rollup
+    on the same key — one exchange total."""
+    df = spark.read.parquet(TRANSCRIPTS_PQ)
+    tok = F.size(
+        F.filter(
+            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+            lambda x: x != "",
+        )
+    )
+    wp = Window.partitionBy("conv_id").orderBy("turn_idx")
+    cum = df.select("conv_id", "turn_idx", tok.alias("n_tok")).withColumn(
+        "ctx",
+        F.sum("n_tok")
+        .over(wp.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    return cum.groupBy("conv_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_turns"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.sum("ctx").cast("long").alias("replay_tokens"),
+        F.max("ctx").cast("long").alias("peak_context"),
+        F.expr("(2 * sum(ctx) + count(1)) div (2 * count(1))")
+        .cast("long")
+        .alias("mean_context"),
+    )
+
+
+SQL_CONVERSATION_CONTEXT_GROWTH = f"""
+WITH t AS (
+  SELECT conv_id, turn_idx,
+         CAST(len(list_filter(regexp_split_to_array(
+           trim(coalesce(text, '')), '\\s+'), x -> x <> '')) AS BIGINT)
+           AS n_tok
+  FROM read_parquet('{TRANSCRIPTS_PQ}')
+), cum AS (
+  SELECT conv_id, n_tok,
+         CAST(sum(n_tok) OVER (
+           PARTITION BY conv_id ORDER BY turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS ctx
+  FROM t
+)
+SELECT conv_id,
+       CAST(count(*) AS BIGINT) AS n_turns,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       CAST(sum(ctx) AS BIGINT) AS replay_tokens,
+       CAST(max(ctx) AS BIGINT) AS peak_context,
+       CAST((2 * sum(ctx) + count(*)) // (2 * count(*)) AS BIGINT)
+         AS mean_context
+FROM cum GROUP BY conv_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -23464,4 +24511,46 @@ QUERIES: dict[str, tuple] = {
         SQL_LABEL_CENTROID_SIMILARITY,
     ),
     "quality_wilson_ci": (q_quality_wilson_ci, SQL_QUALITY_WILSON_CI),
+    "dup_graph_degree_stats": (
+        q_dup_graph_degree_stats,
+        SQL_DUP_GRAPH_DEGREE_STATS,
+    ),
+    "event_dow_seasonality": (
+        q_event_dow_seasonality,
+        SQL_EVENT_DOW_SEASONALITY,
+    ),
+    "customer_rfm_scores": (q_customer_rfm_scores, SQL_CUSTOMER_RFM_SCORES),
+    "host_crawl_budget": (q_host_crawl_budget, SQL_HOST_CRAWL_BUDGET),
+    "turn_revision_distance": (
+        q_turn_revision_distance,
+        SQL_TURN_REVISION_DISTANCE,
+    ),
+    "order_reorder_interval": (
+        q_order_reorder_interval,
+        SQL_ORDER_REORDER_INTERVAL,
+    ),
+    "tool_latency_anomaly": (
+        q_tool_latency_anomaly,
+        SQL_TOOL_LATENCY_ANOMALY,
+    ),
+    "supplier_fulfillment_lag": (
+        q_supplier_fulfillment_lag,
+        SQL_SUPPLIER_FULFILLMENT_LAG,
+    ),
+    "embedding_norm_outliers": (
+        q_embedding_norm_outliers,
+        SQL_EMBEDDING_NORM_OUTLIERS,
+    ),
+    "doc_language_confusion": (
+        q_doc_language_confusion,
+        SQL_DOC_LANGUAGE_CONFUSION,
+    ),
+    "minhash_band_occupancy": (
+        q_minhash_band_occupancy,
+        SQL_MINHASH_BAND_OCCUPANCY,
+    ),
+    "conversation_context_growth": (
+        q_conversation_context_growth,
+        SQL_CONVERSATION_CONTEXT_GROWTH,
+    ),
 }

@@ -122,7 +122,13 @@ def main() -> None:
                  "term_burstiness", "canonical_content_agreement",
                  "bbit_minhash_estimate", "split_balance_audit",
                  "quality_length_bias", "part_affinity_lift",
-                 "label_centroid_similarity", "quality_wilson_ci"):
+                 "label_centroid_similarity", "quality_wilson_ci",
+                 "dup_graph_degree_stats", "event_dow_seasonality",
+                 "customer_rfm_scores", "host_crawl_budget",
+                 "turn_revision_distance", "order_reorder_interval",
+                 "tool_latency_anomaly", "supplier_fulfillment_lag",
+                 "embedding_norm_outliers", "doc_language_confusion",
+                 "minhash_band_occupancy", "conversation_context_growth"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -940,6 +946,74 @@ def main() -> None:
     checks.append(("wilson ci: classifier frame from checkpoint "
                    "(one documents scan only)",
                    full["quality_wilson_ci"].count("Scan parquet") <= 2))
+
+    checks.append(("dup-graph degrees: bucketed LSH candidates "
+                   "(no cartesian), degree rollup map-side combine",
+                   "CartesianProduct" not in full["dup_graph_degree_stats"]
+                   and "partial_" in full["dup_graph_degree_stats"]))
+
+    checks.append(("dow seasonality: bounded rollups with map-side "
+                   "combine, margin broadcast into the grid",
+                   "partial_" in full["event_dow_seasonality"]
+                   and ("BroadcastHashJoin" in full["event_dow_seasonality"]
+                        or "BroadcastNestedLoopJoin"
+                        in full["event_dow_seasonality"])))
+
+    checks.append(("rfm: the three ntile(5) windows share ONE "
+                   "mktsegment exchange (no global-sort ntile)",
+                   full["customer_rfm_scores"].count(
+                       "hashpartitioning(c_mktsegment") == 1
+                   and full["customer_rfm_scores"].count("ntile(5)") == 3))
+
+    checks.append(("crawl budget: host-table work from checkpoints "
+                   "(no parquet scan), scalar aggs broadcast",
+                   "Scan parquet" not in full["host_crawl_budget"]
+                   and "BroadcastNestedLoopJoin"
+                   in full["host_crawl_budget"]))
+
+    checks.append(("revision distance: one conv_id window, no join "
+                   "at all",
+                   "Window" in full["turn_revision_distance"]
+                   and "Join" not in full["turn_revision_distance"]))
+
+    checks.append(("reorder interval: lag window and rollup share the "
+                   "custkey exchange (ONE Exchange node total)",
+                   full["order_reorder_interval"].count("Exchange (") == 1))
+
+    checks.append(("tool latency: per-tool moments broadcast back "
+                   "(no extra corpus exchange), no cartesian",
+                   "BroadcastHashJoin" in full["tool_latency_anomaly"]
+                   and "CartesianProduct"
+                   not in full["tool_latency_anomaly"]))
+
+    checks.append(("supplier lag: suppkey rollup map-side combine + "
+                   "supplier dim broadcast",
+                   "partial_" in full["supplier_fulfillment_lag"]
+                   and "BroadcastHashJoin"
+                   in full["supplier_fulfillment_lag"]))
+
+    checks.append(("norm outliers: in-row fold, single scan, 1-row "
+                   "moments broadcast (no hash exchange at all)",
+                   full["embedding_norm_outliers"].count("Scan parquet") <= 1
+                   and "hashpartitioning"
+                   not in full["embedding_norm_outliers"]))
+
+    checks.append(("language confusion: linear heuristic + bounded "
+                   "cell rollup with map-side combine",
+                   "partial_" in full["doc_language_confusion"]
+                   and "CartesianProduct"
+                   not in full["doc_language_confusion"]))
+
+    checks.append(("band occupancy: (band, sig) rollup map-side "
+                   "combine, single documents scan",
+                   "partial_" in full["minhash_band_occupancy"]
+                   and full["minhash_band_occupancy"].count(
+                       "Scan parquet") == 2))  # one node = 2 mentions
+
+    checks.append(("context growth: window and rollup share one "
+                   "conv_id exchange (ONE Exchange node total)",
+                   full["conversation_context_growth"].count(
+                       "Exchange (") == 1))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

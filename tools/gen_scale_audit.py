@@ -279,6 +279,18 @@ SCALE_CLASS = {
     "part_affinity_lift": ("shuffle", "DISTINCT (order, part) = one exchange; pair expansion self-joins ON the order key so blowup is C(basket, 2) per order (bounded by basket size, never corpus-quadratic); pair rollup has map-side combine; per-part counts hash-join back; top-K via TakeOrdered; all metrics integer-quotient round-6"),
     "label_centroid_similarity": ("shuffle", "corpus-sized work is ONE (label, dim) rollup with map-side combine over micro-unit-quantized terms (summation-order-proof, the pca_power recipe); centroid components are shifted half-up integer means; every downstream join/dot operates on the bounded #labels x EMB_DIM centroid table"),
     "quality_wilson_ci": ("broadcast", "scoring reuses the memoized checkpointed classifier frame; one doc_id hash join to the source column; ONE bounded groupBy(source) rollup; the Wilson interval is a single identical-association double expression on exact (k, n) integers, round-6"),
+    "dup_graph_degree_stats": ("bucketed", "candidates from the bucketed LSH subtree (never all-pairs); degree rollup = one doc_id exchange with map-side combine; histogram groupBy bounded by max degree; degree-0 coverage via a linear left join so sum(n_docs) == corpus size"),
+    "event_dow_seasonality": ("shuffle", "one bounded (event_type, dow) groupBy with map-side combine; the complete 7-dow grid is built by an in-row sequence explode on the bounded type margin; chi-square contribution = integer-over-integer quotient round-6 (micro-unit expected, the split_balance recipe)"),
+    "customer_rfm_scores": ("shuffle", "one custkey rollup over the fact table (map-side combine, exact integer cents) joined to the customer dim; the three ntile(5) windows share ONE exchange partitioned by the bounded mktsegment key — no single-partition global sort; 1-row anchor broadcasts"),
+    "host_crawl_budget": ("broadcast", "kernel/link subtree shared + checkpointed (crawl_frontier discipline); everything after the per-host rollup operates on the bounded host table; two 1-row scalar aggregates broadcast back; micro-unit SHARE waterfill keeps every product under budget*1e6 (overflow-safe at web scale)"),
+    "turn_revision_distance": ("shuffle", "ONE conv_id window (lag) — no self-join; per-pair banded DP is constant-bounded by REV_BAND; every adjacent pair keeps a coverage row so the output is linear in turns"),
+    "order_reorder_interval": ("shuffle", "one custkey window for lag + one custkey rollup with map-side combine — same key, one exchange total; integer day gaps, half-up integer mean"),
+    "tool_latency_anomaly": ("shuffle", "ONE conv_id window (lead) for runtimes; per-tool moments are a bounded groupBy broadcast back; z = event_rate_anomaly fold (exact BIGINT moments, one correctly-rounded sqrt); untimed calls keep coverage rows"),
+    "supplier_fulfillment_lag": ("broadcast", "one orderkey hash join (both sides pre-projected to 2-3 cols) + one bounded groupBy(suppkey) with map-side combine; supplier dim broadcasts the name; integer day gaps, half-up mean, integer-quotient late_frac"),
+    "embedding_norm_outliers": ("linear", "per-vector work is an IN-ROW micro-unit array fold (zero exchange); MILLI-unit norm quantization keeps corpus moments within BIGINT to ~1e12 vectors; moments are ONE 1-row aggregate broadcast back"),
+    "doc_language_confusion": ("linear", "the heuristic is per-row expressions; one bounded (lang, guess) groupBy with map-side combine; the row margin is a window over the bounded cell table; share = integer-over-integer quotient round-6"),
+    "minhash_band_occupancy": ("bucketed", "one (band, sig) groupBy with map-side combine — the same universe the LSH join shuffles on — then a 4-row band rollup; C(size,2) pair counts are exact integers (size*(size-1) always even)"),
+    "conversation_context_growth": ("shuffle", "ONE conv_id window (running sum) + one conv_id rollup on the same key — one exchange total; exact integer token counts and prefix sums, half-up mean"),
 }
 
 
