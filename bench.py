@@ -490,6 +490,12 @@ def main() -> None:
         "doc_language_confusion",
         "minhash_band_occupancy",
         "conversation_context_growth",
+        # round 5, seventy-seventh wave: storage-layout planning
+        # (postings varint sizing, zone-map pruning, encoding choice).
+        # Excluded from the r04 subtotal.
+        "postings_compression_estimate",
+        "zonemap_pruning_estimate",
+        "column_dictionary_stats",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -696,6 +702,9 @@ def main() -> None:
         "doc_language_confusion",
         "minhash_band_occupancy",
         "conversation_context_growth",
+        "postings_compression_estimate",
+        "zonemap_pruning_estimate",
+        "column_dictionary_stats",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

@@ -23896,6 +23896,383 @@ FROM cum GROUP BY conv_id
 
 
 # --------------------------------------------------------------------------
+# Wave 77 — storage-layout planning: posting-list compression, zone-map
+# pruning effectiveness, per-column encoding choice.  The tables a 100 TB
+# lakehouse reads before deciding file layout and parquet encodings.
+# --------------------------------------------------------------------------
+
+# Unsigned LEB128 size of a non-negative BIGINT — the varint every
+# posting-list format (Lucene, parquet DELTA_BINARY_PACKED's miniblock
+# headers) pays per delta gap.  Pure threshold CASE: identical text runs
+# on Spark and DuckDB.
+_VARINT_CASE = (
+    "CASE WHEN {g} < 128 THEN 1 WHEN {g} < 16384 THEN 2 "
+    "WHEN {g} < 2097152 THEN 3 WHEN {g} < 268435456 THEN 4 ELSE 5 END"
+)
+
+
+def q_postings_compression_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta-gap + varint sizing of the inverted index's posting lists,
+    rolled up by document-frequency band — the storage-planning table
+    that says what the postings actually cost on disk before the index
+    ships: per df band (band = bit length of df, i.e. floor(log2)+1)
+    the token count, total postings, fixed-width 8-byte cost, the
+    delta+varint cost, the largest gap seen, and the round-6
+    compression ratio.  High-df bands have dense (small-gap) lists and
+    compress hardest — exactly the Zipf head that dominates index size.
+
+    Determinism: gaps and varint byte counts are pure integers (first
+    posting encodes its absolute doc_id); the ratio is an
+    integer-over-integer quotient round-6; the band is the binary
+    string length of an integer.
+
+    Scale shape: distinct (tok, doc_id) with map-side combine, then a
+    tok-partitioned lag window and a per-tok rollup that share the SAME
+    tok exchange; the final band rollup is bounded by 64 rows.  No
+    global windows, no posting list ever materializes whole."""
+    docs = _t(spark, sf_dir, "documents")
+    per = _tokens(docs).select("tok", "doc_id").distinct()
+    wp = Window.partitionBy("tok").orderBy("doc_id")
+    gaps = per.withColumn(
+        "gap",
+        F.coalesce(
+            F.col("doc_id") - F.lag("doc_id").over(wp), F.col("doc_id")
+        ),
+    ).withColumn("vb", F.expr(_VARINT_CASE.format(g="gap")))
+    tok_stats = gaps.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("vb").cast("long").alias("vbytes"),
+        F.max("gap").cast("long").alias("mgap"),
+    )
+    return (
+        tok_stats.withColumn(
+            "df_band", F.expr("CAST(length(bin(df)) AS INT)")
+        )
+        .groupBy("df_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("df").cast("long").alias("total_postings"),
+            (F.lit(8) * F.sum("df")).cast("long").alias("fixed_bytes"),
+            F.sum("vbytes").cast("long").alias("varint_bytes"),
+            F.max("mgap").cast("long").alias("max_gap"),
+            F.round(
+                F.sum("vbytes") / (F.lit(8) * F.sum("df")), 6
+            ).alias("compression_ratio"),
+        )
+    )
+
+
+SQL_POSTINGS_COMPRESSION_ESTIMATE = f"""
+WITH tk AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '{TOKEN_SPLIT}'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), per AS (
+  SELECT DISTINCT tok, doc_id FROM tk
+), gaps AS (
+  SELECT tok,
+         coalesce(doc_id - lag(doc_id) OVER (PARTITION BY tok ORDER BY doc_id),
+                  doc_id) AS gap
+  FROM per
+), vb AS (
+  SELECT tok, gap, {_VARINT_CASE.format(g="gap")} AS vb FROM gaps
+), ts AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(vb) AS BIGINT) AS vbytes,
+         CAST(max(gap) AS BIGINT) AS mgap
+  FROM vb GROUP BY tok
+)
+SELECT CAST(length(bin(df)) AS INT) AS df_band,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(df) AS BIGINT) AS total_postings,
+       CAST(8 * sum(df) AS BIGINT) AS fixed_bytes,
+       CAST(sum(vbytes) AS BIGINT) AS varint_bytes,
+       CAST(max(mgap) AS BIGINT) AS max_gap,
+       round(sum(vbytes) / (8 * sum(df)), 6) AS compression_ratio
+FROM ts GROUP BY length(bin(df))
+"""
+
+
+ZM_FILE_KEYS = 4096  # orderkeys per simulated ingest-order file
+ZM_ROWGROUP = 256  # rows per simulated parquet row group
+ZM_PRICE_LO = 100000.0  # audited predicate: price BETWEEN LO AND HI
+ZM_PRICE_HI = 150000.0
+ZM_CLUSTER_W = 25000.0  # price width per clustered-layout file
+
+
+def q_zonemap_pruning_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min/max zone-map pruning effectiveness for a range predicate
+    under two physical layouts — the number that justifies (or kills) a
+    cluster-by rewrite of a 100 TB table: simulate parquet files + row
+    groups for (a) INGEST order (files = o_orderkey ranges) and (b) a
+    price-CLUSTERED layout (files = fixed-width o_totalprice buckets,
+    rows sorted within), compute each row group's min/max, and count
+    what a scan of `o_totalprice BETWEEN LO AND HI` must read: groups
+    scanned, rows scanned, rows actually matching, the round-6 scan
+    fraction, and the false-positive rows the zone maps failed to
+    prune.  Same data, same predicate — the layout is the only
+    variable, and the clustered scan fraction is the cluster-by win.
+
+    Determinism: group membership is integer arithmetic over unique
+    keys (row_number tie-broken by o_orderkey); min/max/overlap are
+    exact double comparisons on identical parquet values; counts are
+    integers and the fraction an integer-quotient round-6.
+
+    Scale shape: each layout is one window partitioned by its FILE key
+    (parallel — never a global sort), one (layout, file, rowgroup)
+    rollup with map-side combine, then a 2-row layout rollup.  This is
+    metadata-scale work: output rows = row groups, not data rows."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ingest = (
+        o.withColumn("file_id", F.expr(f"o_orderkey div {ZM_FILE_KEYS}"))
+        .withColumn(
+            "rg", F.expr(f"(row_number() OVER (PARTITION BY file_id "
+                         f"ORDER BY o_orderkey) - 1) div {ZM_ROWGROUP}")
+        )
+        .withColumn("layout", F.lit("ingest"))
+    )
+    clustered = (
+        o.withColumn(
+            "file_id",
+            F.expr(
+                f"CAST(floor(o_totalprice / {ZM_CLUSTER_W!r}) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "rg",
+            F.expr(
+                f"(row_number() OVER (PARTITION BY file_id ORDER BY "
+                f"o_totalprice, o_orderkey) - 1) div {ZM_ROWGROUP}"
+            ),
+        )
+        .withColumn("layout", F.lit("clustered"))
+    )
+    groups = (
+        ingest.unionByName(clustered)
+        .groupBy("layout", "file_id", "rg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.min("o_totalprice").alias("mn"),
+            F.max("o_totalprice").alias("mx"),
+            F.sum(
+                F.when(
+                    (F.col("o_totalprice") >= ZM_PRICE_LO)
+                    & (F.col("o_totalprice") <= ZM_PRICE_HI),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("matched"),
+        )
+    )
+    hit = (F.col("mn") <= ZM_PRICE_HI) & (F.col("mx") >= ZM_PRICE_LO)
+    return groups.groupBy("layout").agg(
+        F.countDistinct("file_id").cast("long").alias("n_files"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias(
+            "groups_scanned"
+        ),
+        F.sum("n").cast("long").alias("rows_total"),
+        F.sum(F.when(hit, F.col("n")).otherwise(0)).cast("long").alias(
+            "rows_scanned"
+        ),
+        F.sum("matched").cast("long").alias("rows_matched"),
+        F.round(
+            F.sum(F.when(hit, F.col("n")).otherwise(0)) / F.sum("n"), 6
+        ).alias("scan_fraction"),
+        (
+            F.sum(F.when(hit, F.col("n")).otherwise(0)) - F.sum("matched")
+        )
+        .cast("long")
+        .alias("false_positive_rows"),
+    )
+
+
+SQL_ZONEMAP_PRUNING_ESTIMATE = f"""
+WITH ingest AS (
+  SELECT 'ingest' AS layout, o_orderkey // {ZM_FILE_KEYS} AS file_id,
+         (row_number() OVER (PARTITION BY o_orderkey // {ZM_FILE_KEYS}
+                             ORDER BY o_orderkey) - 1) // {ZM_ROWGROUP}
+           AS rg,
+         o_totalprice
+  FROM orders
+), clustered AS (
+  SELECT 'clustered' AS layout,
+         CAST(floor(o_totalprice / {ZM_CLUSTER_W!r}) AS BIGINT) AS file_id,
+         (row_number() OVER (
+            PARTITION BY CAST(floor(o_totalprice / {ZM_CLUSTER_W!r}) AS BIGINT)
+            ORDER BY o_totalprice, o_orderkey) - 1) // {ZM_ROWGROUP} AS rg,
+         o_totalprice
+  FROM orders
+), u AS (
+  SELECT * FROM ingest UNION ALL SELECT * FROM clustered
+), groups AS (
+  SELECT layout, file_id, rg, CAST(count(*) AS BIGINT) AS n,
+         min(o_totalprice) AS mn, max(o_totalprice) AS mx,
+         CAST(sum(CASE WHEN o_totalprice >= {ZM_PRICE_LO!r}
+                        AND o_totalprice <= {ZM_PRICE_HI!r}
+                       THEN 1 ELSE 0 END) AS BIGINT) AS matched
+  FROM u GROUP BY layout, file_id, rg
+)
+SELECT layout,
+       CAST(count(DISTINCT file_id) AS BIGINT) AS n_files,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN mn <= {ZM_PRICE_HI!r} AND mx >= {ZM_PRICE_LO!r}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS groups_scanned,
+       CAST(sum(n) AS BIGINT) AS rows_total,
+       CAST(sum(CASE WHEN mn <= {ZM_PRICE_HI!r} AND mx >= {ZM_PRICE_LO!r}
+                     THEN n ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(sum(matched) AS BIGINT) AS rows_matched,
+       round(sum(CASE WHEN mn <= {ZM_PRICE_HI!r} AND mx >= {ZM_PRICE_LO!r}
+                      THEN n ELSE 0 END) / sum(n), 6) AS scan_fraction,
+       CAST(sum(CASE WHEN mn <= {ZM_PRICE_HI!r} AND mx >= {ZM_PRICE_LO!r}
+                     THEN n ELSE 0 END) - sum(matched) AS BIGINT)
+         AS false_positive_rows
+FROM groups GROUP BY layout
+"""
+
+
+DICT_RLE_RUN_BITS = 32  # modeled run-length field width per RLE run
+
+
+def q_column_dictionary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column encoding-choice audit — the parquet writer decision
+    (PLAIN vs DICTIONARY vs RLE_DICTIONARY) made inspectable before a
+    100 TB rewrite: for three orders columns spanning the cardinality
+    spectrum (o_orderstatus ~3 values, o_orderpriority ~5,
+    o_custkey_str ~|customers|), count rows, distinct values, value
+    RUNS in file order (runs reset at simulated file boundaries —
+    encodings don't span files), and model the byte cost of each
+    encoding: plain = value bytes; dict = dictionary entries + fixed
+    bit-width codes (bit width = bits to address the dictionary);
+    rle_dict = dictionary + per-run (code + 32-bit run length).  Emits
+    the modeled best encoding and the round-6 dict/plain ratio.
+
+    Determinism: ASCII byte lengths, integer run counts (first row of
+    each file starts a run), bit width = binary-string length of
+    (n_distinct - 1), ceil-div in integers, threshold CASE for the
+    winner.
+
+    Scale shape: the unpivot triples rows linearly; runs come from a
+    (col_name, file) partitioned lag window (parallel, no global
+    sort); per-column rollups have map-side combine and the distinct
+    side collapses to |vocab| rows before its 3-row join back."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.selectExpr(
+        "o_orderkey",
+        "stack(3, 'o_orderstatus', o_orderstatus, "
+        "'o_orderpriority', o_orderpriority, "
+        "'o_custkey_str', CAST(o_custkey AS STRING)) AS (col_name, val)",
+    ).withColumn("file_id", F.expr(f"o_orderkey div {ZM_FILE_KEYS}"))
+    wf = Window.partitionBy("col_name", "file_id").orderBy("o_orderkey")
+    lv = F.lag("val").over(wf)
+    runs = base.withColumn(
+        "run_start",
+        F.when(lv.isNull() | (F.col("val") != lv), 1).otherwise(0),
+    )
+    agg = runs.groupBy("col_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("run_start").cast("long").alias("n_runs"),
+        F.sum(F.length("val")).cast("long").alias("plain_bytes"),
+    )
+    dv = (
+        base.select("col_name", "val")
+        .distinct()
+        .groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.length("val")).cast("long").alias("dict_entry_bytes"),
+        )
+    )
+    j = agg.join(dv, "col_name").withColumn(
+        "code_bits", F.expr("CAST(length(bin(n_distinct - 1)) AS INT)")
+    )
+    j = j.withColumn(
+        "dict_bytes",
+        F.expr(
+            "dict_entry_bytes + (n_rows * code_bits + 7) div 8"
+        ).cast("long"),
+    ).withColumn(
+        "rle_dict_bytes",
+        F.expr(
+            f"dict_entry_bytes + (n_runs * (code_bits + "
+            f"{DICT_RLE_RUN_BITS}) + 7) div 8"
+        ).cast("long"),
+    )
+    return j.select(
+        "col_name",
+        "n_rows",
+        "n_distinct",
+        "n_runs",
+        "plain_bytes",
+        "code_bits",
+        "dict_bytes",
+        "rle_dict_bytes",
+        F.expr(
+            "CASE WHEN plain_bytes <= dict_bytes "
+            "AND plain_bytes <= rle_dict_bytes THEN 'plain' "
+            "WHEN dict_bytes <= rle_dict_bytes THEN 'dict' "
+            "ELSE 'rle_dict' END"
+        ).alias("best_encoding"),
+        F.round(F.col("dict_bytes") / F.col("plain_bytes"), 6).alias(
+            "dict_ratio"
+        ),
+    )
+
+
+SQL_COLUMN_DICTIONARY_STATS = f"""
+WITH base AS (
+  SELECT o_orderkey, 'o_orderstatus' AS col_name, o_orderstatus AS val
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'o_orderpriority', o_orderpriority FROM orders
+  UNION ALL
+  SELECT o_orderkey, 'o_custkey_str', CAST(o_custkey AS VARCHAR) FROM orders
+), r AS (
+  SELECT col_name, val,
+         CASE WHEN lag(val) OVER w IS NULL OR val <> lag(val) OVER w
+              THEN 1 ELSE 0 END AS run_start
+  FROM base
+  WINDOW w AS (PARTITION BY col_name, o_orderkey // {ZM_FILE_KEYS}
+               ORDER BY o_orderkey)
+), agg AS (
+  SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(run_start) AS BIGINT) AS n_runs,
+         CAST(sum(length(val)) AS BIGINT) AS plain_bytes
+  FROM r GROUP BY col_name
+), dv AS (
+  SELECT col_name, CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(length(val)) AS BIGINT) AS dict_entry_bytes
+  FROM (SELECT DISTINCT col_name, val FROM base) GROUP BY col_name
+), j AS (
+  SELECT a.col_name, a.n_rows, d.n_distinct, a.n_runs, a.plain_bytes,
+         CAST(length(bin(d.n_distinct - 1)) AS INT) AS code_bits,
+         d.dict_entry_bytes
+  FROM agg a JOIN dv d ON a.col_name = d.col_name
+), k AS (
+  SELECT col_name, n_rows, n_distinct, n_runs, plain_bytes, code_bits,
+         CAST(dict_entry_bytes + (n_rows * code_bits + 7) // 8 AS BIGINT)
+           AS dict_bytes,
+         CAST(dict_entry_bytes
+              + (n_runs * (code_bits + {DICT_RLE_RUN_BITS}) + 7) // 8
+              AS BIGINT) AS rle_dict_bytes
+  FROM j
+)
+SELECT col_name, n_rows, n_distinct, n_runs, plain_bytes, code_bits,
+       dict_bytes, rle_dict_bytes,
+       CASE WHEN plain_bytes <= dict_bytes
+             AND plain_bytes <= rle_dict_bytes THEN 'plain'
+            WHEN dict_bytes <= rle_dict_bytes THEN 'dict'
+            ELSE 'rle_dict' END AS best_encoding,
+       round(dict_bytes / plain_bytes, 6) AS dict_ratio
+FROM k
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -24552,5 +24929,17 @@ QUERIES: dict[str, tuple] = {
     "conversation_context_growth": (
         q_conversation_context_growth,
         SQL_CONVERSATION_CONTEXT_GROWTH,
+    ),
+    "postings_compression_estimate": (
+        q_postings_compression_estimate,
+        SQL_POSTINGS_COMPRESSION_ESTIMATE,
+    ),
+    "zonemap_pruning_estimate": (
+        q_zonemap_pruning_estimate,
+        SQL_ZONEMAP_PRUNING_ESTIMATE,
+    ),
+    "column_dictionary_stats": (
+        q_column_dictionary_stats,
+        SQL_COLUMN_DICTIONARY_STATS,
     ),
 }

@@ -128,7 +128,9 @@ def main() -> None:
                  "turn_revision_distance", "order_reorder_interval",
                  "tool_latency_anomaly", "supplier_fulfillment_lag",
                  "embedding_norm_outliers", "doc_language_confusion",
-                 "minhash_band_occupancy", "conversation_context_growth"):
+                 "minhash_band_occupancy", "conversation_context_growth",
+                 "postings_compression_estimate", "zonemap_pruning_estimate",
+                 "column_dictionary_stats"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -1014,6 +1016,25 @@ def main() -> None:
                    "conv_id exchange (ONE Exchange node total)",
                    full["conversation_context_growth"].count(
                        "Exchange (") == 1))
+
+    checks.append(("postings sizing: lag window and per-tok rollup "
+                   "share the tok exchange after the distinct",
+                   full["postings_compression_estimate"].count(
+                       "hashpartitioning(tok") <= 2
+                   and "Window" in full["postings_compression_estimate"]))
+
+    checks.append(("zone maps: row_number windows partitioned by file "
+                   "key — NO single-partition global sort",
+                   "SinglePartition" not in
+                   full["zonemap_pruning_estimate"].split("AdaptiveSparkPlan")[-1]
+                   and full["zonemap_pruning_estimate"].count("Window") >= 2))
+
+    checks.append(("dictionary stats: unpivot stays linear (Generate, "
+                   "no extra exchange before the windows), distinct "
+                   "side joins back bounded",
+                   "Generate" in full["column_dictionary_stats"]
+                   and "CartesianProduct"
+                   not in full["column_dictionary_stats"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -291,6 +291,9 @@ SCALE_CLASS = {
     "doc_language_confusion": ("linear", "the heuristic is per-row expressions; one bounded (lang, guess) groupBy with map-side combine; the row margin is a window over the bounded cell table; share = integer-over-integer quotient round-6"),
     "minhash_band_occupancy": ("bucketed", "one (band, sig) groupBy with map-side combine — the same universe the LSH join shuffles on — then a 4-row band rollup; C(size,2) pair counts are exact integers (size*(size-1) always even)"),
     "conversation_context_growth": ("shuffle", "ONE conv_id window (running sum) + one conv_id rollup on the same key — one exchange total; exact integer token counts and prefix sums, half-up mean"),
+    "postings_compression_estimate": ("shuffle", "distinct (tok, doc_id) with map-side combine; the lag window and the per-tok rollup SHARE the tok exchange; the band rollup is bounded by 64 rows — no posting list ever materializes whole (the inverted_index_postings rank-filter discipline, applied to sizing)"),
+    "zonemap_pruning_estimate": ("shuffle", "each layout's row_number window is partitioned by its FILE key (parallel — never a global sort); one (layout, file, rowgroup) rollup with map-side combine collapses to metadata scale (rows = row groups); the final rollup is 2 rows"),
+    "column_dictionary_stats": ("shuffle", "stack() unpivot is linear (3x rows, no exchange); runs from a (col_name, file) partitioned lag window; per-column rollups have map-side combine; the distinct side collapses to |vocab| before a 3-row join back"),
 }
 
 
