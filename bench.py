@@ -496,6 +496,11 @@ def main() -> None:
         "postings_compression_estimate",
         "zonemap_pruning_estimate",
         "column_dictionary_stats",
+        # round 5, seventy-eighth wave: LPA communities, NN-descent
+        # round, Brier decomposition.  Excluded from the r04 subtotal.
+        "host_label_propagation",
+        "knn_graph_nndescent",
+        "brier_decomposition",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -705,6 +710,9 @@ def main() -> None:
         "postings_compression_estimate",
         "zonemap_pruning_estimate",
         "column_dictionary_stats",
+        "host_label_propagation",
+        "knn_graph_nndescent",
+        "brier_decomposition",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

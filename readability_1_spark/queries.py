@@ -8297,7 +8297,9 @@ def _sql_pagerank_iter(k: int) -> str:
 )"""
 
 
-_SQL_PAGERANK_CTES = f"""ph AS MATERIALIZED (
+# Shared host co-citation graph CTEs (ph / edges / nodes) — the common
+# prefix of the pagerank, label-propagation, and other host-graph twins.
+_SQL_HOST_GRAPH_CTES = f"""ph AS MATERIALIZED (
   SELECT DISTINCT conv_id, turn_idx, host FROM (
     SELECT conv_id, turn_idx, unnest({_SQL_EXT_HOSTS}) AS host FROM h
   )
@@ -8308,7 +8310,10 @@ _SQL_PAGERANK_CTES = f"""ph AS MATERIALIZED (
    AND a.host <> b2.host
 ), nodes AS (
   SELECT DISTINCT host FROM ph
-), consts AS MATERIALIZED (
+)"""
+
+
+_SQL_PAGERANK_CTES = f"""{_SQL_HOST_GRAPH_CTES}, consts AS MATERIALIZED (
   SELECT n, (15 * {PAGERANK_SCALE}) // (100 * n) AS base,
          {PAGERANK_SCALE} // n AS init
   FROM (SELECT count(*) AS n FROM nodes)
@@ -24273,6 +24278,490 @@ FROM k
 
 
 # --------------------------------------------------------------------------
+# Wave 78 — graph communities (label propagation), graph-ANN refinement
+# (one NN-descent round), and the Brier decomposition of the trained
+# quality classifier.
+# --------------------------------------------------------------------------
+
+LP_ITERS = 4  # synchronous label-propagation rounds
+
+
+def _label_propagation_frame(
+    nodes: DataFrame, edges: DataFrame, iters: int = LP_ITERS
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al.) as DataFrame ops:
+    every node starts labeled with itself; each round every node adopts
+    the label most frequent among its neighbors (ties -> lexicographic
+    min label; isolated nodes keep their label).  Synchronous updates +
+    total-order tiebreaks make the fixed-round result deterministic —
+    the async coin-flip variant of the published algorithm is exactly
+    what a cross-engine oracle cannot replay.
+
+    `nodes` = (host), `edges` = (src, dst) SYMMETRIC, both
+    pre-checkpointed by the caller.  Per round: one equi-join on dst +
+    one (src, label) groupBy with map-side combine + one src-partitioned
+    rank window; per-round localCheckpoint keeps lineage bounded (the
+    pagerank_frame discipline)."""
+    lbl = nodes.select(
+        "host", F.col("host").alias("lbl")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        votes = (
+            edges.join(
+                lbl.select(
+                    F.col("host").alias("dst"), F.col("lbl").alias("nlbl")
+                ),
+                "dst",
+            )
+            .groupBy("src", "nlbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        wv = Window.partitionBy("src").orderBy(
+            F.desc("c"), F.asc("nlbl")
+        )
+        best = (
+            votes.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") == 1)
+            .select(F.col("src").alias("host"), F.col("nlbl").alias("blbl"))
+        )
+        lbl = (
+            lbl.join(best, "host", "left")
+            .select("host", F.coalesce("blbl", "lbl").alias("lbl"))
+            .localCheckpoint(eager=True)
+        )
+    return lbl
+
+
+def q_host_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the host co-citation graph by
+    LP_ITERS synchronous label-propagation rounds — the domain-grouping
+    step between the structural extremes the registry already measures
+    (connected components = too coarse under one stray link; triangles
+    = purely local): hosts repeatedly co-linked by the same pages
+    converge onto one label, giving the site-family clusters a crawl
+    curation policy acts on (cap-per-community, dedup-within-community).
+    Per host: its community label, the community size, and whether the
+    host is the community representative (label owner).
+
+    Determinism: synchronous rounds, majority vote with
+    (count DESC, label ASC) total-order tiebreaks — see
+    _label_propagation_frame.
+
+    Scale shape: edge generation self-joins on the TURN key (bounded by
+    per-page host-set size, never corpus-quadratic — the pagerank
+    discipline); each round is host-table-sized joins/rollups, orders
+    of magnitude smaller than the page table; fixed round count."""
+    ph = _ext_host_rows(spark, distinct_per_turn=True).localCheckpoint(
+        eager=True
+    )
+    a, b2 = ph.alias("a"), ph.alias("b2")
+    edges = (
+        a.join(
+            b2,
+            (F.col("a.conv_id") == F.col("b2.conv_id"))
+            & (F.col("a.turn_idx") == F.col("b2.turn_idx"))
+            & (F.col("a.host") != F.col("b2.host")),
+        )
+        .select(F.col("a.host").alias("src"), F.col("b2.host").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = ph.select("host").distinct()
+    lbl = _label_propagation_frame(nodes, edges)
+    w = Window.partitionBy("community")
+    return lbl.select("host", F.col("lbl").alias("community")).select(
+        "host",
+        "community",
+        F.count(F.lit(1)).over(w).cast("long").alias("community_size"),
+        (F.col("host") == F.col("community")).alias("is_rep"),
+    )
+
+
+def _sql_lp_iter(k: int) -> str:
+    return f"""v{k} AS MATERIALIZED (
+  SELECT src, nlbl FROM (
+    SELECT e.src, l.lbl AS nlbl,
+           row_number() OVER (PARTITION BY e.src
+                              ORDER BY count(*) DESC, l.lbl ASC) AS rn
+    FROM edges e JOIN l{k - 1} l ON l.host = e.dst
+    GROUP BY e.src, l.lbl
+  ) WHERE rn = 1
+), l{k} AS MATERIALIZED (
+  SELECT p.host, coalesce(v.nlbl, p.lbl) AS lbl
+  FROM l{k - 1} p LEFT JOIN v{k} v ON v.src = p.host
+)"""
+
+
+SQL_HOST_LABEL_PROPAGATION = f"""
+WITH {_SQL_LINKS_PREFIX}, {_SQL_HOST_GRAPH_CTES}, l0 AS MATERIALIZED (
+  SELECT host, host AS lbl FROM nodes
+),
+{", ".join(_sql_lp_iter(k) for k in range(1, LP_ITERS + 1))}
+SELECT host, lbl AS community,
+       CAST(count(*) OVER (PARTITION BY lbl) AS BIGINT) AS community_size,
+       host = lbl AS is_rep
+FROM l{LP_ITERS}
+"""
+
+
+NND_K = 5  # neighbors kept per vector in the kNN graph
+
+
+def q_knn_graph_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One NN-descent refinement round (Dong et al.) over the
+    LSH-seeded kNN graph — the graph-ANN family next to the registry's
+    exact / LSH / IVF / PQ indexes: neighbors-of-neighbors are likely
+    neighbors, so one round scores each vector's 2-hop candidates and
+    re-ranks.  Per vector: initial degree, candidates scored, best
+    cosine before and after, how many of the refined top-{NND_K} are
+    NEW (absent from the seed list), and whether the best neighbor
+    improved — the measured payoff of the descent round over the raw
+    LSH bucketing.
+
+    Determinism: the shared LSH-pair cosine recipe (round-6, sequential
+    fold); rank windows ordered (cosine DESC, nbr ASC); refined-best
+    can only rise since the seed list is contained in the candidates.
+
+    Scale shape: seed pairs come from the bucketed LSH equi-join (never
+    all-pairs); the 2-hop expansion joins the top-{NND_K} graph with
+    itself on the neighbor key, so candidates per vector are bounded by
+    K^2; rescoring joins the embedding table twice by key; one rank
+    window per vector partition.  Exactly the per-round cost model of a
+    distributed NN-descent — iterating it is round-count, not new
+    machinery."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.sqrt(_dot(F.col("embedding"), F.col("embedding"))).alias("norm"),
+    ).localCheckpoint()
+    pairs = _embedding_lsh_pairs(emb.select("vec_id", "embedding"))
+    sym = pairs.select(
+        F.col("vec_a").alias("vec"), F.col("vec_b").alias("nbr"), "cosine"
+    ).unionByName(
+        pairs.select(
+            F.col("vec_b").alias("vec"), F.col("vec_a").alias("nbr"),
+            "cosine",
+        )
+    )
+    wk = Window.partitionBy("vec").orderBy(F.desc("cosine"), F.asc("nbr"))
+    init = (
+        sym.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= NND_K)
+        .select("vec", "nbr", "cosine")
+        .localCheckpoint(eager=True)
+    )
+    non = (
+        init.select("vec", F.col("nbr").alias("mid"))
+        .join(
+            init.select(
+                F.col("vec").alias("mid"), F.col("nbr").alias("nbr2")
+            ),
+            "mid",
+        )
+        .filter(F.col("nbr2") != F.col("vec"))
+        .select("vec", F.col("nbr2").alias("nbr"))
+    )
+    cand = init.select("vec", "nbr").unionByName(non).distinct()
+    e1 = emb.select(
+        F.col("vec_id").alias("vec"),
+        F.col("embedding").alias("emb1"),
+        F.col("norm").alias("n1"),
+    )
+    e2 = emb.select(
+        F.col("vec_id").alias("nbr"),
+        F.col("embedding").alias("emb2"),
+        F.col("norm").alias("n2"),
+    )
+    scored = (
+        cand.join(e1, "vec")
+        .join(e2, "nbr")
+        .select(
+            "vec",
+            "nbr",
+            F.round(
+                _dot(F.col("emb1"), F.col("emb2"))
+                / (F.col("n1") * F.col("n2")),
+                6,
+            ).alias("cosine"),
+        )
+        .localCheckpoint()
+    )
+    refined = scored.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= NND_K
+    )
+    ref2 = refined.join(
+        init.select("vec", "nbr").withColumn("in_init", F.lit(1)),
+        ["vec", "nbr"],
+        "left",
+    )
+    ig = init.groupBy("vec").agg(
+        F.count(F.lit(1)).cast("long").alias("n_init"),
+        F.max("cosine").alias("init_best"),
+    )
+    cg = scored.groupBy("vec").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cand")
+    )
+    rg = ref2.groupBy("vec").agg(
+        F.max("cosine").alias("refined_best"),
+        F.sum(F.when(F.col("in_init").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_new"),
+    )
+    return (
+        ig.join(cg, "vec")
+        .join(rg, "vec")
+        .select(
+            F.col("vec").alias("vec_id"),
+            "n_init",
+            "n_cand",
+            "init_best",
+            "refined_best",
+            "n_new",
+            (F.col("refined_best") > F.col("init_best")).alias("improved"),
+        )
+    )
+
+
+SQL_KNN_GRAPH_NNDESCENT = f"""
+WITH b AS MATERIALIZED (
+  SELECT vec_id, embedding, {_sql_lsh_bucket_expr()} AS bucket,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm
+  FROM embeddings
+), pf AS (
+  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+         round(
+           list_sum(list_transform(generate_series(1, len(a.embedding)),
+             i -> CAST(a.embedding[i] AS DOUBLE)
+                  * CAST(b2.embedding[i] AS DOUBLE)))
+           / (a.norm * b2.norm), 6) AS cosine
+  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+), pth AS (
+  SELECT * FROM pf WHERE cosine >= 0.25
+), sym AS (
+  SELECT vec_a AS vec, vec_b AS nbr, cosine FROM pth
+  UNION ALL
+  SELECT vec_b AS vec, vec_a AS nbr, cosine FROM pth
+), init AS MATERIALIZED (
+  SELECT vec, nbr, cosine FROM (
+    SELECT vec, nbr, cosine,
+           row_number() OVER (PARTITION BY vec
+                              ORDER BY cosine DESC, nbr ASC) AS rn
+    FROM sym
+  ) WHERE rn <= {NND_K}
+), non AS (
+  SELECT DISTINCT g1.vec, g2.nbr
+  FROM init g1 JOIN init g2 ON g2.vec = g1.nbr
+  WHERE g2.nbr <> g1.vec
+), cand AS (
+  SELECT vec, nbr FROM init UNION SELECT vec, nbr FROM non
+), scored AS MATERIALIZED (
+  SELECT c.vec, c.nbr,
+         round(
+           list_sum(list_transform(generate_series(1, len(e1.embedding)),
+             i -> CAST(e1.embedding[i] AS DOUBLE)
+                  * CAST(e2.embedding[i] AS DOUBLE)))
+           / (e1.norm * e2.norm), 6) AS cosine
+  FROM cand c JOIN b e1 ON e1.vec_id = c.vec JOIN b e2 ON e2.vec_id = c.nbr
+), refined AS MATERIALIZED (
+  SELECT vec, nbr, cosine FROM (
+    SELECT vec, nbr, cosine,
+           row_number() OVER (PARTITION BY vec
+                              ORDER BY cosine DESC, nbr ASC) AS rn
+    FROM scored
+  ) WHERE rn <= {NND_K}
+), ig AS (
+  SELECT vec, CAST(count(*) AS BIGINT) AS n_init, max(cosine) AS init_best
+  FROM init GROUP BY vec
+), cg AS (
+  SELECT vec, CAST(count(*) AS BIGINT) AS n_cand FROM scored GROUP BY vec
+), rg AS (
+  SELECT r.vec, max(r.cosine) AS refined_best,
+         CAST(sum(CASE WHEN i.nbr IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new
+  FROM refined r LEFT JOIN init i ON i.vec = r.vec AND i.nbr = r.nbr
+  GROUP BY r.vec
+)
+SELECT ig.vec AS vec_id, ig.n_init, cg.n_cand, ig.init_best,
+       rg.refined_best, rg.n_new,
+       rg.refined_best > ig.init_best AS improved
+FROM ig JOIN cg ON cg.vec = ig.vec JOIN rg ON rg.vec = ig.vec
+"""
+
+
+def _sdiv_milli(x: str, op: str) -> str:
+    """Sign-aware half-up milli quantization of a micro-unit integer
+    expression — pure integer CASE, identical text on Spark (`div`) and
+    DuckDB (`//`)."""
+    return (
+        f"CASE WHEN {x} >= 0 THEN ({x} + 500) {op} 1000 "
+        f"ELSE -((-({x}) + 500) {op} 1000) END"
+    )
+
+
+def q_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the trained quality classifier's Brier
+    score — the companion scalar set to classifier_ece that separates
+    WHY the score is what it is: reliability (calibration gap mass over
+    the shared fixed-width deciles), resolution (how far bin outcome
+    rates move from the base rate — the part worth keeping), and
+    uncertainty (base-rate variance, the floor no model beats), next to
+    the exact per-document Brier.  brier ~= reliability - resolution +
+    uncertainty up to within-bin forecast variance + milli quantization
+    (emitted as decomp_gap so the identity is auditable).
+
+    Determinism: per-document and per-bin gaps are micro-unit integers
+    quantized to MILLI units by a sign-aware half-up integer CASE, so
+    every squared term is an exact BIGINT (mass <= n * 1e6 — safe to
+    ~9e12 documents); single final divisions round-6; base rate via the
+    half-up integer recipe.
+
+    Scale shape: rides the memoized checkpointed classifier frame; the
+    per-doc pass is one zero-exchange projection + 1-row aggregate; the
+    bin pass operates on the bounded 10-row calibration table with
+    1-row broadcasts."""
+    scored = q_doc_quality_classifier(spark, sf_dir)
+    per = scored.select(
+        (
+            F.round(F.col("score") * 1_000_000, 0).cast("long")
+            - F.col("label").cast("long") * 1_000_000
+        ).alias("diff")
+    ).withColumn("dm", F.expr(_sdiv_milli("diff", "div")))
+    ex = per.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.expr("dm * dm")).cast("long").alias("sq_mass"),
+    )
+    bins = q_quality_calibration_bins(spark, sf_dir).select(
+        "n_docs",
+        "n_pos",
+        F.round(F.col("pos_rate") * 1_000_000, 0)
+        .cast("long")
+        .alias("o_micro"),
+        F.round(F.col("mean_score") * 1_000_000, 0)
+        .cast("long")
+        .alias("f_micro"),
+    )
+    tot = bins.agg(
+        F.sum("n_docs").cast("long").alias("nn"),
+        F.expr(
+            "CAST((2 * sum(n_pos) * 1000000 + sum(n_docs)) "
+            "div (2 * sum(n_docs)) AS BIGINT)"
+        ).alias("obar_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+    )
+    j = (
+        bins.crossJoin(F.broadcast(tot))
+        .withColumn("rel_m", F.expr(_sdiv_milli("f_micro - o_micro", "div")))
+        .withColumn(
+            "res_m", F.expr(_sdiv_milli("o_micro - obar_micro", "div"))
+        )
+    )
+    bg = j.groupBy("nn", "obar_micro", "n_bins").agg(
+        F.sum(F.expr("n_docs * rel_m * rel_m"))
+        .cast("long")
+        .alias("rel_mass"),
+        F.sum(F.expr("n_docs * res_m * res_m"))
+        .cast("long")
+        .alias("res_mass"),
+    )
+    out = bg.crossJoin(F.broadcast(ex)).withColumn(
+        "ob_m", F.expr(_sdiv_milli("obar_micro", "div"))
+    )
+    return out.select(
+        F.col("n_docs"),
+        "n_bins",
+        F.round(F.col("obar_micro") / 1_000_000.0, 6).alias("base_rate"),
+        F.round(F.col("sq_mass") / (F.col("n_docs") * 1_000_000.0), 6).alias(
+            "brier"
+        ),
+        F.round(
+            F.col("rel_mass") / (F.col("n_docs") * 1_000_000.0), 6
+        ).alias("reliability"),
+        F.round(
+            F.col("res_mass") / (F.col("n_docs") * 1_000_000.0), 6
+        ).alias("resolution"),
+        F.round(
+            F.expr("ob_m * (1000 - ob_m)") / 1_000_000.0, 6
+        ).alias("uncertainty"),
+    ).withColumn(
+        "decomp_gap",
+        F.round(
+            F.col("brier")
+            - (
+                F.col("reliability")
+                - F.col("resolution")
+                + F.col("uncertainty")
+            ),
+            6,
+        ),
+    )
+
+
+SQL_BRIER_DECOMPOSITION = f"""
+WITH {_sql_qc_chain()},
+scored AS (
+  SELECT doc_id, score, y AS label FROM final
+), per AS (
+  SELECT {_sdiv_milli(
+      "CAST(round(score * 1000000, 0) AS BIGINT) - label * 1000000", "//"
+  )} AS dm
+  FROM scored
+), ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dm * dm) AS BIGINT) AS sq_mass
+  FROM per
+), binned AS (
+  SELECT CAST(least(9, floor(score * 10)) AS INT) AS bin,
+         CAST(round(score * 1000000, 0) AS BIGINT) AS micro,
+         label
+  FROM scored
+), bins AS (
+  SELECT bin,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(label) AS BIGINT) AS n_pos,
+         CAST(round(round(CAST(sum(label) AS BIGINT)
+                          / CAST(count(*) AS BIGINT), 6) * 1000000, 0)
+              AS BIGINT) AS o_micro,
+         CAST(round(round(CAST(sum(micro) AS BIGINT)
+                          / CAST(count(*) AS BIGINT) / 1000000.0, 6)
+                    * 1000000, 0) AS BIGINT) AS f_micro
+  FROM binned GROUP BY bin
+), tot AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS nn,
+         CAST((2 * sum(n_pos) * 1000000 + sum(n_docs))
+              // (2 * sum(n_docs)) AS BIGINT) AS obar_micro,
+         CAST(count(*) AS BIGINT) AS n_bins
+  FROM bins
+), j AS (
+  SELECT b.n_docs, t.nn, t.obar_micro, t.n_bins,
+         {_sdiv_milli("b.f_micro - b.o_micro", "//")} AS rel_m,
+         {_sdiv_milli("b.o_micro - t.obar_micro", "//")} AS res_m
+  FROM bins b, tot t
+), bg AS (
+  SELECT nn, obar_micro, n_bins,
+         CAST(sum(n_docs * rel_m * rel_m) AS BIGINT) AS rel_mass,
+         CAST(sum(n_docs * res_m * res_m) AS BIGINT) AS res_mass
+  FROM j GROUP BY nn, obar_micro, n_bins
+), fin AS (
+  SELECT bg.nn AS n_docs, bg.n_bins,
+         round(bg.obar_micro / 1000000.0, 6) AS base_rate,
+         round(ex.sq_mass / (ex.n_docs * 1000000.0), 6) AS brier,
+         round(bg.rel_mass / (ex.n_docs * 1000000.0), 6) AS reliability,
+         round(bg.res_mass / (ex.n_docs * 1000000.0), 6) AS resolution,
+         round(({_sdiv_milli("bg.obar_micro", "//")})
+               * (1000 - ({_sdiv_milli("bg.obar_micro", "//")}))
+               / 1000000.0, 6) AS uncertainty
+  FROM bg, ex
+)
+SELECT n_docs, n_bins, base_rate, brier, reliability, resolution,
+       uncertainty,
+       round(brier - (reliability - resolution + uncertainty), 6)
+         AS decomp_gap
+FROM fin
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -24941,5 +25430,17 @@ QUERIES: dict[str, tuple] = {
     "column_dictionary_stats": (
         q_column_dictionary_stats,
         SQL_COLUMN_DICTIONARY_STATS,
+    ),
+    "host_label_propagation": (
+        q_host_label_propagation,
+        SQL_HOST_LABEL_PROPAGATION,
+    ),
+    "knn_graph_nndescent": (
+        q_knn_graph_nndescent,
+        SQL_KNN_GRAPH_NNDESCENT,
+    ),
+    "brier_decomposition": (
+        q_brier_decomposition,
+        SQL_BRIER_DECOMPOSITION,
     ),
 }

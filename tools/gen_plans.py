@@ -130,7 +130,8 @@ def main() -> None:
                  "embedding_norm_outliers", "doc_language_confusion",
                  "minhash_band_occupancy", "conversation_context_growth",
                  "postings_compression_estimate", "zonemap_pruning_estimate",
-                 "column_dictionary_stats"):
+                 "column_dictionary_stats", "host_label_propagation",
+                 "knn_graph_nndescent", "brier_decomposition"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -1035,6 +1036,24 @@ def main() -> None:
                    "Generate" in full["column_dictionary_stats"]
                    and "CartesianProduct"
                    not in full["column_dictionary_stats"]))
+
+    checks.append(("label propagation: final round reads checkpointed "
+                   "host-scale frames (no parquet rescan), no cartesian",
+                   "Scan parquet" not in full["host_label_propagation"]
+                   and "CartesianProduct"
+                   not in full["host_label_propagation"]))
+
+    checks.append(("nn-descent: candidates from keyed joins on the "
+                   "checkpointed top-K graph (no cartesian), rank "
+                   "windows per vec",
+                   "CartesianProduct" not in full["knn_graph_nndescent"]
+                   and "SortMergeJoin" in full["knn_graph_nndescent"]
+                   or "BroadcastHashJoin" in full["knn_graph_nndescent"]))
+
+    checks.append(("brier: rides the checkpointed classifier frame — "
+                   "bounded bin table with 1-row broadcasts",
+                   "BroadcastNestedLoopJoin" in full["brier_decomposition"]
+                   and "Scan parquet" not in full["brier_decomposition"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -294,6 +294,9 @@ SCALE_CLASS = {
     "postings_compression_estimate": ("shuffle", "distinct (tok, doc_id) with map-side combine; the lag window and the per-tok rollup SHARE the tok exchange; the band rollup is bounded by 64 rows — no posting list ever materializes whole (the inverted_index_postings rank-filter discipline, applied to sizing)"),
     "zonemap_pruning_estimate": ("shuffle", "each layout's row_number window is partitioned by its FILE key (parallel — never a global sort); one (layout, file, rowgroup) rollup with map-side combine collapses to metadata scale (rows = row groups); the final rollup is 2 rows"),
     "column_dictionary_stats": ("shuffle", "stack() unpivot is linear (3x rows, no exchange); runs from a (col_name, file) partitioned lag window; per-column rollups have map-side combine; the distinct side collapses to |vocab| before a 3-row join back"),
+    "host_label_propagation": ("shuffle", "edges from the TURN-key self-join (bounded by per-page host sets, the pagerank discipline); each of the fixed LP_ITERS rounds is host-table-sized (one dst equi-join + one (src,label) groupBy with map-side combine + one src rank window), per-round localCheckpoint bounds lineage; synchronous majority with total-order tiebreaks keeps it oracle-replayable"),
+    "knn_graph_nndescent": ("bucketed", "seed pairs from the bucketed LSH equi-join (never all-pairs); the 2-hop expansion joins the top-K graph with itself on the neighbor key so candidates per vector are <= K^2; rescoring is two keyed joins to the checkpointed embedding frame; one rank window per vec partition; iterating = repeating this round, no new machinery"),
+    "brier_decomposition": ("broadcast", "rides the memoized checkpointed classifier frame; per-doc pass is a zero-exchange projection + 1-row aggregate; bin pass operates on the bounded 10-row calibration table with 1-row broadcasts; milli-quantized integer squared masses are BIGINT-safe to ~9e12 docs"),
 }
 
 
