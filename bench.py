@@ -501,6 +501,11 @@ def main() -> None:
         "host_label_propagation",
         "knn_graph_nndescent",
         "brier_decomposition",
+        # round 5, seventy-ninth wave: shard manifests, k-anonymity,
+        # watermark lateness.  Excluded from the r04 subtotal.
+        "shard_integrity_manifest",
+        "k_anonymity_audit",
+        "late_event_watermark_audit",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -713,6 +718,9 @@ def main() -> None:
         "host_label_propagation",
         "knn_graph_nndescent",
         "brier_decomposition",
+        "shard_integrity_manifest",
+        "k_anonymity_audit",
+        "late_event_watermark_audit",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

@@ -24762,6 +24762,282 @@ FROM fin
 
 
 # --------------------------------------------------------------------------
+# Wave 79 — pipeline integrity & governance: shard content manifests,
+# k-anonymity class-size audit, watermark lateness accounting.
+# --------------------------------------------------------------------------
+
+MANIFEST_SHARD_DOCS = 1000  # doc_ids per manifest shard
+
+
+def q_shard_integrity_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed shard manifest — the integrity artifact a
+    pipeline publishes next to shipped data so any consumer (or a later
+    re-run) can verify a 100 TB corpus shard-by-shard without re-reading
+    everything at once: per doc_id-range shard, the document count, char
+    volume, doc_id range, and a deterministic shard digest (md5 over the
+    lexicographically-sorted `zero-padded-id:md5(text)` records, so the
+    digest is invariant to scan order but pinned to exact content and
+    membership).  Any flipped byte, lost row, or duplicated row changes
+    exactly one shard's digest — the diff a resumable pipeline trusts.
+
+    Determinism: md5 of identical byte strings; zero-padded ids make the
+    lexicographic sort equal the numeric sort; counts are integers.
+
+    Scale shape: one shard-key groupBy with map-side combine; per-shard
+    aggregation state is bounded by MANIFEST_SHARD_DOCS records of 45
+    bytes — the shard size is the knob, never corpus-sized state."""
+    docs = _t(spark, sf_dir, "documents")
+    recs = docs.select(
+        F.expr(f"doc_id div {MANIFEST_SHARD_DOCS}").alias("shard_id"),
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.concat(
+            F.lpad(F.col("doc_id").cast("string"), 12, "0"),
+            F.lit(":"),
+            F.md5(F.col("text")),
+        ).alias("rec"),
+    )
+    return recs.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+        F.md5(
+            F.array_join(F.array_sort(F.collect_list("rec")), "")
+        ).alias("shard_digest"),
+    )
+
+
+SQL_SHARD_INTEGRITY_MANIFEST = f"""
+WITH recs AS (
+  SELECT doc_id // {MANIFEST_SHARD_DOCS} AS shard_id, doc_id,
+         length(text) AS n_chars,
+         lpad(CAST(doc_id AS VARCHAR), 12, '0') || ':' || md5(text) AS rec
+  FROM documents
+)
+SELECT shard_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(doc_id) AS BIGINT) AS min_doc,
+       CAST(max(doc_id) AS BIGINT) AS max_doc,
+       md5(string_agg(rec, '' ORDER BY rec)) AS shard_digest
+FROM recs GROUP BY shard_id
+"""
+
+
+K_ANON_K = 5  # class-size threshold below which a QI class is at risk
+K_ANON_BAL_BAND = 1000.0  # acctbal band width in the quasi-identifier
+
+
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity class-size audit over the customer table's
+    quasi-identifier tuple (nation, market segment, account-balance
+    band) — the privacy gate a release pipeline runs before shipping
+    row-level data: group rows into QI equivalence classes, then roll
+    the classes into a class-size histogram with, per size, the class
+    count, row count, row share, and the at-risk flag (size <
+    {K_ANON_K} — any such row is re-identifiable within fewer than k
+    candidates).  The smallest size present IS the dataset's k.
+
+    Determinism: integer class sizes and counts; band = floor division
+    of the balance (identical for negatives both engines); share is an
+    integer-quotient round-6.
+
+    Scale shape: one QI groupBy with map-side combine collapses to
+    class scale; the histogram groupBy and its window margin operate on
+    the bounded class-size table."""
+    c = _t(spark, sf_dir, "customer")
+    classes = c.select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            f"CAST(floor(c_acctbal / {K_ANON_BAL_BAND!r}) AS BIGINT)"
+        ).alias("bal_band"),
+    ).groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    hist = classes.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes")
+    )
+    w = Window.partitionBy()
+    return hist.select(
+        F.col("sz").alias("class_size"),
+        "n_classes",
+        (F.col("sz") * F.col("n_classes")).cast("long").alias("n_rows"),
+        F.round(
+            (F.col("sz") * F.col("n_classes"))
+            / F.sum(F.col("sz") * F.col("n_classes")).over(w),
+            6,
+        ).alias("row_share"),
+        (F.col("sz") < K_ANON_K).alias("at_risk"),
+    )
+
+
+SQL_K_ANONYMITY_AUDIT = f"""
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / {K_ANON_BAL_BAND!r}) AS BIGINT) AS bal_band,
+         CAST(count(*) AS BIGINT) AS sz
+  FROM customer GROUP BY c_nationkey, c_mktsegment,
+       CAST(floor(c_acctbal / {K_ANON_BAL_BAND!r}) AS BIGINT)
+), hist AS (
+  SELECT sz, CAST(count(*) AS BIGINT) AS n_classes FROM classes GROUP BY sz
+)
+SELECT sz AS class_size, n_classes,
+       CAST(sz * n_classes AS BIGINT) AS n_rows,
+       round((sz * n_classes) / sum(sz * n_classes) OVER (), 6)
+         AS row_share,
+       sz < {K_ANON_K} AS at_risk
+FROM hist
+"""
+
+
+WM_DELAY_SEC = 3600  # watermark delay: max tolerated event-time lateness
+WM_BLOCK = 4096  # event_ids per arrival block (two-pass prior-max)
+
+# max of two nullable timestamps as an explicit CASE — Spark and DuckDB
+# disagree on NULL handling in greatest(), the CASE text is identical.
+_WM_PRIOR_MAX_CASE = (
+    "CASE WHEN in_prior IS NULL THEN blk_prior "
+    "WHEN blk_prior IS NULL THEN in_prior "
+    "WHEN in_prior >= blk_prior THEN in_prior ELSE blk_prior END"
+)
+
+
+def q_late_event_watermark_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark lateness accounting over the event stream — the batch
+    replay of exactly what a Structured Streaming job with
+    `withWatermark(ts, {WM_DELAY_SEC}s)` would have done to this data,
+    run BEFORE deploying the streaming job to pick the delay: treating
+    event_id as arrival order, the watermark before each event is
+    (max event-time seen so far) − delay; per event-time hour the audit
+    counts events that arrived in order, out of order but inside the
+    delay (accepted late — they cost state-store retention), and past
+    the watermark (dropped), with the worst lateness and the round-6
+    drop rate.
+
+    Determinism: the running max is over exact timestamps with a pure
+    CASE merge; lateness uses the paired second-truncation idioms
+    (unix_timestamp diff / date_diff) that cancel timezone; counts are
+    integers.
+
+    Scale shape: the prior-max is the two-pass prefix scheme (the
+    pack_token_ids discipline): ONE block-partitioned running-max
+    window (parallel) + a bounded block table whose tiny exclusive-max
+    window is metadata-scale, broadcast-joined back; the hourly rollup
+    has map-side combine.  No global window ever touches event rows."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts")
+    blk = ev.withColumn("block", F.expr(f"event_id div {WM_BLOCK}"))
+    wb = (
+        Window.partitionBy("block")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = blk.withColumn("in_prior", F.max("ts").over(wb))
+    bmax = blk.groupBy("block").agg(F.max("ts").alias("bmax"))
+    wg = (
+        Window.orderBy("block")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bprior = bmax.withColumn("blk_prior", F.max("bmax").over(wg)).select(
+        "block", "blk_prior"
+    )
+    j = within.join(F.broadcast(bprior), "block").withColumn(
+        "prior_max", F.expr(_WM_PRIOR_MAX_CASE)
+    )
+    lat = j.withColumn(
+        "lateness_sec",
+        (
+            F.unix_timestamp("prior_max") - F.unix_timestamp("ts")
+        ).cast("long"),
+    )
+    return (
+        lat.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("lateness_sec").isNull()
+                    | (F.col("lateness_sec") <= 0),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_in_order"),
+            F.sum(
+                F.when(
+                    (F.col("lateness_sec") > 0)
+                    & (F.col("lateness_sec") <= WM_DELAY_SEC),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_accepted_late"),
+            F.sum(
+                F.when(F.col("lateness_sec") > WM_DELAY_SEC, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_dropped"),
+            F.max(
+                F.when(
+                    F.col("lateness_sec") > 0, F.col("lateness_sec")
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("max_lateness_sec"),
+        )
+        .withColumn(
+            "drop_rate",
+            F.round(F.col("n_dropped") / F.col("n_events"), 6),
+        )
+    )
+
+
+SQL_LATE_EVENT_WATERMARK_AUDIT = f"""
+WITH blk AS (
+  SELECT event_id, ts, event_id // {WM_BLOCK} AS block FROM events
+), within AS (
+  SELECT event_id, ts, block,
+         max(ts) OVER (PARTITION BY block ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS in_prior
+  FROM blk
+), bmax AS (
+  SELECT block, max(ts) AS bmax FROM blk GROUP BY block
+), bprior AS (
+  SELECT block,
+         max(bmax) OVER (ORDER BY block
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS blk_prior
+  FROM bmax
+), j AS (
+  SELECT w.event_id, w.ts,
+         {_WM_PRIOR_MAX_CASE} AS prior_max
+  FROM within w JOIN bprior b ON b.block = w.block
+), lat AS (
+  SELECT ts,
+         CAST(date_diff('second', ts, prior_max) AS BIGINT)
+           AS lateness_sec
+  FROM j
+)
+SELECT date_trunc('hour', ts) AS hour,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN lateness_sec IS NULL OR lateness_sec <= 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_in_order,
+       CAST(sum(CASE WHEN lateness_sec > 0
+                      AND lateness_sec <= {WM_DELAY_SEC}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted_late,
+       CAST(sum(CASE WHEN lateness_sec > {WM_DELAY_SEC}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(max(CASE WHEN lateness_sec > 0 THEN lateness_sec ELSE 0 END)
+            AS BIGINT) AS max_lateness_sec,
+       round(sum(CASE WHEN lateness_sec > {WM_DELAY_SEC}
+                      THEN 1 ELSE 0 END) / count(*), 6) AS drop_rate
+FROM lat GROUP BY date_trunc('hour', ts)
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -25442,5 +25718,14 @@ QUERIES: dict[str, tuple] = {
     "brier_decomposition": (
         q_brier_decomposition,
         SQL_BRIER_DECOMPOSITION,
+    ),
+    "shard_integrity_manifest": (
+        q_shard_integrity_manifest,
+        SQL_SHARD_INTEGRITY_MANIFEST,
+    ),
+    "k_anonymity_audit": (q_k_anonymity_audit, SQL_K_ANONYMITY_AUDIT),
+    "late_event_watermark_audit": (
+        q_late_event_watermark_audit,
+        SQL_LATE_EVENT_WATERMARK_AUDIT,
     ),
 }

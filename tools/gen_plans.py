@@ -131,7 +131,9 @@ def main() -> None:
                  "minhash_band_occupancy", "conversation_context_growth",
                  "postings_compression_estimate", "zonemap_pruning_estimate",
                  "column_dictionary_stats", "host_label_propagation",
-                 "knn_graph_nndescent", "brier_decomposition"):
+                 "knn_graph_nndescent", "brier_decomposition",
+                 "shard_integrity_manifest", "k_anonymity_audit",
+                 "late_event_watermark_audit"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -1054,6 +1056,23 @@ def main() -> None:
                    "bounded bin table with 1-row broadcasts",
                    "BroadcastNestedLoopJoin" in full["brier_decomposition"]
                    and "Scan parquet" not in full["brier_decomposition"]))
+
+    checks.append(("shard manifest: single scan, one shard groupBy with "
+                   "partial aggregation",
+                   full["shard_integrity_manifest"].count("Scan parquet")
+                   == 2  # one node = 2 mentions
+                   and "partial_" in full["shard_integrity_manifest"]))
+
+    checks.append(("k-anonymity: QI rollup map-side combine; margin "
+                   "window only on the bounded histogram",
+                   "partial_" in full["k_anonymity_audit"]))
+
+    checks.append(("watermark audit: block-partitioned running-max "
+                   "window + bounded block table broadcast back (no "
+                   "event-row global window)",
+                   "BroadcastHashJoin" in full["late_event_watermark_audit"]
+                   and full["late_event_watermark_audit"].count(
+                       "hashpartitioning(block") >= 1))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -297,6 +297,9 @@ SCALE_CLASS = {
     "host_label_propagation": ("shuffle", "edges from the TURN-key self-join (bounded by per-page host sets, the pagerank discipline); each of the fixed LP_ITERS rounds is host-table-sized (one dst equi-join + one (src,label) groupBy with map-side combine + one src rank window), per-round localCheckpoint bounds lineage; synchronous majority with total-order tiebreaks keeps it oracle-replayable"),
     "knn_graph_nndescent": ("bucketed", "seed pairs from the bucketed LSH equi-join (never all-pairs); the 2-hop expansion joins the top-K graph with itself on the neighbor key so candidates per vector are <= K^2; rescoring is two keyed joins to the checkpointed embedding frame; one rank window per vec partition; iterating = repeating this round, no new machinery"),
     "brier_decomposition": ("broadcast", "rides the memoized checkpointed classifier frame; per-doc pass is a zero-exchange projection + 1-row aggregate; bin pass operates on the bounded 10-row calibration table with 1-row broadcasts; milli-quantized integer squared masses are BIGINT-safe to ~9e12 docs"),
+    "shard_integrity_manifest": ("shuffle", "one shard-key groupBy with map-side combine; per-shard aggregation state bounded by MANIFEST_SHARD_DOCS 45-byte records (the shard size is the knob, never corpus-sized state); zero-padded ids make lexicographic sort == numeric sort so the digest is scan-order-invariant"),
+    "k_anonymity_audit": ("shuffle", "one QI groupBy with map-side combine collapses the corpus to class scale; the histogram groupBy and its margin window operate on the bounded class-size table only"),
+    "late_event_watermark_audit": ("shuffle", "running prior-max via the two-pass prefix scheme (pack_token_ids discipline): block-partitioned running-max window (parallel) + a bounded block table whose exclusive-max window is metadata-scale, broadcast back; hourly rollup with map-side combine; lateness via the paired tz-cancelling second-truncation idioms"),
 }
 
 
