@@ -506,6 +506,11 @@ def main() -> None:
         "shard_integrity_manifest",
         "k_anonymity_audit",
         "late_event_watermark_audit",
+        # round 5, eightieth wave: chrF pairs, join cardinality audit,
+        # KM reorder survival.  Excluded from the r04 subtotal.
+        "chrf_pair_scores",
+        "join_cardinality_estimate",
+        "kaplan_meier_retention",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -721,6 +726,9 @@ def main() -> None:
         "shard_integrity_manifest",
         "k_anonymity_audit",
         "late_event_watermark_audit",
+        "chrf_pair_scores",
+        "join_cardinality_estimate",
+        "kaplan_meier_retention",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

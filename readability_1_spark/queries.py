@@ -25038,6 +25038,490 @@ FROM lat GROUP BY date_trunc('hour', ts)
 
 
 # --------------------------------------------------------------------------
+# Wave 80 — chrF pair scores (char-level MT-style similarity),
+# join-cardinality estimation audit, Kaplan-Meier reorder survival.
+# --------------------------------------------------------------------------
+
+CHRF_BETA2 = 4  # chrF's beta^2 = 4 (recall weighted 2x)
+CHRF_MAX_N = 3  # char n-gram orders 1..3
+
+
+def _chrf_gram_fn(n: int):
+    """Closure factory (a lambda default arg would become a 2-param
+    higher-order lambda — CLAUDE.md)."""
+
+    def f(i):
+        return F.col("s").substr(i, F.lit(n))
+
+    return f
+
+
+def q_chrf_pair_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """chrF (Popovic) over the minhash-LSH candidate pairs — the
+    character-n-gram F-score MT data pipelines filter bitext with,
+    complementing rouge_overlap_pairs' word level: robust to
+    tokenization, morphology, and spacing differences that word n-grams
+    miss entirely.  Per candidate pair and order n = 1..{CHRF_MAX_N}:
+    clipped char-n-gram overlap over the alnum-normalized text, and
+    chrF_n via the closed form (1+b^2)*ov / (b^2*n_ref + n_hyp) with
+    b^2 = {CHRF_BETA2} (doc_a = reference) — an INTEGER quotient, so
+    round-6 agrees cross-engine; chrf is the round-6 mean of the three
+    (never exactly on a rounding boundary: k/3e6 = m + 0.5e-6 has no
+    integer solution).
+
+    Scale shape: the rouge discipline — candidates checkpoint once,
+    per-doc char-n-gram count tables build with map-side combine and
+    checkpoint (each feeds both pair sides), overlap joins are
+    candidate-bounded, never corpus x corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    cand = _minhash_pairs(docs).localCheckpoint(eager=True)
+    # materialize the normalized char strings ONCE: they feed the three
+    # n-gram count tables AND the length table (4 consumers — without
+    # this each rescans parquet and re-runs the regex)
+    chars = docs.select(
+        "doc_id",
+        F.regexp_replace(F.lower("text"), "[^a-z0-9]", "").alias("s"),
+    ).localCheckpoint(eager=True)
+
+    def counts(n: int) -> DataFrame:
+        arr = F.when(
+            F.length("s") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length("s") - (n - 1)),
+                _chrf_gram_fn(n),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return (
+            chars.select("doc_id", F.explode(arr).alias("g"))
+            .groupBy("doc_id", "g")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .localCheckpoint(eager=True)
+        )
+
+    def overlap(cnt: DataFrame, name: str) -> DataFrame:
+        a = cnt.select(
+            F.col("doc_id").alias("doc_a"), "g", F.col("c").alias("ca")
+        )
+        b = cnt.select(
+            F.col("doc_id").alias("doc_b"), "g", F.col("c").alias("cb")
+        )
+        return (
+            cand.join(a, "doc_a")
+            .join(b, ["doc_b", "g"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.least("ca", "cb")).cast("long").alias(name))
+        )
+
+    st = chars.select(
+        "doc_id",
+        *[
+            F.greatest(F.length("s") - (n - 1), F.lit(0))
+            .cast("long")
+            .alias(f"n{n}")
+            for n in range(1, CHRF_MAX_N + 1)
+        ],
+    )
+    sa = st.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"n{n}").alias(f"n{n}_a") for n in range(1, CHRF_MAX_N + 1)],
+    )
+    sb = st.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"n{n}").alias(f"n{n}_b") for n in range(1, CHRF_MAX_N + 1)],
+    )
+    m = cand
+    for n in range(1, CHRF_MAX_N + 1):
+        m = m.join(overlap(counts(n), f"ov{n}"), ["doc_a", "doc_b"], "left")
+    m = (
+        m.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            *[
+                F.coalesce(f"ov{n}", F.lit(0)).alias(f"ov{n}")
+                for n in range(1, CHRF_MAX_N + 1)
+            ],
+            *[F.col(f"n{n}_a") for n in range(1, CHRF_MAX_N + 1)],
+            *[F.col(f"n{n}_b") for n in range(1, CHRF_MAX_N + 1)],
+        )
+    )
+    for n in range(1, CHRF_MAX_N + 1):
+        m = m.withColumn(
+            f"chrf{n}",
+            F.round(
+                (1 + CHRF_BETA2)
+                * F.col(f"ov{n}")
+                / (CHRF_BETA2 * F.col(f"n{n}_a") + F.col(f"n{n}_b")),
+                6,
+            ),
+        )
+    return m.withColumn(
+        "chrf",
+        F.round(
+            sum(F.col(f"chrf{n}") for n in range(1, CHRF_MAX_N + 1))
+            / CHRF_MAX_N,
+            6,
+        ),
+    )
+
+
+SQL_CHRF_PAIR_SCORES = (
+    _SHINGLES_SQL
+    + _SQL_BAND_CTES
+    + f"""
+  , cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+  ),
+  chars AS (
+    SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+    FROM documents
+  ),
+"""
+    + ",\n".join(
+        f"""  c{n} AS (
+    SELECT doc_id, substr(s, i, {n}) AS g,
+           CAST(count(*) AS BIGINT) AS c
+    FROM chars, UNNEST(generate_series(1, greatest(length(s) - {n - 1}, 0)))
+      AS t(i)
+    GROUP BY doc_id, substr(s, i, {n})
+  ),
+  o{n} AS (
+    SELECT c.doc_a, c.doc_b, CAST(sum(least(a.c, b.c)) AS BIGINT) AS ov{n}
+    FROM cand c JOIN c{n} a ON a.doc_id = c.doc_a
+    JOIN c{n} b ON b.doc_id = c.doc_b AND b.g = a.g
+    GROUP BY c.doc_a, c.doc_b
+  )"""
+        for n in range(1, CHRF_MAX_N + 1)
+    )
+    + f""",
+  st AS (
+    SELECT doc_id,
+           {", ".join(f"CAST(greatest(length(s) - {n - 1}, 0) AS BIGINT) AS n{n}" for n in range(1, CHRF_MAX_N + 1))}
+    FROM chars
+  ),
+  m AS (
+    SELECT c.doc_a, c.doc_b,
+           {", ".join(f"coalesce(o{n}.ov{n}, 0) AS ov{n}" for n in range(1, CHRF_MAX_N + 1))},
+           {", ".join(f"sa.n{n} AS n{n}_a" for n in range(1, CHRF_MAX_N + 1))},
+           {", ".join(f"sb.n{n} AS n{n}_b" for n in range(1, CHRF_MAX_N + 1))}
+    FROM cand c
+    {" ".join(f"LEFT JOIN o{n} ON o{n}.doc_a = c.doc_a AND o{n}.doc_b = c.doc_b" for n in range(1, CHRF_MAX_N + 1))}
+    JOIN st sa ON sa.doc_id = c.doc_a
+    JOIN st sb ON sb.doc_id = c.doc_b
+  ), f AS (
+    SELECT m.*,
+           {", ".join(f"round((1 + {CHRF_BETA2}) * ov{n} / ({CHRF_BETA2} * n{n}_a + n{n}_b), 6) AS chrf{n}" for n in range(1, CHRF_MAX_N + 1))}
+    FROM m
+  )
+SELECT f.*,
+       round(({" + ".join(f"chrf{n}" for n in range(1, CHRF_MAX_N + 1))})
+             / {CHRF_MAX_N}, 6) AS chrf
+FROM f
+"""
+)
+
+
+def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation audit — the optimizer sanity table a
+    platform team reads before trusting size estimates on a 100 TB
+    join: for two fact joins (customer x orders ON custkey,
+    part x lineitem ON partkey), compare the EXACT join output size
+    (sum over keys of left-count x right-count) with the textbook
+    independence estimate |L| x |R| / max(d_L, d_R), and surface the
+    heaviest key (max per-key output, ties -> min key).  The error
+    ratio is the number that decides whether a stats refresh or a skew
+    hint ships.
+
+    Determinism: pure integer counts and products; the ratio is an
+    integer-over-integer quotient round-6; heavy-key selection is a
+    rank window with total-order tiebreaks.
+
+    Scale shape: per-key counts are groupBys with map-side combine that
+    collapse facts to key scale; the exact size is a key-table equi-join
+    + one rollup; the heavy-key rank window runs on the bounded
+    key-count table partitioned by join name.  Per-key products and
+    their sum are BIGINT-safe while the true join output is below
+    ~9e18 rows — i.e. for any join you could ever materialize."""
+    pairs = [
+        (
+            "customer_x_orders_on_custkey",
+            _t(spark, sf_dir, "customer").select(
+                F.col("c_custkey").alias("k")
+            ),
+            _t(spark, sf_dir, "orders").select(
+                F.col("o_custkey").alias("k")
+            ),
+        ),
+        (
+            "part_x_lineitem_on_partkey",
+            _t(spark, sf_dir, "part").select(F.col("p_partkey").alias("k")),
+            _t(spark, sf_dir, "lineitem").select(
+                F.col("l_partkey").alias("k")
+            ),
+        ),
+    ]
+    outs = []
+    for name, left, right in pairs:
+        cl = left.groupBy("k").agg(
+            F.count(F.lit(1)).cast("long").alias("cl")
+        )
+        cr = right.groupBy("k").agg(
+            F.count(F.lit(1)).cast("long").alias("cr")
+        )
+        kt = cl.join(cr, "k").select(
+            F.lit(name).alias("join_name"),
+            "k",
+            (F.col("cl") * F.col("cr")).cast("long").alias("prod"),
+        )
+        wj = Window.partitionBy("join_name").orderBy(
+            F.desc("prod"), F.asc("k")
+        )
+        top = (
+            kt.withColumn("rn", F.row_number().over(wj))
+            .filter(F.col("rn") == 1)
+            .select(
+                "join_name",
+                F.col("k").alias("top_key"),
+                F.col("prod").alias("top_key_rows"),
+            )
+        )
+        sums = kt.groupBy("join_name").agg(
+            F.sum("prod").cast("long").alias("exact_rows")
+        )
+        stats = (
+            left.agg(
+                F.count(F.lit(1)).cast("long").alias("n_left"),
+                F.countDistinct("k").cast("long").alias("d_left"),
+            )
+            .crossJoin(
+                right.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_right"),
+                    F.countDistinct("k").cast("long").alias("d_right"),
+                )
+            )
+            .withColumn("join_name", F.lit(name))
+        )
+        outs.append(
+            stats.join(sums, "join_name")
+            .join(top, "join_name")
+            .select(
+                "join_name",
+                "n_left",
+                "n_right",
+                "d_left",
+                "d_right",
+                "exact_rows",
+                F.expr(
+                    "CAST(n_left * n_right div "
+                    "greatest(d_left, d_right) AS BIGINT)"
+                ).alias("est_rows"),
+                F.round(F.col("exact_rows") / F.expr(
+                    "n_left * n_right div greatest(d_left, d_right)"
+                ), 6).alias("err_ratio"),
+                "top_key",
+                "top_key_rows",
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res
+
+
+def _sql_join_card(name: str, lt: str, lk: str, rt: str, rk: str) -> str:
+    return f"""
+  SELECT '{name}' AS join_name, s.n_left, s.n_right, s.d_left, s.d_right,
+         x.exact_rows,
+         CAST(s.n_left * s.n_right // greatest(s.d_left, s.d_right)
+              AS BIGINT) AS est_rows,
+         round(x.exact_rows
+               / (s.n_left * s.n_right // greatest(s.d_left, s.d_right)),
+               6) AS err_ratio,
+         t.top_key, t.top_key_rows
+  FROM (
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM {lt}) AS n_left,
+           (SELECT CAST(count(*) AS BIGINT) FROM {rt}) AS n_right,
+           (SELECT CAST(count(DISTINCT {lk}) AS BIGINT) FROM {lt}) AS d_left,
+           (SELECT CAST(count(DISTINCT {rk}) AS BIGINT) FROM {rt}) AS d_right
+  ) s, (
+    SELECT CAST(sum(cl * cr) AS BIGINT) AS exact_rows
+    FROM (SELECT {lk} AS k, CAST(count(*) AS BIGINT) AS cl
+          FROM {lt} GROUP BY {lk}) a
+    JOIN (SELECT {rk} AS k, CAST(count(*) AS BIGINT) AS cr
+          FROM {rt} GROUP BY {rk}) b ON a.k = b.k
+  ) x, (
+    SELECT k AS top_key, prod AS top_key_rows FROM (
+      SELECT a.k, CAST(a.cl * b.cr AS BIGINT) AS prod,
+             row_number() OVER (ORDER BY a.cl * b.cr DESC, a.k ASC) AS rn
+      FROM (SELECT {lk} AS k, CAST(count(*) AS BIGINT) AS cl
+            FROM {lt} GROUP BY {lk}) a
+      JOIN (SELECT {rk} AS k, CAST(count(*) AS BIGINT) AS cr
+            FROM {rt} GROUP BY {rk}) b ON a.k = b.k
+    ) WHERE rn = 1
+  ) t"""
+
+
+SQL_JOIN_CARDINALITY_ESTIMATE = f"""
+{_sql_join_card("customer_x_orders_on_custkey", "customer", "c_custkey",
+                "orders", "o_custkey")}
+UNION ALL
+{_sql_join_card("part_x_lineitem_on_partkey", "part", "p_partkey",
+                "lineitem", "l_partkey")}
+"""
+
+
+KM_REORDER_HORIZON = None  # (documentation) full follow-up, no cutoff
+
+
+def q_kaplan_meier_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of the customer reorder interval —
+    the censoring-correct version of order_reorder_interval's naive
+    gap statistics (a customer whose follow-up simply ENDED before the
+    next order is not a churned customer; treating open waits as gaps
+    biases retention down): subjects are every consecutive-order gap
+    (event) plus every customer's open wait from last order to the
+    corpus end date (censored).  Per event time t (days): the risk set
+    n_t = #{{duration >= t}}, events d_t, censored-at-t count, and the
+    product-limit survival S(t) = prod round-6(S * round-6(1 - d/n)).
+
+    Determinism: integer day durations (date_diff); the product-limit
+    chain applies round-6 at EVERY multiply (the ann_ivf_kmeans
+    iterative-float recipe) via a sequential array fold on Spark and a
+    recursive CTE on DuckDB — bit-identical step order.
+
+    Scale shape: duration extraction is ONE custkey window + linear
+    projections; everything after the (duration, kind) rollup operates
+    on the bounded distinct-duration table (an exclusive cumulative
+    window + one single-row array fold whose state is bounded by the
+    step count — metadata scale, like the zone-map group table)."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    wend = o.agg(F.max("o_orderdate").alias("end_date"))
+    wc = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_custkey")
+    nxt = o.withColumn("next_date", F.lead("o_orderdate").over(wc))
+    durs = nxt.crossJoin(F.broadcast(wend)).select(
+        F.when(
+            F.col("next_date").isNotNull(),
+            F.datediff("next_date", "o_orderdate"),
+        )
+        .otherwise(F.datediff("end_date", "o_orderdate"))
+        .cast("long")
+        .alias("t"),
+        F.col("next_date").isNotNull().cast("int").alias("is_event"),
+    )
+    per_t = durs.groupBy("t").agg(
+        F.sum("is_event").cast("long").alias("d"),
+        F.sum(1 - F.col("is_event")).cast("long").alias("c"),
+    )
+    n_subj = durs.count()
+    wcum = (
+        Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    risk = per_t.withColumn(
+        "n",
+        (
+            F.lit(n_subj)
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(wcum), F.lit(0)
+            )
+        ).cast("long"),
+    )
+    steps = risk.filter(F.col("d") > 0)
+    folded = steps.agg(
+        F.array_sort(
+            F.collect_list(F.struct("t", "d", "c", "n"))
+        ).alias("arr")
+    ).select(
+        F.aggregate(
+            "arr",
+            F.struct(
+                F.lit(1.0).alias("s"),
+                F.array()
+                .cast(
+                    "array<struct<t:bigint,d:bigint,c:bigint,"
+                    "n:bigint,surv:double>>"
+                )
+                .alias("out"),
+            ),
+            lambda acc, x: F.struct(
+                F.round(
+                    acc["s"] * F.round(1 - x["d"] / x["n"], 6), 6
+                ).alias("s"),
+                F.concat(
+                    acc["out"],
+                    F.array(
+                        F.struct(
+                            x["t"].alias("t"),
+                            x["d"].alias("d"),
+                            x["c"].alias("c"),
+                            x["n"].alias("n"),
+                            F.round(
+                                acc["s"] * F.round(1 - x["d"] / x["n"], 6),
+                                6,
+                            ).alias("surv"),
+                        )
+                    ),
+                ).alias("out"),
+            ),
+            lambda acc: acc["out"],
+        ).alias("out")
+    )
+    return folded.select(F.explode("out").alias("r")).select(
+        F.col("r.t").alias("t_days"),
+        F.col("r.n").alias("n_risk"),
+        F.col("r.d").alias("n_events"),
+        F.col("r.c").alias("n_censored_at_t"),
+        F.col("r.surv").alias("survival"),
+    )
+
+
+SQL_KAPLAN_MEIER_RETENTION = """
+WITH RECURSIVE nxt AS (
+  SELECT o_custkey, o_orderdate,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_custkey)
+           AS next_date
+  FROM orders
+), durs AS (
+  SELECT CASE WHEN next_date IS NOT NULL
+              THEN CAST(date_diff('day', o_orderdate, next_date) AS BIGINT)
+              ELSE CAST(date_diff('day', o_orderdate,
+                        (SELECT max(o_orderdate) FROM orders)) AS BIGINT)
+         END AS t,
+         CASE WHEN next_date IS NOT NULL THEN 1 ELSE 0 END AS is_event
+  FROM nxt
+), per_t AS (
+  SELECT t, CAST(sum(is_event) AS BIGINT) AS d,
+         CAST(sum(1 - is_event) AS BIGINT) AS c
+  FROM durs GROUP BY t
+), risk AS (
+  SELECT t, d, c,
+         CAST((SELECT count(*) FROM durs)
+              - coalesce(sum(d + c) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n
+  FROM per_t
+), steps AS (
+  SELECT t, d, c, n, row_number() OVER (ORDER BY t) AS rn
+  FROM risk WHERE d > 0
+), km AS (
+  SELECT rn, t, d, c, n,
+         round(1.0 * round(1 - d / n, 6), 6) AS surv
+  FROM steps WHERE rn = 1
+  UNION ALL
+  SELECT s.rn, s.t, s.d, s.c, s.n,
+         round(km.surv * round(1 - s.d / s.n, 6), 6)
+  FROM km JOIN steps s ON s.rn = km.rn + 1
+)
+SELECT t AS t_days, n AS n_risk, d AS n_events, c AS n_censored_at_t,
+       surv AS survival
+FROM km
+"""
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -25727,5 +26211,14 @@ QUERIES: dict[str, tuple] = {
     "late_event_watermark_audit": (
         q_late_event_watermark_audit,
         SQL_LATE_EVENT_WATERMARK_AUDIT,
+    ),
+    "chrf_pair_scores": (q_chrf_pair_scores, SQL_CHRF_PAIR_SCORES),
+    "join_cardinality_estimate": (
+        q_join_cardinality_estimate,
+        SQL_JOIN_CARDINALITY_ESTIMATE,
+    ),
+    "kaplan_meier_retention": (
+        q_kaplan_meier_retention,
+        SQL_KAPLAN_MEIER_RETENTION,
     ),
 }

@@ -133,7 +133,8 @@ def main() -> None:
                  "column_dictionary_stats", "host_label_propagation",
                  "knn_graph_nndescent", "brier_decomposition",
                  "shard_integrity_manifest", "k_anonymity_audit",
-                 "late_event_watermark_audit"):
+                 "late_event_watermark_audit", "chrf_pair_scores",
+                 "join_cardinality_estimate", "kaplan_meier_retention"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -1073,6 +1074,22 @@ def main() -> None:
                    "BroadcastHashJoin" in full["late_event_watermark_audit"]
                    and full["late_event_watermark_audit"].count(
                        "hashpartitioning(block") >= 1))
+
+    checks.append(("chrf: candidate joins from checkpointed count "
+                   "tables (no parquet rescan per order, no cartesian)",
+                   "Scan parquet" not in full["chrf_pair_scores"]
+                   and "CartesianProduct" not in full["chrf_pair_scores"]))
+
+    checks.append(("join cardinality: per-key rollups with map-side "
+                   "combine, no cartesian",
+                   "partial_" in full["join_cardinality_estimate"]
+                   and "CartesianProduct"
+                   not in full["join_cardinality_estimate"]))
+
+    checks.append(("kaplan-meier: one custkey window over the facts; "
+                   "downstream windows/fold on the bounded step table",
+                   full["kaplan_meier_retention"].count(
+                       "hashpartitioning(o_custkey") >= 1))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

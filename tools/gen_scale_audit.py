@@ -300,6 +300,9 @@ SCALE_CLASS = {
     "shard_integrity_manifest": ("shuffle", "one shard-key groupBy with map-side combine; per-shard aggregation state bounded by MANIFEST_SHARD_DOCS 45-byte records (the shard size is the knob, never corpus-sized state); zero-padded ids make lexicographic sort == numeric sort so the digest is scan-order-invariant"),
     "k_anonymity_audit": ("shuffle", "one QI groupBy with map-side combine collapses the corpus to class scale; the histogram groupBy and its margin window operate on the bounded class-size table only"),
     "late_event_watermark_audit": ("shuffle", "running prior-max via the two-pass prefix scheme (pack_token_ids discipline): block-partitioned running-max window (parallel) + a bounded block table whose exclusive-max window is metadata-scale, broadcast back; hourly rollup with map-side combine; lateness via the paired tz-cancelling second-truncation idioms"),
+    "chrf_pair_scores": ("bucketed", "the rouge discipline at char level: LSH candidates checkpoint once; per-doc char-n-gram count tables build with map-side combine and checkpoint (each feeds both pair sides); overlap joins are candidate-bounded, never corpus x corpus; every chrF_n is an integer-quotient round-6 via the closed form"),
+    "join_cardinality_estimate": ("shuffle", "per-key counts collapse facts to key scale with map-side combine; exact size = one key-table equi-join + rollup; heavy-key selection is a rank window over the bounded key-count table; per-key products BIGINT-safe below ~9e18 output rows"),
+    "kaplan_meier_retention": ("shuffle", "duration extraction is ONE custkey window + linear projections; everything downstream operates on the bounded distinct-duration table (exclusive cumulative window + a single-row array fold whose state is the step count — metadata scale); round-6 at EVERY product-limit multiply keeps the chain oracle-replayable"),
 }
 
 
