@@ -511,6 +511,11 @@ def main() -> None:
         "chrf_pair_scores",
         "join_cardinality_estimate",
         "kaplan_meier_retention",
+        # round 5, eighty-first wave: z-order layout, Neyman allocation,
+        # seasonal decomposition.  Excluded from the r04 subtotal.
+        "zorder_layout_plan",
+        "neyman_allocation_plan",
+        "event_seasonal_decompose",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -729,6 +734,9 @@ def main() -> None:
         "chrf_pair_scores",
         "join_cardinality_estimate",
         "kaplan_meier_retention",
+        "zorder_layout_plan",
+        "neyman_allocation_plan",
+        "event_seasonal_decompose",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

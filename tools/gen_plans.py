@@ -134,7 +134,9 @@ def main() -> None:
                  "knn_graph_nndescent", "brier_decomposition",
                  "shard_integrity_manifest", "k_anonymity_audit",
                  "late_event_watermark_audit", "chrf_pair_scores",
-                 "join_cardinality_estimate", "kaplan_meier_retention"):
+                 "join_cardinality_estimate", "kaplan_meier_retention",
+                 "zorder_layout_plan", "neyman_allocation_plan",
+                 "event_seasonal_decompose"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -1090,6 +1092,23 @@ def main() -> None:
                    "downstream windows/fold on the bounded step table",
                    full["kaplan_meier_retention"].count(
                        "hashpartitioning(o_custkey") >= 1))
+
+    checks.append(("z-order: cell rollup with map-side combine; NO "
+                   "window operators anywhere in the plan",
+                   "partial_" in full["zorder_layout_plan"]
+                   and "Window" not in full["zorder_layout_plan"]))
+
+    checks.append(("neyman: strata rollup map-side combine; 1-row "
+                   "total broadcast",
+                   "partial_" in full["neyman_allocation_plan"]
+                   and "BroadcastNestedLoopJoin"
+                   in full["neyman_allocation_plan"]))
+
+    checks.append(("seasonal: daily rollup map-side combine; seasonal "
+                   "side broadcast back to the bounded daily table",
+                   "partial_" in full["event_seasonal_decompose"]
+                   and "BroadcastHashJoin"
+                   in full["event_seasonal_decompose"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

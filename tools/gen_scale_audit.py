@@ -303,6 +303,9 @@ SCALE_CLASS = {
     "chrf_pair_scores": ("bucketed", "the rouge discipline at char level: LSH candidates checkpoint once; per-doc char-n-gram count tables build with map-side combine and checkpoint (each feeds both pair sides); overlap joins are candidate-bounded, never corpus x corpus; every chrF_n is an integer-quotient round-6 via the closed form"),
     "join_cardinality_estimate": ("shuffle", "per-key counts collapse facts to key scale with map-side combine; exact size = one key-table equi-join + rollup; heavy-key selection is a rank window over the bounded key-count table; per-key products BIGINT-safe below ~9e18 output rows"),
     "kaplan_meier_retention": ("shuffle", "duration extraction is ONE custkey window + linear projections; everything downstream operates on the bounded distinct-duration table (exclusive cumulative window + a single-row array fold whose state is the step count — metadata scale); round-6 at EVERY product-limit multiply keeps the chain oracle-replayable"),
+    "zorder_layout_plan": ("shuffle", "ONE (cx, cy) groupBy collapses the corpus to at most 4^ZO_BITS cells with map-side combine; rank arithmetic, file rollups, and the 2-row layout rollup are cell/metadata scale; no windows at all — the bit interleave is a pure integer expression"),
+    "neyman_allocation_plan": ("shuffle", "one source groupBy with map-side combine collapses the corpus to the bounded strata table (exact BIGINT moments); everything after — 1-row total broadcast, largest-remainder rank window, apportionment — is strata-scale; allocations sum EXACTLY to the budget by integer construction"),
+    "event_seasonal_decompose": ("shuffle", "ONE date_trunc groupBy with map-side combine collapses events to the bounded daily table; the centered MA window, dow means, and joins all operate on that metadata-scale table; sign-aware half-up integer means keep negative operands away from div (truncate/floor divergence)"),
 }
 
 
