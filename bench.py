@@ -516,6 +516,11 @@ def main() -> None:
         "zorder_layout_plan",
         "neyman_allocation_plan",
         "event_seasonal_decompose",
+        # round 5, eighty-second wave: vocab front coding, salt plan,
+        # Markov stationary.  Excluded from the r04 subtotal.
+        "vocab_front_coding_estimate",
+        "skew_salt_plan",
+        "session_markov_stationary",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -737,6 +742,9 @@ def main() -> None:
         "zorder_layout_plan",
         "neyman_allocation_plan",
         "event_seasonal_decompose",
+        "vocab_front_coding_estimate",
+        "skew_salt_plan",
+        "session_markov_stationary",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

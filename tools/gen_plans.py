@@ -136,7 +136,8 @@ def main() -> None:
                  "late_event_watermark_audit", "chrf_pair_scores",
                  "join_cardinality_estimate", "kaplan_meier_retention",
                  "zorder_layout_plan", "neyman_allocation_plan",
-                 "event_seasonal_decompose"):
+                 "event_seasonal_decompose", "vocab_front_coding_estimate",
+                 "skew_salt_plan", "session_markov_stationary"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -1109,6 +1110,25 @@ def main() -> None:
                    "partial_" in full["event_seasonal_decompose"]
                    and "BroadcastHashJoin"
                    in full["event_seasonal_decompose"]))
+
+    checks.append(("front coding: lag window partitioned by the block "
+                   "key (no single-partition window), distinct with "
+                   "partial aggregation",
+                   "hashpartitioning(blk" in
+                   full["vocab_front_coding_estimate"]
+                   and "partial_" in full["vocab_front_coding_estimate"]))
+
+    checks.append(("salt plan: one conv_id rollup with map-side "
+                   "combine, no joins",
+                   "partial_" in full["skew_salt_plan"]
+                   and "Join" not in full["skew_salt_plan"]))
+
+    checks.append(("markov: final iteration reads checkpointed "
+                   "matrix-scale frames (no events rescan), no "
+                   "cartesian",
+                   "Scan parquet" not in full["session_markov_stationary"]
+                   and "CartesianProduct"
+                   not in full["session_markov_stationary"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

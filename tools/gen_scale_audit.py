@@ -306,6 +306,9 @@ SCALE_CLASS = {
     "zorder_layout_plan": ("shuffle", "ONE (cx, cy) groupBy collapses the corpus to at most 4^ZO_BITS cells with map-side combine; rank arithmetic, file rollups, and the 2-row layout rollup are cell/metadata scale; no windows at all — the bit interleave is a pure integer expression"),
     "neyman_allocation_plan": ("shuffle", "one source groupBy with map-side combine collapses the corpus to the bounded strata table (exact BIGINT moments); everything after — 1-row total broadcast, largest-remainder rank window, apportionment — is strata-scale; allocations sum EXACTLY to the budget by integer construction"),
     "event_seasonal_decompose": ("shuffle", "ONE date_trunc groupBy with map-side combine collapses events to the bounded daily table; the centered MA window, dow means, and joins all operate on that metadata-scale table; sign-aware half-up integer means keep negative operands away from div (truncate/floor divergence)"),
+    "vocab_front_coding_estimate": ("shuffle", "DISTINCT token table with map-side combine; ONE lag window partitioned by the first-char block key (block restarts are exactly why real term-dictionary formats parallelize); LCP is a per-row expression; bounded <= 36-row block rollup"),
+    "skew_salt_plan": ("linear", "ONE conv_id groupBy with map-side combine; per-key ceil arithmetic is zero-exchange projections — the exact salting arithmetic the extraction pipeline applies, made auditable"),
+    "session_markov_stationary": ("shuffle", "sequencing is ONE user_id window (lead); the transition matrix is a bounded #types^2 groupBy with map-side combine; the power iteration (fixed MARKOV_ITERS rounds) runs entirely on the bounded matrix with per-round localCheckpoint — floored integer products make summation order irrelevant"),
 }
 
 
