@@ -521,6 +521,11 @@ def main() -> None:
         "vocab_front_coding_estimate",
         "skew_salt_plan",
         "session_markov_stationary",
+        # round 5, eighty-third wave: URL templates, KS drift, BM25 PRF.
+        # Excluded from the r04 subtotal.
+        "url_template_mining",
+        "ks_drift_test",
+        "bm25_prf_expansion",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -745,6 +750,9 @@ def main() -> None:
         "vocab_front_coding_estimate",
         "skew_salt_plan",
         "session_markov_stationary",
+        "url_template_mining",
+        "ks_drift_test",
+        "bm25_prf_expansion",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

@@ -137,7 +137,9 @@ def main() -> None:
                  "join_cardinality_estimate", "kaplan_meier_retention",
                  "zorder_layout_plan", "neyman_allocation_plan",
                  "event_seasonal_decompose", "vocab_front_coding_estimate",
-                 "skew_salt_plan", "session_markov_stationary"):
+                 "skew_salt_plan", "session_markov_stationary",
+                 "url_template_mining", "ks_drift_test",
+                 "bm25_prf_expansion"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -1129,6 +1131,23 @@ def main() -> None:
                    "Scan parquet" not in full["session_markov_stationary"]
                    and "CartesianProduct"
                    not in full["session_markov_stationary"]))
+
+    checks.append(("url templates: template rollups with map-side "
+                   "combine, no cartesian",
+                   "partial_" in full["url_template_mining"]
+                   and "CartesianProduct"
+                   not in full["url_template_mining"]))
+
+    checks.append(("ks drift: one corpus rollup then bounded-grid "
+                   "windows partitioned by source",
+                   "partial_" in full["ks_drift_test"]
+                   and "hashpartitioning(source" in full["ks_drift_test"]))
+
+    checks.append(("bm25 prf: scoring joins broadcast the bounded "
+                   "term sets (no corpus-side shuffle per query), "
+                   "postings table from checkpoint",
+                   "BroadcastHashJoin" in full["bm25_prf_expansion"]
+                   and "Scan parquet" not in full["bm25_prf_expansion"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -309,6 +309,9 @@ SCALE_CLASS = {
     "vocab_front_coding_estimate": ("shuffle", "DISTINCT token table with map-side combine; ONE lag window partitioned by the first-char block key (block restarts are exactly why real term-dictionary formats parallelize); LCP is a per-row expression; bounded <= 36-row block rollup"),
     "skew_salt_plan": ("linear", "ONE conv_id groupBy with map-side combine; per-key ceil arithmetic is zero-exchange projections — the exact salting arithmetic the extraction pipeline applies, made auditable"),
     "session_markov_stationary": ("shuffle", "sequencing is ONE user_id window (lead); the transition matrix is a bounded #types^2 groupBy with map-side combine; the power iteration (fixed MARKOV_ITERS rounds) runs entirely on the bounded matrix with per-round localCheckpoint — floored integer products make summation order irrelevant"),
+    "url_template_mining": ("linear", "one explode (linear in links) into a template groupBy with map-side combine (countDistinct two-phase); the per-page max is a second bounded rollup on the same key; pure regex chains, no joins against corpus-sized tables"),
+    "ks_drift_test": ("shuffle", "one (source, len) groupBy with map-side combine collapses the corpus; the source x distinct-length grid, per-target cumulative windows (partitioned — parallel), and rank windows are bounded-table work; D is an exact BIGINT cross-product max"),
+    "bm25_prf_expansion": ("broadcast", "the bm25 discipline twice: the collapsed (tok,doc,tf) table checkpoints once and feeds lengths/stats/both scoring passes; query + expansion term sets are bounded broadcast tables so each scoring join touches only query-term postings; feedback mining joins the FB_DOCSxQ doc list back by doc key"),
 }
 
 
