@@ -526,6 +526,11 @@ def main() -> None:
         "url_template_mining",
         "ks_drift_test",
         "bm25_prf_expansion",
+        # round 5, eighty-fourth wave: seeded pagerank, k-core, cluster
+        # diameter.  Excluded from the r04 subtotal.
+        "host_seeded_pagerank",
+        "host_kcore_membership",
+        "dedup_cluster_diameter",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -753,6 +758,9 @@ def main() -> None:
         "url_template_mining",
         "ks_drift_test",
         "bm25_prf_expansion",
+        "host_seeded_pagerank",
+        "host_kcore_membership",
+        "dedup_cluster_diameter",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

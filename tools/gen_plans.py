@@ -139,7 +139,8 @@ def main() -> None:
                  "event_seasonal_decompose", "vocab_front_coding_estimate",
                  "skew_salt_plan", "session_markov_stationary",
                  "url_template_mining", "ks_drift_test",
-                 "bm25_prf_expansion"):
+                 "bm25_prf_expansion", "host_seeded_pagerank",
+                 "host_kcore_membership", "dedup_cluster_diameter"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -1148,6 +1149,22 @@ def main() -> None:
                    "postings table from checkpoint",
                    "BroadcastHashJoin" in full["bm25_prf_expansion"]
                    and "Scan parquet" not in full["bm25_prf_expansion"]))
+
+    checks.append(("seeded pagerank: the result IS the final round's "
+                   "checkpoint (no parquet rescan, no recompute tail)",
+                   "Scan parquet" not in full["host_seeded_pagerank"]
+                   and "Scan ExistingRDD"
+                   in full["host_seeded_pagerank"]))
+
+    checks.append(("k-core: final peel reads checkpointed host-scale "
+                   "frames, degree rollups with map-side combine",
+                   "Scan parquet" not in full["host_kcore_membership"]
+                   and "partial_" in full["host_kcore_membership"]))
+
+    checks.append(("cluster diameter: pair expansion joins on "
+                   "cluster_id (no cartesian), shingle side semi-joined",
+                   "CartesianProduct" not in full["dedup_cluster_diameter"]
+                   and "partial_" in full["dedup_cluster_diameter"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

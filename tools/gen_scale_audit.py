@@ -312,6 +312,9 @@ SCALE_CLASS = {
     "url_template_mining": ("linear", "one explode (linear in links) into a template groupBy with map-side combine (countDistinct two-phase); the per-page max is a second bounded rollup on the same key; pure regex chains, no joins against corpus-sized tables"),
     "ks_drift_test": ("shuffle", "one (source, len) groupBy with map-side combine collapses the corpus; the source x distinct-length grid, per-target cumulative windows (partitioned — parallel), and rank windows are bounded-table work; D is an exact BIGINT cross-product max"),
     "bm25_prf_expansion": ("broadcast", "the bm25 discipline twice: the collapsed (tok,doc,tf) table checkpoints once and feeds lengths/stats/both scoring passes; query + expansion term sets are bounded broadcast tables so each scoring join touches only query-term postings; feedback mining joins the FB_DOCSxQ doc list back by doc key"),
+    "host_seeded_pagerank": ("shuffle", "the pagerank discipline with a seed-conditional teleport: edges from the TURN-key self-join; each of the fixed PPR_ITERS rounds is one equi-join + one dst rollup on the host table + a 1-row dangling broadcast; per-round localCheckpoint; all-integer floor arithmetic"),
+    "host_kcore_membership": ("shuffle", "each of the fixed KCORE_ROUNDS peels is one equi-join of the alive set against the edge table + one degree rollup with map-side combine (host-table scale); per-round localCheckpoint; fixpoint typically reached in 2-3 rounds (tested), later rounds are no-ops"),
+    "dedup_cluster_diameter": ("bucketed", "membership from the attested CC subtree; within-cluster pair expansion self-joins ON cluster_id bounded by the declared DIAM_MAX_SIZE cap (quadratic only inside a capped cluster, never corpus-wide — larger clusters are visibly out of scope, no silent truncation); exact Jaccard via keyed joins on the semi-joined shingle table"),
 }
 
 
