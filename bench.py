@@ -531,6 +531,11 @@ def main() -> None:
         "host_seeded_pagerank",
         "host_kcore_membership",
         "dedup_cluster_diameter",
+        # round 5, eighty-fifth wave: sliding HLL, TextTiling, McNemar.
+        # Excluded from the r04 subtotal.
+        "sliding_hll_users",
+        "texttiling_boundaries",
+        "filter_mcnemar_test",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -761,6 +766,9 @@ def main() -> None:
         "host_seeded_pagerank",
         "host_kcore_membership",
         "dedup_cluster_diameter",
+        "sliding_hll_users",
+        "texttiling_boundaries",
+        "filter_mcnemar_test",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

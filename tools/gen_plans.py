@@ -140,7 +140,9 @@ def main() -> None:
                  "skew_salt_plan", "session_markov_stationary",
                  "url_template_mining", "ks_drift_test",
                  "bm25_prf_expansion", "host_seeded_pagerank",
-                 "host_kcore_membership", "dedup_cluster_diameter"):
+                 "host_kcore_membership", "dedup_cluster_diameter",
+                 "sliding_hll_users", "texttiling_boundaries",
+                 "filter_mcnemar_test"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -1165,6 +1167,24 @@ def main() -> None:
                    "cluster_id (no cartesian), shingle side semi-joined",
                    "CartesianProduct" not in full["dedup_cluster_diameter"]
                    and "partial_" in full["dedup_cluster_diameter"]))
+
+    checks.append(("sliding hll: register merge from the checkpointed "
+                   "daily registers (one events scan total), max "
+                   "combine partial",
+                   full["sliding_hll_users"].count("Scan parquet") <= 4
+                   and "partial_max" in full["sliding_hll_users"]))
+
+    checks.append(("texttiling: counts with map-side combine, gap "
+                   "joins keyed (no cartesian), doc-partitioned windows",
+                   "partial_" in full["texttiling_boundaries"]
+                   and "CartesianProduct"
+                   not in full["texttiling_boundaries"]
+                   and "hashpartitioning(doc_id"
+                   in full["texttiling_boundaries"]))
+
+    checks.append(("mcnemar: rides the checkpointed classifier frame "
+                   "(no parquet scan), 1-row aggregate",
+                   "Scan parquet" not in full["filter_mcnemar_test"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

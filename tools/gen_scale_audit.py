@@ -315,6 +315,9 @@ SCALE_CLASS = {
     "host_seeded_pagerank": ("shuffle", "the pagerank discipline with a seed-conditional teleport: edges from the TURN-key self-join; each of the fixed PPR_ITERS rounds is one equi-join + one dst rollup on the host table + a 1-row dangling broadcast; per-round localCheckpoint; all-integer floor arithmetic"),
     "host_kcore_membership": ("shuffle", "each of the fixed KCORE_ROUNDS peels is one equi-join of the alive set against the edge table + one degree rollup with map-side combine (host-table scale); per-round localCheckpoint; fixpoint typically reached in 2-3 rounds (tested), later rounds are no-ops"),
     "dedup_cluster_diameter": ("bucketed", "membership from the attested CC subtree; within-cluster pair expansion self-joins ON cluster_id bounded by the declared DIAM_MAX_SIZE cap (quadratic only inside a capped cluster, never corpus-wide — larger clusters are visibly out of scope, no silent truncation); exact Jaccard via keyed joins on the semi-joined shingle table"),
+    "sliding_hll_users": ("bucketed", "daily registers built in ONE pass (<= 2^p rows per day regardless of volume, map-side max combine); the trailing merge joins the bounded day-pair table at register scale; the exact twin (distinct + 7x bounded re-agg) is validation-only and dropped at production scale"),
+    "texttiling_boundaries": ("shuffle", "tokenize + block assignment linear; per-(doc, block, term) counts with map-side combine; gap similarity joins adjacent blocks only (linear in blocks); peak windows and rollups partition by doc_id (parallel); ONE micro quantization per gap keeps the chain oracle-exact"),
+    "filter_mcnemar_test": ("broadcast", "rides the memoized checkpointed classifier frame; one zero-exchange projection + a 1-row contingency aggregate; chi is an integer-quotient round-6"),
 }
 
 
