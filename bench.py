@@ -536,6 +536,11 @@ def main() -> None:
         "sliding_hll_users",
         "texttiling_boundaries",
         "filter_mcnemar_test",
+        # round 5, eighty-sixth wave: phrase search, Kendall tau,
+        # trimmed stats.  Excluded from the r04 subtotal.
+        "phrase_search",
+        "ranking_kendall_tau",
+        "source_trimmed_stats",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -769,6 +774,9 @@ def main() -> None:
         "sliding_hll_users",
         "texttiling_boundaries",
         "filter_mcnemar_test",
+        "phrase_search",
+        "ranking_kendall_tau",
+        "source_trimmed_stats",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

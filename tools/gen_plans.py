@@ -142,7 +142,8 @@ def main() -> None:
                  "bm25_prf_expansion", "host_seeded_pagerank",
                  "host_kcore_membership", "dedup_cluster_diameter",
                  "sliding_hll_users", "texttiling_boundaries",
-                 "filter_mcnemar_test"):
+                 "filter_mcnemar_test", "phrase_search",
+                 "ranking_kendall_tau", "source_trimmed_stats"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -1185,6 +1186,20 @@ def main() -> None:
     checks.append(("mcnemar: rides the checkpointed classifier frame "
                    "(no parquet scan), 1-row aggregate",
                    "Scan parquet" not in full["filter_mcnemar_test"]))
+
+    checks.append(("phrase search: phrase table broadcast into the "
+                   "checkpointed positional stream (no parquet rescan)",
+                   "BroadcastHashJoin" in full["phrase_search"]
+                   and "Scan parquet" not in full["phrase_search"]))
+
+    checks.append(("kendall tau: K^2-bounded pair join from the "
+                   "checkpointed common table, no cartesian",
+                   "CartesianProduct" not in full["ranking_kendall_tau"]))
+
+    checks.append(("trimmed stats: source-partitioned rank window (no "
+                   "single-partition sort), rollup map-side combine",
+                   "hashpartitioning(source" in full["source_trimmed_stats"]
+                   and "partial_" in full["source_trimmed_stats"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -318,6 +318,9 @@ SCALE_CLASS = {
     "sliding_hll_users": ("bucketed", "daily registers built in ONE pass (<= 2^p rows per day regardless of volume, map-side max combine); the trailing merge joins the bounded day-pair table at register scale; the exact twin (distinct + 7x bounded re-agg) is validation-only and dropped at production scale"),
     "texttiling_boundaries": ("shuffle", "tokenize + block assignment linear; per-(doc, block, term) counts with map-side combine; gap similarity joins adjacent blocks only (linear in blocks); peak windows and rollups partition by doc_id (parallel); ONE micro quantization per gap keeps the chain oracle-exact"),
     "filter_mcnemar_test": ("broadcast", "rides the memoized checkpointed classifier frame; one zero-exchange projection + a 1-row contingency aggregate; chi is an integer-quotient round-6"),
+    "phrase_search": ("broadcast", "the bounded phrase table BROADCASTS into the positional token stream so matching touches only phrase-word postings (two keyed joins on doc+position — the positional-index discipline); bigram formation is an adjacent-position self-join on the checkpointed stream; rollups have map-side combine"),
+    "ranking_kendall_tau": ("broadcast", "both inputs are bounded per-query top-K tables; the intersection join and the per-query pair self-join are K^2-bounded per query, never corpus-sized; tau is an integer-quotient round-6"),
+    "source_trimmed_stats": ("shuffle", "one rank window partitioned by source (parallel, no global sort) + per-source rollups with map-side combine; trim counts and means are pure integer arithmetic"),
 }
 
 
