@@ -541,6 +541,11 @@ def main() -> None:
         "phrase_search",
         "ranking_kendall_tau",
         "source_trimmed_stats",
+        # round 5, eighty-seventh wave: BPE stability, survivor bias,
+        # hourly ACF.  Excluded from the r04 subtotal.
+        "bpe_merge_stability",
+        "dedup_survivor_bias",
+        "event_hourly_autocorrelation",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -777,6 +782,9 @@ def main() -> None:
         "phrase_search",
         "ranking_kendall_tau",
         "source_trimmed_stats",
+        "bpe_merge_stability",
+        "dedup_survivor_bias",
+        "event_hourly_autocorrelation",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

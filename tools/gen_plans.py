@@ -143,7 +143,8 @@ def main() -> None:
                  "host_kcore_membership", "dedup_cluster_diameter",
                  "sliding_hll_users", "texttiling_boundaries",
                  "filter_mcnemar_test", "phrase_search",
-                 "ranking_kendall_tau", "source_trimmed_stats"):
+                 "ranking_kendall_tau", "source_trimmed_stats",
+                 "dedup_survivor_bias", "event_hourly_autocorrelation"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -1200,6 +1201,18 @@ def main() -> None:
                    "single-partition sort), rollup map-side combine",
                    "hashpartitioning(source" in full["source_trimmed_stats"]
                    and "partial_" in full["source_trimmed_stats"]))
+
+    checks.append(("survivor bias: 2-group rollup with map-side "
+                   "combine, no cartesian",
+                   "partial_" in full["dedup_survivor_bias"]
+                   and "CartesianProduct"
+                   not in full["dedup_survivor_bias"]))
+
+    checks.append(("hourly acf: one events rollup with map-side "
+                   "combine; lag join on the bounded index (broadcast)",
+                   "partial_" in full["event_hourly_autocorrelation"]
+                   and "BroadcastHashJoin"
+                   in full["event_hourly_autocorrelation"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -321,6 +321,9 @@ SCALE_CLASS = {
     "phrase_search": ("broadcast", "the bounded phrase table BROADCASTS into the positional token stream so matching touches only phrase-word postings (two keyed joins on doc+position — the positional-index discipline); bigram formation is an adjacent-position self-join on the checkpointed stream; rollups have map-side combine"),
     "ranking_kendall_tau": ("broadcast", "both inputs are bounded per-query top-K tables; the intersection join and the per-query pair self-join are K^2-bounded per query, never corpus-sized; tau is an integer-quotient round-6"),
     "source_trimmed_stats": ("shuffle", "one rank window partitioned by source (parallel, no global sort) + per-source rollups with map-side combine; trim counts and means are pure integer arithmetic"),
+    "bpe_merge_stability": ("shuffle", "two runs of the vocab-sized merge loop (the trainer iterates the distinct-word table, tiny next to the corpus — the bpe_learn_merges audit); the comparison joins two <= BPE_MERGES-row local tables; Spearman via the all-integer identity"),
+    "dedup_survivor_bias": ("bucketed", "rides two attested subtrees (CC clusters from the bucketed LSH, the memoized checkpointed classifier); one doc_id join + a 2-group rollup with map-side combine"),
+    "event_hourly_autocorrelation": ("shuffle", "ONE date_trunc groupBy collapses events to the bounded hourly table; lag pairing explodes that bounded table by ACF_MAX_LAG and joins on the hour index — metadata-scale; exact milli-integer centered products, integer-quotient round-6"),
 }
 
 
