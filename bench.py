@@ -546,6 +546,11 @@ def main() -> None:
         "bpe_merge_stability",
         "dedup_survivor_bias",
         "event_hourly_autocorrelation",
+        # round 5, eighty-eighth wave: kappa, threshold sweep, topic
+        # shifts.  Excluded from the r04 subtotal.
+        "filter_cohen_kappa",
+        "dedup_threshold_sweep",
+        "conversation_topic_shift",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -785,6 +790,9 @@ def main() -> None:
         "bpe_merge_stability",
         "dedup_survivor_bias",
         "event_hourly_autocorrelation",
+        "filter_cohen_kappa",
+        "dedup_threshold_sweep",
+        "conversation_topic_shift",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

@@ -144,7 +144,9 @@ def main() -> None:
                  "sliding_hll_users", "texttiling_boundaries",
                  "filter_mcnemar_test", "phrase_search",
                  "ranking_kendall_tau", "source_trimmed_stats",
-                 "dedup_survivor_bias", "event_hourly_autocorrelation"):
+                 "dedup_survivor_bias", "event_hourly_autocorrelation",
+                 "filter_cohen_kappa", "dedup_threshold_sweep",
+                 "conversation_topic_shift"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -1213,6 +1215,23 @@ def main() -> None:
                    "partial_" in full["event_hourly_autocorrelation"]
                    and "BroadcastHashJoin"
                    in full["event_hourly_autocorrelation"]))
+
+    checks.append(("kappa: rides the checkpointed classifier frame "
+                   "(no parquet scan)",
+                   "Scan parquet" not in full["filter_cohen_kappa"]))
+
+    checks.append(("threshold sweep: sweep explodes the checkpointed "
+                   "pair table (broadcast thresholds), no cartesian "
+                   "on corpus tables",
+                   "BroadcastHashJoin" in full["dedup_threshold_sweep"]
+                   or "BroadcastNestedLoopJoin"
+                   in full["dedup_threshold_sweep"]))
+
+    checks.append(("topic shift: adjacent-turn keyed joins from the "
+                   "checkpointed count table, conv-partitioned rollups",
+                   "CartesianProduct"
+                   not in full["conversation_topic_shift"]
+                   and "partial_" in full["conversation_topic_shift"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -324,6 +324,9 @@ SCALE_CLASS = {
     "bpe_merge_stability": ("shuffle", "two runs of the vocab-sized merge loop (the trainer iterates the distinct-word table, tiny next to the corpus — the bpe_learn_merges audit); the comparison joins two <= BPE_MERGES-row local tables; Spearman via the all-integer identity"),
     "dedup_survivor_bias": ("bucketed", "rides two attested subtrees (CC clusters from the bucketed LSH, the memoized checkpointed classifier); one doc_id join + a 2-group rollup with map-side combine"),
     "event_hourly_autocorrelation": ("shuffle", "ONE date_trunc groupBy collapses events to the bounded hourly table; lag pairing explodes that bounded table by ACF_MAX_LAG and joins on the hour index — metadata-scale; exact milli-integer centered products, integer-quotient round-6"),
+    "filter_cohen_kappa": ("broadcast", "rides the memoized checkpointed classifier frame; one zero-exchange projection + a 1-row contingency aggregate; kappa is an all-integer identity round-6 (BIGINT-safe to ~3e9 docs — n^2 bounded)"),
+    "dedup_threshold_sweep": ("bucketed", "candidates from the bucketed LSH subtree; exact Jaccard via keyed joins on the semi-joined shingle table; the 5-threshold sweep explodes the bounded PAIR table, never the corpus; countDistinct two-phase per threshold"),
+    "conversation_topic_shift": ("shuffle", "per-(conv, turn, term) counts with map-side combine; the gap join is adjacent turns only (keyed, linear); rollups partition by conv_id; ONE micro quantization per gap"),
 }
 
 
