@@ -551,6 +551,11 @@ def main() -> None:
         "filter_cohen_kappa",
         "dedup_threshold_sweep",
         "conversation_topic_shift",
+        # round 5, eighty-ninth wave: quant recall curve, assortativity,
+        # effect size.  Excluded from the r04 subtotal.
+        "embedding_quant_recall_curve",
+        "host_degree_assortativity",
+        "role_length_effect_size",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -793,6 +798,9 @@ def main() -> None:
         "filter_cohen_kappa",
         "dedup_threshold_sweep",
         "conversation_topic_shift",
+        "embedding_quant_recall_curve",
+        "host_degree_assortativity",
+        "role_length_effect_size",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

@@ -146,7 +146,8 @@ def main() -> None:
                  "ranking_kendall_tau", "source_trimmed_stats",
                  "dedup_survivor_bias", "event_hourly_autocorrelation",
                  "filter_cohen_kappa", "dedup_threshold_sweep",
-                 "conversation_topic_shift"):
+                 "conversation_topic_shift", "host_degree_assortativity",
+                 "role_length_effect_size"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -1232,6 +1233,16 @@ def main() -> None:
                    "CartesianProduct"
                    not in full["conversation_topic_shift"]
                    and "partial_" in full["conversation_topic_shift"]))
+
+    checks.append(("assortativity: degree rollup + keyed edge joins "
+                   "from checkpoints, 1-row sums with partial agg",
+                   "Scan parquet" not in full["host_degree_assortativity"]
+                   and "partial_" in full["host_degree_assortativity"]))
+
+    checks.append(("effect size: one role rollup with map-side "
+                   "combine, no window",
+                   "partial_" in full["role_length_effect_size"]
+                   and "Window" not in full["role_length_effect_size"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -327,6 +327,9 @@ SCALE_CLASS = {
     "filter_cohen_kappa": ("broadcast", "rides the memoized checkpointed classifier frame; one zero-exchange projection + a 1-row contingency aggregate; kappa is an all-integer identity round-6 (BIGINT-safe to ~3e9 docs — n^2 bounded)"),
     "dedup_threshold_sweep": ("bucketed", "candidates from the bucketed LSH subtree; exact Jaccard via keyed joins on the semi-joined shingle table; the 5-threshold sweep explodes the bounded PAIR table, never the corpus; countDistinct two-phase per threshold"),
     "conversation_topic_shift": ("shuffle", "per-(conv, turn, term) counts with map-side combine; the gap join is adjacent turns only (keyed, linear); rollups partition by conv_id; ONE micro quantization per gap"),
+    "embedding_quant_recall_curve": ("broadcast", "per-dim ranges are one bounded aggregate re-broadcast as literals (the SQ discipline); reconstructed vectors fold back to ONE array row per (bits, vec) so the K broadcast queries join corpus x |bits| rows (never corpus x corpus, never the 64x long format); integer micro dots are order-free BIGINT sums"),
+    "host_degree_assortativity": ("shuffle", "degrees are one host rollup; the edge join attaches two degrees by key; the correlation is a 1-row aggregate of exact BIGINT regression sums with map-side combine (the quality_length_bias recipe)"),
+    "role_length_effect_size": ("linear", "one role rollup with map-side combine (two rows); everything downstream is constant-size arithmetic; exact BIGINT moments, one round-on-sqrt-quotient milli quantization"),
 }
 
 
