@@ -556,6 +556,11 @@ def main() -> None:
         "embedding_quant_recall_curve",
         "host_degree_assortativity",
         "role_length_effect_size",
+        # round 5, ninetieth wave: shuffle runs test, overdispersion,
+        # embedding MMD.  Excluded from the r04 subtotal.
+        "shuffle_runs_test",
+        "event_overdispersion",
+        "embedding_mmd_poly",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -801,6 +806,9 @@ def main() -> None:
         "embedding_quant_recall_curve",
         "host_degree_assortativity",
         "role_length_effect_size",
+        "shuffle_runs_test",
+        "event_overdispersion",
+        "embedding_mmd_poly",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

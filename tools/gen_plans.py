@@ -147,7 +147,8 @@ def main() -> None:
                  "dedup_survivor_bias", "event_hourly_autocorrelation",
                  "filter_cohen_kappa", "dedup_threshold_sweep",
                  "conversation_topic_shift", "host_degree_assortativity",
-                 "role_length_effect_size"):
+                 "role_length_effect_size", "shuffle_runs_test",
+                 "event_overdispersion", "embedding_mmd_poly"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -1243,6 +1244,22 @@ def main() -> None:
                    "combine, no window",
                    "partial_" in full["role_length_effect_size"]
                    and "Window" not in full["role_length_effect_size"]))
+
+    checks.append(("runs test: top-source broadcast; runs window "
+                   "partitioned by (epoch, shard)",
+                   "BroadcastNestedLoopJoin" in full["shuffle_runs_test"]
+                   and "hashpartitioning(epoch"
+                   in full["shuffle_runs_test"]))
+
+    checks.append(("overdispersion: bounded grid from margins, "
+                   "rollups with map-side combine",
+                   "partial_" in full["event_overdispersion"]))
+
+    checks.append(("mmd: one corpus explode into a bounded (label,i,j) "
+                   "rollup with partial agg; no cartesian on corpus "
+                   "tables",
+                   "partial_" in full["embedding_mmd_poly"]
+                   and "Generate" in full["embedding_mmd_poly"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

@@ -330,6 +330,9 @@ SCALE_CLASS = {
     "embedding_quant_recall_curve": ("broadcast", "per-dim ranges are one bounded aggregate re-broadcast as literals (the SQ discipline); reconstructed vectors fold back to ONE array row per (bits, vec) so the K broadcast queries join corpus x |bits| rows (never corpus x corpus, never the 64x long format); integer micro dots are order-free BIGINT sums"),
     "host_degree_assortativity": ("shuffle", "degrees are one host rollup; the edge join attaches two degrees by key; the correlation is a 1-row aggregate of exact BIGINT regression sums with map-side combine (the quality_length_bias recipe)"),
     "role_length_effect_size": ("linear", "one role rollup with map-side combine (two rows); everything downstream is constant-size arithmetic; exact BIGINT moments, one round-on-sqrt-quotient milli quantization"),
+    "shuffle_runs_test": ("shuffle", "rides the attested shuffle plan (its only exchange is the (epoch, shard) window); the mark join broadcasts a 1-row top source; runs counting reuses the same partitioning; one row per (epoch, shard)"),
+    "event_overdispersion": ("shuffle", "one (type, hour) groupBy with map-side combine; the complete grid is bounded hours x bounded types from the margins (the dow-seasonality discipline); the ratio is a pure integer quotient round-6"),
+    "embedding_mmd_poly": ("shuffle", "the only corpus-sized pass is the in-row upper-triangle outer-product explode into a (label, i, j) rollup with map-side combine — bounded d(d+1)/2 x 2 output (the pca_power discipline); the Frobenius fold runs on that bounded table; all sums exact BIGINT micro units"),
 }
 
 
