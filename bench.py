@@ -561,6 +561,11 @@ def main() -> None:
         "shuffle_runs_test",
         "event_overdispersion",
         "embedding_mmd_poly",
+        # round 5, ninety-first wave: filtered ANN, incremental merge,
+        # vocab overlap.  Excluded from the r04 subtotal.
+        "ann_filtered_topk",
+        "dedup_incremental_merge",
+        "source_vocab_overlap",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -809,6 +814,9 @@ def main() -> None:
         "shuffle_runs_test",
         "event_overdispersion",
         "embedding_mmd_poly",
+        "ann_filtered_topk",
+        "dedup_incremental_merge",
+        "source_vocab_overlap",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

@@ -148,7 +148,8 @@ def main() -> None:
                  "filter_cohen_kappa", "dedup_threshold_sweep",
                  "conversation_topic_shift", "host_degree_assortativity",
                  "role_length_effect_size", "shuffle_runs_test",
-                 "event_overdispersion", "embedding_mmd_poly"):
+                 "event_overdispersion", "embedding_mmd_poly",
+                 "ann_filtered_topk", "source_vocab_overlap"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -1260,6 +1261,18 @@ def main() -> None:
                    "tables",
                    "partial_" in full["embedding_mmd_poly"]
                    and "Generate" in full["embedding_mmd_poly"]))
+
+    checks.append(("filtered ann: both strategies rank the SAME "
+                   "checkpointed scored frame (one corpus pass)",
+                   "Scan parquet" not in full["ann_filtered_topk"]
+                   and full["ann_filtered_topk"].count("Window") >= 2))
+
+    checks.append(("vocab overlap: token-key self-join from the "
+                   "checkpointed distinct table, bounded sizes "
+                   "broadcast",
+                   "Scan parquet" not in full["source_vocab_overlap"]
+                   and "BroadcastHashJoin"
+                   in full["source_vocab_overlap"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")

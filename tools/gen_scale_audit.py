@@ -333,6 +333,9 @@ SCALE_CLASS = {
     "shuffle_runs_test": ("shuffle", "rides the attested shuffle plan (its only exchange is the (epoch, shard) window); the mark join broadcasts a 1-row top source; runs counting reuses the same partitioning; one row per (epoch, shard)"),
     "event_overdispersion": ("shuffle", "one (type, hour) groupBy with map-side combine; the complete grid is bounded hours x bounded types from the margins (the dow-seasonality discipline); the ratio is a pure integer quotient round-6"),
     "embedding_mmd_poly": ("shuffle", "the only corpus-sized pass is the in-row upper-triangle outer-product explode into a (label, i, j) rollup with map-side combine — bounded d(d+1)/2 x 2 output (the pca_power discipline); the Frobenius fold runs on that bounded table; all sums exact BIGINT micro units"),
+    "ann_filtered_topk": ("broadcast", "queries broadcast against the corpus ONCE (the exact-baseline discipline); both filter strategies rank the same checkpointed scored frame with different windows — no second corpus pass"),
+    "dedup_incremental_merge": ("bucketed", "two runs of the attested CC machinery over bucketed LSH candidates (band signatures are per-doc intrinsic, so the old snapshot's candidate set == full candidates restricted to old endpoints — the SQL twin exploits exactly this); the audit is one doc_id join + a cluster rollup with two-phase countDistinct"),
+    "source_vocab_overlap": ("shuffle", "ONE distinct (source, tok) table with map-side combine; pair intersection self-joins on the token key (vocabulary-bounded, never corpus-sized); bounded size rollup broadcast back"),
 }
 
 
