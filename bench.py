@@ -566,6 +566,11 @@ def main() -> None:
         "ann_filtered_topk",
         "dedup_incremental_merge",
         "source_vocab_overlap",
+        # round 5, ninety-second wave: kNN label agreement, temperature
+        # sweep, k-center coreset.  Excluded from the r04 subtotal.
+        "knn_label_agreement",
+        "mix_temperature_sweep",
+        "coreset_kcenter",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -817,6 +822,9 @@ def main() -> None:
         "ann_filtered_topk",
         "dedup_incremental_merge",
         "source_vocab_overlap",
+        "knn_label_agreement",
+        "mix_temperature_sweep",
+        "coreset_kcenter",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

@@ -149,7 +149,8 @@ def main() -> None:
                  "conversation_topic_shift", "host_degree_assortativity",
                  "role_length_effect_size", "shuffle_runs_test",
                  "event_overdispersion", "embedding_mmd_poly",
-                 "ann_filtered_topk", "source_vocab_overlap"):
+                 "ann_filtered_topk", "source_vocab_overlap",
+                 "knn_label_agreement", "mix_temperature_sweep"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -1273,6 +1274,17 @@ def main() -> None:
                    "Scan parquet" not in full["source_vocab_overlap"]
                    and "BroadcastHashJoin"
                    in full["source_vocab_overlap"]))
+
+    checks.append(("knn label agreement: votes and majority on the "
+                   "bounded refined edge table, no cartesian",
+                   "CartesianProduct" not in full["knn_label_agreement"]
+                   and "partial_" in full["knn_label_agreement"]))
+
+    checks.append(("temperature sweep: bounded source table exploded "
+                   "by taus (broadcast), totals broadcast back",
+                   "BroadcastHashJoin" in full["mix_temperature_sweep"]
+                   or "BroadcastNestedLoopJoin"
+                   in full["mix_temperature_sweep"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")
