@@ -571,6 +571,10 @@ def main() -> None:
         "knn_label_agreement",
         "mix_temperature_sweep",
         "coreset_kcenter",
+        # round 5, ninety-third wave: Benford audit, revenue Gini.
+        # Excluded from the r04 subtotal.
+        "order_value_benford",
+        "customer_revenue_gini",
     ):
         fn, _sql = QUERIES[name]
         t0 = time.time()
@@ -825,6 +829,8 @@ def main() -> None:
         "knn_label_agreement",
         "mix_temperature_sweep",
         "coreset_kcenter",
+        "order_value_benford",
+        "customer_revenue_gini",
     )
     extra["total_r04_comparable"] = round(
         sum(v for k, v in timings.items() if k not in _R5_NEW), 3

@@ -150,7 +150,8 @@ def main() -> None:
                  "role_length_effect_size", "shuffle_runs_test",
                  "event_overdispersion", "embedding_mmd_poly",
                  "ann_filtered_topk", "source_vocab_overlap",
-                 "knn_label_agreement", "mix_temperature_sweep"):
+                 "knn_label_agreement", "mix_temperature_sweep",
+                 "order_value_benford", "customer_revenue_gini"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -1285,6 +1286,16 @@ def main() -> None:
                    "BroadcastHashJoin" in full["mix_temperature_sweep"]
                    or "BroadcastNestedLoopJoin"
                    in full["mix_temperature_sweep"]))
+
+    checks.append(("benford: bounded digit rollup with map-side "
+                   "combine, margins broadcast",
+                   "partial_" in full["order_value_benford"]))
+
+    checks.append(("revenue gini: custkey rollup with map-side "
+                   "combine before the rank window",
+                   "partial_" in full["customer_revenue_gini"]
+                   and "hashpartitioning(o_custkey"
+                   in full["customer_revenue_gini"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")
