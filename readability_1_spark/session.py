@@ -29,6 +29,16 @@ def get_spark(app_name: str = "readability_1_spark", master: str | None = None,
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalesces post-shuffle partitions by BYTES (floor 1 MB), so
+        # CPU-dense-per-byte stages (16 md5-minhashes per shingle row) can
+        # run 4 tasks on 32 cores.  A smaller floor was A/B-swept in-session
+        # (64k/256k/1m over the 10 hottest mixed queries): it helps the
+        # md5/fold-dense few (minhash_lsh 3.3->2.7) but costs every
+        # latency-bound iterative query more (pagerank 4.1->5.4, packing
+        # 2.2->2.9) — net zero to negative, so the Spark default stays;
+        # the env knob remains for clusters where the trade differs.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "1m"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
