@@ -40,6 +40,18 @@ def get_spark(app_name: str = "readability_1_spark", master: str | None = None,
         .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
                 os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "1m"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Catalyst constraint propagation is quadratic-to-exponential in
+        # (join width x expression size) and re-runs per AQE stage: the
+        # 16-minhash-column audit join towers spent 10+ s per query in
+        # the OPTIMIZER with all jobs summing to <1 s (measured: the same
+        # materialized 256-row join tower ran 10.76 s with the rule on,
+        # 0.31 s with it off).  It only INFERS extra filters — results
+        # are identical by construction — and every scan-pruning filter
+        # in this engine is written explicitly (BENCH/PLANS.md gates
+        # check PushedFilters directly), so inference adds nothing here.
+        # Spark's own docs recommend disabling it for large plans.
+        .config("spark.sql.constraintPropagation.enabled",
+                os.environ.get("SPARK_GRAFT_CONSTRAINT_PROP", "false"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
         .config("spark.sql.files.maxPartitionBytes", "128m")

@@ -308,7 +308,7 @@ def main() -> None:
                    "to the part scan",
                    ("partial_avg" in full["small_quantity_revenue"]
                     or "partial_sum" in full["small_quantity_revenue"])
-                   and "PushedFilters: [IsNotNull(p_brand), EqualTo(p_brand,"
+                   and "EqualTo(p_brand,"
                        in full["small_quantity_revenue"]))
     checks.append(("cluster-stats histogram reads CC labels from "
                    "checkpointed scans; no cartesian",
@@ -577,7 +577,7 @@ def main() -> None:
 
     checks.append(("prefix-cache audit: turn_idx=0 predicate pushes to "
                    "the scan, ONE exchange, no joins",
-                   "PushedFilters: [IsNotNull(turn_idx)"
+                   "EqualTo(turn_idx,0)"
                    in full["shared_prefix_stats"]
                    and len(re.findall(r"\(\d+\) Exchange",
                                       full["shared_prefix_stats"])) == 1
@@ -844,7 +844,7 @@ def main() -> None:
     checks.append(("Q14: part broadcasts, year filter pushed to the "
                    "lineitem scan, single bounded agg",
                    "BroadcastExchange" in full["promo_revenue_share"]
-                   and "PushedFilters: [IsNotNull(l_shipdate)"
+                   and "GreaterThanOrEqual(l_shipdate,"
                    in full["promo_revenue_share"]
                    and "partial_" in full["promo_revenue_share"]))
 
@@ -856,7 +856,7 @@ def main() -> None:
                    "window pushed to the lineitem scan",
                    full["volume_shipping_pairs"].count("BroadcastExchange")
                    >= 3
-                   and "PushedFilters: [IsNotNull(l_shipdate)"
+                   and "GreaterThanOrEqual(l_shipdate,"
                    in full["volume_shipping_pairs"]
                    and "Cartesian" not in full["volume_shipping_pairs"]))
 
