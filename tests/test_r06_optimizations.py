@@ -1,0 +1,136 @@
+"""Round-6 optimization equivalence tests.
+
+Every optimization this round is required to leave query RESULTS
+byte-identical; these tests pin the three changes that rewrote an
+operator's internals (rather than just adding checkpoints):
+
+- order_value_benford's chi residual squared in DOUBLE instead of BIGINT
+  (the BIGINT square overflowed int64 at sf0.1 and crashed the bench);
+- _lsh_bit_dot built as one F.expr SQL string instead of the Column-API
+  tree (driver-side py4j cost), which must parse to a bit-identical fold;
+- customer_revenue_gini's range-partitioned two-pass rank replacing the
+  single-task unpartitioned global window.
+"""
+
+import os
+
+from pyspark.sql import Window, functions as F
+
+from readability_1_spark import queries as Q
+
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.1"
+
+
+def test_benford_runs_at_sf01_without_overflow(spark):
+    """The round-5 bench crash: (n_obs*1e6 - exp_micro)^2 overflowed
+    int64 under ANSI mode from sf0.1 up.  The DOUBLE-squared form must
+    compute the full 9-digit table at sf0.1."""
+    fn, _ = Q.QUERIES["order_value_benford"]
+    rows = fn(spark, SF01).collect()
+    assert len(rows) == 9
+    assert all(r["chi_contrib"] is not None for r in rows)
+    # one chi_total across all rows, consistent with the sum of contribs
+    tot = {r["chi_total"] for r in rows}
+    assert len(tot) == 1
+
+
+def test_benford_double_square_equals_exact_integer_square(spark):
+    """The DOUBLE residual is exact (< 2^53) and DOUBLE multiply is
+    correctly rounded, so squaring in DOUBLE must equal the
+    nearest-double of the exact integer square for every digit row."""
+    fn, _ = Q.QUERIES["order_value_benford"]
+    rows = fn(spark, SF01).collect()
+    for r in rows:
+        resid = r["n_obs"] * 1_000_000 - r["exp_micro"]
+        assert abs(resid) < 2**53
+        exact_sq_as_double = float(resid * resid)  # nearest-double of exact
+        assert float(resid) * float(resid) == exact_sq_as_double
+
+
+def test_lsh_bit_dot_expr_matches_column_api_form(spark):
+    """_lsh_bit_dot now emits one F.expr SQL string; it must be
+    bit-identical to the original Column-API zip_with/aggregate fold on
+    real embedding rows (sign AND magnitude — multi-probe ranking
+    depends on exact doubles)."""
+    emb = spark.read.parquet(os.path.join(SF001, "embeddings.parquet"))
+    cols = []
+    for t in range(2):
+        for b in range(Q.ANN_LSH_BITS):
+            new = Q._lsh_bit_dot(f"{t}:", b)
+            old = F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    F.array(*[
+                        F.lit(Q._lsh_weight(f"{t}:", b, i)) for i in range(64)
+                    ]),
+                    lambda x, w: x.cast("double") * w,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            cols.append((new.alias(f"n{t}_{b}"), old.alias(f"o{t}_{b}")))
+    df = emb.select(*[c for pair in cols for c in pair]).collect()
+    for row in df:
+        for t in range(2):
+            for b in range(Q.ANN_LSH_BITS):
+                assert row[f"n{t}_{b}"] == row[f"o{t}_{b}"]
+
+
+def test_gini_ranks_match_unpartitioned_global_window(spark):
+    """The range-partitioned two-pass rank must reproduce the global
+    row_number over (cents DESC, custkey ASC) exactly — compare the
+    final one-row output against a replica computed with the old
+    single-task global window."""
+    fn, _ = Q.QUERIES["customer_revenue_gini"]
+    new_row = fn(spark, SF001).collect()[0]
+
+    o = spark.read.parquet(os.path.join(SF001, "orders.parquet"))
+    per = o.groupBy("o_custkey").agg(
+        F.sum(F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)"))
+        .cast("long")
+        .alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), F.asc("o_custkey"))
+    ranked = per.withColumn("j", F.row_number().over(w))
+    tot = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(F.expr("j * cents")).cast("long").alias("js"),
+    ).collect()[0]
+    shares = ranked.crossJoin(
+        F.broadcast(
+            spark.createDataFrame([(tot["n"],)], "n long")
+        )
+    ).agg(
+        F.sum(F.when(F.expr("j * 100 <= n"), F.col("cents")).otherwise(0))
+        .cast("long").alias("top1"),
+        F.sum(F.when(F.expr("j * 10 <= n"), F.col("cents")).otherwise(0))
+        .cast("long").alias("top10"),
+    ).collect()[0]
+
+    assert new_row["n"] == tot["n"]
+    assert new_row["total_cents"] == tot["s"]
+    n, s, js = tot["n"], tot["s"], tot["js"]
+    gini_old = round(
+        (2.0 * ((n + 1) * s - js)) / (float(n) * s) - (n + 1) / float(n), 6
+    )
+    assert new_row["gini"] == gini_old
+    assert new_row["top1pct_share"] == round(shares["top1"] / s, 6)
+    assert new_row["top10pct_share"] == round(shares["top10"] / s, 6)
+
+
+def test_widen_is_identity_when_already_wide(spark):
+    """_widen must be a pure no-op when the input already has at least
+    defaultParallelism partitions (the at-scale case), and must preserve
+    the row multiset when it does repartition (the local case)."""
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.read.parquet(os.path.join(SF001, "documents.parquet"))
+    assert narrow.rdd.getNumPartitions() < par
+    widened = Q._widen(narrow, "doc_id")
+    assert widened.rdd.getNumPartitions() == par
+    assert sorted(r["doc_id"] for r in widened.select("doc_id").collect()) \
+        == sorted(r["doc_id"] for r in narrow.select("doc_id").collect())
+
+    wide = narrow.repartition(par, "doc_id")
+    assert Q._widen(wide, "doc_id") is wide
