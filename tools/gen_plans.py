@@ -151,7 +151,11 @@ def main() -> None:
                  "event_overdispersion", "embedding_mmd_poly",
                  "ann_filtered_topk", "source_vocab_overlap",
                  "knn_label_agreement", "mix_temperature_sweep",
-                 "order_value_benford", "customer_revenue_gini"):
+                 "order_value_benford", "customer_revenue_gini",
+                 # round-6 (ADVICE): the four wave-87..92 queries that
+                 # were silently absent while their wave-mates had gates.
+                 "bpe_merge_stability", "embedding_quant_recall_curve",
+                 "dedup_incremental_merge", "coreset_kcenter"):
         fn, _sql = QUERIES[name]
         sections.append((name, plan_of(fn(spark, SF_DIR))))
 
@@ -672,8 +676,10 @@ def main() -> None:
     checks.append(("PCA: corpus side is ONE dim rollup (in-row (i,j) "
                    "expansion, no corpus self-join — the DIM^2 eigen-solve "
                    "is driver-side on the bounded covariance table)",
+                   # r06: a scale-adaptive _widen repartition precedes the
+                   # (i,j) expansion, so two exchanges (widen + dim rollup).
                    len(re.findall(r"\(\d+\) Exchange",
-                                  full["embedding_pca_power"])) == 1
+                                  full["embedding_pca_power"])) <= 2
                    and "Join" not in full["embedding_pca_power"]
                    and "Cartesian" not in full["embedding_pca_power"]))
 
@@ -840,6 +846,27 @@ def main() -> None:
                    and "1996" in full["local_supplier_volume"][
                        full["local_supplier_volume"].find("PushedFilters"):]
                    and "Cartesian" not in full["local_supplier_volume"]))
+
+    checks.append(("merge stability: two trainings, no corpus cartesian "
+                   "(merge tables joined on the merged token)",
+                   "CartesianProduct" not in full["bpe_merge_stability"]))
+
+    checks.append(("quant recall curve: candidate re-rank via equi-join / "
+                   "window, no corpus cartesian",
+                   "CartesianProduct" not in full["embedding_quant_recall_curve"]))
+
+    checks.append(("incremental merge: cluster tables read from checkpointed "
+                   "scans (bounded lineage), no cartesian",
+                   "Scan ExistingRDD" in full["dedup_incremental_merge"]
+                   and "CartesianProduct" not in full["dedup_incremental_merge"]))
+
+    checks.append(("k-center coreset: final frame assembles the loop's "
+                   "collected per-step picks locally — no exchange, no "
+                   "cartesian (per-step distances run as bounded broadcast "
+                   "jobs during the build loop)",
+                   "CartesianProduct" not in full["coreset_kcenter"]
+                   and not re.findall(r"\(\d+\) Exchange",
+                                      full["coreset_kcenter"])))
 
     checks.append(("Q14: part broadcasts, year filter pushed to the "
                    "lineitem scan, single bounded agg",
@@ -1291,11 +1318,16 @@ def main() -> None:
                    "combine, margins broadcast",
                    "partial_" in full["order_value_benford"]))
 
-    checks.append(("revenue gini: custkey rollup with map-side "
-                   "combine before the rank window",
-                   "partial_" in full["customer_revenue_gini"]
-                   and "hashpartitioning(o_custkey"
-                   in full["customer_revenue_gini"]))
+    checks.append(("revenue gini: range-partitioned two-pass rank "
+                   "(pid-partitioned row_number, no unpartitioned window)",
+                   # r06: the rank is range-partitioned two-pass; the
+                   # custkey rollup materializes inside the checkpointed
+                   # range-partitioned scan, and the only row_number window
+                   # left is partitioned by pid (never unpartitioned).
+                   "windowspecdefinition(pid" in full["customer_revenue_gini"]
+                   and "Scan ExistingRDD" in full["customer_revenue_gini"]
+                   and "windowspecdefinition(cents"
+                   not in full["customer_revenue_gini"]))
 
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
         f.write("# BENCH/PLANS — formatted physical plans for headline operators\n\n")
