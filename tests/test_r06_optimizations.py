@@ -134,3 +134,55 @@ def test_widen_is_identity_when_already_wide(spark):
 
     wide = narrow.repartition(par, "doc_id")
     assert Q._widen(wide, "doc_id") is wide
+
+
+def test_round_dd_matches_duckdb_on_half_boundaries(spark):
+    """_round_dd must reproduce DuckDB's multiply-then-std::round DOUBLE
+    rounding on repr-vs-binary half boundaries where Spark's F.round
+    disagrees (the sf0.1 events_user_stats / tfidf_top_terms class)."""
+    import duckdb
+
+    cases = [
+        21667.0 / 461.0,          # ~46.996… the observed avg shape
+        0.06514649999999999,
+        46.99625, 46.996250000000003, 0.0651465,
+        1.00005, 2.5e-05, 123.45675, -46.99625, -0.0651465,
+    ]
+    df = spark.createDataFrame([(float(v),) for v in cases], "x double")
+    got4 = [r["r"] for r in df.select(Q._round_dd(F.col("x"), 4).alias("r")).collect()]
+    got6 = [r["r"] for r in df.select(Q._round_dd(F.col("x"), 6).alias("r")).collect()]
+    con = duckdb.connect()
+    for v, g4, g6 in zip(cases, got4, got6):
+        d4 = con.execute("SELECT round(CAST(? AS DOUBLE), 4)", [v]).fetchone()[0]
+        d6 = con.execute("SELECT round(CAST(? AS DOUBLE), 6)", [v]).fetchone()[0]
+        assert g4 == d4, (v, g4, d4)
+        assert g6 == d6, (v, g6, d6)
+
+
+def test_events_user_stats_ordered_sum_matches_plain_avg_where_exact(spark):
+    """The ordered left-fold average must equal the plain avg whenever
+    the sum is order-insensitive — pinned on a small exact-integer
+    frame (the change may only matter in the last ulp of large float
+    sums)."""
+    rows = [("u1", i, i, float(i % 7)) for i in range(50)] + [
+        ("u2", i, i, float(100 - i)) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "user_id string, event_id long, ts long, value double")
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    plain = {
+        r["user_id"]: round(r["a"], 4)
+        for r in df.groupBy("user_id").agg(F.avg("value").alias("a")).collect()
+    }
+    ordered = F.array_sort(
+        F.collect_list(F.struct("rn", F.col("value").cast("double").alias("v")))
+    )
+    osum = F.aggregate(ordered, F.lit(0.0), lambda acc, x: acc + x["v"])
+    got = {
+        r["user_id"]: r["a"]
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .groupBy("user_id")
+        .agg(Q._round_dd(osum / F.count(F.lit(1)).cast("double"), 4).alias("a"))
+        .collect()
+    }
+    assert got == plain
