@@ -43,30 +43,57 @@ def test_entry_from_foreign_cwd(tmp_path):
 # reorders fail loudly.  Update this list ONLY together with a deliberate
 # rotation (see the registry-order note atop QUERIES in queries.py).
 DRIVER_WINDOW_50 = [
-    "extract_fixture_turns", "extract_status_counts", "readerable_flags",
-    "extraction_lineage", "turn_ordering_check", "html_gate_selectivity",
-    "bpe_tokenize_ids",
-    "pack_token_ids", "doc_quality_classifier",
-    "dedup_minhash_clusters",
-    "extract_repetition_filters", "ann_ivfpq_rerank_topk",
-    # sixth (final) rotation: novel-code-path waves-25-28 operators in
-    # for first-round driver attestation
-    "embedding_scalar_quantize", "boilerplate_line_filter",
-    "length_group_batching", "turn_html_stats",
-    "transcript_integrity_check", "corpus_snapshot_delta",
-    "semdedup", "doc_ngram_novelty", "split_leakage_check",
-    "ann_pq_codes",
-    "dedup_exact_substring", "dedup_minhash_keep_best",
-    "inverted_index_postings", "bm25_search_topk", "dedup_bloom_membership",
-    "gopher_quality_filters", "dsir_importance_weights", "dedup_containment",
-    "dedup_cluster_stats", "corpus_datacard",
-    "extract_outlinks", "outlink_host_indegree", "outlink_host_pagerank",
-    "extract_url_normalize", "anchor_text_terms", "crawl_frontier_topk",
-    "ccnet_keep_policy", "dedup_sentence_spans", "mix_temperature_weights",
-    "url_blocklist_filter", "doc_chunk_windows", "sft_context_windows",
-    "dedup_prefixfilter_pairs", "dedup_editdistance_pairs",
-    "conversation_dedup", "role_transition_stats", "turn_reply_latency",
-    "agent_loop_detect",
+    # round-6 rotation: see the _R06_WINDOW note in queries.py
+    "extract_fixture_turns",
+    "order_value_benford",
+    "customer_revenue_gini",
+    "events_user_stats",
+    "tfidf_top_terms",
+    "ann_lsh_topk",
+    "ann_lsh_bucketed",
+    "dedup_embedding_lsh",
+    "bbit_minhash_estimate",
+    "minhash_estimate_error",
+    "minhash_lsh_param_plan",
+    "dedup_containment",
+    "dup_graph_degree_stats",
+    "bpe_merge_stability",
+    "grounding_overlap_score",
+    "doc_quality_classifier",
+    "dedup_prefixfilter_pairs",
+    "dedup_incremental_merge",
+    "chrf_pair_scores",
+    "rouge_overlap_pairs",
+    "semdedup",
+    "data_profile_orders",
+    "embedding_pca_power",
+    "ranking_kendall_tau",
+    "dedup_survivor_bias",
+    "outlink_host_hits",
+    "bm25_prf_expansion",
+    "host_seeded_pagerank",
+    "host_kcore_membership",
+    "dedup_cluster_diameter",
+    "sliding_hll_users",
+    "texttiling_boundaries",
+    "filter_mcnemar_test",
+    "phrase_search",
+    "source_trimmed_stats",
+    "event_hourly_autocorrelation",
+    "filter_cohen_kappa",
+    "dedup_threshold_sweep",
+    "conversation_topic_shift",
+    "embedding_quant_recall_curve",
+    "host_degree_assortativity",
+    "role_length_effect_size",
+    "shuffle_runs_test",
+    "event_overdispersion",
+    "embedding_mmd_poly",
+    "ann_filtered_topk",
+    "source_vocab_overlap",
+    "knn_label_agreement",
+    "mix_temperature_sweep",
+    "coreset_kcenter",
 ]
 
 
