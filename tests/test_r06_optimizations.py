@@ -186,3 +186,28 @@ def test_events_user_stats_ordered_sum_matches_plain_avg_where_exact(spark):
         .collect()
     }
     assert got == plain
+
+
+def test_minhash_pairs_widened_scan_matches_narrow_path(spark):
+    """The post-close widening of the shingle path: _shingles now
+    _widen's its input so the split/explode/partial-distinct — and the
+    16-md5 partial agg, whose distinct input is optimizer-eliminated
+    (min is duplicate-insensitive) so it executes map-side ON THE SCAN
+    — get full parallelism on the single-file bench layout.
+    Partitioning can never change the pair set: md5 is per-row
+    deterministic and min is order-free, so the widened default must
+    emit exactly the pairs the old narrow path (_widen forced to
+    identity) does."""
+    docs = Q._t(spark, SF001, "documents")
+    widened = sorted(
+        (r.doc_a, r.doc_b) for r in Q._minhash_pairs(docs).collect()
+    )
+    orig_widen = Q._widen
+    Q._widen = lambda df, *keys: df
+    try:
+        narrow = sorted(
+            (r.doc_a, r.doc_b) for r in Q._minhash_pairs(docs).collect()
+        )
+    finally:
+        Q._widen = orig_widen
+    assert narrow == widened and len(narrow) > 0
